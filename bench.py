@@ -1,0 +1,99 @@
+"""
+Headline benchmark — run on the real device (TPU under the driver).
+
+Measures, at BASELINE's 20-zone configuration:
+  1. single-plant step throughput (steps/sec == real-time factor at dt=1 s)
+     via a jitted lax.scan rollout;
+  2. batched Monte-Carlo plant-steps/sec (4096 plants);
+and prints ONE JSON line. ``vs_baseline`` compares the single-plant
+throughput against the measured reference baseline of 31 steps/s at 20 zones
+on one CPU core (BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ics_wt_physicsengine_tpu.core import reactor as R
+from ics_wt_physicsengine_tpu.models.monte_carlo import make_monte_carlo_batch
+
+BASELINE_STEPS_PER_S = 31.0   # measured reference, 20 zones, 1 CPU core
+DT = 1.0
+
+
+def _timed_chained(fn, params, state, bc, reps):
+    """Time ``reps`` rollout calls, feeding each call's output state into the
+    next. Chaining makes every call's inputs distinct, which (a) defeats any
+    result caching in the execution path (the tunneled-TPU relay was observed
+    returning identical-input calls in ~0.6 ms regardless of n_steps) and
+    (b) measures sustained steady-state throughput.
+    """
+    import numpy as np
+
+    state = fn(params, state, bc)          # compile + warm
+    np.asarray(state.time)                 # device_get = true barrier
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state = fn(params, state, bc)
+    # A device->host value transfer is the only reliable completion barrier
+    # on the tunneled-TPU relay (block_until_ready was observed returning
+    # before the computation finished).
+    np.asarray(state.time)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_single_plant(n_steps=2000, reps=3):
+    config = R.ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=20,
+        flow_rate=5.0, initial_pH=7.0, initial_chlorine=2.0, temperature=20.0)
+    substeps = R.default_substeps(config, DT)
+    params = R.make_params(config, dtype=jnp.float32)
+    state = R.make_initial_state(config, dtype=jnp.float32)
+    bc = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.2, inlet_chlorine=0.5,
+        inlet_temperature=26.0, acid_flow_rate=0.1,
+        ambient_temperature=15.0, heat_loss_coefficient=50.0)
+
+    fn = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=DT, substeps=substeps, n_steps=n_steps, record=False)[0])
+
+    elapsed = _timed_chained(fn, params, state, bc, reps)
+    return n_steps / elapsed
+
+
+def bench_batched(n_plants=4096, n_steps=200, reps=3):
+    base = R.ReactorConfiguration(n_zones=20)
+    params, state = make_monte_carlo_batch(base, n_plants, seed=0,
+                                           dtype=jnp.float32)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.5,
+                              inlet_chlorine=0.3)
+    substeps = 4  # covers the stiffest sampled plant (fast impellers)
+
+    fn = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=DT, substeps=substeps, n_steps=n_steps, record=False)[0])
+
+    elapsed = _timed_chained(fn, params, state, bc, reps)
+    return n_plants * n_steps / elapsed
+
+
+def main():
+    single = bench_single_plant()
+    batched = bench_batched()
+    print(json.dumps({
+        "metric": "single-plant steps/sec (20 zones, dt=1s; == real-time factor)",
+        "value": round(single, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(single / BASELINE_STEPS_PER_S, 2),
+        "extra": {
+            "batched_plant_steps_per_sec": round(batched, 1),
+            "batched_n_plants": 4096,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

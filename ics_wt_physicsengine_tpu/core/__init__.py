@@ -1,0 +1,67 @@
+"""
+Physics core: pure-functional multi-zone CSTR over dense zone arrays.
+
+Layering (mirrors reference core/__init__.py:229-263 re-exports):
+  thermodynamics -> chemistry / transport / spatial -> reactor
+
+All compute paths are jittable pure functions; the exported classes are thin
+API-parity shells over them (same names and signatures as the reference
+``wt_simulator.core``).
+"""
+
+from ics_wt_physicsengine_tpu.core.thermodynamics import (  # noqa: F401
+    ArrheniusParameters,
+    TemperatureDependentKinetics,
+    validate_thermodynamics,
+)
+from ics_wt_physicsengine_tpu.core.chemistry import (  # noqa: F401
+    AqueousChemistry,
+    BufferSystem,
+    ChemistryConstants,
+    make_chemistry_constants,
+    solve_pH,
+    validate_chemistry,
+)
+from ics_wt_physicsengine_tpu.core.transport import (  # noqa: F401
+    FlowParameters,
+    GeometryParameters,
+    TransportModel,
+    apply_exchange,
+    exchange_matrix,
+    validate_transport,
+)
+from ics_wt_physicsengine_tpu.core.spatial import (  # noqa: F401
+    SpatialModel,
+    StratificationParameters,
+    validate_spatial,
+)
+from ics_wt_physicsengine_tpu.core.reactor import (  # noqa: F401
+    BoundaryConditions,
+    IntegratedCSTR,
+    ReactorConfiguration,
+    ReactorParams,
+    ReactorState,
+    conservation_metrics,
+    default_substeps,
+    derivatives,
+    make_initial_state,
+    make_params,
+    rollout,
+    step,
+    validate_integrated_reactor,
+)
+
+
+def run_all_validations() -> None:
+    """Run the five validation suites (reference core/__init__.py:266-294)."""
+    print("Running all physics validations...")
+    validate_thermodynamics()
+    validate_chemistry()
+    validate_transport()
+    validate_spatial()
+    validate_integrated_reactor()
+    print("ALL PHYSICS VALIDATIONS PASSED")
+
+
+if __name__ == "__main__":
+    run_all_validations()

@@ -1,0 +1,635 @@
+"""
+Integrated multi-zone CSTR — the physics engine, as a pure JAX state transition.
+
+TPU-first architecture (vs reference core/reactor.py:189-645):
+
+- State is a pytree of dense ``[..., n_zones]`` arrays; batched plant axes
+  broadcast on the left, so the same ``derivatives`` serves one plant and a
+  Monte-Carlo batch of 4096 without vmap overhead.
+- All per-zone Python loops of the reference (reactor.py:349-443) collapse to
+  elementwise VPU ops; the tridiagonal exchange matmul becomes an O(n)
+  shift/add stencil (``transport.apply_exchange``).
+- scipy's adaptive Radau (reactor.py:476-484) is replaced by fixed-substep RK4
+  chosen from the known spectral radius at trace time
+  (``ops.integrators.stable_substeps``) — regression-checked against Radau
+  trajectories in tests/test_vs_reference.py.
+- ``step`` advances one dt; ``rollout`` scans ``step`` over many dt inside a
+  single jit — this is where the >=10,000x real-time factor comes from.
+
+ODE system reproduced from the reference (reactor.py:272-448):
+  pH:  dosing + inlet + mixing, each converted through the buffering-capacity
+       chain rule dpH = -dH / (beta ln10)        (reactor.py:339-376)
+  Cl:  dosing + inlet + mixing - k(T) f(pH) Cl   (reactor.py:378-411)
+  T:   inlet + mixing - U A (T - T_amb)/(rho cp V)  (reactor.py:413-443)
+with the stratification-modified exchange operator rebuilt each evaluation
+(reactor.py:304-337).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ics_wt_physicsengine_tpu.core import chemistry as chem
+from ics_wt_physicsengine_tpu.core import constants as c
+from ics_wt_physicsengine_tpu.core import spatial as spatial_mod
+from ics_wt_physicsengine_tpu.core import thermodynamics as thermo
+from ics_wt_physicsengine_tpu.core import transport as transport_mod
+from ics_wt_physicsengine_tpu.core.chemistry import ChemistryConstants, LN10
+from ics_wt_physicsengine_tpu.ops import integrators
+from ics_wt_physicsengine_tpu.utils.dispatch import array_namespace
+
+# ---------------------------------------------------------------------------
+# Configuration (static, host-side — mirrors reference reactor.py:52-110)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ReactorConfiguration:
+    """Complete reactor configuration (field-for-field parity with
+    reference reactor.py:52-110)."""
+
+    # Geometry
+    volume: float = 1000.0        # [L]
+    height: float = 2.0           # [m]
+    diameter: float = 0.798       # [m]
+    n_zones: int = 5
+
+    # Flow
+    flow_rate: float = 5.0        # [L/min]
+    turbulent_intensity: float = 0.15
+    recirculation_ratio: float = 5.0
+    impeller_speed: float = 60.0  # [rpm]
+    impeller_diameter: float = 0.3  # [m]
+    power_number: float = 5.0
+
+    # Chemistry
+    initial_pH: float = 7.0
+    alkalinity: float = 100.0     # [mg/L as CaCO3]
+    total_carbonate: float = 2.0  # [mmol/L]
+
+    # Chlorination
+    initial_chlorine: float = 2.0  # [mg/L]
+
+    # Temperature
+    temperature: float = 20.0     # [C]
+    enable_thermal_stratification: bool = True
+
+    # Inlet conditions
+    inlet_pH: float = 7.5
+    inlet_chlorine: float = 0.0   # [mg/L]
+    inlet_temperature: float = 20.0  # [C]
+
+    def validate(self) -> None:
+        """Configuration consistency (reference reactor.py:91-110; the bare
+        asserts there are replaced by explicit raises, per the project's own
+        'no asserts in production' rule, reference README.md:468)."""
+        calculated_volume = math.pi * (self.diameter / 2) ** 2 * self.height * 1000
+        volume_error = abs(calculated_volume - self.volume) / self.volume
+        if volume_error > 0.01:
+            raise ValueError(
+                f"Volume mismatch: specified {self.volume}L, calculated "
+                f"{calculated_volume:.1f}L from geometry. "
+                f"Error: {volume_error * 100:.1f}%"
+            )
+        if not 0 < self.volume < 1e6:
+            raise ValueError("Volume out of range")
+        if not 0 <= self.flow_rate < 1e5:
+            raise ValueError("Flow rate out of range (use 0 for batch mode)")
+        if not 0 <= self.initial_pH <= 14:
+            raise ValueError("pH out of range")
+        if not 0 <= self.initial_chlorine <= 10:
+            raise ValueError("Chlorine out of range")
+        if not 0 <= self.temperature <= 40:
+            raise ValueError("Temperature out of typical range")
+
+
+# ---------------------------------------------------------------------------
+# Traced parameter / boundary / state pytrees
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ReactorParams:
+    """Physical parameters as a pytree of traced scalars.
+
+    Everything except the zone count is a leaf, so a Monte-Carlo batch is just
+    this same structure with ``[n_plants]`` leaves (see models/monte_carlo.py):
+    parameter uncertainty is data, not code.
+    """
+
+    n_zones: int = field(metadata=dict(static=True))
+
+    # geometry
+    volume_L: jnp.ndarray = None
+    zone_volume_L: jnp.ndarray = None
+    zone_height: jnp.ndarray = None
+    heat_area_m2: jnp.ndarray = None       # lateral + two ends (reactor.py:429-431)
+
+    # transport
+    k_exchange: jnp.ndarray = None         # [1/s] interface exchange rate
+    velocity_scale: jnp.ndarray = None     # [m/s] superficial velocity @ config flow
+
+    # kinetics
+    cl_k_ref: jnp.ndarray = None           # [1/s]
+    cl_ea: jnp.ndarray = None              # [J/mol]
+
+    # chemistry constants cached at config temperature (chemistry.py:116-132)
+    chem: ChemistryConstants = None
+
+    # stratification
+    strat_enabled: jnp.ndarray = None      # 0.0 / 1.0
+    ri_crit: jnp.ndarray = None
+    supp_factor: jnp.ndarray = None
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BoundaryConditions:
+    """Physical boundary conditions / forcing (field parity with reference
+    reactor.py:150-186). A pytree of scalars so controllers can feed traced
+    values and Monte-Carlo batches can vmap it."""
+
+    inlet_flow_rate: float = 5.0       # [L/min]
+    inlet_pH: float = 7.5
+    inlet_chlorine: float = 0.0        # [mg/L]
+    inlet_temperature: float = 20.0    # [C]
+
+    acid_flow_rate: float = 0.0        # [L/min]
+    acid_concentration: float = 0.1    # [mol/L]
+
+    chlorine_flow_rate: float = 0.0    # [L/min]
+    chlorine_concentration: float = 50.0  # [mg/L]
+
+    ambient_temperature: float = 20.0  # [C]
+    heat_loss_coefficient: float = 0.0  # [W/K]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ReactorState:
+    """Reactor state pytree (field parity with reference reactor.py:113-147).
+
+    Primary variables are ``[..., n_zones]`` arrays; derived quantities are
+    recomputed by ``step`` exactly like the reference's
+    ``_update_derived_state`` (reactor.py:511-524).
+    """
+
+    time: jnp.ndarray
+    pH: jnp.ndarray
+    chlorine: jnp.ndarray
+    temperature: jnp.ndarray
+    flow_rate: jnp.ndarray
+
+    H_concentration: jnp.ndarray = None
+    density: jnp.ndarray = None
+    chlorine_decay_rate: jnp.ndarray = None
+
+
+def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParams:
+    """Derive the traced parameter pytree from a validated configuration."""
+    config.validate()
+    geometry = transport_mod.GeometryParameters(
+        volume=config.volume, height=config.height,
+        diameter=config.diameter, n_zones=config.n_zones,
+    )
+    flow = transport_mod.FlowParameters(
+        flow_rate=config.flow_rate,
+        turbulent_intensity=config.turbulent_intensity,
+        recirculation_ratio=config.recirculation_ratio,
+        impeller_speed=config.impeller_speed,
+        impeller_diameter=config.impeller_diameter,
+        power_number=config.power_number,
+    )
+    coeffs = transport_mod.transport_coefficients(
+        geometry, flow, config.temperature)
+
+    a_lateral = math.pi * config.diameter * config.height
+    a_ends = 2 * math.pi * (config.diameter / 2) ** 2
+
+    def arr(x):
+        return np.asarray(x, dtype)
+
+    return ReactorParams(
+        n_zones=config.n_zones,
+        volume_L=arr(config.volume),
+        zone_volume_L=arr(config.volume / config.n_zones),
+        zone_height=arr(geometry.zone_height),
+        heat_area_m2=arr(a_lateral + a_ends),
+        k_exchange=arr(coeffs["k_exchange"]),
+        velocity_scale=arr(coeffs["superficial_velocity"]),
+        cl_k_ref=arr(c.CL_DECAY_K_REF),
+        cl_ea=arr(c.CL_DECAY_EA),
+        chem=chem.make_chemistry_constants(
+            config.alkalinity, config.total_carbonate, config.temperature,
+            dtype=dtype),
+        strat_enabled=arr(1.0 if config.enable_thermal_stratification else 0.0),
+        ri_crit=arr(0.25),
+        supp_factor=arr(0.5),
+    )
+
+
+def make_initial_state(config: ReactorConfiguration,
+                       dtype=jnp.float32) -> ReactorState:
+    """Initial state from configuration (reference reactor.py:217-222).
+
+    Built host-side in NumPy (cheap); becomes device arrays on first jit call.
+    """
+    z = config.n_zones
+
+    def full(v):
+        return np.full((z,), v, dtype)
+
+    state = ReactorState(
+        time=np.asarray(0.0, dtype),
+        pH=full(config.initial_pH),
+        chlorine=full(config.initial_chlorine),
+        temperature=full(config.temperature),
+        flow_rate=np.asarray(config.flow_rate, dtype),
+    )
+    return _update_derived(state)
+
+
+# ---------------------------------------------------------------------------
+# The derivative evaluation (hot path; reference reactor.py:272-448)
+# ---------------------------------------------------------------------------
+
+
+def derivatives(params: ReactorParams, pH, Cl, T,
+                boundary: BoundaryConditions):
+    """d(pH, Cl, T)/dt for ``[..., Z]`` zone arrays. Fully vectorized —
+    semantics match reference reactor.py:272-448 term by term."""
+    k = params.chem
+
+    # Robustness clamp: evaluate every term at in-domain values (no-op for
+    # in-bounds trajectories, so reference parity is unaffected). Without
+    # this, an extreme forcing (e.g. massive acid dosing) can drive a raw
+    # intermediate RK4 stage far out of domain, where 10**(-pH) overflows to
+    # inf/NaN. The reference's adaptive Radau sidesteps this by shrinking
+    # steps; a fixed-step SPMD integrator bounds the RHS instead, and the
+    # end-of-step clip (reactor.py:526-541) lands on the same bound.
+    pH = jnp.clip(pH, 0.0, 14.0)
+    Cl = jnp.maximum(Cl, 0.0)
+    T = jnp.clip(T, 0.0, 100.0)
+
+    # Stratification-modified exchange operator (reactor.py:304-337):
+    # density profile -> Richardson per interface -> suppression -> k_iface.
+    rho = spatial_mod.water_density(T)
+    supp = spatial_mod.mixing_suppression(
+        rho, params.zone_height, params.velocity_scale,
+        critical_richardson=params.ri_crit,
+        suppression_factor=params.supp_factor,
+        enabled=params.strat_enabled > 0.5,
+    )
+    k_iface = params.k_exchange[..., None] * supp if jnp.ndim(params.k_exchange) \
+        else params.k_exchange * supp
+
+    # Dilution rate from the *boundary* inlet flow (reactor.py:336,362).
+    q_per_v = (boundary.inlet_flow_rate / 60.0) / params.volume_L
+
+    mix = partial(transport_mod.apply_exchange, k_iface=k_iface, q_per_v=q_per_v)
+
+    # --- pH dynamics (reactor.py:339-376) ---
+    H = 10.0 ** (-pH)
+    beta = chem.buffering_capacity(pH, k)
+    inv_beta_ln10 = 1.0 / (beta * LN10)
+
+    dpH = -mix(H) * inv_beta_ln10  # mixing through the chain rule
+
+    # zone-0 dosing + inlet terms
+    dH_dosing = (boundary.acid_flow_rate / 60.0) * boundary.acid_concentration \
+        / params.zone_volume_L
+    H_inlet = 10.0 ** (-boundary.inlet_pH)
+    dH_inlet = q_per_v * (H_inlet - H[..., 0])
+    dpH = dpH.at[..., 0].add(-(dH_dosing + dH_inlet) * inv_beta_ln10[..., 0])
+
+    # --- chlorine dynamics (reactor.py:378-411) ---
+    dCl = mix(Cl)
+    dCl_dosing = (boundary.chlorine_flow_rate / 60.0) \
+        * boundary.chlorine_concentration / params.zone_volume_L
+    dCl = dCl.at[..., 0].add(
+        dCl_dosing + q_per_v * (boundary.inlet_chlorine - Cl[..., 0]))
+
+    k_base = thermo.arrhenius_rate(T, k_ref=params.cl_k_ref, e_a=params.cl_ea)
+    ph_factor = chem.pH_dependent_chlorine_decay_factor(pH, k.Ka_HOCl)
+    dCl = dCl - k_base * ph_factor * Cl
+
+    # --- temperature dynamics (reactor.py:413-443) ---
+    dT = mix(T)
+    dT = dT.at[..., 0].add(
+        q_per_v * (boundary.inlet_temperature - T[..., 0]))
+    # Heat loss uses the TOTAL tank volume in the denominator, matching the
+    # reference exactly (reactor.py:435-443).
+    v_m3 = params.volume_L / 1000.0
+    heat_rate = boundary.heat_loss_coefficient * params.heat_area_m2 \
+        / (c.WATER_DENSITY_20C * c.WATER_CP * v_m3)
+    dT = dT - _expand(heat_rate) * (T - _expand(boundary.ambient_temperature, T))
+
+    return dpH, dCl, dT
+
+
+def _expand(x, like=None):
+    """Broadcast a possibly-batched scalar against the trailing zone axis."""
+    x = jnp.asarray(x)
+    if x.ndim and like is not None and x.ndim == like.ndim - 1:
+        return x[..., None]
+    if x.ndim:
+        return x[..., None]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Step / rollout
+# ---------------------------------------------------------------------------
+
+
+def _update_derived(state: ReactorState) -> ReactorState:
+    """Recompute derived quantities (reference reactor.py:511-524)."""
+    return ReactorState(
+        time=state.time,
+        pH=state.pH,
+        chlorine=state.chlorine,
+        temperature=state.temperature,
+        flow_rate=state.flow_rate,
+        H_concentration=10.0 ** (-state.pH),
+        density=spatial_mod.water_density(state.temperature),
+        chlorine_decay_rate=thermo.chlorine_decay_rate(state.temperature),
+    )
+
+
+def _enforce_bounds(pH, Cl, T):
+    """Physical bound clipping (reference reactor.py:526-541)."""
+    return (
+        jnp.clip(pH, 0.0, 14.0),
+        jnp.maximum(Cl, 0.0),
+        jnp.clip(T, 0.0, 100.0),
+    )
+
+
+def step(params: ReactorParams, state: ReactorState,
+         boundary: BoundaryConditions, dt: float,
+         substeps: int) -> ReactorState:
+    """Advance the reactor by ``dt`` seconds (reference reactor.py:450-509).
+
+    ``dt`` and ``substeps`` must be static (Python) values.
+    """
+    def f(y):
+        return derivatives(params, y[0], y[1], y[2], boundary)
+
+    y = (state.pH, state.chlorine, state.temperature)
+    pH, Cl, T = integrators.integrate_fixed(f, y, dt, substeps)
+    pH, Cl, T = _enforce_bounds(pH, Cl, T)
+
+    total_flow = (boundary.inlet_flow_rate + boundary.acid_flow_rate
+                  + boundary.chlorine_flow_rate)
+    new_state = ReactorState(
+        time=state.time + dt,
+        pH=pH,
+        chlorine=Cl,
+        temperature=T,
+        flow_rate=jnp.asarray(total_flow, dtype=pH.dtype)
+        + jnp.zeros_like(state.flow_rate),
+    )
+    return _update_derived(new_state)
+
+
+def rollout(params: ReactorParams, state: ReactorState,
+            boundary: BoundaryConditions, dt: float, substeps: int,
+            n_steps: int, record: bool = True):
+    """Scan ``step`` over ``n_steps`` inside one jit.
+
+    Returns ``(final_state, trajectory)`` where trajectory stacks the primary
+    variables per step (or ``None`` when ``record=False`` for pure-throughput
+    benchmarking).
+    """
+    def body(s, _):
+        s = step(params, s, boundary, dt, substeps)
+        out = {"pH": s.pH, "chlorine": s.chlorine,
+               "temperature": s.temperature} if record else None
+        return s, out
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def default_substeps(config: ReactorConfiguration, dt: float) -> int:
+    """Substep policy: the stiffest linear rate is the exchange operator
+    (spectral radius < 4 k_exchange) plus dilution; target lambda*h <= 0.7
+    for accuracy well past stability (see ops/integrators.py)."""
+    geometry = transport_mod.GeometryParameters(
+        volume=config.volume, height=config.height,
+        diameter=config.diameter, n_zones=config.n_zones)
+    flow = transport_mod.FlowParameters(
+        flow_rate=config.flow_rate, impeller_speed=config.impeller_speed,
+        impeller_diameter=config.impeller_diameter,
+        power_number=config.power_number)
+    coeffs = transport_mod.transport_coefficients(geometry, flow,
+                                                  config.temperature)
+    lambda_max = 4.0 * coeffs["k_exchange"] + coeffs["q_per_v"]
+    return max(1, math.ceil(dt * lambda_max / 0.7 - 1e-9))
+
+
+# ---------------------------------------------------------------------------
+# Conservation audit (reference reactor.py:570-611)
+# ---------------------------------------------------------------------------
+
+
+def conservation_metrics(params: ReactorParams,
+                         state: ReactorState) -> Dict[str, jnp.ndarray]:
+    """Mass/charge/energy audit as a pure pytree function — runnable in-graph."""
+    xp = array_namespace(state.pH, params.zone_volume_L)
+    zone_volume = params.zone_volume_L
+    H = 10.0 ** (-state.pH)
+
+    total_cl_mg = xp.sum(state.chlorine, axis=-1) * zone_volume
+    total_h_mol = xp.sum(H, axis=-1) * zone_volume / 1000.0
+    kw = thermo.water_ionization_constant(state.temperature[..., 0])
+    oh = (kw[..., None] if xp.ndim(kw) else kw) / H
+    total_oh_mol = xp.sum(oh, axis=-1) * zone_volume / 1000.0
+
+    v_m3 = params.volume_L / 1000.0
+    thermal_kj = (c.WATER_DENSITY_20C * c.WATER_CP * v_m3
+                  * xp.mean(state.temperature - 20.0, axis=-1) / 1000.0)
+
+    return {
+        "total_chlorine_mg": total_cl_mg,
+        "total_H_mol": total_h_mol,
+        "total_OH_mol": total_oh_mol,
+        "charge_balance_mol": total_h_mol - total_oh_mol,
+        "thermal_energy_kJ": thermal_kj,
+        "zones": params.n_zones,
+        "timestamp": state.time,
+    }
+
+
+# ---------------------------------------------------------------------------
+# API-parity class wrapper (reference reactor.py:189-645)
+# ---------------------------------------------------------------------------
+
+
+class IntegratedCSTR:
+    """Drop-in replacement for the reference engine (reactor.py:189-645).
+
+    A thin stateful shell over the pure functions above: it owns a params
+    pytree and the current state, and calls a cached jitted ``step``.
+    """
+
+    def __init__(self, config: ReactorConfiguration, dtype=None,
+                 substeps: Optional[int] = None):
+        config.validate()
+        self.config = config
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") \
+                else jnp.float32
+        self._dtype = dtype
+        self._substeps_override = substeps
+        self._step_cache = {}
+
+        # Sub-models kept for API parity / diagnostics.
+        self.thermo = thermo.TemperatureDependentKinetics()
+        self.buffer = chem.BufferSystem(
+            alkalinity=config.alkalinity,
+            total_carbonate=config.total_carbonate,
+            temperature=config.temperature,
+        )
+        self.chemistry = chem.AqueousChemistry(self.buffer, dtype=dtype)
+        self.transport = transport_mod.TransportModel(
+            transport_mod.GeometryParameters(
+                volume=config.volume, height=config.height,
+                diameter=config.diameter, n_zones=config.n_zones),
+            transport_mod.FlowParameters(
+                flow_rate=config.flow_rate,
+                turbulent_intensity=config.turbulent_intensity,
+                recirculation_ratio=config.recirculation_ratio,
+                impeller_speed=config.impeller_speed,
+                impeller_diameter=config.impeller_diameter,
+                power_number=config.power_number),
+            config.temperature,
+        )
+        self.spatial = spatial_mod.SpatialModel(
+            n_zones=config.n_zones, height=config.height,
+            stratification_params=spatial_mod.StratificationParameters(
+                enable_thermal_stratification=config.enable_thermal_stratification),
+        )
+
+        self.params = make_params(config, dtype=dtype)
+        self.state = make_initial_state(config, dtype=dtype)
+
+    def _jitted_step(self, dt: float, substeps: int):
+        key = (dt, substeps)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(
+                partial(step, dt=dt, substeps=substeps))
+        return self._step_cache[key]
+
+    def substeps_for(self, dt: float) -> int:
+        if self._substeps_override is not None:
+            return self._substeps_override
+        return default_substeps(self.config, dt)
+
+    def step(self, dt: float, boundary: BoundaryConditions) -> ReactorState:
+        fn = self._jitted_step(float(dt), self.substeps_for(float(dt)))
+        self.state = fn(self.params, self.state, boundary)
+        return self.state
+
+    def rollout(self, dt: float, boundary: BoundaryConditions, n_steps: int,
+                record: bool = True):
+        """Run many steps in a single jitted scan (no reference counterpart —
+        this is the TPU fast path)."""
+        fn = jax.jit(partial(
+            rollout, dt=float(dt), substeps=self.substeps_for(float(dt)),
+            n_steps=int(n_steps), record=record))
+        self.state, traj = fn(self.params, self.state, boundary)
+        return self.state, traj
+
+    def get_state_at_location(self, zone_idx: int, parameter: str) -> float:
+        if zone_idx < 0 or zone_idx >= self.config.n_zones:
+            raise ValueError(
+                f"Zone index {zone_idx} out of range "
+                f"[0, {self.config.n_zones - 1}]")
+        arrays = {
+            "pH": self.state.pH,
+            "chlorine": self.state.chlorine,
+            "temperature": self.state.temperature,
+            "density": self.state.density,
+        }
+        if parameter not in arrays:
+            raise ValueError(f"Unknown parameter: {parameter}")
+        return float(arrays[parameter][..., zone_idx])
+
+    def validate_conservation(self) -> Dict[str, float]:
+        metrics = conservation_metrics(self.params, self.state)
+        return {k: (v if isinstance(v, int) else float(v))
+                for k, v in metrics.items()}
+
+    def print_diagnostics(self) -> None:
+        print("\n" + "=" * 70)
+        print("CSTR PHYSICS DIAGNOSTICS (TPU engine)")
+        print("=" * 70)
+        print(f"\nTime: {float(self.state.time):.1f} s")
+        rt = self.transport.residence_time
+        print(f"Residence time: "
+              f"{'%.1f min' % rt if rt is not None else 'n/a (batch)'}")
+        print(f"Mixing time: {self.transport.mixing_time_seconds:.1f} s")
+        print(f"\n{'Zone':<6} {'pH':<8} {'Cl(mg/L)':<10} {'T(C)':<8} "
+              f"{'rho(kg/m3)':<10}")
+        print("-" * 50)
+        pH = np.asarray(self.state.pH)
+        cl = np.asarray(self.state.chlorine)
+        t = np.asarray(self.state.temperature)
+        rho = np.asarray(self.state.density)
+        for i in range(self.config.n_zones):
+            print(f"{i:<6} {pH[i]:<8.3f} {cl[i]:<10.3f} {t[i]:<8.2f} "
+                  f"{rho[i]:<10.2f}")
+        cons = self.validate_conservation()
+        print("\nConservation Laws:")
+        print(f"  Total Chlorine: {cons['total_chlorine_mg']:.2f} mg")
+        print(f"  Charge Balance: {cons['charge_balance_mol']:.2e} mol")
+        _, ph_s = transport_mod.mixing_quality(self.state.pH)
+        _, cl_s = transport_mod.mixing_quality(self.state.chlorine)
+        print("\nMixing Quality:")
+        print(f"  pH segregation index: {float(ph_s):.4f}")
+        print(f"  Chlorine segregation index: {float(cl_s):.4f}")
+        print("=" * 70 + "\n")
+
+
+def validate_integrated_reactor() -> None:
+    """Integration oracle (reference reactor.py:648-700)."""
+    config = ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=5,
+        flow_rate=5.0, initial_pH=7.5, initial_chlorine=2.0, temperature=20.0,
+    )
+    reactor = IntegratedCSTR(config)
+
+    boundary = BoundaryConditions(
+        inlet_flow_rate=0.0, inlet_pH=7.5, inlet_chlorine=0.0,
+        inlet_temperature=20.0, acid_flow_rate=0.0, chlorine_flow_rate=0.0,
+    )
+
+    for _ in range(10):
+        reactor.step(dt=1.0, boundary=boundary)
+
+    mean_ph = float(np.mean(np.asarray(reactor.state.pH)))
+    mean_cl = float(np.mean(np.asarray(reactor.state.chlorine)))
+    assert 6.0 < mean_ph < 9.0, f"pH drift: {mean_ph}"
+    assert 0.0 < mean_cl < 5.0, f"Chlorine drift: {mean_cl}"
+
+    conservation = reactor.validate_conservation()
+    assert conservation["total_chlorine_mg"] > 0, "Chlorine conservation"
+
+    pH_before = float(reactor.state.pH[0])
+    boundary_with_acid = BoundaryConditions(
+        inlet_flow_rate=0.0, acid_flow_rate=0.5, acid_concentration=0.1,
+        chlorine_flow_rate=0.0,
+    )
+    for _ in range(20):
+        reactor.step(dt=1.0, boundary=boundary_with_acid)
+    assert float(reactor.state.pH[0]) < pH_before, "Acid should decrease pH"
+
+    print("All integrated reactor validations passed")

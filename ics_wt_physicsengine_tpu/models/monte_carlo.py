@@ -1,0 +1,85 @@
+"""
+Monte-Carlo plant batches: parameter-randomized plants as batched pytrees.
+
+BASELINE config 4: "4096 parameter-randomized plants vmapped for controller
+tuning / uncertainty quantification". Because ``ReactorParams`` is a pytree of
+scalars (core/reactor.py), a batch of plants is the *same* structure with
+``[n_plants]`` leaves — the natively-batched physics (trailing-zone-axis
+stencils) consumes it directly, no vmap wrapper needed, and
+``parallel.shard_batch`` spreads the leading axis over the device mesh.
+
+Randomization happens host-side in NumPy float64 (config sampling is not a
+hot path), then leaves are cast to the compute dtype.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ics_wt_physicsengine_tpu.core import reactor as R
+
+
+@dataclass
+class ParameterRanges:
+    """Uniform sampling ranges for plant-to-plant parameter uncertainty.
+
+    Keys are ``ReactorConfiguration`` field names; values are (low, high).
+    Geometry is kept fixed across the batch (same zone count / shapes).
+    """
+
+    ranges: Dict[str, Tuple[float, float]] = field(default_factory=lambda: {
+        "flow_rate": (2.0, 8.0),            # [L/min]
+        "impeller_speed": (40.0, 90.0),     # [rpm]
+        "total_carbonate": (1.0, 4.0),      # [mmol/L]
+        "temperature": (10.0, 30.0),        # [C]
+        "initial_pH": (6.5, 8.0),
+        "initial_chlorine": (0.5, 3.5),     # [mg/L]
+    })
+    # Alkalinity is sampled as a ratio of the carbonate capacity
+    # (alk [mg/L CaCO3] = ratio * 50 * C_T [mmol/L]) so every sampled water
+    # is chemically consistent: alkalinity beyond what carbonate + OH- can
+    # carry has no physical pH root (the charge balance then "balances" at
+    # absurd acid pH). ratio ~1 reproduces the reference default
+    # (alk=100, C_T=2, chemistry.py:537).
+    alkalinity_ratio: Tuple[float, float] = (0.5, 1.3)
+
+
+def make_monte_carlo_batch(base_config: R.ReactorConfiguration,
+                           n_plants: int,
+                           seed: int = 0,
+                           ranges: ParameterRanges | None = None,
+                           dtype=jnp.float32):
+    """Sample ``n_plants`` configurations around ``base_config`` and assemble
+    batched (params, state) pytrees with leading ``[n_plants]`` axes."""
+    if ranges is None:
+        ranges = ParameterRanges()
+    rng = np.random.default_rng(seed)
+
+    samples = {name: rng.uniform(lo, hi, n_plants)
+               for name, (lo, hi) in ranges.ranges.items()}
+    if "alkalinity" not in samples:
+        ratio = rng.uniform(*ranges.alkalinity_ratio, n_plants)
+        samples["alkalinity"] = ratio * 50.0 * samples["total_carbonate"]
+
+    params_list, state_list = [], []
+    for i in range(n_plants):
+        kwargs = {name: float(vals[i]) for name, vals in samples.items()}
+        config = R.ReactorConfiguration(
+            **{**base_config.__dict__, **kwargs})
+        params_list.append(R.make_params(config, dtype=dtype))
+        state_list.append(R.make_initial_state(config, dtype=dtype))
+
+    def stack(*leaves):
+        first = leaves[0]
+        if isinstance(first, int):          # static n_zones
+            return first
+        return jnp.asarray(np.stack(leaves))
+
+    params = jax.tree_util.tree_map(stack, *params_list)
+    state = jax.tree_util.tree_map(stack, *state_list)
+    return params, state

@@ -1,0 +1,136 @@
+"""
+Fixed-iteration Newton-Raphson pH solver as a Pallas TPU kernel.
+
+Thousands of plants (or plant-zones) solve the carbonate charge balance in
+lockstep on the VPU: the batch is laid out as an (8k, 128)-tiled 2D array in
+VMEM, every lane runs the same fixed iteration count, and converged lanes
+freeze via masked updates — bit-identical semantics to
+``core.chemistry.solve_pH`` (which remains the jnp fallback used for CPU
+bit-matching regression and as the in-graph path when the batch is tiny).
+
+Physics: charge-balance residual and analytic derivative per reference
+core/chemistry.py:193-330; see core/chemistry.py here for the formula
+derivation. Kernel-design per the Pallas TPU guide (grid/BlockSpec, masked
+updates instead of data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ics_wt_physicsengine_tpu.core.chemistry import (
+    ChemistryConstants,
+    MAX_ITERATIONS,
+    MAX_NEWTON_STEP,
+    NEWTON_STEP_DECAY,
+    PH_TOLERANCE,
+    solve_pH,
+)
+
+LN10 = math.log(10.0)
+
+_LANES = 128
+_SUBLANES = 8
+_TILE = _LANES * _SUBLANES
+
+# Match the reference's iteration budget (chemistry.py:100). Converged lanes
+# freeze via the done-mask, so typical cases stop moving after < 20
+# iterations; extreme buffer compositions (cold high-alkalinity water from a
+# pH-7 guess) genuinely need ~60.
+DEFAULT_ITERS = MAX_ITERATIONS
+
+
+def _ph_newton_kernel(kw_ref, ka1_ref, ka2_ref, ct_ref, alk_ref, ph0_ref,
+                      out_ref, *, iters: int, tolerance: float):
+    kw = kw_ref[:]
+    ka1 = ka1_ref[:]
+    ka2 = ka2_ref[:]
+    ct = ct_ref[:]
+    alk = alk_ref[:]
+
+    def body(i, carry):
+        ph, done = carry
+        h = jnp.exp(-LN10 * ph)
+        oh = kw / h
+        d = h * h + ka1 * h + ka1 * ka2
+        a1 = ka1 * h / d
+        a2 = ka1 * ka2 / d
+        f = h - oh + a1 * ct + 2.0 * a2 * ct - alk
+
+        dh_dph = -LN10 * h
+        doh_dph = -(kw / (h * h)) * dh_dph
+        dd_dh = 2.0 * h + ka1
+        da1_dh = ka1 * (d - h * dd_dh) / (d * d)
+        da2_dh = -ka1 * ka2 * dd_dh / (d * d)
+        df = dh_dph - doh_dph + ct * da1_dh * dh_dph + 2.0 * ct * da2_dh * dh_dph
+
+        cap = MAX_NEWTON_STEP * NEWTON_STEP_DECAY ** i.astype(ph.dtype)
+        delta = jnp.clip(-f / df, -cap, cap)
+        ph_new = jnp.clip(ph + delta, 0.0, 14.0)
+        newly_done = jnp.abs(delta) < tolerance
+        ph = jnp.where(done, ph, ph_new)
+        return ph, jnp.logical_or(done, newly_done)
+
+    ph0 = ph0_ref[:]
+    ph, _ = jax.lax.fori_loop(
+        0, iters, body, (ph0, jnp.zeros_like(ph0, dtype=jnp.bool_)))
+    out_ref[:] = ph
+
+
+def _pad_to_tiles(x, total):
+    flat = jnp.ravel(x)
+    pad = total - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad,), 7.0, flat.dtype)])
+    return flat.reshape(-1, _LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "tolerance", "interpret"))
+def solve_pH_pallas(constants: ChemistryConstants, initial_guess,
+                    iters: int = DEFAULT_ITERS,
+                    tolerance: float = PH_TOLERANCE,
+                    interpret: bool = False):
+    """Solve the charge balance for a batch of plants on the TPU VPU.
+
+    ``constants`` leaves and ``initial_guess`` must share one shape (any
+    rank); the result has that shape. Lanes are padded to (8k, 128) tiles.
+    """
+    ph0 = jnp.asarray(initial_guess)
+    shape = ph0.shape
+    n = max(1, math.prod(shape))
+    total = -(-n // _TILE) * _TILE
+
+    dtype = ph0.dtype
+    args = [
+        _pad_to_tiles(jnp.broadcast_to(jnp.asarray(a, dtype), shape), total)
+        for a in (constants.Kw, constants.Ka1, constants.Ka2,
+                  constants.C_T_mol, constants.alk_eq, ph0)
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(_ph_newton_kernel, iters=iters, tolerance=tolerance),
+        out_shape=jax.ShapeDtypeStruct(args[0].shape, dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+    return out.reshape(-1)[:n].reshape(shape)
+
+
+def solve_pH_auto(constants: ChemistryConstants, initial_guess,
+                  iters: int = DEFAULT_ITERS,
+                  tolerance: float = PH_TOLERANCE):
+    """Dispatch: Pallas kernel on TPU backends, jnp masked-Newton elsewhere
+    (identical results — regression-tested in tests/test_ph_solver.py)."""
+    if jax.default_backend() == "tpu":
+        return solve_pH_pallas(constants, initial_guess, iters=iters,
+                               tolerance=tolerance)
+    return solve_pH(constants, initial_guess, tolerance=tolerance,
+                    max_iter=iters)

@@ -1,0 +1,33 @@
+"""
+Test session configuration.
+
+- CPU backend with 8 virtual devices: sharding/mesh tests run on a simulated
+  multi-chip topology (the driver separately dry-runs the real multi-chip
+  path via __graft_entry__.dryrun_multichip).
+- float64 enabled: the CPU regression suite is the bit-accuracy oracle vs the
+  reference's float64 scipy trajectories; the TPU path runs float32.
+- Persistent compilation cache: this host has a single CPU core, so XLA
+  compiles dominate wall time — the cache makes repeat test runs fast.
+
+Backend-selection note: the container pre-sets JAX_PLATFORMS=axon (a tunneled
+TPU PJRT plugin) and a sitecustomize imports jax at interpreter startup, so
+env vars set here are too late — the selection must go through jax.config.
+"""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
+# The reference implementation (read-only mount) doubles as the regression
+# oracle where available.
+REFERENCE_SRC = "/root/reference/src"
+if os.path.isdir(REFERENCE_SRC) and REFERENCE_SRC not in sys.path:
+    sys.path.insert(0, REFERENCE_SRC)

@@ -1,0 +1,79 @@
+"""Plant-batch sharding over the 8-virtual-device CPU mesh (conftest sets
+--xla_force_host_platform_device_count=8), plus Monte-Carlo batch assembly
+and the driver entry points."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_wt_physicsengine_tpu.core import reactor as R
+from ics_wt_physicsengine_tpu.models.monte_carlo import make_monte_carlo_batch
+from ics_wt_physicsengine_tpu.parallel import (
+    make_mesh, shard_batch, sharded_step)
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_monte_carlo_batch_shapes():
+    base = R.ReactorConfiguration(n_zones=4)
+    params, state = make_monte_carlo_batch(base, 16, seed=1,
+                                           dtype=jnp.float64)
+    assert params.n_zones == 4
+    assert params.k_exchange.shape == (16,)
+    assert params.chem.Kw.shape == (16,)
+    assert state.pH.shape == (16, 4)
+    # distinct plants were actually sampled
+    assert float(np.std(np.asarray(params.k_exchange))) > 0
+
+
+def test_sharded_step_matches_unsharded():
+    base = R.ReactorConfiguration(n_zones=4)
+    params, state = make_monte_carlo_batch(base, 16, seed=2,
+                                           dtype=jnp.float64)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, acid_flow_rate=0.2)
+
+    plain = jax.jit(
+        lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=4))(params, state, bc)
+
+    mesh = make_mesh(8)
+    params_s = shard_batch(params, mesh)
+    state_s = shard_batch(state, mesh)
+    sharded = sharded_step(mesh, dt=1.0, substeps=4)(params_s, state_s, bc)
+
+    np.testing.assert_allclose(np.asarray(sharded.pH), np.asarray(plain.pH),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sharded.chlorine),
+                               np.asarray(plain.chlorine), rtol=0, atol=1e-12)
+    # leading axis is genuinely sharded over the mesh
+    assert len(sharded.pH.sharding.device_set) == 8
+
+
+def test_batched_monte_carlo_diverges_per_plant():
+    """Different sampled parameters must yield different trajectories."""
+    base = R.ReactorConfiguration(n_zones=4)
+    params, state = make_monte_carlo_batch(base, 8, seed=3, dtype=jnp.float64)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_chlorine=0.0)
+    final, _ = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=1.0, substeps=4, n_steps=50, record=False))(
+            params, state, bc)
+    cl = np.asarray(final.chlorine)
+    assert np.std(cl[:, 0]) > 1e-4
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out.pH.shape == (20,)
+    assert np.all(np.isfinite(np.asarray(out.pH)))
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
