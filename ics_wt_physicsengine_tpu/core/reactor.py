@@ -420,8 +420,11 @@ def rollout(params: ReactorParams, state: ReactorState,
 
 def default_substeps(config: ReactorConfiguration, dt: float) -> int:
     """Substep policy: the stiffest linear rate is the exchange operator
-    (spectral radius < 4 k_exchange) plus dilution; target lambda*h <= 0.7
-    for accuracy well past stability (see ops/integrators.py)."""
+    (spectral radius < 4 k_exchange) plus dilution; target lambda*h <= 1.8
+    (RK4 stable to 2.785). Calibrated against the reference's Radau
+    trajectories (tools/compare_vs_reference.py): at lambda*h = 1.8 the
+    deviation is already at Radau's own rtol=1e-6 error floor, so more
+    substeps buy nothing."""
     geometry = transport_mod.GeometryParameters(
         volume=config.volume, height=config.height,
         diameter=config.diameter, n_zones=config.n_zones)
@@ -432,7 +435,7 @@ def default_substeps(config: ReactorConfiguration, dt: float) -> int:
     coeffs = transport_mod.transport_coefficients(geometry, flow,
                                                   config.temperature)
     lambda_max = 4.0 * coeffs["k_exchange"] + coeffs["q_per_v"]
-    return max(1, math.ceil(dt * lambda_max / 0.7 - 1e-9))
+    return max(1, math.ceil(dt * lambda_max / 1.8 - 1e-9))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,25 @@
+"""
+Modbus package: register map, wire encoding, TCP slave + test client.
+
+The external HIL plane of the framework (SURVEY.md section 5.8): sensors
+publish to input registers, external SCADA/PID controllers write actuator
+commands to holding registers. The server is a from-scratch asyncio
+implementation (the reference's pymodbus dependency is replaced — see
+slave.py docstring); the register map and name-based API match the reference.
+"""
+
+from ics_wt_physicsengine_tpu.modbus.register_map import (  # noqa: F401
+    ModbusRegisterMap,
+    RegisterDefinition,
+    RegisterType,
+)
+from ics_wt_physicsengine_tpu.modbus.protocols import (  # noqa: F401
+    ModbusDecoder,
+    ModbusEncoder,
+    validate_encoding,
+)
+from ics_wt_physicsengine_tpu.modbus.slave import (  # noqa: F401
+    ModbusServerConfig,
+    ModbusSlave,
+)
+from ics_wt_physicsengine_tpu.modbus.client import ModbusTcpClient  # noqa: F401

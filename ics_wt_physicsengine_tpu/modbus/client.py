@@ -1,0 +1,114 @@
+"""
+Minimal synchronous Modbus/TCP client.
+
+The reference relies on external pymodbus clients for closed-loop HIL testing
+(reference README.md:249-273); since pymodbus is not available here, this
+client provides the same capability in-repo: it exercises the slave over a
+real TCP socket for integration tests and external-controller loops.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+from typing import List
+
+from ics_wt_physicsengine_tpu.modbus.protocols import (
+    ModbusDecoder,
+    ModbusEncoder,
+)
+
+
+class ModbusTcpClient:
+    """Blocking Modbus/TCP master for tests and HIL controller loops."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 5020,
+                 unit_id: int = 1, timeout: float = 5.0):
+        self.host = host
+        self.port = port
+        self.unit_id = unit_id
+        self.timeout = timeout
+        self._sock: socket.socket | None = None
+        self._transaction = 0
+
+    def connect(self):
+        self._sock = socket.create_connection((self.host, self.port),
+                                              timeout=self.timeout)
+        return self
+
+    def close(self):
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+    def __enter__(self):
+        return self.connect()
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _transact(self, pdu: bytes) -> bytes:
+        if self._sock is None:
+            raise RuntimeError("Client not connected")
+        self._transaction = (self._transaction + 1) & 0xFFFF
+        request = struct.pack(">HHHB", self._transaction, 0, len(pdu) + 1,
+                              self.unit_id) + pdu
+        self._sock.sendall(request)
+        header = self._recv_exact(7)
+        _, _, length, _ = struct.unpack(">HHHB", header)
+        response = self._recv_exact(length - 1)
+        if response[0] & 0x80:
+            raise IOError(f"Modbus exception {response[1]} for "
+                          f"function {response[0] & 0x7F}")
+        return response
+
+    def _recv_exact(self, n: int) -> bytes:
+        chunks = b""
+        while len(chunks) < n:
+            chunk = self._sock.recv(n - len(chunks))
+            if not chunk:
+                raise ConnectionError("Connection closed by server")
+            chunks += chunk
+        return chunks
+
+    # -- register access --
+    def read_input_registers(self, address: int, count: int) -> List[int]:
+        resp = self._transact(struct.pack(">BHH", 0x04, address, count))
+        return list(struct.unpack(f">{count}H", resp[2:]))
+
+    def read_holding_registers(self, address: int, count: int) -> List[int]:
+        resp = self._transact(struct.pack(">BHH", 0x03, address, count))
+        return list(struct.unpack(f">{count}H", resp[2:]))
+
+    def read_coils(self, address: int, count: int) -> List[bool]:
+        resp = self._transact(struct.pack(">BHH", 0x01, address, count))
+        data = resp[2:]
+        return [bool((data[i // 8] >> (i % 8)) & 1) for i in range(count)]
+
+    def read_discrete_inputs(self, address: int, count: int) -> List[bool]:
+        resp = self._transact(struct.pack(">BHH", 0x02, address, count))
+        data = resp[2:]
+        return [bool((data[i // 8] >> (i % 8)) & 1) for i in range(count)]
+
+    def write_register(self, address: int, value: int):
+        self._transact(struct.pack(">BHH", 0x06, address, value & 0xFFFF))
+
+    def write_registers(self, address: int, values: List[int]):
+        count = len(values)
+        pdu = struct.pack(">BHHB", 0x10, address, count, count * 2)
+        pdu += struct.pack(f">{count}H", *[v & 0xFFFF for v in values])
+        self._transact(pdu)
+
+    def write_coil(self, address: int, value: bool):
+        self._transact(struct.pack(">BHH", 0x05, address,
+                                   0xFF00 if value else 0x0000))
+
+    # -- typed convenience --
+    def read_float32(self, address: int, input_register: bool = True) -> float:
+        regs = (self.read_input_registers(address, 2) if input_register
+                else self.read_holding_registers(address, 2))
+        return ModbusDecoder.registers_to_float32(*regs)
+
+    def write_float32(self, address: int, value: float):
+        high, low = ModbusEncoder.float32_to_registers(value)
+        self.write_registers(address, [high, low])

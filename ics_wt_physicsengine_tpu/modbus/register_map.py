@@ -1,0 +1,205 @@
+"""
+Declarative Modbus register map.
+
+Address-for-address and name-for-name parity with the reference
+(modbus/register_map.py:91-556): 9 input registers (pH x3, Cl x2, flow,
+temp x2, sim time, status), 6 holding registers (3 actuator flows, 2 dosing
+concentrations, sim timestep), 3 coils (pump enables, sim running), 3
+discrete inputs (sensor fault bits). float32 occupies two big-endian words.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import IntEnum
+from typing import List, Optional
+
+
+class RegisterType(IntEnum):
+    """Modbus register types (reference register_map.py:32-38)."""
+
+    COIL = 0
+    DISCRETE_INPUT = 1
+    INPUT_REGISTER = 3
+    HOLDING_REGISTER = 4
+
+
+@dataclass
+class RegisterDefinition:
+    """One register (or float32 register pair)
+    (reference register_map.py:41-88)."""
+
+    address: int
+    name: str
+    register_type: RegisterType
+    data_type: str
+    units: str
+    description: str
+    read_only: bool = True
+
+    def validate(self):
+        if self.address < 0 or self.address > 65535:
+            raise ValueError(
+                f"Register address {self.address} out of range [0, 65535]")
+        if self.data_type not in ("float32", "int16", "uint16", "bool"):
+            raise ValueError(f"Unknown data type: {self.data_type}")
+        if self.register_type == RegisterType.HOLDING_REGISTER \
+                and self.read_only:
+            raise ValueError(
+                f"Holding register {self.name} marked as read-only")
+        if self.register_type == RegisterType.INPUT_REGISTER \
+                and not self.read_only:
+            raise ValueError(f"Input register {self.name} marked as writable")
+
+    @property
+    def size_words(self) -> int:
+        return 2 if self.data_type == "float32" else 1
+
+
+def _ir(address, name, units, description):
+    return RegisterDefinition(address, name, RegisterType.INPUT_REGISTER,
+                              "float32", units, description, read_only=True)
+
+
+def _hr(address, name, units, description):
+    return RegisterDefinition(address, name, RegisterType.HOLDING_REGISTER,
+                              "float32", units, description, read_only=False)
+
+
+class ModbusRegisterMap:
+    """Register layout only — no sensor/actuator/control logic
+    (reference register_map.py:91-102)."""
+
+    def __init__(self):
+        # Input registers (reference register_map.py:119-244)
+        self.input_registers: List[RegisterDefinition] = [
+            _ir(0, "pH_inlet", "pH", "pH at inlet (zone 0)"),
+            _ir(2, "pH_middle", "pH", "pH at middle (zone n/2)"),
+            _ir(4, "pH_outlet", "pH", "pH at outlet (zone -1)"),
+            _ir(6, "chlorine_inlet", "mg/L", "Free chlorine at inlet"),
+            _ir(8, "chlorine_outlet", "mg/L", "Free chlorine at outlet"),
+            _ir(10, "flow_rate", "L/min", "Main flow rate"),
+            _ir(12, "temperature_inlet", "degC",
+                "Water temperature at inlet"),
+            _ir(14, "temperature_outlet", "degC",
+                "Water temperature at outlet"),
+            _ir(100, "simulation_time", "s", "Simulation elapsed time"),
+            RegisterDefinition(102, "system_status",
+                               RegisterType.INPUT_REGISTER, "uint16", "",
+                               "System status code (0=OK, >0=fault)",
+                               read_only=True),
+        ]
+
+        # Holding registers (reference register_map.py:246-323)
+        self.holding_registers: List[RegisterDefinition] = [
+            _hr(0, "acid_flow_rate", "L/min",
+                "Acid dosing pump flow rate setpoint"),
+            _hr(2, "chlorine_flow_rate", "L/min",
+                "Chlorine dosing pump flow rate setpoint"),
+            _hr(4, "inlet_flow_rate", "L/min",
+                "Main inlet flow rate setpoint"),
+            _hr(10, "acid_concentration", "mol/L",
+                "Acid stock solution concentration"),
+            _hr(12, "chlorine_concentration", "mg/L",
+                "Chlorine stock solution concentration"),
+            _hr(100, "simulation_timestep", "s", "Simulation time step"),
+        ]
+
+        # Coils (reference register_map.py:325-362)
+        self.coils: List[RegisterDefinition] = [
+            RegisterDefinition(0, "acid_pump_enable", RegisterType.COIL,
+                               "bool", "", "Enable acid dosing pump",
+                               read_only=False),
+            RegisterDefinition(1, "chlorine_pump_enable", RegisterType.COIL,
+                               "bool", "", "Enable chlorine dosing pump",
+                               read_only=False),
+            RegisterDefinition(2, "simulation_running", RegisterType.COIL,
+                               "bool", "", "Simulation running",
+                               read_only=False),
+        ]
+
+        # Discrete inputs (reference register_map.py:364-401)
+        self.discrete_inputs: List[RegisterDefinition] = [
+            RegisterDefinition(0, "sensor_fault_pH_inlet",
+                               RegisterType.DISCRETE_INPUT, "bool", "",
+                               "pH inlet sensor fault status"),
+            RegisterDefinition(1, "sensor_fault_pH_outlet",
+                               RegisterType.DISCRETE_INPUT, "bool", "",
+                               "pH outlet sensor fault status"),
+            RegisterDefinition(2, "sensor_fault_chlorine",
+                               RegisterType.DISCRETE_INPUT, "bool", "",
+                               "Chlorine sensor fault status"),
+        ]
+
+        self._validate_all()
+
+    # -- validation (reference register_map.py:403-446) --
+    def _validate_all(self):
+        for reg in self.all_registers():
+            reg.validate()
+        self._check_conflicts(self.input_registers, "Input registers")
+        self._check_conflicts(self.holding_registers, "Holding registers")
+        self._check_conflicts(self.coils, "Coils")
+        self._check_conflicts(self.discrete_inputs, "Discrete inputs")
+
+    @staticmethod
+    def _check_conflicts(registers, type_name):
+        spans = sorted((r.address, r.address + r.size_words - 1, r.name)
+                       for r in registers)
+        for (s0, e0, n0), (s1, e1, n1) in zip(spans, spans[1:]):
+            if e0 >= s1:
+                raise ValueError(
+                    f"{type_name} address conflict: {n0} [{s0}-{e0}] "
+                    f"overlaps with {n1} [{s1}-{e1}]")
+
+    def all_registers(self):
+        return (self.input_registers + self.holding_registers + self.coils
+                + self.discrete_inputs)
+
+    # -- lookup (reference register_map.py:448-499) --
+    def get_register_by_name(self, name: str) -> Optional[RegisterDefinition]:
+        for reg in self.all_registers():
+            if reg.name == name:
+                return reg
+        return None
+
+    def get_register_by_address(self, address: int,
+                                register_type: RegisterType
+                                ) -> Optional[RegisterDefinition]:
+        table = {
+            RegisterType.INPUT_REGISTER: self.input_registers,
+            RegisterType.HOLDING_REGISTER: self.holding_registers,
+            RegisterType.COIL: self.coils,
+            RegisterType.DISCRETE_INPUT: self.discrete_inputs,
+        }.get(register_type)
+        if table is None:
+            return None
+        for reg in table:
+            if reg.address <= address < reg.address + reg.size_words:
+                return reg
+        return None
+
+    # -- documentation (reference register_map.py:501-556) --
+    def print_register_map(self):
+        print("=" * 80)
+        print("MODBUS REGISTER MAP")
+        print("=" * 80)
+        sections = [
+            ("INPUT REGISTERS (Read-Only Sensor Values)",
+             self.input_registers, 30001),
+            ("HOLDING REGISTERS (Read/Write Actuator Setpoints)",
+             self.holding_registers, 40001),
+            ("COILS (Read/Write Discrete Outputs)", self.coils, 1),
+            ("DISCRETE INPUTS (Read-Only Status Bits)",
+             self.discrete_inputs, 10001),
+        ]
+        for title, regs, base in sections:
+            print(f"\n{title}")
+            print("-" * 80)
+            for reg in regs:
+                addr = base + reg.address
+                addr_str = (f"{addr}-{addr + 1}"
+                            if reg.data_type == "float32" else str(addr))
+                print(f"{addr_str:<12} {reg.name:<25} {reg.data_type:<10} "
+                      f"{reg.units:<8} {reg.description}")
+        print("\n" + "=" * 80)

@@ -1,0 +1,376 @@
+"""
+Modbus/TCP server — from-scratch asyncio implementation.
+
+The reference delegates the wire protocol to pymodbus 3.x
+(modbus/slave.py:320-339); that dependency is not available here, so this
+module implements the Modbus/TCP application protocol directly (MBAP framing
++ function codes 1/2/3/4/5/6/15/16 with standard exception responses). The
+server lifecycle and the thread-safe, name-based register API match the
+reference exactly:
+
+- asyncio event loop in a daemon thread (reference slave.py:266-295)
+- threading.Event-based startup/shutdown with timeouts (slave.py:255-278,
+  341-372)
+- sequential data blocks sized from the register map plus headroom
+  (slave.py:113-137)
+- RLock-guarded ``update_input_register`` / ``update_discrete_input`` /
+  ``read_holding_register`` / ``write_holding_register`` / ``read_coil``
+  with the +-1e9 range validation (slave.py:139-245)
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import struct
+import threading
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+from ics_wt_physicsengine_tpu.modbus.protocols import (
+    ModbusDecoder,
+    ModbusEncoder,
+)
+from ics_wt_physicsengine_tpu.modbus.register_map import (
+    ModbusRegisterMap,
+    RegisterType,
+)
+
+logger = logging.getLogger(__name__)
+
+# Modbus function codes
+FC_READ_COILS = 0x01
+FC_READ_DISCRETE_INPUTS = 0x02
+FC_READ_HOLDING_REGISTERS = 0x03
+FC_READ_INPUT_REGISTERS = 0x04
+FC_WRITE_SINGLE_COIL = 0x05
+FC_WRITE_SINGLE_REGISTER = 0x06
+FC_WRITE_MULTIPLE_COILS = 0x0F
+FC_WRITE_MULTIPLE_REGISTERS = 0x10
+
+EX_ILLEGAL_FUNCTION = 0x01
+EX_ILLEGAL_DATA_ADDRESS = 0x02
+EX_ILLEGAL_DATA_VALUE = 0x03
+
+MAX_REGISTER_VALUE = 1e9   # reference slave.py range validation (:205-214)
+
+
+@dataclass
+class ModbusServerConfig:
+    """Server configuration (reference slave.py:33-51)."""
+
+    host: str = "0.0.0.0"
+    port: int = 5020
+    unit_id: int = 1
+    max_connections: int = 5
+    timeout_seconds: float = 5.0
+
+
+class _DataBlock:
+    """Thread-safe word/bit storage (replaces pymodbus datastore)."""
+
+    def __init__(self, size: int):
+        self.size = size
+        self.values = [0] * size
+        self.lock = threading.RLock()
+
+    def get(self, address: int, count: int) -> List[int]:
+        if address < 0 or address + count > self.size:
+            raise IndexError(f"address range [{address}, {address + count}) "
+                             f"outside block of {self.size}")
+        with self.lock:
+            return self.values[address:address + count]
+
+    def set(self, address: int, values: List[int]) -> None:
+        if address < 0 or address + len(values) > self.size:
+            raise IndexError(f"address range [{address}, "
+                             f"{address + len(values)}) outside block of "
+                             f"{self.size}")
+        with self.lock:
+            self.values[address:address + len(values)] = values
+
+
+class ModbusSlave:
+    """Modbus/TCP slave with the reference's API (slave.py:54-397)."""
+
+    def __init__(self, register_map: ModbusRegisterMap,
+                 config: Optional[ModbusServerConfig] = None):
+        self.register_map = register_map
+        self.config = config or ModbusServerConfig()
+
+        # Device identification strings (reference slave.py:89-95)
+        self.device_info = {
+            "VendorName": "ICS-WT-PhysicsEngine-TPU",
+            "ProductCode": "WTS-TPU",
+            "ProductName": "Water Treatment Simulator (TPU)",
+            "ModelName": "CSTR-MultiZone",
+            "MajorMinorRevision": "1.0",
+        }
+
+        # Data blocks sized from the map + headroom (slave.py:113-137)
+        def block_size(regs):
+            if not regs:
+                return 16
+            return max(r.address + r.size_words for r in regs) + 10
+
+        self.ir_block = _DataBlock(block_size(register_map.input_registers))
+        self.hr_block = _DataBlock(block_size(register_map.holding_registers))
+        self.coil_block = _DataBlock(block_size(register_map.coils))
+        self.di_block = _DataBlock(block_size(register_map.discrete_inputs))
+
+        self._lock = threading.RLock()
+        self._server_ready = threading.Event()
+        self._shutdown_requested = threading.Event()
+        self._stopped = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._actual_port: Optional[int] = None
+
+        self.request_count = 0
+        self.error_count = 0
+
+    # ------------------------------------------------------------------
+    # Wire protocol
+    # ------------------------------------------------------------------
+
+    def _process_pdu(self, pdu: bytes) -> bytes:
+        """Handle one request PDU, return the response PDU."""
+        fc = pdu[0]
+        try:
+            if fc in (FC_READ_COILS, FC_READ_DISCRETE_INPUTS):
+                address, count = struct.unpack(">HH", pdu[1:5])
+                if not 1 <= count <= 2000:
+                    return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
+                block = (self.coil_block if fc == FC_READ_COILS
+                         else self.di_block)
+                bits = block.get(address, count)
+                n_bytes = (count + 7) // 8
+                payload = bytearray(n_bytes)
+                for i, bit in enumerate(bits):
+                    if bit:
+                        payload[i // 8] |= 1 << (i % 8)
+                return bytes([fc, n_bytes]) + bytes(payload)
+
+            if fc in (FC_READ_HOLDING_REGISTERS, FC_READ_INPUT_REGISTERS):
+                address, count = struct.unpack(">HH", pdu[1:5])
+                if not 1 <= count <= 125:
+                    return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
+                block = (self.hr_block if fc == FC_READ_HOLDING_REGISTERS
+                         else self.ir_block)
+                words = block.get(address, count)
+                return bytes([fc, count * 2]) + b"".join(
+                    struct.pack(">H", w & 0xFFFF) for w in words)
+
+            if fc == FC_WRITE_SINGLE_COIL:
+                address, value = struct.unpack(">HH", pdu[1:5])
+                if value not in (0x0000, 0xFF00):
+                    return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
+                self.coil_block.set(address, [1 if value else 0])
+                return pdu[:5]
+
+            if fc == FC_WRITE_SINGLE_REGISTER:
+                address, value = struct.unpack(">HH", pdu[1:5])
+                self.hr_block.set(address, [value])
+                return pdu[:5]
+
+            if fc == FC_WRITE_MULTIPLE_COILS:
+                address, count, n_bytes = struct.unpack(">HHB", pdu[1:6])
+                data = pdu[6:6 + n_bytes]
+                bits = [(data[i // 8] >> (i % 8)) & 1 for i in range(count)]
+                self.coil_block.set(address, bits)
+                return pdu[:5]
+
+            if fc == FC_WRITE_MULTIPLE_REGISTERS:
+                address, count, n_bytes = struct.unpack(">HHB", pdu[1:6])
+                if n_bytes != count * 2:
+                    return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
+                words = list(struct.unpack(f">{count}H", pdu[6:6 + n_bytes]))
+                self.hr_block.set(address, words)
+                return pdu[:5]
+
+            return bytes([fc | 0x80, EX_ILLEGAL_FUNCTION])
+        except IndexError:
+            return bytes([fc | 0x80, EX_ILLEGAL_DATA_ADDRESS])
+        except (struct.error, ValueError):
+            return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
+
+    async def _handle_client(self, reader: asyncio.StreamReader,
+                             writer: asyncio.StreamWriter):
+        peer = writer.get_extra_info("peername")
+        logger.debug("Modbus client connected: %s", peer)
+        try:
+            while not self._shutdown_requested.is_set():
+                header = await reader.readexactly(7)
+                transaction_id, protocol_id, length, unit_id = struct.unpack(
+                    ">HHHB", header)
+                pdu = await reader.readexactly(length - 1)
+                self.request_count += 1
+                response_pdu = self._process_pdu(pdu)
+                response = struct.pack(
+                    ">HHHB", transaction_id, protocol_id,
+                    len(response_pdu) + 1, unit_id) + response_pdu
+                writer.write(response)
+                await writer.drain()
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        except Exception as exc:  # noqa: BLE001 — log type only, like ref
+            self.error_count += 1
+            logger.warning("Modbus client error: %s", type(exc).__name__)
+        finally:
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except Exception:  # noqa: BLE001
+                pass
+            logger.debug("Modbus client disconnected: %s", peer)
+
+    async def _async_run_server(self):
+        """Serve until shutdown (reference slave.py:320-339 lifecycle)."""
+        self._server = await asyncio.start_server(
+            self._handle_client, self.config.host, self.config.port)
+        self._actual_port = self._server.sockets[0].getsockname()[1]
+        self._server_ready.set()
+        try:
+            while not self._shutdown_requested.is_set():
+                await asyncio.sleep(0.1)
+        finally:
+            self._server.close()
+            await self._server.wait_closed()
+
+    def _run_server(self):
+        """Daemon-thread entry: own event loop (reference slave.py:287-295)."""
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+        try:
+            self._loop.run_until_complete(self._async_run_server())
+        except Exception as exc:  # noqa: BLE001
+            logger.error("Modbus server error: %s", type(exc).__name__)
+            self._server_ready.set()   # unblock start() so it can raise
+        finally:
+            self._loop.close()
+            self._stopped.set()
+
+    # ------------------------------------------------------------------
+    # Lifecycle (reference slave.py:247-372)
+    # ------------------------------------------------------------------
+
+    def start(self, blocking: bool = False) -> None:
+        if self._thread is not None and self._thread.is_alive():
+            raise RuntimeError("Server already running")
+        self._shutdown_requested.clear()
+        self._server_ready.clear()
+        self._stopped.clear()
+        self._thread = threading.Thread(target=self._run_server,
+                                        name="ModbusTCPServer", daemon=True)
+        self._thread.start()
+        if not self._server_ready.wait(timeout=self.config.timeout_seconds):
+            raise RuntimeError(
+                f"Modbus server failed to start within "
+                f"{self.config.timeout_seconds}s")
+        if self._actual_port is None:
+            raise RuntimeError("Modbus server failed to bind")
+        logger.info("Modbus TCP server listening on %s:%d",
+                    self.config.host, self._actual_port)
+        if blocking:
+            try:
+                self._thread.join()
+            except KeyboardInterrupt:
+                self.stop()
+
+    def stop(self) -> None:
+        self._shutdown_requested.set()
+        if self._thread is not None:
+            self._thread.join(timeout=3.0)
+            if self._thread.is_alive():
+                logger.warning("Modbus server thread did not stop cleanly")
+        self._thread = None
+
+    @property
+    def port(self) -> Optional[int]:
+        """Actual bound port (useful with port=0 for tests)."""
+        return self._actual_port
+
+    @property
+    def is_running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    # ------------------------------------------------------------------
+    # Name-based register API (reference slave.py:139-245)
+    # ------------------------------------------------------------------
+
+    def _lookup(self, name: str, register_type: RegisterType):
+        reg = self.register_map.get_register_by_name(name)
+        if reg is None or reg.register_type != register_type:
+            raise KeyError(
+                f"No {register_type.name} register named '{name}'")
+        return reg
+
+    @staticmethod
+    def _validate_value(value: float) -> None:
+        if not (-MAX_REGISTER_VALUE < value < MAX_REGISTER_VALUE):
+            raise ValueError(f"Value {value} outside +-{MAX_REGISTER_VALUE}")
+
+    def update_input_register(self, name: str, value: float) -> None:
+        reg = self._lookup(name, RegisterType.INPUT_REGISTER)
+        with self._lock:
+            if reg.data_type == "float32":
+                import math
+                if not math.isnan(value):
+                    self._validate_value(value)
+                high, low = ModbusEncoder.float32_to_registers(value)
+                self.ir_block.set(reg.address, [high, low])
+            else:
+                self.ir_block.set(
+                    reg.address,
+                    [ModbusEncoder.uint16_to_register(int(value))])
+
+    def update_discrete_input(self, name: str, value: bool) -> None:
+        reg = self._lookup(name, RegisterType.DISCRETE_INPUT)
+        with self._lock:
+            self.di_block.set(reg.address, [1 if value else 0])
+
+    def read_holding_register(self, name: str) -> float:
+        reg = self._lookup(name, RegisterType.HOLDING_REGISTER)
+        with self._lock:
+            words = self.hr_block.get(reg.address, reg.size_words)
+        if reg.data_type == "float32":
+            return ModbusDecoder.registers_to_float32(*words)
+        return float(words[0])
+
+    def write_holding_register(self, name: str, value: float) -> None:
+        reg = self._lookup(name, RegisterType.HOLDING_REGISTER)
+        self._validate_value(value)
+        with self._lock:
+            if reg.data_type == "float32":
+                high, low = ModbusEncoder.float32_to_registers(value)
+                self.hr_block.set(reg.address, [high, low])
+            else:
+                self.hr_block.set(
+                    reg.address,
+                    [ModbusEncoder.uint16_to_register(int(value))])
+
+    def read_coil(self, name: str) -> bool:
+        reg = self._lookup(name, RegisterType.COIL)
+        with self._lock:
+            return bool(self.coil_block.get(reg.address, 1)[0])
+
+    def write_coil(self, name: str, value: bool) -> None:
+        reg = self._lookup(name, RegisterType.COIL)
+        with self._lock:
+            self.coil_block.set(reg.address, [1 if value else 0])
+
+    # -- bulk getters (reference slave.py:374-392) --
+    def get_all_input_registers(self) -> Dict[str, float]:
+        out = {}
+        for reg in self.register_map.input_registers:
+            words = self.ir_block.get(reg.address, reg.size_words)
+            if reg.data_type == "float32":
+                out[reg.name] = ModbusDecoder.registers_to_float32(*words)
+            else:
+                out[reg.name] = float(words[0])
+        return out
+
+    def get_all_holding_registers(self) -> Dict[str, float]:
+        return {reg.name: self.read_holding_register(reg.name)
+                for reg in self.register_map.holding_registers}

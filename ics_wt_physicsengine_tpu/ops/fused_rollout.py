@@ -1,0 +1,304 @@
+"""
+Fused whole-rollout Pallas TPU kernel — the single-plant fast path.
+
+Why: the XLA `lax.scan` rollout executes one tiny fused program per RK4
+substep; at 20 zones that costs ~200 us/step in loop/dispatch overhead on a
+v5e through the remote runtime — the arithmetic itself is nanoseconds. This
+kernel moves the *entire* simulation loop (n_steps x substeps x 4 RK4 stages)
+inside one `pallas_call`: state lives in VMEM registers for the whole run,
+zones sit on the 128-lane axis, plants on the 8-sublane axis, and every
+derivative term is inline VPU arithmetic. One kernel launch per rollout.
+
+Physics is the same term-for-term ODE system as ``core.reactor.derivatives``
+(reference core/reactor.py:272-448); equivalence against the XLA path is
+regression-tested in tests/test_fused_rollout.py. Supports n_zones <= 128
+(the reference caps at 20, README.md:542) and any plant batch (tiled over
+the sublane grid).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ics_wt_physicsengine_tpu.core import constants as c
+from ics_wt_physicsengine_tpu.core import reactor as R
+
+LN10 = math.log(10.0)
+
+_LANES = 128
+_BLOCK_B = 8
+
+# Column layout of the packed per-plant scalar array [B, _LANES]
+# (params first, boundary second; padded with zeros to the lane width).
+_COLS = [
+    "volume_L", "zone_volume_L", "zone_height", "heat_area_m2",
+    "k_exchange", "velocity_scale", "cl_k_ref", "cl_ea",
+    "Kw", "Ka1", "Ka2", "Ka_HOCl", "C_T_mol",
+    "strat_enabled", "ri_crit", "supp_factor",
+    "inlet_flow_rate", "inlet_pH", "inlet_chlorine", "inlet_temperature",
+    "acid_flow_rate", "acid_concentration",
+    "chlorine_flow_rate", "chlorine_concentration",
+    "ambient_temperature", "heat_loss_coefficient",
+]
+_COL = {name: i for i, name in enumerate(_COLS)}
+
+
+def _rollout_kernel(scal_ref, ph_ref, cl_ref, t_ref,
+                    ph_out, cl_out, t_out,
+                    *, n_zones: int, dt: float, substeps: int, n_steps: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_B, _LANES), 1)
+    zone_mask = lane < n_zones
+    iface_mask = lane < (n_zones - 1)       # interface i couples zones i, i+1
+    not_first = lane >= 1
+    first = lane == 0
+    last = lane == (n_zones - 1)
+
+    def col(name):
+        return scal_ref[:, _COL[name]][:, None]       # (B, 1)
+
+    volume_L = col("volume_L")
+    zone_volume_L = col("zone_volume_L")
+    zone_height = col("zone_height")
+    heat_area = col("heat_area_m2")
+    k_exchange = col("k_exchange")
+    velocity = col("velocity_scale")
+    cl_k_ref = col("cl_k_ref")
+    cl_ea = col("cl_ea")
+    kw = col("Kw")
+    ka1 = col("Ka1")
+    ka2 = col("Ka2")
+    ka_hocl = col("Ka_HOCl")
+    ct = col("C_T_mol")
+    strat_enabled = col("strat_enabled")
+    ri_crit = col("ri_crit")
+    supp_factor = col("supp_factor")
+
+    q_per_v = (col("inlet_flow_rate") / 60.0) / volume_L
+    h_inlet = jnp.exp(-LN10 * col("inlet_pH"))
+    cl_inlet = col("inlet_chlorine")
+    t_inlet = col("inlet_temperature")
+    dh_dosing = (col("acid_flow_rate") / 60.0) * col("acid_concentration") \
+        / zone_volume_L
+    dcl_dosing = (col("chlorine_flow_rate") / 60.0) \
+        / zone_volume_L * col("chlorine_concentration")
+    t_amb = col("ambient_temperature")
+    heat_rate = col("heat_loss_coefficient") * heat_area \
+        / (c.WATER_DENSITY_20C * c.WATER_CP * (volume_L / 1000.0))
+
+    safe_u2 = jnp.maximum(velocity, 1e-6) ** 2
+    has_flow = velocity > 1e-6
+
+    def exchange(x, k_iface):
+        # (L x)[i] = k_iface[i] (x[i+1]-x[i]) + k_iface[i-1] (x[i-1]-x[i]),
+        # reference reactor.py:318-337 as a lane stencil.
+        x_next = pltpu.roll(x, _LANES - 1, 1)
+        x_prev = pltpu.roll(x, 1, 1)
+        up = jnp.where(iface_mask, k_iface * (x_next - x), 0.0)
+        k_prev = pltpu.roll(k_iface, 1, 1)
+        dn = jnp.where(not_first & zone_mask, k_prev * (x_prev - x), 0.0)
+        return up + dn - jnp.where(last, q_per_v * x, 0.0)
+
+    def deriv(ph, cl, t):
+        # In-domain clamp (see core/reactor.py derivatives docstring).
+        ph = jnp.clip(ph, 0.0, 14.0)
+        cl = jnp.maximum(cl, 0.0)
+        t = jnp.clip(t, 0.0, 100.0)
+
+        # density + Richardson suppression (reference spatial.py:142-320)
+        rho = jnp.where(
+            t <= 8.0,
+            c.RHO_MAX_4C - c.DENSITY_ANOMALY_COEFF * (t - 4.0) ** 2,
+            c.WATER_DENSITY_20C * (1.0 - c.THERMAL_EXPANSION_COEFF * (t - 20.0)))
+        rho_next = pltpu.roll(rho, _LANES - 1, 1)
+        drho = rho_next - rho
+        rho_avg = 0.5 * (rho_next + rho)
+        ri = c.G_GRAVITY * drho * zone_height / (rho_avg * safe_u2)
+        # no-flow -> Ri = inf -> always stratified (spatial.py:275)
+        stratified = (ri > ri_crit) | jnp.logical_not(has_flow)
+        supp = jnp.where(stratified & (strat_enabled > 0.5), supp_factor, 1.0)
+        k_iface = k_exchange * supp
+
+        # pH dynamics via buffering chain rule (reference reactor.py:339-376)
+        h = jnp.exp(-LN10 * ph)
+        d = h * h + ka1 * h + ka1 * ka2
+        a0 = h * h / d
+        a1 = ka1 * h / d
+        a2 = ka1 * ka2 / d
+        beta = 2.303 * (h + kw / h) \
+            + 2.303 * ct * (a0 * a1 + 4.0 * a1 * a2 + a0 * a2)
+        inv_beta_ln10 = 1.0 / (beta * LN10)
+
+        dph = -exchange(h, k_iface) * inv_beta_ln10
+        dh_in = q_per_v * (h_inlet - h)
+        dph = dph - jnp.where(first, (dh_dosing + dh_in) * inv_beta_ln10, 0.0)
+
+        # chlorine (reference reactor.py:378-411)
+        dcl = exchange(cl, k_iface)
+        dcl = dcl + jnp.where(first, dcl_dosing + q_per_v * (cl_inlet - cl),
+                              0.0)
+        t_k = jnp.clip(t, 0.0, 100.0) + 273.15
+        k_base = cl_k_ref * jnp.exp(
+            -(cl_ea / c.R_GAS) * (1.0 / t_k - 1.0 / c.T_REFERENCE_K))
+        a_hocl = h / (h + ka_hocl)
+        ph_factor = a_hocl + (1.0 - a_hocl) * c.K_OCL_RELATIVE
+        dcl = dcl - k_base * ph_factor * cl
+
+        # temperature (reference reactor.py:413-443)
+        dtemp = exchange(t, k_iface)
+        dtemp = dtemp + jnp.where(first, q_per_v * (t_inlet - t), 0.0)
+        dtemp = dtemp - heat_rate * (t - t_amb)
+
+        z = jnp.zeros_like(ph)
+        return (jnp.where(zone_mask, dph, z), jnp.where(zone_mask, dcl, z),
+                jnp.where(zone_mask, dtemp, z))
+
+    h_step = dt / substeps
+
+    def rk4(carry, _=None):
+        ph, cl, t = carry
+        k1 = deriv(ph, cl, t)
+        k2 = deriv(ph + 0.5 * h_step * k1[0], cl + 0.5 * h_step * k1[1],
+                   t + 0.5 * h_step * k1[2])
+        k3 = deriv(ph + 0.5 * h_step * k2[0], cl + 0.5 * h_step * k2[1],
+                   t + 0.5 * h_step * k2[2])
+        k4 = deriv(ph + h_step * k3[0], cl + h_step * k3[1],
+                   t + h_step * k3[2])
+        ph = ph + (h_step / 6.0) * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        cl = cl + (h_step / 6.0) * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        t = t + (h_step / 6.0) * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+        return ph, cl, t
+
+    def step_body(_, carry):
+        ph, cl, t = jax.lax.fori_loop(
+            0, substeps, lambda __, cy: rk4(cy), carry)
+        # end-of-step physical bounds (reference reactor.py:526-541)
+        return (jnp.clip(ph, 0.0, 14.0), jnp.maximum(cl, 0.0),
+                jnp.clip(t, 0.0, 100.0))
+
+    ph, cl, t = jax.lax.fori_loop(
+        0, n_steps, step_body, (ph_ref[:], cl_ref[:], t_ref[:]))
+
+    ph_out[:] = ph
+    cl_out[:] = cl
+    t_out[:] = t
+
+
+def _pack_scalars(params: R.ReactorParams, boundary: R.BoundaryConditions,
+                  batch: int, dtype):
+    """Assemble the packed [B, 128] per-plant scalar array."""
+    values = {
+        "volume_L": params.volume_L,
+        "zone_volume_L": params.zone_volume_L,
+        "zone_height": params.zone_height,
+        "heat_area_m2": params.heat_area_m2,
+        "k_exchange": params.k_exchange,
+        "velocity_scale": params.velocity_scale,
+        "cl_k_ref": params.cl_k_ref,
+        "cl_ea": params.cl_ea,
+        "Kw": params.chem.Kw,
+        "Ka1": params.chem.Ka1,
+        "Ka2": params.chem.Ka2,
+        "Ka_HOCl": params.chem.Ka_HOCl,
+        "C_T_mol": params.chem.C_T_mol,
+        "strat_enabled": params.strat_enabled,
+        "ri_crit": params.ri_crit,
+        "supp_factor": params.supp_factor,
+        "inlet_flow_rate": boundary.inlet_flow_rate,
+        "inlet_pH": boundary.inlet_pH,
+        "inlet_chlorine": boundary.inlet_chlorine,
+        "inlet_temperature": boundary.inlet_temperature,
+        "acid_flow_rate": boundary.acid_flow_rate,
+        "acid_concentration": boundary.acid_concentration,
+        "chlorine_flow_rate": boundary.chlorine_flow_rate,
+        "chlorine_concentration": boundary.chlorine_concentration,
+        "ambient_temperature": boundary.ambient_temperature,
+        "heat_loss_coefficient": boundary.heat_loss_coefficient,
+    }
+    cols = []
+    for name in _COLS:
+        v = jnp.broadcast_to(jnp.asarray(values[name], dtype), (batch,))
+        cols.append(v)
+    scal = jnp.stack(cols, axis=1)                      # [B, NCOLS]
+    pad = _LANES - scal.shape[1]
+    return jnp.concatenate(
+        [scal, jnp.zeros((batch, pad), dtype)], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "substeps", "n_steps", "interpret"))
+def rollout_fused(params: R.ReactorParams, state: R.ReactorState,
+                  boundary: R.BoundaryConditions, *, dt: float,
+                  substeps: int, n_steps: int,
+                  interpret: bool = False) -> R.ReactorState:
+    """Advance ``n_steps`` of ``dt`` seconds in one Pallas kernel launch.
+
+    Accepts a single plant (``[Z]`` state) or a batch (``[B, Z]`` state with
+    ``[B]`` params); returns the final state with derived quantities updated,
+    matching ``core.reactor.rollout(..., record=False)[0]``.
+    """
+    z = params.n_zones
+    if z > _LANES:
+        raise ValueError(f"fused rollout supports n_zones <= {_LANES}, "
+                         f"got {z}")
+
+    ph = jnp.asarray(state.pH)
+    single = ph.ndim == 1
+    batch = 1 if single else ph.shape[0]
+    dtype = ph.dtype
+
+    def prep(x):
+        x = jnp.asarray(x, dtype)
+        if single:
+            x = x[None, :]
+        pad_b = (-batch) % _BLOCK_B
+        pad_z = _LANES - z
+        return jnp.pad(x, ((0, pad_b), (0, pad_z)))
+
+    ph_in = prep(state.pH)
+    cl_in = prep(state.chlorine)
+    t_in = prep(state.temperature)
+    scal = _pack_scalars(params, boundary, batch, dtype)
+    pad_b = (-batch) % _BLOCK_B
+    if pad_b:
+        scal = jnp.pad(scal, ((0, pad_b), (0, 0)))
+        # padded plants: keep harmless values (zeros give q_per_v = 0 etc.)
+
+    padded_b = ph_in.shape[0]
+    grid = (padded_b // _BLOCK_B,)
+    block = pl.BlockSpec((_BLOCK_B, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_rollout_kernel, n_zones=z, dt=dt,
+                               substeps=substeps, n_steps=n_steps)
+    ph_f, cl_f, t_f = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block, block, block, block],
+        out_specs=(block, block, block),
+        out_shape=tuple(jax.ShapeDtypeStruct((padded_b, _LANES), dtype)
+                        for _ in range(3)),
+        interpret=interpret,
+    )(scal, ph_in, cl_in, t_in)
+
+    def unprep(x):
+        x = x[:batch, :z]
+        return x[0] if single else x
+
+    ph_f, cl_f, t_f = unprep(ph_f), unprep(cl_f), unprep(t_f)
+
+    total_flow = (boundary.inlet_flow_rate + boundary.acid_flow_rate
+                  + boundary.chlorine_flow_rate)
+    new_state = R.ReactorState(
+        time=state.time + dt * n_steps,
+        pH=ph_f, chlorine=cl_f, temperature=t_f,
+        flow_rate=jnp.asarray(total_flow, dtype)
+        + jnp.zeros_like(jnp.asarray(state.flow_rate)),
+    )
+    return R._update_derived(new_state)

@@ -1,0 +1,74 @@
+"""Fused Pallas rollout kernel vs the XLA scan rollout — same trajectories.
+
+On the CPU test backend the kernel runs in interpreter mode; physics
+equivalence transfers to the compiled Mosaic kernel on TPU (same program).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_wt_physicsengine_tpu.core import reactor as R
+from ics_wt_physicsengine_tpu.ops.fused_rollout import rollout_fused
+
+
+def _xla_final(params, state, bc, dt, substeps, n_steps):
+    final, _ = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=dt, substeps=substeps, n_steps=n_steps,
+        record=False))(params, state, bc)
+    return final
+
+
+BC = R.BoundaryConditions(
+    inlet_flow_rate=5.0, inlet_pH=7.2, inlet_chlorine=0.5,
+    inlet_temperature=26.0, acid_flow_rate=0.1, acid_concentration=0.1,
+    chlorine_flow_rate=0.2, chlorine_concentration=50.0,
+    ambient_temperature=15.0, heat_loss_coefficient=50.0)
+
+
+@pytest.mark.parametrize("n_zones", [2, 5, 20])
+def test_fused_matches_xla_single(n_zones):
+    config = R.ReactorConfiguration(n_zones=n_zones)
+    params = R.make_params(config, dtype=jnp.float64)
+    state = R.make_initial_state(config, dtype=jnp.float64)
+    substeps = R.default_substeps(config, 1.0)
+
+    xla = _xla_final(params, state, BC, 1.0, substeps, 50)
+    fused = rollout_fused(params, state, BC, dt=1.0, substeps=substeps,
+                          n_steps=50, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(fused.pH), np.asarray(xla.pH),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fused.chlorine),
+                               np.asarray(xla.chlorine), rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fused.temperature),
+                               np.asarray(xla.temperature),
+                               rtol=0, atol=1e-10)
+    assert float(fused.time) == pytest.approx(50.0)
+
+
+def test_fused_matches_xla_batched():
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+
+    base = R.ReactorConfiguration(n_zones=5)
+    params, state = make_monte_carlo_batch(base, 11, seed=7,
+                                           dtype=jnp.float64)
+    xla = _xla_final(params, state, BC, 1.0, 4, 30)
+    fused = rollout_fused(params, state, BC, dt=1.0, substeps=4, n_steps=30,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.pH), np.asarray(xla.pH),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fused.chlorine),
+                               np.asarray(xla.chlorine), rtol=0, atol=1e-10)
+
+
+def test_fused_rejects_too_many_zones():
+    config = R.ReactorConfiguration(n_zones=5)
+    params = R.make_params(config, dtype=jnp.float64)
+    params = R.ReactorParams(**{**params.__dict__, "n_zones": 200})
+    state = R.make_initial_state(config, dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        rollout_fused(params, state, BC, dt=1.0, substeps=1, n_steps=1,
+                      interpret=True)

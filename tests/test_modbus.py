@@ -1,0 +1,184 @@
+"""Modbus layer tests: register map invariants, encoding round-trips, and
+live TCP server integration over a real socket (reference strategy:
+protocols.py:266-330 validation + slave.py:400-438 live demo)."""
+
+import numpy as np
+import pytest
+
+from ics_wt_physicsengine_tpu.modbus import (
+    ModbusDecoder,
+    ModbusEncoder,
+    ModbusRegisterMap,
+    ModbusServerConfig,
+    ModbusSlave,
+    ModbusTcpClient,
+    RegisterType,
+    validate_encoding,
+)
+
+
+# ---------------------------------------------------------------------------
+# Register map
+# ---------------------------------------------------------------------------
+
+def test_register_map_layout_matches_reference():
+    m = ModbusRegisterMap()
+    # addresses per reference register_map.py:119-401
+    assert m.get_register_by_name("pH_inlet").address == 0
+    assert m.get_register_by_name("pH_middle").address == 2
+    assert m.get_register_by_name("pH_outlet").address == 4
+    assert m.get_register_by_name("chlorine_inlet").address == 6
+    assert m.get_register_by_name("chlorine_outlet").address == 8
+    assert m.get_register_by_name("flow_rate").address == 10
+    assert m.get_register_by_name("temperature_inlet").address == 12
+    assert m.get_register_by_name("temperature_outlet").address == 14
+    assert m.get_register_by_name("simulation_time").address == 100
+    assert m.get_register_by_name("system_status").address == 102
+    assert m.get_register_by_name("acid_flow_rate").address == 0
+    assert m.get_register_by_name("inlet_flow_rate").address == 4
+    assert m.get_register_by_name("simulation_timestep").address == 100
+    assert m.get_register_by_name("acid_pump_enable").address == 0
+    assert m.get_register_by_name("sensor_fault_chlorine").address == 2
+    assert len(m.input_registers) == 10
+    assert len(m.holding_registers) == 6
+    assert len(m.coils) == 3
+    assert len(m.discrete_inputs) == 3
+
+
+def test_register_lookup_by_address():
+    m = ModbusRegisterMap()
+    # float32 spans two words; either word resolves (register_map.py:496)
+    assert m.get_register_by_address(0, RegisterType.INPUT_REGISTER).name \
+        == "pH_inlet"
+    assert m.get_register_by_address(1, RegisterType.INPUT_REGISTER).name \
+        == "pH_inlet"
+    assert m.get_register_by_address(2, RegisterType.INPUT_REGISTER).name \
+        == "pH_middle"
+    assert m.get_register_by_address(999, RegisterType.INPUT_REGISTER) is None
+
+
+# ---------------------------------------------------------------------------
+# Encoding
+# ---------------------------------------------------------------------------
+
+def test_float32_round_trip():
+    for v in (0.0, 7.25, -273.15, 1e-6, 3.4e38):
+        high, low = ModbusEncoder.float32_to_registers(v)
+        assert 0 <= high <= 65535 and 0 <= low <= 65535
+        back = ModbusDecoder.registers_to_float32(high, low)
+        assert back == pytest.approx(v, rel=1e-6)
+
+
+def test_big_endian_word_order():
+    # 7.25f = 0x40E80000: high word first (reference protocols.py:52-57)
+    high, low = ModbusEncoder.float32_to_registers(7.25)
+    assert high == 0x40E8
+    assert low == 0x0000
+
+
+def test_int16_two_complement():
+    assert ModbusEncoder.int16_to_register(-1) == 0xFFFF
+    assert ModbusDecoder.register_to_int16(0xFFFF) == -1
+    with pytest.raises(ValueError):
+        ModbusEncoder.int16_to_register(40000)
+
+
+def test_validation_suite():
+    validate_encoding()
+
+
+# ---------------------------------------------------------------------------
+# Live server over TCP
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def slave():
+    s = ModbusSlave(ModbusRegisterMap(),
+                    ModbusServerConfig(host="127.0.0.1", port=0))
+    s.start(blocking=False)
+    yield s
+    s.stop()
+
+
+def test_server_lifecycle(slave):
+    assert slave.is_running
+    assert slave.port > 0
+
+
+def test_sensor_value_visible_to_tcp_client(slave):
+    slave.update_input_register("pH_inlet", 7.18)
+    slave.update_input_register("chlorine_outlet", 1.44)
+    slave.update_input_register("system_status", 3)
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        assert client.read_float32(0) == pytest.approx(7.18, rel=1e-6)
+        assert client.read_float32(8) == pytest.approx(1.44, rel=1e-6)
+        assert client.read_input_registers(102, 1) == [3]
+
+
+def test_client_command_visible_to_plant(slave):
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        client.write_float32(0, 0.75)      # acid_flow_rate
+        client.write_float32(4, 6.5)       # inlet_flow_rate
+        client.write_coil(0, True)         # acid_pump_enable
+    assert slave.read_holding_register("acid_flow_rate") == \
+        pytest.approx(0.75, rel=1e-6)
+    assert slave.read_holding_register("inlet_flow_rate") == \
+        pytest.approx(6.5, rel=1e-6)
+    assert slave.read_coil("acid_pump_enable") is True
+
+
+def test_discrete_inputs_over_tcp(slave):
+    slave.update_discrete_input("sensor_fault_pH_inlet", True)
+    slave.update_discrete_input("sensor_fault_chlorine", False)
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        bits = client.read_discrete_inputs(0, 3)
+    assert bits == [True, False, False]
+
+
+def test_nan_sensor_value_round_trips(slave):
+    slave.update_input_register("pH_outlet", float("nan"))
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        assert np.isnan(client.read_float32(4))
+
+
+def test_illegal_address_gets_exception(slave):
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        with pytest.raises(IOError):
+            client.read_input_registers(5000, 2)
+
+
+def test_illegal_function_gets_exception(slave):
+    import socket
+    import struct
+    with socket.create_connection(("127.0.0.1", slave.port), 5) as sock:
+        sock.sendall(struct.pack(">HHHB", 1, 0, 2, 1) + bytes([0x2B]))
+        resp = sock.recv(1024)
+    assert resp[7] == 0x2B | 0x80
+    assert resp[8] == 0x01            # illegal function
+
+
+def test_value_range_validation(slave):
+    with pytest.raises(ValueError):
+        slave.write_holding_register("acid_flow_rate", 1e12)
+    with pytest.raises(KeyError):
+        slave.update_input_register("nonexistent", 1.0)
+
+
+def test_multiple_clients(slave):
+    slave.update_input_register("flow_rate", 5.0)
+    clients = [ModbusTcpClient("127.0.0.1", slave.port).connect()
+               for _ in range(3)]
+    try:
+        for c in clients:
+            assert c.read_float32(10) == pytest.approx(5.0)
+    finally:
+        for c in clients:
+            c.close()
+
+
+def test_bulk_getters(slave):
+    slave.update_input_register("pH_inlet", 7.0)
+    all_ir = slave.get_all_input_registers()
+    assert all_ir["pH_inlet"] == pytest.approx(7.0)
+    assert set(all_ir) == {r.name for r in
+                           slave.register_map.input_registers}
