@@ -1,0 +1,477 @@
+"""
+Main simulation orchestrator (HIL serving loop).
+
+Structure-for-structure parity with the reference __main__ (reference
+__main__.py:274-480): 5-phase startup (physics, boundary, sensors, Modbus
+with graceful degradation, loop), zero-trust validation of Modbus commands,
+graceful NaN readings on sensor failure, Modbus error budget, periodic
+logging with warm-up awareness, real-time pacing, signal-based shutdown.
+
+Gap-fixes over the reference (SURVEY.md 2.2 — wired here, not replicated):
+- the ``pH_middle`` input register is actually updated (mid-zone value);
+- the dosing-concentration and ``simulation_timestep`` holding registers are
+  read back into the boundary/loop;
+- pump-enable coils gate the dosing flows (initialized ON so reference
+  controllers work unchanged) and ``simulation_running`` pauses the physics;
+- the sensor-failure fallback reading uses real enum members (the
+  reference's ``SensorStatus.FAULT`` / ``SensorFault.SENSOR_ERROR`` don't
+  exist and would crash that path, __main__.py:154-156).
+
+New flags beyond the reference: ``--zones``, ``--seed``, ``--rtf`` (pacing
+factor; 0 = free-run as fast as the engine goes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import signal
+import sys
+import time
+from contextlib import suppress
+from typing import Dict, Optional, Tuple
+
+from ics_wt_physicsengine_tpu.core import (
+    BoundaryConditions,
+    IntegratedCSTR,
+    ReactorConfiguration,
+)
+from ics_wt_physicsengine_tpu.modbus import (
+    ModbusRegisterMap,
+    ModbusServerConfig,
+    ModbusSlave,
+)
+from ics_wt_physicsengine_tpu.sensors import (
+    SensorFault,
+    SensorReading,
+    SensorStatus,
+    create_realistic_sensor_suite,
+)
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s [%(levelname)s] %(message)s",
+    datefmt="%Y-%m-%d %H:%M:%S",
+)
+logger = logging.getLogger(__name__)
+
+running = True
+
+
+def _signal_handler(sig, frame):
+    global running
+    logger.info("Shutdown signal received. Stopping simulation...")
+    running = False
+
+
+# --------------------------------------------------------------------------
+# Zero-trust validators (reference __main__.py:57-81)
+# --------------------------------------------------------------------------
+
+def validate_flow_rate(value, max_value: float = 20.0) -> float:
+    if not isinstance(value, (int, float)):
+        return 0.0
+    if value != value:  # NaN
+        return 0.0
+    return max(0.0, min(float(value), max_value))
+
+
+def validate_concentration(value, max_value: float = 1.0) -> float:
+    if not isinstance(value, (int, float)):
+        return 0.0
+    if value != value:
+        return 0.0
+    return max(0.0, min(float(value), max_value))
+
+
+def validate_ph(value) -> float:
+    if not isinstance(value, (int, float)):
+        return 7.0
+    if value != value:
+        return 7.0
+    return max(0.0, min(float(value), 14.0))
+
+
+# --------------------------------------------------------------------------
+# Phase helpers (reference __main__.py:84-271)
+# --------------------------------------------------------------------------
+
+def initialize_sensors(config, sim_start_time: float, verbose: bool = False,
+                       seed: Optional[int] = None):
+    """Create + calibrate the suite with a failure quorum
+    (reference __main__.py:84-118)."""
+    logger.info("Initializing sensor suite...")
+    try:
+        sensors = create_realistic_sensor_suite(config, seed=seed)
+    except Exception as e:  # noqa: BLE001
+        logger.error("Failed to create sensor suite: %s", type(e).__name__)
+        raise RuntimeError("Sensor initialization failed") from e
+
+    calibration_errors = 0
+    for name, sensor in sensors.items():
+        try:
+            if "pH" in name:
+                sensor.calibrate(7.0, sim_start_time, "system_init")
+            elif "chlorine" in name:
+                sensor.calibrate(config.initial_chlorine, sim_start_time,
+                                 "system_init")
+            elif "temp" in name:
+                sensor.calibrate(config.temperature, sim_start_time,
+                                 "system_init")
+            elif "flow" in name:
+                sensor.calibrate(config.flow_rate, sim_start_time,
+                                 "system_init")
+            if verbose:
+                logger.info("  calibrated %s", name)
+        except Exception:  # noqa: BLE001
+            calibration_errors += 1
+            logger.warning("  could not calibrate %s", name)
+
+    if calibration_errors > len(sensors) // 2:
+        raise RuntimeError("Too many sensor calibration failures")
+    logger.info("Initialized %d sensors (%d errors)", len(sensors),
+                calibration_errors)
+    return sensors
+
+
+def read_all_sensors(sensors: Dict, state, sim_time: float,
+                     verbose: bool = False) -> Dict[str, SensorReading]:
+    """Read every sensor; synthesize a NaN FAULT reading on failure
+    (reference __main__.py:121-163)."""
+    readings = {}
+    error_count = 0
+    for name, sensor in sensors.items():
+        try:
+            reading = sensor.read(state, current_time=sim_time)
+            readings[name] = reading
+            if reading.status != SensorStatus.NORMAL:
+                if verbose or reading.status not in (
+                        SensorStatus.WARMING_UP, SensorStatus.CALIBRATING):
+                    logger.warning("%s: %s", name, reading.status.value)
+            if reading.fault != SensorFault.NONE:
+                logger.error("%s: FAULT - %s", name, reading.fault.value)
+                error_count += 1
+        except Exception:  # noqa: BLE001
+            error_count += 1
+            readings[name] = SensorReading(
+                timestamp=sim_time, value=float("nan"),
+                raw_value=float("nan"), noise=0.0, drift=0.0,
+                status=SensorStatus.FAILED, uncertainty=float("inf"),
+                fault=SensorFault.OPEN_CIRCUIT)
+    if error_count > len(sensors) // 2:
+        logger.error("CRITICAL: %d/%d sensors in fault state", error_count,
+                     len(sensors))
+    return readings
+
+
+def update_modbus_inputs(slave: Optional[ModbusSlave],
+                         readings: Dict[str, SensorReading],
+                         state, sim_time: float) -> bool:
+    """Push sensor values + fault bits to the register map
+    (reference __main__.py:166-224; pH_middle gap-fixed)."""
+    if slave is None or not slave.is_running:
+        return False
+
+    def safe_value(key: str) -> float:
+        reading = readings.get(key)
+        if reading is None:
+            return 0.0
+        val = reading.value
+        if val != val or val in (float("inf"), float("-inf")):
+            return 0.0
+        return val
+
+    def has_fault(key: str) -> bool:
+        reading = readings.get(key)
+        return reading is not None and reading.fault != SensorFault.NONE
+
+    try:
+        slave.update_input_register("pH_inlet", safe_value("pH_inlet"))
+        slave.update_input_register("pH_outlet", safe_value("pH_outlet"))
+        # pH_middle: the register exists in the map but the reference never
+        # writes it (__main__.py:195-207); publish the true mid-zone value.
+        import numpy as np
+        mid = int(np.asarray(state.pH).shape[-1] // 2)
+        slave.update_input_register("pH_middle",
+                                    float(np.asarray(state.pH)[mid]))
+        slave.update_input_register("chlorine_inlet",
+                                    safe_value("chlorine_inlet"))
+        slave.update_input_register("chlorine_outlet",
+                                    safe_value("chlorine_outlet"))
+        slave.update_input_register("flow_rate", safe_value("flow_main"))
+        slave.update_input_register("temperature_inlet",
+                                    safe_value("temp_inlet"))
+        slave.update_input_register("temperature_outlet",
+                                    safe_value("temp_outlet"))
+        slave.update_input_register("simulation_time", sim_time)
+
+        any_fault = any(r.fault != SensorFault.NONE
+                        for r in readings.values())
+        slave.update_input_register("system_status", 1 if any_fault else 0)
+
+        slave.update_discrete_input("sensor_fault_pH_inlet",
+                                    has_fault("pH_inlet"))
+        slave.update_discrete_input("sensor_fault_pH_outlet",
+                                    has_fault("pH_outlet"))
+        slave.update_discrete_input(
+            "sensor_fault_chlorine",
+            has_fault("chlorine_inlet") or has_fault("chlorine_outlet"))
+        return True
+    except Exception as e:  # noqa: BLE001
+        logger.error("Modbus update failed: %s", type(e).__name__)
+        return False
+
+
+def read_modbus_commands(slave: Optional[ModbusSlave]
+                         ) -> Tuple[float, float, float, float, float, bool,
+                                    bool, bool]:
+    """Read + validate actuator commands, dosing concentrations, and coils
+    (reference __main__.py:227-252, extended to the full register map)."""
+    if slave is None or not slave.is_running:
+        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True
+    try:
+        acid_rate = validate_flow_rate(
+            slave.read_holding_register("acid_flow_rate"), max_value=2.0)
+        chlorine_rate = validate_flow_rate(
+            slave.read_holding_register("chlorine_flow_rate"), max_value=1.0)
+        inlet_rate = validate_flow_rate(
+            slave.read_holding_register("inlet_flow_rate"), max_value=20.0)
+        acid_conc = validate_concentration(
+            slave.read_holding_register("acid_concentration"), max_value=1.0)
+        cl_conc = validate_concentration(
+            slave.read_holding_register("chlorine_concentration"),
+            max_value=1000.0)
+        acid_enable = slave.read_coil("acid_pump_enable")
+        cl_enable = slave.read_coil("chlorine_pump_enable")
+        sim_running = slave.read_coil("simulation_running")
+        return (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
+                acid_enable, cl_enable, sim_running)
+    except Exception as e:  # noqa: BLE001
+        logger.error("Modbus read failed: %s", type(e).__name__)
+        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True
+
+
+def apply_boundary_conditions(boundary: BoundaryConditions, commands
+                              ) -> BoundaryConditions:
+    """Apply validated commands to the boundary; pump-enable coils gate the
+    dosing flows (reference __main__.py:255-271, coils gap-fixed).
+
+    Returns a new BoundaryConditions (the pytree is frozen)."""
+    (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
+     acid_enable, cl_enable, _) = commands
+    from dataclasses import replace
+    new_inlet = boundary.inlet_flow_rate
+    if inlet_rate > 0.1:
+        new_inlet = validate_flow_rate(inlet_rate, max_value=20.0)
+    return replace(
+        boundary,
+        acid_flow_rate=(validate_flow_rate(acid_rate, max_value=2.0)
+                        if acid_enable else 0.0),
+        chlorine_flow_rate=(validate_flow_rate(chlorine_rate, max_value=1.0)
+                            if cl_enable else 0.0),
+        acid_concentration=acid_conc,
+        chlorine_concentration=cl_conc,
+        inlet_flow_rate=new_inlet,
+    )
+
+
+# --------------------------------------------------------------------------
+# Main (reference __main__.py:274-480)
+# --------------------------------------------------------------------------
+
+def main(argv=None):
+    try:
+        signal.signal(signal.SIGINT, _signal_handler)
+        signal.signal(signal.SIGTERM, _signal_handler)
+    except ValueError:
+        pass   # not the main thread (embedded/test usage) — no signal hooks
+
+    parser = argparse.ArgumentParser(
+        description="Water Treatment Reactor Simulation (TPU engine)")
+    parser.add_argument("--port", type=int, default=5020,
+                        help="Modbus TCP port")
+    parser.add_argument("--host", type=str, default="127.0.0.1",
+                        help="Modbus bind address")
+    parser.add_argument("--dt", type=float, default=1.0,
+                        help="Simulation timestep [seconds]")
+    parser.add_argument("--duration", type=float, default=float("inf"),
+                        help="Total simulation duration [seconds]")
+    parser.add_argument("--verbose", action="store_true",
+                        help="Enable verbose sensor warnings")
+    parser.add_argument("--no-modbus", action="store_true",
+                        help="Run without Modbus server (testing mode)")
+    parser.add_argument("--zones", type=int, default=5,
+                        help="Number of reactor zones")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="Deterministic sensor RNG seed")
+    parser.add_argument("--rtf", type=float, default=1.0,
+                        help="Real-time factor for pacing "
+                             "(1.0 = real time, 0 = free-run)")
+    parser.add_argument("--backend", type=str, default="cpu",
+                        choices=["cpu", "tpu", "default"],
+                        help="JAX backend for the serving loop. The HIL loop "
+                             "is latency-bound host work (one small step per "
+                             "tick), so CPU is the right default; large "
+                             "rollout/batch workloads belong on TPU via the "
+                             "library API (rollout_fused, sharded_rollout).")
+    args = parser.parse_args(argv)
+
+    if args.backend != "default":
+        try:
+            import jax
+            jax.config.update("jax_platforms", args.backend)
+        except RuntimeError:
+            logger.warning("Backend already initialized; --backend ignored")
+
+    logger.info("=" * 70)
+    logger.info("WATER TREATMENT REACTOR SIMULATION (TPU-NATIVE)")
+    logger.info("=" * 70)
+
+    # PHASE 1: physics
+    logger.info("[PHASE 1] Initializing physics engine...")
+    try:
+        config = ReactorConfiguration(
+            volume=1000.0, n_zones=args.zones, flow_rate=5.0,
+            initial_pH=7.2, initial_chlorine=2.0, temperature=20.0)
+        reactor = IntegratedCSTR(config)
+        logger.info("Physics engine initialized (%d zones, substeps=%d)",
+                    args.zones, reactor.substeps_for(args.dt))
+    except Exception as e:  # noqa: BLE001
+        logger.error("Physics engine initialization failed: %s",
+                     type(e).__name__)
+        sys.exit(1)
+
+    # PHASE 2: boundary conditions
+    boundary = BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.0,
+        inlet_temperature=20.0, acid_flow_rate=0.0, acid_concentration=0.1,
+        chlorine_flow_rate=0.0)
+
+    # PHASE 3: sensors
+    sim_start_time = time.monotonic()
+    try:
+        sensors = initialize_sensors(config, sim_start_time, args.verbose,
+                                     seed=args.seed)
+    except Exception as e:  # noqa: BLE001
+        logger.error("Sensor initialization failed: %s", type(e).__name__)
+        sys.exit(1)
+
+    # PHASE 4: Modbus (graceful degradation to no-Modbus)
+    slave = None
+    if not args.no_modbus:
+        logger.info("[PHASE 4] Initializing Modbus server...")
+        try:
+            slave = ModbusSlave(ModbusRegisterMap(), ModbusServerConfig(
+                host=args.host, port=args.port, unit_id=1))
+            slave.start(blocking=False)
+            # Initialize writable registers/coils so reference-compatible
+            # controllers see sane defaults.
+            slave.write_holding_register("inlet_flow_rate", 5.0)
+            slave.write_holding_register("acid_concentration", 0.1)
+            slave.write_holding_register("chlorine_concentration", 50.0)
+            slave.write_holding_register("simulation_timestep", args.dt)
+            slave.write_coil("acid_pump_enable", True)
+            slave.write_coil("chlorine_pump_enable", True)
+            slave.write_coil("simulation_running", True)
+            logger.info("Modbus server started on %s:%d", args.host,
+                        slave.port)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Modbus server startup failed: %s",
+                         type(e).__name__)
+            logger.warning("Continuing in no-Modbus mode")
+            slave = None
+    else:
+        logger.info("[PHASE 4] Skipping Modbus (--no-modbus)")
+
+    # PHASE 5: main loop
+    logger.info("[PHASE 5] Starting simulation loop...")
+    sim_time = 0.0
+    step_count = 0
+    log_interval = 60
+    warmup_steps = int(10.0 / args.dt)
+    modbus_error_count = 0
+    max_modbus_errors = 10
+
+    try:
+        while running and sim_time < args.duration:
+            step_start = time.monotonic()
+
+            paused = False
+            if slave:
+                with suppress(Exception):
+                    paused = not slave.read_coil("simulation_running")
+
+            if not paused:
+                try:
+                    state = reactor.step(args.dt, boundary=boundary)
+                except Exception as e:  # noqa: BLE001
+                    logger.error("Physics step failed: %s", type(e).__name__)
+                    break
+
+                current_sim_time = sim_start_time + sim_time
+                readings = read_all_sensors(sensors, state, current_sim_time,
+                                            args.verbose)
+
+                if slave:
+                    if not update_modbus_inputs(slave, readings, state,
+                                                sim_time):
+                        modbus_error_count += 1
+                        if modbus_error_count >= max_modbus_errors:
+                            logger.error(
+                                "Too many Modbus errors, disabling interface")
+                            slave = None
+
+                if slave:
+                    commands = read_modbus_commands(slave)
+                    boundary = apply_boundary_conditions(boundary, commands)
+
+                if step_count % log_interval == 0:
+                    sensors_ready = all(
+                        r.status not in (SensorStatus.WARMING_UP,
+                                         SensorStatus.CALIBRATING)
+                        for r in readings.values())
+                    if sensors_ready or step_count >= warmup_steps:
+                        ph_in = readings.get("pH_inlet")
+                        ph_out = readings.get("pH_outlet")
+                        cl_out = readings.get("chlorine_outlet")
+                        flow = readings.get("flow_main")
+                        logger.info(
+                            "t=%.0fs | pH_in=%.2f | pH_out=%.2f | "
+                            "Cl_out=%.2f | Flow=%.1f | AcidCmd=%.2f",
+                            sim_time,
+                            ph_in.value if ph_in else 0.0,
+                            ph_out.value if ph_out else 0.0,
+                            cl_out.value if cl_out else 0.0,
+                            flow.value if flow else 0.0,
+                            boundary.acid_flow_rate)
+                    else:
+                        logger.info("t=%.0fs | Sensors warming up...",
+                                    sim_time)
+
+                step_count += 1
+                sim_time += args.dt
+
+            # real-time pacing (reference __main__.py:453-457)
+            if args.rtf > 0:
+                elapsed = time.monotonic() - step_start
+                sleep_time = max(0.0, args.dt / args.rtf - elapsed)
+                if sleep_time > 0:
+                    time.sleep(sleep_time)
+
+    except KeyboardInterrupt:
+        logger.info("Keyboard interrupt received")
+    except Exception as e:  # noqa: BLE001
+        logger.error("Simulation error: %s", type(e).__name__)
+    finally:
+        logger.info("Shutting down...")
+        if slave:
+            logger.info("Stopping Modbus server...")
+            with suppress(Exception):
+                slave.stop()
+        logger.info("Simulation stopped cleanly (t=%.0fs, %d steps)",
+                    sim_time, step_count)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

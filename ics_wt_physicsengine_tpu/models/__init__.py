@@ -1,6 +1,19 @@
-"""Assembled plant models: single flagship plant and Monte-Carlo batches."""
+"""Assembled plant models: integrated plant (physics + sensors) and
+Monte-Carlo batches, plus the named BASELINE configurations."""
 
 from ics_wt_physicsengine_tpu.models.monte_carlo import (  # noqa: F401
     ParameterRanges,
     make_monte_carlo_batch,
+)
+from ics_wt_physicsengine_tpu.models.plant import (  # noqa: F401
+    PlantParams,
+    PlantState,
+    config1_two_zone,
+    config2_stratified_20_zone,
+    config3_full_sensors,
+    config4_monte_carlo,
+    config5_hil_cli_args,
+    make_plant,
+    plant_rollout,
+    plant_step,
 )

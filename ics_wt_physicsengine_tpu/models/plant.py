@@ -1,0 +1,239 @@
+"""
+Integrated plant model: physics + the full sensor suite in one jitted step.
+
+This is BASELINE config 3 ("full sensor suite on") as a single device-side
+state transition: the reactor advances dt, then all seven instruments read
+the new state through their scan-carried pipelines (delays, drift, fouling,
+faults) — no host round-trips between physics and instrumentation. The
+orchestrator's host loop only touches the device once per tick (or once per
+scan of many ticks).
+
+Also provides the named BASELINE benchmark configurations (configs 1-5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ics_wt_physicsengine_tpu.core import reactor as R
+from ics_wt_physicsengine_tpu.sensors import base as SB
+from ics_wt_physicsengine_tpu.sensors import chlorine as SC
+from ics_wt_physicsengine_tpu.sensors import flow as SF
+from ics_wt_physicsengine_tpu.sensors import ph as SP
+from ics_wt_physicsengine_tpu.sensors import temperature as ST
+from ics_wt_physicsengine_tpu.sensors.types import InstallationQuality, SampleLine
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PlantParams:
+    reactor: R.ReactorParams
+    ph_inlet: SP.PHSensorParams
+    ph_outlet: SP.PHSensorParams
+    chlorine_inlet: SC.ChlorineSensorParams
+    chlorine_outlet: SC.ChlorineSensorParams
+    flow_main: SF.FlowSensorParams
+    temp_inlet: ST.TemperatureSensorParams
+    temp_outlet: ST.TemperatureSensorParams
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PlantState:
+    reactor: R.ReactorState
+    ph_inlet: SP.PHSensorCarry
+    ph_outlet: SP.PHSensorCarry
+    chlorine_inlet: SC.ChlorineSensorCarry
+    chlorine_outlet: SC.ChlorineSensorCarry
+    flow_main: SF.FlowSensorCarry
+    temp_inlet: ST.TemperatureSensorCarry
+    temp_outlet: ST.TemperatureSensorCarry
+
+
+def make_plant(config: R.ReactorConfiguration, seed: int = 0,
+               dtype=jnp.float32, warmed_up: bool = True
+               ) -> Tuple[PlantParams, PlantState]:
+    """Build the canonical 7-sensor plant (sensor layout matching
+    create_realistic_sensor_suite, reference sensors/__init__.py:41-120).
+
+    ``warmed_up=True`` backdates power-on so instruments read immediately
+    (otherwise the first 1800 s of readings are warm-up NaN, as in the
+    reference)."""
+    import numpy as np
+    from dataclasses import replace as dc_replace
+
+    good_installation = InstallationQuality(
+        flow_velocity=0.5, air_bubble_frequency=0.0, grounding_quality=0.9,
+        pipe_vibration_g=0.1, ambient_temperature=30.0)
+    line = SampleLine(volume_mL=250, flow_rate_mL_min=500, ambient_temp=25.0)
+
+    keys = jax.random.split(jax.random.key(seed), 7)
+
+    ph_in_p = SP.make_ph_params(zone_index=0, sample_line=line,
+                                installation=good_installation, dtype=dtype)
+    ph_out_p = SP.make_ph_params(zone_index=-1, sample_line=line,
+                                 installation=good_installation, dtype=dtype)
+    cl_in_p = SC.make_chlorine_params(zone_index=0,
+                                      sensor_type=SC.AMPEROMETRIC,
+                                      installation=good_installation,
+                                      dtype=dtype)
+    cl_out_p = SC.make_chlorine_params(zone_index=-1, sensor_type=SC.DPD,
+                                       installation=good_installation,
+                                       dtype=dtype)
+    fl_p = SF.make_flow_params(sensor_type=SF.MAGNETIC,
+                               full_scale=config.flow_rate * 2.0,
+                               installation=good_installation, dtype=dtype)
+    t_in_p = ST.make_temperature_params(zone_index=0,
+                                        sensor_type=ST.RTD_PT100,
+                                        sample_line=line,
+                                        installation=good_installation,
+                                        dtype=dtype)
+    t_out_p = ST.make_temperature_params(zone_index=-1,
+                                         sensor_type=ST.RTD_PT100,
+                                         sample_line=line,
+                                         installation=good_installation,
+                                         dtype=dtype)
+
+    params = PlantParams(
+        reactor=R.make_params(config, dtype=dtype),
+        ph_inlet=ph_in_p, ph_outlet=ph_out_p,
+        chlorine_inlet=cl_in_p, chlorine_outlet=cl_out_p,
+        flow_main=fl_p, temp_inlet=t_in_p, temp_outlet=t_out_p)
+
+    def backdate(carry, base_params):
+        if not warmed_up:
+            return carry
+        t0 = -float(np.asarray(base_params.warmup_time_s)) - 1.0
+        return dc_replace(carry, base=dc_replace(
+            carry.base,
+            power_on_time=np.asarray(t0, dtype),
+            last_calibration_time=np.asarray(0.0, dtype),
+            has_calibration=np.asarray(True)))
+
+    state = PlantState(
+        reactor=R.make_initial_state(config, dtype=dtype),
+        ph_inlet=backdate(SP.make_ph_carry(ph_in_p, keys[0], dtype=dtype),
+                          ph_in_p.base),
+        ph_outlet=backdate(SP.make_ph_carry(ph_out_p, keys[1], dtype=dtype),
+                           ph_out_p.base),
+        chlorine_inlet=backdate(
+            SC.make_chlorine_carry(cl_in_p, keys[2], dtype=dtype),
+            cl_in_p.base),
+        chlorine_outlet=backdate(
+            SC.make_chlorine_carry(cl_out_p, keys[3], dtype=dtype),
+            cl_out_p.base),
+        flow_main=backdate(SF.make_flow_carry(fl_p, keys[4], dtype=dtype),
+                           fl_p.base),
+        temp_inlet=backdate(
+            ST.make_temperature_carry(t_in_p, keys[5], dtype=dtype),
+            t_in_p.base),
+        temp_outlet=backdate(
+            ST.make_temperature_carry(t_out_p, keys[6], dtype=dtype),
+            t_out_p.base))
+    return params, state
+
+
+def _zone(arr, idx: int):
+    return arr[..., idx]
+
+
+def plant_step(params: PlantParams, plant: PlantState,
+               boundary: R.BoundaryConditions, dt: float, substeps: int
+               ) -> Tuple[PlantState, Dict[str, SB.SensorOutput]]:
+    """Advance physics by dt, then read all seven instruments — one pure
+    function, jittable and batchable."""
+    state = R.step(params.reactor, plant.reactor, boundary, dt=dt,
+                   substeps=substeps)
+    t = state.time
+
+    ph_in_c, ph_in = SP.ph_read(
+        params.ph_inlet, plant.ph_inlet,
+        _zone(state.pH, params.ph_inlet.zone_index),
+        _zone(state.temperature, params.ph_inlet.zone_index), t)
+    ph_out_c, ph_out = SP.ph_read(
+        params.ph_outlet, plant.ph_outlet,
+        _zone(state.pH, params.ph_outlet.zone_index),
+        _zone(state.temperature, params.ph_outlet.zone_index), t)
+    cl_in_c, cl_in = SC.chlorine_read(
+        params.chlorine_inlet, plant.chlorine_inlet,
+        _zone(state.chlorine, params.chlorine_inlet.zone_index),
+        _zone(state.pH, params.chlorine_inlet.zone_index), t)
+    cl_out_c, cl_out = SC.chlorine_read(
+        params.chlorine_outlet, plant.chlorine_outlet,
+        _zone(state.chlorine, params.chlorine_outlet.zone_index),
+        _zone(state.pH, params.chlorine_outlet.zone_index), t)
+    fl_c, fl = SF.flow_read(params.flow_main, plant.flow_main,
+                            state.flow_rate, t)
+    t_in_c, t_in = ST.temperature_read(
+        params.temp_inlet, plant.temp_inlet,
+        _zone(state.temperature, params.temp_inlet.zone_index), t)
+    t_out_c, t_out = ST.temperature_read(
+        params.temp_outlet, plant.temp_outlet,
+        _zone(state.temperature, params.temp_outlet.zone_index), t)
+
+    new_plant = PlantState(
+        reactor=state, ph_inlet=ph_in_c, ph_outlet=ph_out_c,
+        chlorine_inlet=cl_in_c, chlorine_outlet=cl_out_c, flow_main=fl_c,
+        temp_inlet=t_in_c, temp_outlet=t_out_c)
+    readings = {
+        "pH_inlet": ph_in, "pH_outlet": ph_out,
+        "chlorine_inlet": cl_in, "chlorine_outlet": cl_out,
+        "flow_main": fl, "temp_inlet": t_in, "temp_outlet": t_out,
+    }
+    return new_plant, readings
+
+
+def plant_rollout(params: PlantParams, plant: PlantState,
+                  boundary: R.BoundaryConditions, dt: float, substeps: int,
+                  n_steps: int, record: bool = True):
+    """Scan plant_step over n_steps inside one jit: physics + instruments."""
+
+    def body(p, _):
+        p, readings = plant_step(params, p, boundary, dt, substeps)
+        out = ({k: v.value for k, v in readings.items()} if record else None)
+        return p, out
+
+    return jax.lax.scan(body, plant, None, length=n_steps)
+
+
+# ---------------------------------------------------------------------------
+# Named BASELINE configurations (BASELINE.json configs 1-5)
+# ---------------------------------------------------------------------------
+
+def config1_two_zone() -> R.ReactorConfiguration:
+    """Config 1: single 2-zone CSTR, fixed dt, ideal sensors."""
+    import math
+    diameter = 2 * math.sqrt(1.0 / (math.pi * 2.0))
+    return R.ReactorConfiguration(volume=1000, height=2.0, diameter=diameter,
+                                  n_zones=2)
+
+
+def config2_stratified_20_zone() -> R.ReactorConfiguration:
+    """Config 2: 20-zone stratified CSTR, Richardson + Corrsin +
+    temperature-dependent kinetics."""
+    return R.ReactorConfiguration(n_zones=20,
+                                  enable_thermal_stratification=True)
+
+
+def config3_full_sensors(seed: int = 0, dtype=jnp.float32):
+    """Config 3: full sensor suite on a 5-zone plant (returns plant pytrees)."""
+    return make_plant(R.ReactorConfiguration(), seed=seed, dtype=dtype)
+
+
+def config4_monte_carlo(n_plants: int = 4096, seed: int = 0,
+                        dtype=jnp.float32):
+    """Config 4: parameter-randomized Monte-Carlo batch."""
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+
+    return make_monte_carlo_batch(R.ReactorConfiguration(n_zones=20),
+                                  n_plants, seed=seed, dtype=dtype)
+
+
+def config5_hil_cli_args(port: int = 5020) -> list:
+    """Config 5: closed-loop HIL — argv for the orchestrator CLI."""
+    return ["--port", str(port), "--dt", "1.0"]

@@ -1,0 +1,116 @@
+"""
+Checkpoint / resume: pytree serialization for simulation state.
+
+The reference has no persistence at all — a stopped simulation loses
+everything (reference README.md:151,441-447; SURVEY.md 5.4). Because every
+piece of state in this framework is a pytree (ReactorState/ReactorParams,
+sensor carries incl. PRNG keys and delay buffers, Monte-Carlo batches),
+checkpointing is a flat leaf dump to a single ``.npz`` plus structure-guided
+restore. Typed PRNG key arrays round-trip via key_data/wrap_key_data.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+_KEY_MARK = "__prng_key__:"
+
+
+def _is_key(leaf) -> bool:
+    try:
+        return jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key)
+    except (AttributeError, TypeError):
+        return False
+
+
+def save_pytree(path: str, tree: Any, metadata: Optional[Dict] = None):
+    """Serialize a pytree of arrays to ``path`` (.npz)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = {}
+    kinds = []
+    for i, leaf in enumerate(leaves):
+        if _is_key(leaf):
+            impl = str(jax.random.key_impl(leaf))
+            arrays[f"leaf_{i}"] = np.asarray(jax.random.key_data(leaf))
+            kinds.append(_KEY_MARK + impl)
+        else:
+            arrays[f"leaf_{i}"] = np.asarray(leaf)
+            kinds.append("array")
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps({
+            "n_leaves": len(leaves),
+            "kinds": kinds,
+            "metadata": metadata or {},
+        }).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_pytree(path: str, template: Any):
+    """Restore a pytree saved by ``save_pytree``.
+
+    ``template`` supplies the tree structure (and static fields); its array
+    leaves are replaced by the stored values.
+    """
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+        leaves_t, treedef = jax.tree_util.tree_flatten(template)
+        if len(leaves_t) != meta["n_leaves"]:
+            raise ValueError(
+                f"Checkpoint has {meta['n_leaves']} leaves; template has "
+                f"{len(leaves_t)} — structure mismatch")
+        leaves = []
+        for i, kind in enumerate(meta["kinds"]):
+            arr = data[f"leaf_{i}"]
+            if kind.startswith(_KEY_MARK):
+                leaves.append(jax.random.wrap_key_data(
+                    np.asarray(arr), impl=kind[len(_KEY_MARK):]))
+            else:
+                leaves.append(arr)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_metadata(path: str) -> Dict:
+    with np.load(path) as data:
+        return json.loads(bytes(data["__meta__"]).decode())["metadata"]
+
+
+# ---------------------------------------------------------------------------
+# Whole-simulation checkpoints
+# ---------------------------------------------------------------------------
+
+def save_simulation(path: str, reactor, sensors: Optional[Dict] = None,
+                    metadata: Optional[Dict] = None):
+    """Checkpoint an IntegratedCSTR (params + state) and optional sensor
+    wrapper dict (their carries)."""
+    bundle = {
+        "params": reactor.params,
+        "state": reactor.state,
+    }
+    if sensors:
+        bundle["sensor_carries"] = {name: s.carry
+                                    for name, s in sensors.items()}
+    meta = dict(metadata or {})
+    meta["has_sensors"] = bool(sensors)
+    save_pytree(path, bundle, metadata=meta)
+
+
+def load_simulation(path: str, reactor, sensors: Optional[Dict] = None):
+    """Restore a checkpoint in place into ``reactor`` (and ``sensors``)."""
+    template = {
+        "params": reactor.params,
+        "state": reactor.state,
+    }
+    if sensors:
+        template["sensor_carries"] = {name: s.carry
+                                      for name, s in sensors.items()}
+    bundle = load_pytree(path, template)
+    reactor.params = bundle["params"]
+    reactor.state = bundle["state"]
+    if sensors:
+        for name, s in sensors.items():
+            s.carry = bundle["sensor_carries"][name]
+    return reactor
