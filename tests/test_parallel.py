@@ -67,13 +67,40 @@ def test_graft_entry_single():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
-    assert out.pH.shape == (20,)
-    assert np.all(np.isfinite(np.asarray(out.pH)))
+    ph, cl_out = jax.jit(fn)(*args)
+    jax.block_until_ready(ph)
+    assert ph.shape == (20,)
+    assert np.all(np.isfinite(np.asarray(ph)))
+    assert np.isfinite(float(cl_out))
 
 
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_ensemble_statistics_sharded():
+    from ics_wt_physicsengine_tpu.parallel import (
+        ensemble_statistics, exceedance_probability)
+
+    base = R.ReactorConfiguration(n_zones=4)
+    params, state = make_monte_carlo_batch(base, 32, seed=5,
+                                           dtype=jnp.float64)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_chlorine=0.1)
+    mesh = make_mesh(8)
+    params_s = shard_batch(params, mesh)
+    state_s = shard_batch(state, mesh)
+    final, _ = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=1.0, substeps=4, n_steps=30, record=False))(
+            params_s, state_s, bc)
+
+    stats = jax.jit(ensemble_statistics)(final)
+    assert stats["pH"]["mean"].shape == (4,)
+    assert stats["pH"]["quantiles"].shape == (3, 4)
+    assert float(stats["pH"]["std"].max()) > 0      # plants diverged
+    assert stats["n_plants"] == 32
+
+    probs = jax.jit(exceedance_probability)(final)
+    for key, v in probs.items():
+        assert 0.0 <= float(v) <= 1.0
