@@ -307,6 +307,10 @@ def main(argv=None):
     parser.add_argument("--rtf", type=float, default=1.0,
                         help="Real-time factor for pacing "
                              "(1.0 = real time, 0 = free-run)")
+    parser.add_argument("--native-modbus", action="store_true",
+                        help="Serve Modbus/TCP from the C++ data plane "
+                             "(native/modbus_server.cpp) instead of the "
+                             "Python asyncio server")
     parser.add_argument("--backend", type=str, default="cpu",
                         choices=["cpu", "tpu", "default"],
                         help="JAX backend for the serving loop. The HIL loop "
@@ -361,8 +365,13 @@ def main(argv=None):
     if not args.no_modbus:
         logger.info("[PHASE 4] Initializing Modbus server...")
         try:
-            slave = ModbusSlave(ModbusRegisterMap(), ModbusServerConfig(
-                host=args.host, port=args.port, unit_id=1))
+            server_config = ModbusServerConfig(host=args.host,
+                                               port=args.port, unit_id=1)
+            if args.native_modbus:
+                from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
+                slave = NativeModbusSlave(ModbusRegisterMap(), server_config)
+            else:
+                slave = ModbusSlave(ModbusRegisterMap(), server_config)
             slave.start(blocking=False)
             # Initialize writable registers/coils so reference-compatible
             # controllers see sane defaults.

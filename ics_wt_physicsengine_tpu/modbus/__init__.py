@@ -23,3 +23,9 @@ from ics_wt_physicsengine_tpu.modbus.slave import (  # noqa: F401
     ModbusSlave,
 )
 from ics_wt_physicsengine_tpu.modbus.client import ModbusTcpClient  # noqa: F401
+from ics_wt_physicsengine_tpu.modbus.native_slave import (  # noqa: F401
+    NativeModbusSlave,
+)
+from ics_wt_physicsengine_tpu.modbus.native_slave import (  # noqa: F401
+    is_available as native_available,
+)

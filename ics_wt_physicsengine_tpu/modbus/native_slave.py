@@ -1,0 +1,257 @@
+"""
+Native (C++) Modbus/TCP slave binding.
+
+``NativeModbusSlave`` presents the same name-based API as the Python
+``ModbusSlave`` but delegates socket serving and word storage to the C++
+data plane in ``native/modbus_server.cpp`` (a single poll()-driven thread,
+microsecond request handling, immune to the Python GIL). Use it when many
+SCADA masters poll the plant at high rate or when the serving loop must not
+contend with Python-side work.
+
+The shared library is built on demand with ``make`` (g++) into
+``native/libwtmodbus.so``; ``is_available()`` reports whether the toolchain
+produced it. Python owns the register *semantics* (map, encodings,
+validation) — the C++ side stores raw words only.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import math
+import pathlib
+import subprocess
+import threading
+from typing import Dict, Optional
+
+from ics_wt_physicsengine_tpu.modbus.protocols import (
+    ModbusDecoder,
+    ModbusEncoder,
+)
+from ics_wt_physicsengine_tpu.modbus.register_map import (
+    ModbusRegisterMap,
+    RegisterType,
+)
+from ics_wt_physicsengine_tpu.modbus.slave import (
+    MAX_REGISTER_VALUE,
+    ModbusServerConfig,
+)
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libwtmodbus.so"
+
+_BLOCK_COILS = 0
+_BLOCK_DISCRETE = 1
+_BLOCK_INPUT = 2
+_BLOCK_HOLDING = 3
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load_library():
+    """Build (if needed) and load the native library; None if unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists():
+            try:
+                subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                               capture_output=True, timeout=120)
+            except (subprocess.SubprocessError, FileNotFoundError) as e:
+                logger.warning("Native modbus build failed: %s",
+                               type(e).__name__)
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError as e:
+            logger.warning("Native modbus load failed: %s", e)
+            return None
+
+        lib.mb_create.argtypes = [ctypes.POINTER(ctypes.c_uint32)]
+        lib.mb_create.restype = ctypes.c_void_p
+        lib.mb_start.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                 ctypes.c_uint16]
+        lib.mb_start.restype = ctypes.c_int
+        lib.mb_stop.argtypes = [ctypes.c_void_p]
+        lib.mb_destroy.argtypes = [ctypes.c_void_p]
+        lib.mb_get.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                               ctypes.c_uint32, ctypes.c_uint32,
+                               ctypes.POINTER(ctypes.c_uint16)]
+        lib.mb_get.restype = ctypes.c_int
+        lib.mb_set.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                               ctypes.c_uint32, ctypes.c_uint32,
+                               ctypes.POINTER(ctypes.c_uint16)]
+        lib.mb_set.restype = ctypes.c_int
+        lib.mb_request_count.argtypes = [ctypes.c_void_p]
+        lib.mb_request_count.restype = ctypes.c_uint64
+        lib.mb_error_count.argtypes = [ctypes.c_void_p]
+        lib.mb_error_count.restype = ctypes.c_uint64
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load_library() is not None
+
+
+class NativeModbusSlave:
+    """Drop-in alternative to ``ModbusSlave`` backed by the C++ data plane."""
+
+    def __init__(self, register_map: ModbusRegisterMap,
+                 config: Optional[ModbusServerConfig] = None):
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError(
+                "Native modbus library unavailable (g++/make build failed)")
+        self._lib = lib
+        self.register_map = register_map
+        self.config = config or ModbusServerConfig()
+
+        def block_size(regs):
+            if not regs:
+                return 16
+            return max(r.address + r.size_words for r in regs) + 10
+
+        sizes = (ctypes.c_uint32 * 4)(
+            block_size(register_map.coils),
+            block_size(register_map.discrete_inputs),
+            block_size(register_map.input_registers),
+            block_size(register_map.holding_registers))
+        self._handle = lib.mb_create(sizes)
+        self._running = False
+        self._actual_port: Optional[int] = None
+
+    # -- lifecycle --
+    def start(self, blocking: bool = False) -> None:
+        if self._running:
+            raise RuntimeError("Server already running")
+        port = self._lib.mb_start(self._handle,
+                                  self.config.host.encode(),
+                                  self.config.port)
+        if port < 0:
+            raise RuntimeError(
+                f"Native Modbus server failed to bind "
+                f"{self.config.host}:{self.config.port}")
+        self._actual_port = port
+        self._running = True
+        logger.info("Native Modbus TCP server listening on %s:%d",
+                    self.config.host, port)
+        if blocking:
+            try:
+                threading.Event().wait()
+            except KeyboardInterrupt:
+                self.stop()
+
+    def stop(self) -> None:
+        if self._running:
+            self._lib.mb_stop(self._handle)
+            self._running = False
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.mb_destroy(self._handle)
+                self._handle = None
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+    @property
+    def port(self) -> Optional[int]:
+        return self._actual_port
+
+    @property
+    def is_running(self) -> bool:
+        return self._running
+
+    @property
+    def request_count(self) -> int:
+        return int(self._lib.mb_request_count(self._handle))
+
+    @property
+    def error_count(self) -> int:
+        return int(self._lib.mb_error_count(self._handle))
+
+    # -- raw word access --
+    def _get_words(self, block: int, address: int, count: int):
+        out = (ctypes.c_uint16 * count)()
+        if self._lib.mb_get(self._handle, block, address, count, out) != 0:
+            raise IndexError(f"block {block} address {address}+{count} "
+                             f"out of range")
+        return list(out)
+
+    def _set_words(self, block: int, address: int, values):
+        arr = (ctypes.c_uint16 * len(values))(*[v & 0xFFFF for v in values])
+        if self._lib.mb_set(self._handle, block, address,
+                            len(values), arr) != 0:
+            raise IndexError(f"block {block} address {address}+{len(values)} "
+                             f"out of range")
+
+    # -- name-based API (mirrors ModbusSlave, slave.py:139-245) --
+    def _lookup(self, name: str, register_type: RegisterType):
+        reg = self.register_map.get_register_by_name(name)
+        if reg is None or reg.register_type != register_type:
+            raise KeyError(f"No {register_type.name} register named '{name}'")
+        return reg
+
+    @staticmethod
+    def _validate_value(value: float) -> None:
+        if not (-MAX_REGISTER_VALUE < value < MAX_REGISTER_VALUE):
+            raise ValueError(f"Value {value} outside +-{MAX_REGISTER_VALUE}")
+
+    def update_input_register(self, name: str, value: float) -> None:
+        reg = self._lookup(name, RegisterType.INPUT_REGISTER)
+        if reg.data_type == "float32":
+            if not math.isnan(value):
+                self._validate_value(value)
+            self._set_words(_BLOCK_INPUT, reg.address,
+                            ModbusEncoder.float32_to_registers(value))
+        else:
+            self._set_words(_BLOCK_INPUT, reg.address,
+                            [ModbusEncoder.uint16_to_register(int(value))])
+
+    def update_discrete_input(self, name: str, value: bool) -> None:
+        reg = self._lookup(name, RegisterType.DISCRETE_INPUT)
+        self._set_words(_BLOCK_DISCRETE, reg.address, [1 if value else 0])
+
+    def read_holding_register(self, name: str) -> float:
+        reg = self._lookup(name, RegisterType.HOLDING_REGISTER)
+        words = self._get_words(_BLOCK_HOLDING, reg.address, reg.size_words)
+        if reg.data_type == "float32":
+            return ModbusDecoder.registers_to_float32(*words)
+        return float(words[0])
+
+    def write_holding_register(self, name: str, value: float) -> None:
+        reg = self._lookup(name, RegisterType.HOLDING_REGISTER)
+        self._validate_value(value)
+        if reg.data_type == "float32":
+            self._set_words(_BLOCK_HOLDING, reg.address,
+                            ModbusEncoder.float32_to_registers(value))
+        else:
+            self._set_words(_BLOCK_HOLDING, reg.address,
+                            [ModbusEncoder.uint16_to_register(int(value))])
+
+    def read_coil(self, name: str) -> bool:
+        reg = self._lookup(name, RegisterType.COIL)
+        return bool(self._get_words(_BLOCK_COILS, reg.address, 1)[0])
+
+    def write_coil(self, name: str, value: bool) -> None:
+        reg = self._lookup(name, RegisterType.COIL)
+        self._set_words(_BLOCK_COILS, reg.address, [1 if value else 0])
+
+    def get_all_input_registers(self) -> Dict[str, float]:
+        out = {}
+        for reg in self.register_map.input_registers:
+            words = self._get_words(_BLOCK_INPUT, reg.address, reg.size_words)
+            if reg.data_type == "float32":
+                out[reg.name] = ModbusDecoder.registers_to_float32(*words)
+            else:
+                out[reg.name] = float(words[0])
+        return out
+
+    def get_all_holding_registers(self) -> Dict[str, float]:
+        return {reg.name: self.read_holding_register(reg.name)
+                for reg in self.register_map.holding_registers}

@@ -1,0 +1,370 @@
+// Native Modbus/TCP data-plane server.
+//
+// The HIL serving plane of the framework: four register blocks (coils,
+// discrete inputs, input registers, holding registers) served to external
+// SCADA/PID clients over Modbus/TCP (MBAP framing, function codes
+// 1/2/3/4/5/6/15/16 with standard exceptions).
+//
+// This is the C++ counterpart of the Python asyncio server in
+// ics_wt_physicsengine_tpu/modbus/slave.py: a single poll()-driven thread
+// serves all connections with microsecond-scale request handling, so dozens
+// of polling SCADA masters never perturb the simulation loop's timing. The
+// Python side owns the register *semantics* (names, encodings, validation);
+// this library owns sockets and word storage only.
+//
+// C ABI (used from Python via ctypes — see modbus/native_slave.py):
+//   mb_create(sizes[4])                 -> handle
+//   mb_start(handle, host, port)        -> bound port (0 = ephemeral) or -1
+//   mb_stop(handle)                     -> join server thread
+//   mb_destroy(handle)
+//   mb_get / mb_set(handle, block, addr, count, words) -> 0 / -1
+//   mb_request_count / mb_error_count(handle)
+
+#include <arpa/inet.h>
+#include <cerrno>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <poll.h>
+#include <sys/socket.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+constexpr int kMaxClients = 64;
+constexpr size_t kMaxFrame = 300;  // MBAP(7) + max PDU (253)
+
+enum Block { COILS = 0, DISCRETE_INPUTS = 1, INPUT_REGISTERS = 2,
+             HOLDING_REGISTERS = 3 };
+
+enum Fc : uint8_t {
+  FC_READ_COILS = 0x01,
+  FC_READ_DISCRETE_INPUTS = 0x02,
+  FC_READ_HOLDING = 0x03,
+  FC_READ_INPUT = 0x04,
+  FC_WRITE_SINGLE_COIL = 0x05,
+  FC_WRITE_SINGLE_REG = 0x06,
+  FC_WRITE_MULTI_COILS = 0x0F,
+  FC_WRITE_MULTI_REGS = 0x10,
+};
+
+enum Ex : uint8_t {
+  EX_ILLEGAL_FUNCTION = 0x01,
+  EX_ILLEGAL_ADDRESS = 0x02,
+  EX_ILLEGAL_VALUE = 0x03,
+};
+
+struct Conn {
+  int fd = -1;
+  std::vector<uint8_t> buf;
+};
+
+struct Server {
+  std::vector<uint16_t> blocks[4];
+  std::mutex data_mutex;
+
+  int listen_fd = -1;
+  int wake_pipe[2] = {-1, -1};
+  std::thread thread;
+  bool running = false;
+  uint16_t bound_port = 0;
+  uint64_t request_count = 0;
+  uint64_t error_count = 0;
+
+  bool get(int block, size_t addr, size_t count, uint16_t* out) {
+    if (block < 0 || block > 3) return false;
+    std::lock_guard<std::mutex> lock(data_mutex);
+    auto& b = blocks[block];
+    if (addr + count > b.size()) return false;
+    std::memcpy(out, b.data() + addr, count * sizeof(uint16_t));
+    return true;
+  }
+
+  bool set(int block, size_t addr, size_t count, const uint16_t* in) {
+    if (block < 0 || block > 3) return false;
+    std::lock_guard<std::mutex> lock(data_mutex);
+    auto& b = blocks[block];
+    if (addr + count > b.size()) return false;
+    std::memcpy(b.data() + addr, in, count * sizeof(uint16_t));
+    return true;
+  }
+
+  // Build the response PDU for a request PDU. Returns response length.
+  size_t process_pdu(const uint8_t* pdu, size_t len, uint8_t* resp) {
+    if (len < 1) return 0;
+    uint8_t fc = pdu[0];
+    auto exception = [&](uint8_t code) -> size_t {
+      resp[0] = fc | 0x80;
+      resp[1] = code;
+      error_count++;
+      return 2;
+    };
+    switch (fc) {
+      case FC_READ_COILS: case FC_READ_DISCRETE_INPUTS:
+      case FC_READ_HOLDING: case FC_READ_INPUT:
+      case FC_WRITE_SINGLE_COIL: case FC_WRITE_SINGLE_REG:
+      case FC_WRITE_MULTI_COILS: case FC_WRITE_MULTI_REGS:
+        break;
+      default:
+        return exception(EX_ILLEGAL_FUNCTION);
+    }
+    if (len < 5) return exception(EX_ILLEGAL_VALUE);
+    uint16_t address = (pdu[1] << 8) | pdu[2];
+    uint16_t count_or_value = (pdu[3] << 8) | pdu[4];
+
+    switch (fc) {
+      case FC_READ_COILS:
+      case FC_READ_DISCRETE_INPUTS: {
+        int block = (fc == FC_READ_COILS) ? COILS : DISCRETE_INPUTS;
+        uint16_t count = count_or_value;
+        if (count < 1 || count > 2000) return exception(EX_ILLEGAL_VALUE);
+        std::vector<uint16_t> bits(count);
+        if (!get(block, address, count, bits.data()))
+          return exception(EX_ILLEGAL_ADDRESS);
+        uint8_t n_bytes = (count + 7) / 8;
+        resp[0] = fc;
+        resp[1] = n_bytes;
+        std::memset(resp + 2, 0, n_bytes);
+        for (uint16_t i = 0; i < count; i++)
+          if (bits[i]) resp[2 + i / 8] |= 1 << (i % 8);
+        return 2 + n_bytes;
+      }
+      case FC_READ_HOLDING:
+      case FC_READ_INPUT: {
+        int block = (fc == FC_READ_HOLDING) ? HOLDING_REGISTERS
+                                            : INPUT_REGISTERS;
+        uint16_t count = count_or_value;
+        if (count < 1 || count > 125) return exception(EX_ILLEGAL_VALUE);
+        std::vector<uint16_t> words(count);
+        if (!get(block, address, count, words.data()))
+          return exception(EX_ILLEGAL_ADDRESS);
+        resp[0] = fc;
+        resp[1] = count * 2;
+        for (uint16_t i = 0; i < count; i++) {
+          resp[2 + 2 * i] = words[i] >> 8;
+          resp[3 + 2 * i] = words[i] & 0xFF;
+        }
+        return 2 + count * 2;
+      }
+      case FC_WRITE_SINGLE_COIL: {
+        if (count_or_value != 0x0000 && count_or_value != 0xFF00)
+          return exception(EX_ILLEGAL_VALUE);
+        uint16_t bit = count_or_value ? 1 : 0;
+        if (!set(COILS, address, 1, &bit))
+          return exception(EX_ILLEGAL_ADDRESS);
+        std::memcpy(resp, pdu, 5);
+        return 5;
+      }
+      case FC_WRITE_SINGLE_REG: {
+        if (!set(HOLDING_REGISTERS, address, 1, &count_or_value))
+          return exception(EX_ILLEGAL_ADDRESS);
+        std::memcpy(resp, pdu, 5);
+        return 5;
+      }
+      case FC_WRITE_MULTI_COILS: {
+        if (len < 6) return exception(EX_ILLEGAL_VALUE);
+        uint16_t count = count_or_value;
+        uint8_t n_bytes = pdu[5];
+        if (len < 6u + n_bytes || n_bytes != (count + 7) / 8)
+          return exception(EX_ILLEGAL_VALUE);
+        std::vector<uint16_t> bits(count);
+        for (uint16_t i = 0; i < count; i++)
+          bits[i] = (pdu[6 + i / 8] >> (i % 8)) & 1;
+        if (!set(COILS, address, count, bits.data()))
+          return exception(EX_ILLEGAL_ADDRESS);
+        std::memcpy(resp, pdu, 5);
+        return 5;
+      }
+      case FC_WRITE_MULTI_REGS: {
+        if (len < 6) return exception(EX_ILLEGAL_VALUE);
+        uint16_t count = count_or_value;
+        uint8_t n_bytes = pdu[5];
+        if (n_bytes != count * 2 || len < 6u + n_bytes)
+          return exception(EX_ILLEGAL_VALUE);
+        std::vector<uint16_t> words(count);
+        for (uint16_t i = 0; i < count; i++)
+          words[i] = (pdu[6 + 2 * i] << 8) | pdu[7 + 2 * i];
+        if (!set(HOLDING_REGISTERS, address, count, words.data()))
+          return exception(EX_ILLEGAL_ADDRESS);
+        std::memcpy(resp, pdu, 5);
+        return 5;
+      }
+      default:
+        return exception(EX_ILLEGAL_FUNCTION);
+    }
+  }
+
+  // Consume complete MBAP frames from a connection buffer, writing
+  // responses directly to the socket. Returns false on protocol garbage.
+  bool drain(Conn& conn) {
+    while (conn.buf.size() >= 7) {
+      uint16_t proto = (conn.buf[2] << 8) | conn.buf[3];
+      uint16_t length = (conn.buf[4] << 8) | conn.buf[5];
+      if (proto != 0 || length < 2 || length > 254) return false;
+      size_t frame = 6u + length;
+      if (conn.buf.size() < frame) return true;  // wait for more bytes
+
+      uint8_t resp[kMaxFrame];
+      // copy MBAP header (transaction + protocol + unit)
+      std::memcpy(resp, conn.buf.data(), 7);
+      size_t resp_pdu = process_pdu(conn.buf.data() + 7, length - 1,
+                                    resp + 7);
+      request_count++;
+      uint16_t resp_len = static_cast<uint16_t>(resp_pdu + 1);
+      resp[4] = resp_len >> 8;
+      resp[5] = resp_len & 0xFF;
+      size_t total = 7 + resp_pdu;
+      size_t sent = 0;
+      while (sent < total) {
+        ssize_t n = ::send(conn.fd, resp + sent, total - sent, MSG_NOSIGNAL);
+        if (n <= 0) return false;
+        sent += n;
+      }
+      conn.buf.erase(conn.buf.begin(), conn.buf.begin() + frame);
+    }
+    return true;
+  }
+
+  void run() {
+    std::vector<Conn> conns;
+    while (running) {
+      std::vector<pollfd> fds;
+      fds.push_back({wake_pipe[0], POLLIN, 0});
+      fds.push_back({listen_fd, POLLIN, 0});
+      for (auto& conn : conns) fds.push_back({conn.fd, POLLIN, 0});
+
+      if (::poll(fds.data(), fds.size(), 500) < 0) {
+        if (errno == EINTR) continue;
+        break;
+      }
+      if (fds[0].revents & POLLIN) break;  // stop requested
+
+      if (fds[1].revents & POLLIN) {
+        int fd = ::accept(listen_fd, nullptr, nullptr);
+        if (fd >= 0) {
+          if (conns.size() >= kMaxClients) {
+            ::close(fd);
+          } else {
+            int one = 1;
+            ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+            conns.push_back({fd, {}});
+          }
+        }
+      }
+
+      for (size_t i = 0; i < conns.size();) {
+        auto& conn = conns[i];
+        pollfd& pfd = fds[2 + i];
+        bool drop = false;
+        if (pfd.revents & (POLLIN | POLLHUP | POLLERR)) {
+          uint8_t chunk[4096];
+          ssize_t n = ::recv(conn.fd, chunk, sizeof(chunk), 0);
+          if (n <= 0) {
+            drop = true;
+          } else {
+            conn.buf.insert(conn.buf.end(), chunk, chunk + n);
+            if (conn.buf.size() > 16 * kMaxFrame || !drain(conn))
+              drop = true;  // oversized garbage or protocol violation
+          }
+        }
+        if (drop) {
+          ::close(conn.fd);
+          conns.erase(conns.begin() + i);
+        } else {
+          i++;
+        }
+      }
+    }
+    for (auto& conn : conns) ::close(conn.fd);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* mb_create(const uint32_t sizes[4]) {
+  auto* s = new Server();
+  for (int i = 0; i < 4; i++) s->blocks[i].assign(sizes[i], 0);
+  return s;
+}
+
+// Returns the bound port, or -1 on failure.
+int mb_start(void* handle, const char* host, uint16_t port) {
+  auto* s = static_cast<Server*>(handle);
+  if (s->running) return -1;
+
+  s->listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  if (s->listen_fd < 0) return -1;
+  int one = 1;
+  ::setsockopt(s->listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons(port);
+  if (::inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+    ::close(s->listen_fd);
+    return -1;
+  }
+  if (::bind(s->listen_fd, reinterpret_cast<sockaddr*>(&addr),
+             sizeof(addr)) < 0 ||
+      ::listen(s->listen_fd, 16) < 0) {
+    ::close(s->listen_fd);
+    return -1;
+  }
+  socklen_t alen = sizeof(addr);
+  ::getsockname(s->listen_fd, reinterpret_cast<sockaddr*>(&addr), &alen);
+  s->bound_port = ntohs(addr.sin_port);
+
+  if (::pipe(s->wake_pipe) < 0) {
+    ::close(s->listen_fd);
+    return -1;
+  }
+  s->running = true;
+  s->thread = std::thread([s] { s->run(); });
+  return s->bound_port;
+}
+
+void mb_stop(void* handle) {
+  auto* s = static_cast<Server*>(handle);
+  if (!s->running) return;
+  s->running = false;
+  char byte = 1;
+  ssize_t ignored = ::write(s->wake_pipe[1], &byte, 1);
+  (void)ignored;
+  if (s->thread.joinable()) s->thread.join();
+  ::close(s->listen_fd);
+  ::close(s->wake_pipe[0]);
+  ::close(s->wake_pipe[1]);
+  s->listen_fd = -1;
+}
+
+void mb_destroy(void* handle) {
+  auto* s = static_cast<Server*>(handle);
+  mb_stop(s);
+  delete s;
+}
+
+int mb_get(void* handle, int block, uint32_t addr, uint32_t count,
+           uint16_t* out) {
+  return static_cast<Server*>(handle)->get(block, addr, count, out) ? 0 : -1;
+}
+
+int mb_set(void* handle, int block, uint32_t addr, uint32_t count,
+           const uint16_t* in) {
+  return static_cast<Server*>(handle)->set(block, addr, count, in) ? 0 : -1;
+}
+
+uint64_t mb_request_count(void* handle) {
+  return static_cast<Server*>(handle)->request_count;
+}
+
+uint64_t mb_error_count(void* handle) {
+  return static_cast<Server*>(handle)->error_count;
+}
+
+}  // extern "C"
