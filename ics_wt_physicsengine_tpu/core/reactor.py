@@ -351,16 +351,22 @@ def _expand(x, like=None):
 
 
 def _update_derived(state: ReactorState) -> ReactorState:
-    """Recompute derived quantities (reference reactor.py:511-524)."""
+    """Recompute derived quantities (reference reactor.py:511-524).
+
+    Derived leaves are cast to the primary-state dtype: the pure formulas
+    promote Python-float constants to float64 on the NumPy host path, which
+    would poison an f32 pytree's scan-carry types."""
+    dtype = state.pH.dtype
     return ReactorState(
         time=state.time,
         pH=state.pH,
         chlorine=state.chlorine,
         temperature=state.temperature,
         flow_rate=state.flow_rate,
-        H_concentration=10.0 ** (-state.pH),
-        density=spatial_mod.water_density(state.temperature),
-        chlorine_decay_rate=thermo.chlorine_decay_rate(state.temperature),
+        H_concentration=(10.0 ** (-state.pH)).astype(dtype),
+        density=spatial_mod.water_density(state.temperature).astype(dtype),
+        chlorine_decay_rate=thermo.chlorine_decay_rate(
+            state.temperature).astype(dtype),
     )
 
 

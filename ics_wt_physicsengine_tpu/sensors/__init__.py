@@ -31,6 +31,13 @@ from ics_wt_physicsengine_tpu.sensors.wrappers import (  # noqa: F401
     TemperatureSensor,
     pHSensor,
 )
+from ics_wt_physicsengine_tpu.sensors.validation import (  # noqa: F401
+    run_all_sensor_validations,
+    validate_chlorine_sensor,
+    validate_flow_sensor,
+    validate_pH_sensor,
+    validate_temperature_sensor,
+)
 from ics_wt_physicsengine_tpu.sensors import chlorine as _chlorine
 from ics_wt_physicsengine_tpu.sensors import flow as _flow
 from ics_wt_physicsengine_tpu.sensors import temperature as _temperature

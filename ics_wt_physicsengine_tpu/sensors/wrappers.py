@@ -47,6 +47,19 @@ def _default_dtype():
     return jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
 
 
+# Module-level jitted reads, shared across all sensor instances: params are
+# traced pytree arguments (static fields live in the treedef), so every
+# instance with the same structure reuses one compiled executable instead of
+# re-tracing a per-instance closure.
+_PH_READ = jax.jit(PH.ph_read)
+_CL_READ = jax.jit(lambda params, carry, cl, ph, o3, h2o2, clo2, t:
+                   CL.chlorine_read(params, carry, cl, ph, t, ozone=o3,
+                                    hydrogen_peroxide=h2o2,
+                                    chlorine_dioxide=clo2))
+_FL_READ = jax.jit(FL.flow_read)
+_TP_READ = jax.jit(TP.temperature_read)
+
+
 def _zone(arr, idx):
     arr = np.asarray(arr)
     n = arr.shape[-1]
@@ -66,7 +79,7 @@ class _SensorShell:
         self.name = name
         self.params = params
         self.carry = carry
-        self._read_fn = jax.jit(read_fn)
+        self._read_fn = read_fn    # shared module-level jit
         self.max_history_length = max_history_length
         self.calibration_validity_hours = calibration_validity_hours
         self.reading_history: Deque[SensorReading] = deque(
@@ -120,8 +133,8 @@ class _SensorShell:
                     f"{self.reading_history[-1].timestamp}")
 
             inputs = self._extract_inputs(reactor_state)
-            self.carry, out = self._read_fn(self.carry, *inputs,
-                                            float(current_time))
+            self.carry, out = self._read_fn(self.params, self.carry,
+                                            *inputs, float(current_time))
             reading = SensorReading(
                 timestamp=float(out.timestamp),
                 value=float(out.value),
@@ -239,11 +252,7 @@ class pHSensor(_SensorShell):
             calibration_validity_hours=calibration_validity_hours,
             dtype=dtype)
         carry = PH.make_ph_carry(params, _new_key(seed), dtype=dtype)
-
-        def read_fn(carry, ph_zone, t_zone, t):
-            return PH.ph_read(params, carry, ph_zone, t_zone, t)
-
-        super().__init__(name, params, carry, read_fn, max_history_length,
+        super().__init__(name, params, carry, _PH_READ, max_history_length,
                          calibration_validity_hours)
 
     def _fresh_carry(self, seed=None):
@@ -359,13 +368,7 @@ class ChlorineSensor(_SensorShell):
             calibration_validity_hours=calibration_validity_hours,
             dtype=dtype)
         carry = CL.make_chlorine_carry(params, _new_key(seed), dtype=dtype)
-
-        def read_fn(carry, cl_zone, ph_zone, ozone, h2o2, clo2, t):
-            return CL.chlorine_read(params, carry, cl_zone, ph_zone, t,
-                                    ozone=ozone, hydrogen_peroxide=h2o2,
-                                    chlorine_dioxide=clo2)
-
-        super().__init__(name, params, carry, read_fn, max_history_length,
+        super().__init__(name, params, carry, _CL_READ, max_history_length,
                          calibration_validity_hours)
 
     def _fresh_carry(self, seed=None):
@@ -435,11 +438,7 @@ class FlowSensor(_SensorShell):
             drift_rate=drift_rate, sample_line=sample_line,
             installation=installation, dtype=dtype)
         carry = FL.make_flow_carry(params, _new_key(seed), dtype=dtype)
-
-        def read_fn(carry, flow, t):
-            return FL.flow_read(params, carry, flow, t)
-
-        super().__init__(name, params, carry, read_fn, max_history_length,
+        super().__init__(name, params, carry, _FL_READ, max_history_length,
                          calibration_validity_hours=8760.0)
 
     def _fresh_carry(self, seed=None):
@@ -485,11 +484,7 @@ class TemperatureSensor(_SensorShell):
             drift_rate=drift_rate, sample_line=sample_line,
             installation=installation, dtype=dtype)
         carry = TP.make_temperature_carry(params, _new_key(seed), dtype=dtype)
-
-        def read_fn(carry, temp, t):
-            return TP.temperature_read(params, carry, temp, t)
-
-        super().__init__(name, params, carry, read_fn, max_history_length,
+        super().__init__(name, params, carry, _TP_READ, max_history_length,
                          calibration_validity_hours=8760.0)
 
     def _fresh_carry(self, seed=None):
