@@ -378,13 +378,16 @@ def validate_transport() -> None:
     q_per_v = (flow.flow_rate / 60.0) / geom.volume
     assert abs(row_sums[-1] + q_per_v) < 1e-12, "Outlet mass balance wrong"
 
-    # Stencil operator must agree with the dense matrix.
+    # Stencil operator must agree with the dense matrix (tolerance follows
+    # the active compute dtype: f64 on the CPU oracle, f32 on TPU default).
     x = np.linspace(1.0, 2.0, geom.n_zones)
     dense = K @ x
-    stencil = np.asarray(apply_exchange(
+    stencil_arr = apply_exchange(
         jnp.asarray(x), jnp.full(geom.n_zones - 1, transport.k_exchange),
-        jnp.asarray(q_per_v)))
-    assert np.allclose(dense, stencil, rtol=0, atol=1e-12), \
+        jnp.asarray(q_per_v))
+    atol = 1e-12 if stencil_arr.dtype == jnp.float64 else 1e-7
+    stencil = np.asarray(stencil_arr)
+    assert np.allclose(dense, stencil, rtol=0, atol=atol), \
         f"Stencil != dense matrix: {dense} vs {stencil}"
 
     cv, s = transport.calculate_mixing_quality(np.ones(5) * 2.0)
