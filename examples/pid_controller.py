@@ -1,0 +1,140 @@
+"""
+External PID controller over Modbus/TCP — BASELINE config 5 demo.
+
+This script is the *controller* the plant deliberately does not contain
+(reference README.md:22): a discrete PI(D) loop that reads measured values
+from the simulator's input registers and writes actuator commands to its
+holding registers, exactly like a PLC/SCADA master would.
+
+Two loops:
+  - chlorine residual control: chlorine_outlet -> chlorine_flow_rate
+  - pH control:               pH_inlet        -> acid_flow_rate
+
+Usage:
+  # against an already-running simulator
+  python examples/pid_controller.py --host 127.0.0.1 --port 5020
+
+  # self-contained demo (spawns the simulator in-process, free-running)
+  python examples/pid_controller.py --spawn --iterations 120
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ics_wt_physicsengine_tpu.modbus import ModbusTcpClient  # noqa: E402
+
+
+class PID:
+    """Discrete PID with anti-windup clamping."""
+
+    def __init__(self, kp, ki, kd, setpoint, out_min, out_max):
+        self.kp, self.ki, self.kd = kp, ki, kd
+        self.setpoint = setpoint
+        self.out_min, self.out_max = out_min, out_max
+        self.integral = 0.0
+        self.prev_error = None
+
+    def update(self, measurement, dt):
+        error = self.setpoint - measurement
+        self.integral += error * dt
+        derivative = 0.0 if self.prev_error is None \
+            else (error - self.prev_error) / dt
+        self.prev_error = error
+        out = self.kp * error + self.ki * self.integral + self.kd * derivative
+        clamped = min(max(out, self.out_min), self.out_max)
+        if clamped != out:                      # anti-windup
+            self.integral -= error * dt
+        return clamped
+
+
+def control_loop(host, port, iterations, period, cl_setpoint, ph_setpoint,
+                 verbose=True):
+    cl_pid = PID(kp=0.4, ki=0.02, kd=0.0, setpoint=cl_setpoint,
+                 out_min=0.0, out_max=1.0)
+    ph_pid = PID(kp=-0.8, ki=-0.05, kd=0.0, setpoint=ph_setpoint,
+                 out_min=0.0, out_max=2.0)
+
+    with ModbusTcpClient(host, port, timeout=10) as client:
+        history = []
+        for i in range(iterations):
+            sim_t = client.read_float32(100)
+            cl_out = client.read_float32(8)       # chlorine_outlet
+            ph_in = client.read_float32(0)        # pH_inlet
+
+            # sensors read 0.0 while warming up — hold outputs at zero
+            if cl_out > 0.0:
+                cl_cmd = cl_pid.update(cl_out, period)
+                client.write_float32(2, cl_cmd)   # chlorine_flow_rate
+            else:
+                cl_cmd = 0.0
+            if ph_in > 0.0:
+                acid_cmd = ph_pid.update(ph_in, period)
+                client.write_float32(0, acid_cmd)  # acid_flow_rate
+            else:
+                acid_cmd = 0.0
+
+            history.append((sim_t, cl_out, ph_in, cl_cmd, acid_cmd))
+            if verbose and i % 10 == 0:
+                print(f"t={sim_t:8.0f}s  Cl_out={cl_out:5.2f} mg/L "
+                      f"(sp {cl_setpoint})  pH_in={ph_in:5.2f} "
+                      f"(sp {ph_setpoint})  ClCmd={cl_cmd:.2f}  "
+                      f"AcidCmd={acid_cmd:.2f}")
+            time.sleep(period)
+        return history
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=5020)
+    parser.add_argument("--iterations", type=int, default=120)
+    parser.add_argument("--period", type=float, default=0.5,
+                        help="controller period [wall seconds]")
+    parser.add_argument("--cl-setpoint", type=float, default=1.0)
+    parser.add_argument("--ph-setpoint", type=float, default=7.0)
+    parser.add_argument("--spawn", action="store_true",
+                        help="spawn the simulator in-process (demo mode)")
+    args = parser.parse_args()
+
+    sim_thread = None
+    if args.spawn:
+        import ics_wt_physicsengine_tpu.__main__ as orch
+        orch.running = True
+        sim_thread = threading.Thread(
+            target=orch.main,
+            args=(["--port", str(args.port), "--host", args.host,
+                   "--dt", "30", "--rtf", "0", "--seed", "1"],),
+            daemon=True)
+        sim_thread.start()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                ModbusTcpClient(args.host, args.port, timeout=2) \
+                    .connect().close()
+                break
+            except OSError:
+                time.sleep(0.5)
+
+    history = control_loop(args.host, args.port, args.iterations,
+                           args.period, args.cl_setpoint, args.ph_setpoint)
+
+    final = history[-1]
+    print(f"\nfinal: Cl_out={final[1]:.2f} mg/L (setpoint "
+          f"{args.cl_setpoint}), pH_in={final[2]:.2f} "
+          f"(setpoint {args.ph_setpoint})")
+
+    if args.spawn:
+        import ics_wt_physicsengine_tpu.__main__ as orch
+        orch.running = False
+        sim_thread.join(timeout=15)
+
+
+if __name__ == "__main__":
+    main()

