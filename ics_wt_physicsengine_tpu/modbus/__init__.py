@@ -29,3 +29,21 @@ from ics_wt_physicsengine_tpu.modbus.native_slave import (  # noqa: F401
 from ics_wt_physicsengine_tpu.modbus.native_slave import (  # noqa: F401
     is_available as native_available,
 )
+
+
+def print_package_info():
+    """Package overview (reference modbus/__init__.py:92-127)."""
+    from ics_wt_physicsengine_tpu.modbus.native_slave import is_available
+    print("=" * 70)
+    print("MODBUS PACKAGE — ICS-WT-PhysicsEngine-TPU")
+    print("=" * 70)
+    print("Components:")
+    print("  ModbusRegisterMap  declarative register layout (addresses/names")
+    print("                     identical to the reference)")
+    print("  ModbusEncoder/Decoder  IEEE-754 float32 <-> big-endian words")
+    print("  ModbusSlave        asyncio Modbus/TCP server (FC 1-6, 15, 16)")
+    print("  NativeModbusSlave  C++ data-plane server "
+          f"({'available' if is_available() else 'toolchain missing'})")
+    print("  ModbusTcpClient    in-repo master for HIL loops and tests")
+    print()
+    ModbusRegisterMap().print_register_map()

@@ -8,8 +8,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+import jax
+
+# env vars are overridden by this container's sitecustomize — configure
+# through jax.config (see tests/conftest.py).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache"))
 
 sys.path.insert(0, "/root/reference/src")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -35,8 +42,6 @@ def run_reference(config_kwargs, boundary_schedule, dt, n_steps):
 
 
 def run_ours(config_kwargs, boundary_schedule, dt, n_steps, substeps):
-    import jax
-    jax.config.update("jax_enable_x64", True)
     from ics_wt_physicsengine_tpu.core import reactor as R
 
     config = R.ReactorConfiguration(**config_kwargs)
