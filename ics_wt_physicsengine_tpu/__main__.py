@@ -275,6 +275,24 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
     )
 
 
+def _readings_from_outputs(outputs) -> Dict[str, SensorReading]:
+    """Convert the fused plant's SensorOutput pytrees into SensorReading
+    objects for the Modbus/logging plumbing."""
+    from ics_wt_physicsengine_tpu.sensors.types import (
+        FAULT_FROM_CODE, STATUS_FROM_CODE)
+
+    readings = {}
+    for name, out in outputs.items():
+        readings[name] = SensorReading(
+            timestamp=float(out.timestamp), value=float(out.value),
+            raw_value=float(out.raw_value), noise=float(out.noise),
+            drift=float(out.drift),
+            status=STATUS_FROM_CODE[int(out.status)],
+            uncertainty=float(out.uncertainty),
+            fault=FAULT_FROM_CODE[int(out.fault)])
+    return readings
+
+
 # --------------------------------------------------------------------------
 # Main (reference __main__.py:274-480)
 # --------------------------------------------------------------------------
@@ -307,6 +325,16 @@ def main(argv=None):
     parser.add_argument("--rtf", type=float, default=1.0,
                         help="Real-time factor for pacing "
                              "(1.0 = real time, 0 = free-run)")
+    parser.add_argument("--recal-hours", type=float, default=24.0,
+                        help="Recalibrate (and revive latched) sensors every "
+                             "N simulated hours — the maintenance the "
+                             "reference's 24 h calibration validity implies "
+                             "but its loop never performs. 0 disables.")
+    parser.add_argument("--fused-sensors", action="store_true",
+                        help="Run physics + all 7 instruments as ONE jitted "
+                             "step per tick (models/plant.py) instead of "
+                             "per-sensor dispatches — higher loop ceiling; "
+                             "sensors start warmed-up")
     parser.add_argument("--native-modbus", action="store_true",
                         help="Serve Modbus/TCP from the C++ data plane "
                              "(native/modbus_server.cpp) instead of the "
@@ -353,12 +381,36 @@ def main(argv=None):
 
     # PHASE 3: sensors
     sim_start_time = time.monotonic()
-    try:
-        sensors = initialize_sensors(config, sim_start_time, args.verbose,
-                                     seed=args.seed)
-    except Exception as e:  # noqa: BLE001
-        logger.error("Sensor initialization failed: %s", type(e).__name__)
-        sys.exit(1)
+    fused_plant = None
+    if args.fused_sensors:
+        try:
+            from functools import partial as _partial
+
+            import jax as _jax
+
+            from ics_wt_physicsengine_tpu.models.plant import (
+                make_plant, plant_step)
+
+            plant_params, fused_plant = make_plant(
+                config, seed=args.seed or 0, warmed_up=True)
+            fused_step = _jax.jit(_partial(
+                plant_step, dt=args.dt,
+                substeps=reactor.substeps_for(args.dt)))
+            sensors = {}
+            logger.info("Fused sensor path enabled (single jitted "
+                        "physics+instruments step per tick)")
+        except Exception as e:  # noqa: BLE001
+            logger.error("Fused plant initialization failed: %s",
+                         type(e).__name__)
+            sys.exit(1)
+    else:
+        try:
+            sensors = initialize_sensors(config, sim_start_time,
+                                         args.verbose, seed=args.seed)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Sensor initialization failed: %s",
+                         type(e).__name__)
+            sys.exit(1)
 
     # PHASE 4: Modbus (graceful degradation to no-Modbus)
     slave = None
@@ -400,6 +452,32 @@ def main(argv=None):
     warmup_steps = int(10.0 / args.dt)
     modbus_error_count = 0
     max_modbus_errors = 10
+    recal_interval_s = args.recal_hours * 3600.0 if args.recal_hours > 0 \
+        else float("inf")
+    next_recal = recal_interval_s
+
+    def maintain_sensors():
+        """Periodic maintenance: revive latched sensors and recalibrate
+        (gap-fix — reference calibrations expire after 24 h,
+        base_sensor.py:116, but its loop never recalibrates)."""
+        nonlocal fused_plant
+        refs = {"pH": 7.0, "ch": config.initial_chlorine,
+                "te": config.temperature, "fl": config.flow_rate}
+        if fused_plant is not None:
+            from ics_wt_physicsengine_tpu.models.plant import make_plant
+            from dataclasses import replace as dc_replace
+            _, fresh = make_plant(config, seed=(args.seed or 0) + step_count,
+                                  warmed_up=True)
+            fused_plant = dc_replace(fresh, reactor=fused_plant.reactor)
+        else:
+            import math as _math
+            for name, sensor in sensors.items():
+                if not _math.isfinite(sensor.current_value):
+                    sensor.reset(seed=(args.seed or 0) * 7919 + step_count)
+                sensor.calibrate(refs[name[:2]], sim_start_time + sim_time,
+                                 "maintenance")
+        logger.info("t=%.0fs | sensor maintenance/recalibration done",
+                    sim_time)
 
     try:
         while running and sim_time < args.duration:
@@ -412,14 +490,22 @@ def main(argv=None):
 
             if not paused:
                 try:
-                    state = reactor.step(args.dt, boundary=boundary)
+                    if fused_plant is not None:
+                        fused_plant, outputs = fused_step(
+                            plant_params, fused_plant, boundary)
+                        state = fused_plant.reactor
+                        readings = _readings_from_outputs(outputs)
+                    else:
+                        state = reactor.step(args.dt, boundary=boundary)
                 except Exception as e:  # noqa: BLE001
                     logger.error("Physics step failed: %s", type(e).__name__)
                     break
 
                 current_sim_time = sim_start_time + sim_time
-                readings = read_all_sensors(sensors, state, current_sim_time,
-                                            args.verbose)
+                if fused_plant is None:
+                    readings = read_all_sensors(sensors, state,
+                                                current_sim_time,
+                                                args.verbose)
 
                 if slave:
                     if not update_modbus_inputs(slave, readings, state,
@@ -459,6 +545,9 @@ def main(argv=None):
 
                 step_count += 1
                 sim_time += args.dt
+                if sim_time >= next_recal:
+                    maintain_sensors()
+                    next_recal += recal_interval_s
 
             # real-time pacing (reference __main__.py:453-457)
             if args.rtf > 0:

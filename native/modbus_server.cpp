@@ -22,6 +22,7 @@
 
 #include <arpa/inet.h>
 #include <cerrno>
+#include <fcntl.h>
 #include <cstdint>
 #include <cstring>
 #include <mutex>
@@ -243,9 +244,15 @@ struct Server {
       }
       if (fds[0].revents & POLLIN) break;  // stop requested
 
+      // Only connections that were present when poll() was armed have a
+      // pollfd entry; anything accepted below is served next iteration.
+      size_t n_polled = conns.size();
+
       if (fds[1].revents & POLLIN) {
-        int fd = ::accept(listen_fd, nullptr, nullptr);
-        if (fd >= 0) {
+        // drain the accept queue (several masters may connect in a burst)
+        for (;;) {
+          int fd = ::accept(listen_fd, nullptr, nullptr);
+          if (fd < 0) break;
           if (conns.size() >= kMaxClients) {
             ::close(fd);
           } else {
@@ -256,7 +263,7 @@ struct Server {
         }
       }
 
-      for (size_t i = 0; i < conns.size();) {
+      for (size_t i = 0; i < n_polled;) {
         auto& conn = conns[i];
         pollfd& pfd = fds[2 + i];
         bool drop = false;
@@ -274,6 +281,8 @@ struct Server {
         if (drop) {
           ::close(conn.fd);
           conns.erase(conns.begin() + i);
+          fds.erase(fds.begin() + 2 + i);
+          n_polled--;
         } else {
           i++;
         }
@@ -310,9 +319,12 @@ int mb_start(void* handle, const char* host, uint16_t port) {
     ::close(s->listen_fd);
     return -1;
   }
+  // non-blocking listener: the poll loop accept-drains without stalling
+  int flags = ::fcntl(s->listen_fd, F_GETFL, 0);
+  ::fcntl(s->listen_fd, F_SETFL, flags | O_NONBLOCK);
   if (::bind(s->listen_fd, reinterpret_cast<sockaddr*>(&addr),
              sizeof(addr)) < 0 ||
-      ::listen(s->listen_fd, 16) < 0) {
+      ::listen(s->listen_fd, 64) < 0) {
     ::close(s->listen_fd);
     return -1;
   }

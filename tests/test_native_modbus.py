@@ -81,12 +81,22 @@ def test_garbage_disconnects_only_that_client(slave):
         assert c.read_float32(10) == pytest.approx(5.5, rel=1e-6)
 
 
+def _connect_retry(port, attempts=5, timeout=30):
+    import time as _time
+    last = None
+    for _ in range(attempts):
+        try:
+            return ModbusTcpClient("127.0.0.1", port, timeout=timeout) \
+                .connect()
+        except OSError as e:      # scheduling noise on the shared 1-core host
+            last = e
+            _time.sleep(0.5)
+    raise last
+
+
 def test_many_clients(slave):
     slave.update_input_register("pH_inlet", 7.0)
-    # generous timeout: the whole suite shares one CPU core, so accept+poll
-    # latency under load is scheduling noise, not server behavior
-    clients = [ModbusTcpClient("127.0.0.1", slave.port, timeout=30).connect()
-               for _ in range(12)]
+    clients = [_connect_retry(slave.port) for _ in range(12)]
     try:
         for c in clients:
             assert c.read_float32(0) == pytest.approx(7.0)

@@ -162,3 +162,13 @@ def test_pause_resume_via_coil(running_sim):
     assert t2 == pytest.approx(t1)      # paused: time frozen
     client.write_coil(2, True)
     _wait_sim_time(client, t2 + 60.0)   # resumes
+
+
+def test_fused_sensor_loop_headless():
+    """--fused-sensors: physics + instruments in one jitted step per tick."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    orchestrator.running = True
+    rc = orchestrator.main(["--no-modbus", "--duration", "30", "--rtf", "0",
+                            "--fused-sensors", "--seed", "4", "--dt", "1.0"])
+    assert rc == 0
