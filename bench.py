@@ -45,7 +45,7 @@ def _timed_chained(fn, params, state, bc, reps):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_single_plant(n_steps=50000, reps=3):
+def bench_single_plant(n_steps=200000, reps=3):
     config = R.ReactorConfiguration(
         volume=1000, height=2.0, diameter=0.798, n_zones=20,
         flow_rate=5.0, initial_pH=7.0, initial_chlorine=2.0, temperature=20.0)

@@ -182,3 +182,41 @@ def test_bounds_enforced():
 
 def test_validation_suite():
     R.validate_integrated_reactor()
+
+
+def test_rollout_records_trajectory():
+    reactor = R.IntegratedCSTR(R.ReactorConfiguration(**CONFIG))
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, acid_flow_rate=0.3)
+    final, traj = reactor.rollout(1.0, bc, n_steps=25, record=True)
+    assert traj["pH"].shape == (25, 5)
+    assert traj["chlorine"].shape == (25, 5)
+    # the recorded last row equals the final state
+    np.testing.assert_allclose(np.asarray(traj["pH"])[-1],
+                               np.asarray(final.pH), rtol=0, atol=0)
+    # dosing transient is monotone in zone 0 over this window
+    ph0 = np.asarray(traj["pH"])[:, 0]
+    assert np.all(np.diff(ph0) < 0)
+
+
+def test_exchange_conservation_random_configs():
+    """Property: for random geometries/flows, the exchange matrix conserves
+    mass to 1e-12 (reference transport.py:320-334 discipline)."""
+    import math
+    from ics_wt_physicsengine_tpu.core import transport as tr
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        volume = float(rng.uniform(100.0, 5000.0))
+        height = float(rng.uniform(0.5, 5.0))
+        diameter = 2 * math.sqrt((volume / 1000) / (math.pi * height))
+        n_zones = int(rng.integers(2, 30))
+        flow = float(rng.uniform(0.0, 50.0))
+        geom = tr.GeometryParameters(volume=volume, height=height,
+                                     diameter=diameter, n_zones=n_zones)
+        fp = tr.FlowParameters(flow_rate=flow,
+                               impeller_speed=float(rng.uniform(10, 120)),
+                               impeller_diameter=float(rng.uniform(0.1, 0.6)))
+        model = tr.TransportModel(geom, fp)
+        row_sums = model.K_matrix.sum(axis=1)
+        assert np.all(np.abs(row_sums[:-1]) < 1e-12)
+        assert abs(row_sums[-1] + model.q_per_v) < 1e-12
