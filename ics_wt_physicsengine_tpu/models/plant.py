@@ -13,8 +13,8 @@ Also provides the named BASELINE benchmark configurations (configs 1-5).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

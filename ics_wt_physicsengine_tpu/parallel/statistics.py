@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Dict
 
-import jax
 import jax.numpy as jnp
 
 from ics_wt_physicsengine_tpu.core import reactor as R

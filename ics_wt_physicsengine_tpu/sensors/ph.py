@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from ics_wt_physicsengine_tpu.sensors import base as B
-from ics_wt_physicsengine_tpu.sensors.types import SensorStatus
 
 
 @jax.tree_util.register_dataclass

@@ -14,10 +14,8 @@ In the functional core, enum-valued fields travel as int32 codes (the
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
-from typing import Optional
 
 import numpy as np
 
