@@ -325,6 +325,10 @@ def main(argv=None):
     parser.add_argument("--rtf", type=float, default=1.0,
                         help="Real-time factor for pacing "
                              "(1.0 = real time, 0 = free-run)")
+    parser.add_argument("--log-csv", type=str, default=None,
+                        help="Append per-step sensor readings + commands to "
+                             "this CSV file (historical logging — listed as "
+                             "future work in the reference, README.md:441)")
     parser.add_argument("--recal-hours", type=float, default=24.0,
                         help="Recalibrate (and revive latched) sensors every "
                              "N simulated hours — the maintenance the "
@@ -456,6 +460,31 @@ def main(argv=None):
         else float("inf")
     next_recal = recal_interval_s
 
+    csv_file = None
+    if args.log_csv:
+        csv_file = open(args.log_csv, "a", buffering=1)
+        if csv_file.tell() == 0:
+            csv_file.write("sim_time,pH_inlet,pH_outlet,chlorine_inlet,"
+                           "chlorine_outlet,flow_main,temp_inlet,"
+                           "temp_outlet,acid_cmd,chlorine_cmd,"
+                           "inlet_flow_cmd,any_fault\n")
+
+    def log_csv_row(readings):
+        if csv_file is None:
+            return
+        def v(key):
+            r = readings.get(key)
+            return f"{r.value:.6g}" if r else ""
+        any_fault = int(any(r.fault != SensorFault.NONE
+                            for r in readings.values()))
+        csv_file.write(
+            f"{sim_time:.3f},{v('pH_inlet')},{v('pH_outlet')},"
+            f"{v('chlorine_inlet')},{v('chlorine_outlet')},"
+            f"{v('flow_main')},{v('temp_inlet')},{v('temp_outlet')},"
+            f"{boundary.acid_flow_rate:.6g},"
+            f"{boundary.chlorine_flow_rate:.6g},"
+            f"{boundary.inlet_flow_rate:.6g},{any_fault}\n")
+
     def maintain_sensors():
         """Periodic maintenance: revive latched sensors and recalibrate
         (gap-fix — reference calibrations expire after 24 h,
@@ -543,6 +572,7 @@ def main(argv=None):
                         logger.info("t=%.0fs | Sensors warming up...",
                                     sim_time)
 
+                log_csv_row(readings)
                 step_count += 1
                 sim_time += args.dt
                 if sim_time >= next_recal:
@@ -562,6 +592,9 @@ def main(argv=None):
         logger.error("Simulation error: %s", type(e).__name__)
     finally:
         logger.info("Shutting down...")
+        if csv_file is not None:
+            with suppress(Exception):
+                csv_file.close()
         if slave:
             logger.info("Stopping Modbus server...")
             with suppress(Exception):

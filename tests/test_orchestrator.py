@@ -172,3 +172,24 @@ def test_fused_sensor_loop_headless():
     rc = orchestrator.main(["--no-modbus", "--duration", "30", "--rtf", "0",
                             "--fused-sensors", "--seed", "4", "--dt", "1.0"])
     assert rc == 0
+
+
+def test_csv_history_logging(tmp_path):
+    """--log-csv writes a well-formed per-step history file (the reference
+    lists historical logging as unimplemented future work, README.md:441)."""
+    import csv as csv_module
+
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    path = tmp_path / "history.csv"
+    orchestrator.running = True
+    rc = orchestrator.main(["--no-modbus", "--duration", "15", "--rtf", "0",
+                            "--fused-sensors", "--seed", "4",
+                            "--log-csv", str(path)])
+    assert rc == 0
+    with open(path) as f:
+        rows = list(csv_module.DictReader(f))
+    assert len(rows) == 15
+    assert float(rows[-1]["sim_time"]) == 14.0
+    assert 5.0 < float(rows[-1]["pH_inlet"]) < 9.0
+    assert rows[0]["any_fault"] in ("0", "1")
