@@ -43,7 +43,7 @@ from ics_wt_physicsengine_tpu.core import thermodynamics as thermo
 from ics_wt_physicsengine_tpu.core import transport as transport_mod
 from ics_wt_physicsengine_tpu.core.chemistry import ChemistryConstants, LN10
 from ics_wt_physicsengine_tpu.ops import integrators
-from ics_wt_physicsengine_tpu.utils.dispatch import array_namespace
+from ics_wt_physicsengine_tpu.utils.dispatch import align_trailing, array_namespace
 
 # ---------------------------------------------------------------------------
 # Configuration (static, host-side — mirrors reference reactor.py:52-110)
@@ -330,19 +330,10 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     v_m3 = params.volume_L / 1000.0
     heat_rate = boundary.heat_loss_coefficient * params.heat_area_m2 \
         / (c.WATER_DENSITY_20C * c.WATER_CP * v_m3)
-    dT = dT - _expand(heat_rate) * (T - _expand(boundary.ambient_temperature, T))
+    dT = dT - align_trailing(heat_rate, T) \
+        * (T - align_trailing(boundary.ambient_temperature, T))
 
     return dpH, dCl, dT
-
-
-def _expand(x, like=None):
-    """Broadcast a possibly-batched scalar against the trailing zone axis."""
-    x = jnp.asarray(x)
-    if x.ndim and like is not None and x.ndim == like.ndim - 1:
-        return x[..., None]
-    if x.ndim:
-        return x[..., None]
-    return x
 
 
 # ---------------------------------------------------------------------------
@@ -459,8 +450,8 @@ def conservation_metrics(params: ReactorParams,
     total_cl_mg = xp.sum(state.chlorine, axis=-1) * zone_volume
     total_h_mol = xp.sum(H, axis=-1) * zone_volume / 1000.0
     kw = thermo.water_ionization_constant(state.temperature[..., 0])
-    oh = (kw[..., None] if xp.ndim(kw) else kw) / H
-    total_oh_mol = xp.sum(oh, axis=-1) * zone_volume / 1000.0
+    total_oh_mol = xp.sum(align_trailing(kw, H) / H, axis=-1) \
+        * zone_volume / 1000.0
 
     v_m3 = params.volume_L / 1000.0
     thermal_kj = (c.WATER_DENSITY_20C * c.WATER_CP * v_m3

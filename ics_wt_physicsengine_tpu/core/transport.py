@@ -176,14 +176,15 @@ def apply_exchange(x, k_iface, q_per_v):
     plant axes broadcast on the left, so the same code serves single plants
     and Monte-Carlo batches without vmap.
     """
+    from ics_wt_physicsengine_tpu.utils.dispatch import align_trailing
+
     up_flux = k_iface * (x[..., 1:] - x[..., :-1])       # flux into i from i+1
     zeros = jnp.zeros_like(x[..., :1])
     out = (
         jnp.concatenate([up_flux, zeros], axis=-1)        # from zone above
         - jnp.concatenate([zeros, up_flux], axis=-1)      # from zone below
     )
-    outlet = q_per_v[..., None] * x[..., -1:] if jnp.ndim(q_per_v) else \
-        q_per_v * x[..., -1:]
+    outlet = align_trailing(q_per_v, x) * x[..., -1:]
     return out - jnp.concatenate([jnp.zeros_like(x[..., :-1]), outlet], axis=-1)
 
 
