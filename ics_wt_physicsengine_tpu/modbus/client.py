@@ -103,6 +103,16 @@ class ModbusTcpClient:
         self._transact(struct.pack(">BHH", 0x05, address,
                                    0xFF00 if value else 0x0000))
 
+    def write_coils(self, address: int, values: List[bool]):
+        count = len(values)
+        n_bytes = (count + 7) // 8
+        data = bytearray(n_bytes)
+        for i, v in enumerate(values):
+            if v:
+                data[i // 8] |= 1 << (i % 8)
+        pdu = struct.pack(">BHHB", 0x0F, address, count, n_bytes) + bytes(data)
+        self._transact(pdu)
+
     # -- typed convenience --
     def read_float32(self, address: int, input_register: bool = True) -> float:
         regs = (self.read_input_registers(address, 2) if input_register

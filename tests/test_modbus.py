@@ -182,3 +182,12 @@ def test_bulk_getters(slave):
     assert all_ir["pH_inlet"] == pytest.approx(7.0)
     assert set(all_ir) == {r.name for r in
                            slave.register_map.input_registers}
+
+
+def test_write_multiple_coils_fc15(slave):
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        client.write_coils(0, [True, False, True])
+        assert client.read_coils(0, 3) == [True, False, True]
+    assert slave.read_coil("acid_pump_enable") is True
+    assert slave.read_coil("chlorine_pump_enable") is False
+    assert slave.read_coil("simulation_running") is True

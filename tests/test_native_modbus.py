@@ -112,3 +112,9 @@ def test_restart(slave):
     assert slave.is_running
     with ModbusTcpClient("127.0.0.1", slave.port) as c:
         c.read_input_registers(0, 2)
+
+
+def test_write_multiple_coils_fc15_native(slave):
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        client.write_coils(0, [False, True, True])
+        assert client.read_coils(0, 3) == [False, True, True]

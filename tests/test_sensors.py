@@ -271,3 +271,15 @@ def test_reproducible_with_seed():
     va = _read_series(a, MockState(), 1800.0, 20)
     vb = _read_series(b, MockState(), 1800.0, 20)
     np.testing.assert_array_equal(va, vb)
+
+
+def test_recent_readings_and_drift_rate():
+    s = pHSensor("pH", zone_index=0, drift_rate=0.2, seed=20)  # 0.2 pH/h
+    s.calibrate(7.0, 0.0)
+    for i in range(30):
+        s.read(MockState(), 1801.0 + i * 60.0)   # one read per minute
+    recent = s.get_recent_readings(window_seconds=600.0)
+    assert len(recent) == 11                      # inclusive window
+    assert recent[0].timestamp > recent[-1].timestamp
+    rate = s.calculate_drift_rate(window_seconds=1740.0)
+    assert rate == pytest.approx(0.2, rel=0.05)   # recovers the drift rate
