@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import signal
 import sys
 import time
@@ -325,6 +326,14 @@ def main(argv=None):
     parser.add_argument("--rtf", type=float, default=1.0,
                         help="Real-time factor for pacing "
                              "(1.0 = real time, 0 = free-run)")
+    parser.add_argument("--checkpoint-file", type=str, default=None,
+                        help="Checkpoint the simulation state here "
+                             "periodically and resume from it at startup "
+                             "if it exists (pytree serialization — the "
+                             "reference loses all state on stop, "
+                             "README.md:151)")
+    parser.add_argument("--checkpoint-hours", type=float, default=1.0,
+                        help="Simulated hours between checkpoints")
     parser.add_argument("--log-csv", type=str, default=None,
                         help="Append per-step sensor readings + commands to "
                              "this CSV file (historical logging — listed as "
@@ -460,6 +469,43 @@ def main(argv=None):
         else float("inf")
     next_recal = recal_interval_s
 
+    checkpoint_interval_s = args.checkpoint_hours * 3600.0
+    next_checkpoint = checkpoint_interval_s
+    if args.checkpoint_file and os.path.exists(args.checkpoint_file):
+        try:
+            from ics_wt_physicsengine_tpu.utils import (load_metadata,
+                                                        load_simulation)
+            meta = load_metadata(args.checkpoint_file)
+            if fused_plant is not None:
+                logger.warning("Checkpoint resume with --fused-sensors "
+                               "restores physics state only")
+            load_simulation(args.checkpoint_file, reactor,
+                            sensors=sensors or None)
+            sim_time = float(meta.get("sim_time", float(reactor.state.time)))
+            next_checkpoint = sim_time + checkpoint_interval_s
+            if fused_plant is not None:
+                from dataclasses import replace as dc_replace
+                fused_plant = dc_replace(fused_plant, reactor=reactor.state)
+            logger.info("Resumed from checkpoint %s at t=%.0fs",
+                        args.checkpoint_file, sim_time)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Checkpoint resume failed: %s — starting fresh",
+                         type(e).__name__)
+
+    def write_checkpoint():
+        if not args.checkpoint_file:
+            return
+        try:
+            from ics_wt_physicsengine_tpu.utils import save_simulation
+            if fused_plant is not None:
+                reactor.state = fused_plant.reactor
+            save_simulation(args.checkpoint_file, reactor,
+                            sensors=sensors or None,
+                            metadata={"sim_time": sim_time})
+            logger.info("t=%.0fs | checkpoint written", sim_time)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Checkpoint write failed: %s", type(e).__name__)
+
     csv_file = None
     if args.log_csv:
         csv_file = open(args.log_csv, "a", buffering=1)
@@ -578,6 +624,9 @@ def main(argv=None):
                 if sim_time >= next_recal:
                     maintain_sensors()
                     next_recal += recal_interval_s
+                if args.checkpoint_file and sim_time >= next_checkpoint:
+                    write_checkpoint()
+                    next_checkpoint += checkpoint_interval_s
 
             # real-time pacing (reference __main__.py:453-457)
             if args.rtf > 0:
@@ -592,6 +641,7 @@ def main(argv=None):
         logger.error("Simulation error: %s", type(e).__name__)
     finally:
         logger.info("Shutting down...")
+        write_checkpoint()
         if csv_file is not None:
             with suppress(Exception):
                 csv_file.close()

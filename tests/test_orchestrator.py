@@ -193,3 +193,23 @@ def test_csv_history_logging(tmp_path):
     assert float(rows[-1]["sim_time"]) == 14.0
     assert 5.0 < float(rows[-1]["pH_inlet"]) < 9.0
     assert rows[0]["any_fault"] in ("0", "1")
+
+
+def test_checkpoint_resume_via_cli(tmp_path):
+    """--checkpoint-file: stop/resume continuity through the serving loop."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    ckpt = str(tmp_path / "sim.npz")
+    orchestrator.running = True
+    rc = orchestrator.main(["--no-modbus", "--duration", "50", "--rtf", "0",
+                            "--seed", "5", "--dt", "10",
+                            "--checkpoint-file", ckpt])
+    assert rc == 0
+
+    orchestrator.running = True
+    rc = orchestrator.main(["--no-modbus", "--duration", "100", "--rtf", "0",
+                            "--seed", "5", "--dt", "10",
+                            "--checkpoint-file", ckpt])
+    assert rc == 0
+    from ics_wt_physicsengine_tpu.utils import load_metadata
+    assert load_metadata(ckpt)["sim_time"] == pytest.approx(100.0)
