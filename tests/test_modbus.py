@@ -191,3 +191,13 @@ def test_write_multiple_coils_fc15(slave):
     assert slave.read_coil("acid_pump_enable") is True
     assert slave.read_coil("chlorine_pump_enable") is False
     assert slave.read_coil("simulation_running") is True
+
+
+def test_all_holding_registers_bulk(slave):
+    slave.write_holding_register("acid_flow_rate", 0.25)
+    slave.write_holding_register("simulation_timestep", 2.0)
+    hr = slave.get_all_holding_registers()
+    assert hr["acid_flow_rate"] == pytest.approx(0.25, rel=1e-6)
+    assert hr["simulation_timestep"] == pytest.approx(2.0, rel=1e-6)
+    assert set(hr) == {r.name for r in
+                       slave.register_map.holding_registers}

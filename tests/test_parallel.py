@@ -104,3 +104,19 @@ def test_ensemble_statistics_sharded():
     probs = jax.jit(exceedance_probability)(final)
     for key, v in probs.items():
         assert 0.0 <= float(v) <= 1.0
+
+
+def test_exceedance_threshold_params():
+    from ics_wt_physicsengine_tpu.parallel import exceedance_probability
+
+    base = R.ReactorConfiguration(n_zones=4)
+    params, state = make_monte_carlo_batch(base, 16, seed=6,
+                                           dtype=jnp.float64)
+    # everything violates with absurd thresholds
+    probs = exceedance_probability(state, ph_low=13.9, ph_high=14.1,
+                                   chlorine_min=100.0)
+    assert float(probs["p_any_violation"]) == 1.0
+    # nothing violates with permissive thresholds
+    probs2 = exceedance_probability(state, ph_low=0.0, ph_high=14.0,
+                                    chlorine_min=0.0)
+    assert float(probs2["p_any_violation"]) == 0.0

@@ -283,3 +283,33 @@ def test_recent_readings_and_drift_rate():
     assert recent[0].timestamp > recent[-1].timestamp
     rate = s.calculate_drift_rate(window_seconds=1740.0)
     assert rate == pytest.approx(0.2, rel=0.05)   # recovers the drift rate
+
+
+def test_misc_api_parity():
+    """Small API-parity surfaces: repr, CalibrationRecord.is_expired,
+    InstallationQuality.validate, constructor validation."""
+    from ics_wt_physicsengine_tpu.sensors import CalibrationRecord
+
+    s = TemperatureSensor("t_repr", seed=30)
+    assert "t_repr" in repr(s) and "status" in repr(s)
+
+    rec = CalibrationRecord(timestamp=0.0, reference_value=7.0,
+                            measured_value=6.9, offset=0.1,
+                            validity_hours=24.0)
+    assert not rec.is_expired(23.9 * 3600)
+    assert rec.is_expired(24.1 * 3600)
+
+    with pytest.raises(ValueError):
+        InstallationQuality(flow_velocity=99.0).validate()
+    with pytest.raises(ValueError):
+        InstallationQuality(grounding_quality=2.0).validate()
+    with pytest.raises(ValueError):
+        pHSensor("", zone_index=0)
+
+    from ics_wt_physicsengine_tpu.sensors import SensorReading, SensorStatus
+    with pytest.raises(ValueError):
+        SensorReading(timestamp=-1.0, value=7.0, raw_value=7.0,
+                      noise=0.0, drift=0.0)
+    with pytest.raises(TypeError):
+        SensorReading(timestamp="now", value=7.0, raw_value=7.0,
+                      noise=0.0, drift=0.0)
