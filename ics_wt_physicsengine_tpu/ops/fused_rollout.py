@@ -264,19 +264,33 @@ def _pack_scalars(params: R.ReactorParams, boundary: R.BoundaryConditions,
     return jnp.stack(planes, axis=1)              # [rows_padded, NCOLS, 128]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("dt", "substeps", "n_steps", "interpret"))
 def rollout_fused(params: R.ReactorParams, state: R.ReactorState,
                   boundary: R.BoundaryConditions, *, dt: float,
                   substeps: int, n_steps: int,
-                  interpret: bool = False) -> R.ReactorState:
+                  interpret: bool | None = None) -> R.ReactorState:
     """Advance ``n_steps`` of ``dt`` seconds in one Pallas kernel launch.
 
     Accepts a single plant (``[Z]`` state) or a batch (``[B, Z]`` state with
     ``[B]`` params); returns the final state with derived quantities updated,
     matching ``core.reactor.rollout(..., record=False)[0]``.
+
+    ``interpret=None`` auto-selects: compiled Mosaic on TPU backends,
+    interpreter elsewhere (Pallas has no compiled CPU lowering).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _rollout_fused_jit(params, state, boundary, dt=dt,
+                              substeps=substeps, n_steps=n_steps,
+                              interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "substeps", "n_steps", "interpret"))
+def _rollout_fused_jit(params: R.ReactorParams, state: R.ReactorState,
+                       boundary: R.BoundaryConditions, *, dt: float,
+                       substeps: int, n_steps: int,
+                       interpret: bool) -> R.ReactorState:
     z = params.n_zones
     if z > _LANES:
         raise ValueError(f"fused rollout supports n_zones <= {_LANES}, "
