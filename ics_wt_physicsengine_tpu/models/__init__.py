@@ -14,6 +14,8 @@ from ics_wt_physicsengine_tpu.models.plant import (  # noqa: F401
     config4_monte_carlo,
     config5_hil_cli_args,
     make_plant,
+    make_plant_batch,
     plant_rollout,
     plant_step,
+    plant_step_batched,
 )

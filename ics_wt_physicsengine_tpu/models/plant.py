@@ -200,6 +200,61 @@ def plant_rollout(params: PlantParams, plant: PlantState,
     return jax.lax.scan(body, plant, None, length=n_steps)
 
 
+def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
+                     seed: int = 0, dtype=jnp.float32,
+                     randomize: bool = True, warmed_up: bool = True):
+    """Batched integrated plants: physics params randomized per plant
+    (models/monte_carlo.py ranges) and per-plant sensor PRNG streams —
+    BASELINE configs 3 + 4 combined. Returns (params, state) pytrees with
+    leading [n_plants] axes, consumable by ``plant_step_batched``."""
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        ParameterRanges, make_monte_carlo_batch)
+
+    if randomize:
+        reactor_params, reactor_states = make_monte_carlo_batch(
+            config, n_plants, seed=seed, dtype=dtype)
+    else:
+        single_p = R.make_params(config, dtype=dtype)
+        single_s = R.make_initial_state(config, dtype=dtype)
+        reactor_params = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x),
+                                       (n_plants,) + jnp.shape(x))
+            if not isinstance(x, int) else x, single_p)
+        reactor_states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x),
+                                       (n_plants,) + jnp.shape(x)), single_s)
+
+    # per-plant sensor stacks: same static configs, distinct PRNG streams
+    plants = [make_plant(config, seed=seed * 100003 + i, dtype=dtype,
+                         warmed_up=warmed_up)
+              for i in range(n_plants)]
+
+    def stack(*leaves):
+        first = leaves[0]
+        if isinstance(first, int):
+            return first
+        return jnp.stack([jnp.asarray(v) for v in leaves])
+
+    params = jax.tree_util.tree_map(stack, *[p for p, _ in plants])
+    state = jax.tree_util.tree_map(stack, *[s for _, s in plants])
+    # graft the (possibly randomized) physics in
+    from dataclasses import replace as dc_replace
+    params = dc_replace(params, reactor=reactor_params)
+    state = dc_replace(state, reactor=reactor_states)
+    return params, state
+
+
+def plant_step_batched(params: PlantParams, plant: PlantState,
+                       boundary: R.BoundaryConditions, dt: float,
+                       substeps: int):
+    """vmap of plant_step over the leading plant axis. (The physics is
+    natively batched, but sensor PRNG keys must split per lane, so the
+    integrated plant batches through vmap.)"""
+    return jax.vmap(
+        lambda p, s: plant_step(p, s, boundary, dt, substeps),
+        in_axes=(0, 0))(params, plant)
+
+
 # ---------------------------------------------------------------------------
 # Named BASELINE configurations (BASELINE.json configs 1-5)
 # ---------------------------------------------------------------------------

@@ -78,3 +78,28 @@ def test_plant_rollout_matches_stepping():
     _, traj = fn(params2, p2, BC)
     np.testing.assert_allclose(np.asarray(traj["temp_outlet"]),
                                np.asarray(vals_step), rtol=0, atol=1e-12)
+
+
+def test_batched_plants_with_sensors():
+    """BASELINE configs 3+4 combined: randomized plant batch where every
+    plant also runs its full instrument suite."""
+    from ics_wt_physicsengine_tpu.models.plant import (
+        make_plant_batch, plant_step_batched)
+
+    params, plant = make_plant_batch(ReactorConfiguration(n_zones=4),
+                                     n_plants=6, seed=9, dtype=jnp.float64)
+    assert params.reactor.k_exchange.shape == (6,)
+    assert plant.ph_inlet.base.key.shape == (6,)
+
+    step = jax.jit(lambda p, s, b: plant_step_batched(p, s, b, dt=1.0,
+                                                      substeps=4))
+    readings = None
+    for _ in range(4):
+        plant, readings = step(params, plant, BC)
+    vals = np.asarray(readings["pH_inlet"].value)
+    assert vals.shape == (6,)
+    finite = vals[np.isfinite(vals)]
+    assert len(finite) >= 5
+    assert np.all((finite > 4.0) & (finite < 10.0))
+    # per-plant RNG streams differ
+    assert np.std(finite) > 1e-4
