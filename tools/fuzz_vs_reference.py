@@ -68,6 +68,8 @@ def main():
     parser.add_argument("--configs", type=int, default=40)
     parser.add_argument("--steps", type=int, default=40)
     parser.add_argument("--dt", type=float, default=1.0)
+    parser.add_argument("--random-dt", action="store_true",
+                        help="sample dt per config from {0.1,0.5,1,2,5,10}")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -85,6 +87,9 @@ def main():
     for c_idx in range(args.configs):
         cfg = sample_config(rng)
         schedule = sample_schedule(rng, args.steps)
+        dt = (float(rng.choice([0.1, 0.5, 1.0, 2.0, 5.0, 10.0]))
+              if args.random_dt else args.dt)
+        args_dt = dt if args.random_dt else args.dt
         try:
             ref = RefCSTR(RefConfig(**cfg))
         except Exception as e:  # noqa: BLE001 — reference rejects some configs
@@ -96,15 +101,15 @@ def main():
         n = cfg["n_zones"]
         max_d = {"pH": 0.0, "Cl": 0.0, "T": 0.0}
         for i in range(args.steps):
-            rs = ref.step(args.dt, RefBC(**schedule[i]))
-            os_ = ours.step(args.dt, R.BoundaryConditions(**schedule[i]))
+            rs = ref.step(args_dt, RefBC(**schedule[i]))
+            os_ = ours.step(args_dt, R.BoundaryConditions(**schedule[i]))
             max_d["pH"] = max(max_d["pH"],
                               float(np.max(np.abs(np.asarray(os_.pH) - rs.pH))))
             max_d["Cl"] = max(max_d["Cl"], float(np.max(np.abs(
                 np.asarray(os_.chlorine) - rs.chlorine))))
             max_d["T"] = max(max_d["T"], float(np.max(np.abs(
                 np.asarray(os_.temperature) - rs.temperature))))
-        print(f"[{c_idx}] zones={n:2d} dt={args.dt} "
+        print(f"[{c_idx}] zones={n:2d} dt={args_dt} "
               f"|dpH|={max_d['pH']:.2e} |dCl|={max_d['Cl']:.2e} "
               f"|dT|={max_d['T']:.2e}")
         for key in worst:
