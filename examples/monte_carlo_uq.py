@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--with-sensors", action="store_true",
+                        help="quantify uncertainty over *measured* values "
+                             "(full instrument suites per plant) instead of "
+                             "true state — smaller ensembles, vmapped path")
     args = parser.parse_args()
 
     import jax
@@ -47,6 +51,42 @@ def main():
         ensemble_statistics, exceedance_probability)
 
     n_steps = int(args.hours * 3600 / args.dt)
+
+    if args.with_sensors:
+        from ics_wt_physicsengine_tpu.models.plant import (
+            make_plant_batch, plant_rollout_batched)
+
+        base = R.ReactorConfiguration(n_zones=20)
+        params, plant = make_plant_batch(base, args.plants, seed=args.seed,
+                                         dtype=jnp.float32)
+        bc = R.BoundaryConditions(
+            inlet_flow_rate=5.0, inlet_pH=7.4, inlet_chlorine=0.2,
+            chlorine_flow_rate=0.15, chlorine_concentration=50.0,
+            acid_flow_rate=0.05)
+        t0 = time.perf_counter()
+        fn = jax.jit(lambda p, s, b: plant_rollout_batched(
+            p, s, b, dt=args.dt, substeps=3, n_steps=n_steps))
+        plant, traj = fn(params, plant, bc)
+        cl = np.asarray(traj["chlorine_outlet"][-1])
+        np.asarray(plant.reactor.time)
+        wall = time.perf_counter() - t0
+        finite = cl[np.isfinite(cl)]
+        print(json.dumps({
+            "mode": "measured-values",
+            "plants": args.plants,
+            "simulated_hours": args.hours,
+            "wall_seconds_including_compile": round(wall, 2),
+            "measured_outlet_chlorine_mg_L": {
+                "p05": round(float(np.quantile(finite, 0.05)), 3),
+                "median": round(float(np.quantile(finite, 0.5)), 3),
+                "p95": round(float(np.quantile(finite, 0.95)), 3),
+            },
+            "sensor_dropout_fraction": round(
+                1.0 - len(finite) / len(cl), 4),
+            "backend": jax.default_backend(),
+        }, indent=2))
+        return
+
     base = R.ReactorConfiguration(n_zones=20)
     params, state = make_monte_carlo_batch(base, args.plants,
                                            seed=args.seed,

@@ -56,6 +56,8 @@ def make_monte_carlo_batch(base_config: R.ReactorConfiguration,
                            dtype=jnp.float32):
     """Sample ``n_plants`` configurations around ``base_config`` and assemble
     batched (params, state) pytrees with leading ``[n_plants]`` axes."""
+    if n_plants < 1:
+        raise ValueError(f"n_plants must be >= 1, got {n_plants}")
     if ranges is None:
         ranges = ParameterRanges()
     rng = np.random.default_rng(seed)

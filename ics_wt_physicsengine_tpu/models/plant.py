@@ -208,8 +208,10 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
     BASELINE configs 3 + 4 combined. Returns (params, state) pytrees with
     leading [n_plants] axes, consumable by ``plant_step_batched``."""
     from ics_wt_physicsengine_tpu.models.monte_carlo import (
-        ParameterRanges, make_monte_carlo_batch)
+        make_monte_carlo_batch)
 
+    if n_plants < 1:
+        raise ValueError(f"n_plants must be >= 1, got {n_plants}")
     if randomize:
         reactor_params, reactor_states = make_monte_carlo_batch(
             config, n_plants, seed=seed, dtype=dtype)
@@ -253,6 +255,21 @@ def plant_step_batched(params: PlantParams, plant: PlantState,
     return jax.vmap(
         lambda p, s: plant_step(p, s, boundary, dt, substeps),
         in_axes=(0, 0))(params, plant)
+
+
+def plant_rollout_batched(params: PlantParams, plant: PlantState,
+                          boundary: R.BoundaryConditions, dt: float,
+                          substeps: int, n_steps: int, record: bool = True):
+    """Scan plant_step_batched over n_steps: measured-value trajectories for
+    a whole Monte-Carlo ensemble in one jit (uncertainty quantification over
+    what the instruments would actually report, not the true state)."""
+
+    def body(p, _):
+        p, readings = plant_step_batched(params, p, boundary, dt, substeps)
+        out = ({k: v.value for k, v in readings.items()} if record else None)
+        return p, out
+
+    return jax.lax.scan(body, plant, None, length=n_steps)
 
 
 # ---------------------------------------------------------------------------
