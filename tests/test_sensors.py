@@ -313,3 +313,54 @@ def test_misc_api_parity():
     with pytest.raises(TypeError):
         SensorReading(timestamp="now", value=7.0, raw_value=7.0,
                       noise=0.0, drift=0.0)
+
+
+def test_aging_dynamics_over_days():
+    """Degradation states evolve at the reference's rates over simulated
+    days: pH membrane fouling (ph_sensor.py:182-214), DPD reagent decay
+    (chlorine_sensor.py:280-317), turbine bearing wear (flow_sensor.py:135-141)."""
+    state = MockState()
+
+    ph = pHSensor("pH", zone_index=0, seed=40)
+    ph.calibrate(7.0, 0.0)
+    dt, n = 600.0, 288                      # 2 simulated days
+    for i in range(n):
+        ph.read(state, 1801.0 + i * dt)
+    # base fouling rate 0.001/day (+ hardness scaling 100*1e-5 = 0.001/day)
+    assert 0.5 * 0.004 < ph.membrane_fouling < 2 * 0.004
+
+    from ics_wt_physicsengine_tpu.sensors import ChlorineSensorType
+    dpd = ChlorineSensor("dpd", zone_index=0,
+                         sensor_type=ChlorineSensorType.DPD_COLORIMETRIC,
+                         seed=41)
+    dpd.calibrate(2.0, 0.0)
+    for i in range(n):
+        dpd.read(state, 61.0 + i * dt)
+    # ~1%/day at 20 C storage + photo factor -> ~2% after 2 days
+    assert 0.95 < dpd.reagent_potency < 0.995
+
+    from ics_wt_physicsengine_tpu.sensors import FlowSensorType
+    vib = InstallationQuality(pipe_vibration_g=0.4)
+    turb = FlowSensor("turb", sensor_type=FlowSensorType.TURBINE,
+                      full_scale=10.0, installation=vib, seed=42)
+    turb.calibrate(5.0, 0.0)
+    for i in range(n):
+        turb.read(state, 11.0 + i * dt)
+    # wear accelerates 1 + 5*vibration = 3x -> ~6 wear-days in 2 days
+    assert 4.0 < float(turb.carry.bearing_wear_days) < 8.0
+
+
+def test_set_water_hardness_scales_fouling():
+    s_soft = pHSensor("soft", zone_index=0, seed=43)
+    s_soft.calibrate(7.0, 0.0)
+    s_soft.set_water_hardness(0.0)
+    s_hard = pHSensor("hard", zone_index=0, seed=43)
+    s_hard.calibrate(7.0, 0.0)
+    s_hard.set_water_hardness(1000.0)
+    with pytest.raises(ValueError):
+        s_hard.set_water_hardness(-1.0)
+    state = MockState()
+    for i in range(100):
+        s_soft.read(state, 1801.0 + i * 600.0)
+        s_hard.read(state, 1801.0 + i * 600.0)
+    assert s_hard.membrane_fouling > s_soft.membrane_fouling * 2
