@@ -97,7 +97,7 @@ def main():
     parser.add_argument("--iterations", type=int, default=120)
     parser.add_argument("--period", type=float, default=0.5,
                         help="controller period [wall seconds]")
-    parser.add_argument("--cl-setpoint", type=float, default=1.0)
+    parser.add_argument("--cl-setpoint", type=float, default=2.5)
     parser.add_argument("--ph-setpoint", type=float, default=7.0)
     parser.add_argument("--spawn", action="store_true",
                         help="spawn the simulator in-process (demo mode)")
@@ -107,10 +107,15 @@ def main():
     if args.spawn:
         import ics_wt_physicsengine_tpu.__main__ as orch
         orch.running = True
+        # Bounded real-time factor so the controller's wall-clock period
+        # matches a sensible number of simulation steps (free-running would
+        # race through days of simulated time — and of stochastic sensor
+        # mortality — between control actions).
         sim_thread = threading.Thread(
             target=orch.main,
             args=(["--port", str(args.port), "--host", args.host,
-                   "--dt", "30", "--rtf", "0", "--seed", "1"],),
+                   "--dt", "30", "--rtf", "300", "--seed", "1",
+                   "--recal-hours", "6"],),
             daemon=True)
         sim_thread.start()
         deadline = time.time() + 60
@@ -122,8 +127,15 @@ def main():
             except OSError:
                 time.sleep(0.5)
 
-    history = control_loop(args.host, args.port, args.iterations,
-                           args.period, args.cl_setpoint, args.ph_setpoint)
+    try:
+        history = control_loop(args.host, args.port, args.iterations,
+                               args.period, args.cl_setpoint,
+                               args.ph_setpoint)
+    except OSError as e:
+        raise SystemExit(
+            f"Could not reach the simulator at {args.host}:{args.port} "
+            f"({e}). Start one with `python -m ics_wt_physicsengine_tpu "
+            f"--port {args.port}` or pass --spawn.") from e
 
     final = history[-1]
     print(f"\nfinal: Cl_out={final[1]:.2f} mg/L (setpoint "
