@@ -66,7 +66,10 @@ def bench_single_plant(n_steps=200000, reps=3):
     return n_steps / elapsed
 
 
-def bench_batched(n_plants=4096, n_steps=200, reps=3):
+def bench_batched(n_plants=32768, n_steps=200, reps=3):
+    # 32768 plants is the measured throughput peak on a v5e chip (sweep:
+    # 4096 -> 27.6M, 8192 -> 36.8M, 16384 -> 43.9M, 32768 -> 48.1M,
+    # 65536 -> 39.1M plant-steps/s — past 32k the working set spills VMEM).
     base = R.ReactorConfiguration(n_zones=20)
     params, state = make_monte_carlo_batch(base, n_plants, seed=0,
                                            dtype=jnp.float32)
@@ -91,7 +94,7 @@ def main():
         "vs_baseline": round(single / BASELINE_STEPS_PER_S, 2),
         "extra": {
             "batched_plant_steps_per_sec": round(batched, 1),
-            "batched_n_plants": 4096,
+            "batched_n_plants": 32768,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -263,9 +263,18 @@ def make_initial_state(config: ReactorConfiguration,
 
 
 def derivatives(params: ReactorParams, pH, Cl, T,
-                boundary: BoundaryConditions):
+                boundary: BoundaryConditions,
+                inlet_mask=None, outlet_mask=None):
     """d(pH, Cl, T)/dt for ``[..., Z]`` zone arrays. Fully vectorized —
-    semantics match reference reactor.py:272-448 term by term."""
+    semantics match reference reactor.py:272-448 term by term.
+
+    ``inlet_mask``/``outlet_mask`` (optional, ``[..., Z]`` one-hot floats)
+    relocate the inlet/dosing source terms and the outlet sink away from the
+    array ends. The default (None) places them at zones 0 and Z-1 — the
+    canonical layout. The zone-sharded SPMD path (parallel/spatial.py) passes
+    masks because each device sees only a halo-padded slice of the domain, so
+    "zone 0" and "zone Z-1" are positions on specific shards, not array ends.
+    """
     k = params.chem
 
     # Robustness clamp: evaluate every term at in-domain values (no-op for
@@ -294,7 +303,14 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     # Dilution rate from the *boundary* inlet flow (reactor.py:336,362).
     q_per_v = (boundary.inlet_flow_rate / 60.0) / params.volume_L
 
-    mix = partial(transport_mod.apply_exchange, k_iface=k_iface, q_per_v=q_per_v)
+    if outlet_mask is None:
+        mix = partial(transport_mod.apply_exchange, k_iface=k_iface,
+                      q_per_v=q_per_v)
+    else:
+        def mix(x):  # outlet sink relocated onto the masked zone
+            return transport_mod.apply_exchange(x, k_iface=k_iface,
+                                                q_per_v=0.0) \
+                - align_trailing(q_per_v, x) * x * outlet_mask
 
     # --- pH dynamics (reactor.py:339-376) ---
     H = 10.0 ** (-pH)
@@ -307,15 +323,27 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     dH_dosing = (boundary.acid_flow_rate / 60.0) * boundary.acid_concentration \
         / params.zone_volume_L
     H_inlet = 10.0 ** (-boundary.inlet_pH)
-    dH_inlet = q_per_v * (H_inlet - H[..., 0])
-    dpH = dpH.at[..., 0].add(-(dH_dosing + dH_inlet) * inv_beta_ln10[..., 0])
+    dCl_dosing = (boundary.chlorine_flow_rate / 60.0) \
+        * boundary.chlorine_concentration / params.zone_volume_L
+
+    if inlet_mask is None:
+        dH_inlet = q_per_v * (H_inlet - H[..., 0])
+        dpH = dpH.at[..., 0].add(
+            -(dH_dosing + dH_inlet) * inv_beta_ln10[..., 0])
+    else:
+        qv = align_trailing(q_per_v, H)
+        dpH = dpH - align_trailing(dH_dosing, H) * inlet_mask \
+            * inv_beta_ln10 - qv * (H_inlet - H) * inlet_mask * inv_beta_ln10
 
     # --- chlorine dynamics (reactor.py:378-411) ---
     dCl = mix(Cl)
-    dCl_dosing = (boundary.chlorine_flow_rate / 60.0) \
-        * boundary.chlorine_concentration / params.zone_volume_L
-    dCl = dCl.at[..., 0].add(
-        dCl_dosing + q_per_v * (boundary.inlet_chlorine - Cl[..., 0]))
+    if inlet_mask is None:
+        dCl = dCl.at[..., 0].add(
+            dCl_dosing + q_per_v * (boundary.inlet_chlorine - Cl[..., 0]))
+    else:
+        dCl = dCl + align_trailing(dCl_dosing, Cl) * inlet_mask \
+            + align_trailing(q_per_v, Cl) * (boundary.inlet_chlorine - Cl) \
+            * inlet_mask
 
     k_base = thermo.arrhenius_rate(T, k_ref=params.cl_k_ref, e_a=params.cl_ea)
     ph_factor = chem.pH_dependent_chlorine_decay_factor(pH, k.Ka_HOCl)
@@ -323,8 +351,12 @@ def derivatives(params: ReactorParams, pH, Cl, T,
 
     # --- temperature dynamics (reactor.py:413-443) ---
     dT = mix(T)
-    dT = dT.at[..., 0].add(
-        q_per_v * (boundary.inlet_temperature - T[..., 0]))
+    if inlet_mask is None:
+        dT = dT.at[..., 0].add(
+            q_per_v * (boundary.inlet_temperature - T[..., 0]))
+    else:
+        dT = dT + align_trailing(q_per_v, T) \
+            * (boundary.inlet_temperature - T) * inlet_mask
     # Heat loss uses the TOTAL tank volume in the denominator, matching the
     # reference exactly (reactor.py:435-443).
     v_m3 = params.volume_L / 1000.0
@@ -372,13 +404,18 @@ def _enforce_bounds(pH, Cl, T):
 
 def step(params: ReactorParams, state: ReactorState,
          boundary: BoundaryConditions, dt: float,
-         substeps: int) -> ReactorState:
+         substeps: int, deriv_fn=None) -> ReactorState:
     """Advance the reactor by ``dt`` seconds (reference reactor.py:450-509).
 
-    ``dt`` and ``substeps`` must be static (Python) values.
+    ``dt`` and ``substeps`` must be static (Python) values. ``deriv_fn``
+    optionally replaces the derivative evaluation ``(pH, Cl, T) -> d/dt``
+    (the zone-sharded SPMD path injects a halo-exchanging variant).
     """
-    def f(y):
-        return derivatives(params, y[0], y[1], y[2], boundary)
+    if deriv_fn is None:
+        def f(y):
+            return derivatives(params, y[0], y[1], y[2], boundary)
+    else:
+        f = deriv_fn
 
     y = (state.pH, state.chlorine, state.temperature)
     pH, Cl, T = integrators.integrate_fixed(f, y, dt, substeps)

@@ -1,4 +1,5 @@
-"""Device-mesh sharding of plant batches (data-parallel over ICI) and
+"""Device-mesh sharding: plant batches (data-parallel over ICI),
+zone-axis spatial decomposition (halo exchange via ppermute), and
 cross-plant ensemble statistics."""
 
 from ics_wt_physicsengine_tpu.parallel.mesh import (  # noqa: F401
@@ -6,6 +7,12 @@ from ics_wt_physicsengine_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     sharded_rollout,
     sharded_step,
+)
+from ics_wt_physicsengine_tpu.parallel.spatial import (  # noqa: F401
+    make_zone_mesh,
+    shard_state_zones,
+    zone_sharded_rollout,
+    zone_sharded_step,
 )
 from ics_wt_physicsengine_tpu.parallel.statistics import (  # noqa: F401
     ensemble_statistics,

@@ -67,11 +67,13 @@ def test_graft_entry_single():
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
-    ph, cl_out = jax.jit(fn)(*args)
+    ph, cl_meas, ph_meas = jax.jit(fn)(*args)
     jax.block_until_ready(ph)
     assert ph.shape == (20,)
     assert np.all(np.isfinite(np.asarray(ph)))
-    assert np.isfinite(float(cl_out))
+    # instrument readings: finite (fresh warmed-up sensors) and in range
+    assert 0.0 < float(cl_meas) < 5.0
+    assert 4.0 < float(ph_meas) < 10.0
 
 
 def test_graft_entry_multichip():

@@ -1,0 +1,143 @@
+"""Zone-axis model parallelism: the halo-exchanged SPMD step must reproduce
+the single-device engine exactly (same floating-point operations per zone,
+just distributed), on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_wt_physicsengine_tpu.core import reactor as R
+from ics_wt_physicsengine_tpu.parallel import (
+    make_zone_mesh,
+    shard_state_zones,
+    zone_sharded_rollout,
+    zone_sharded_step,
+)
+
+BC = R.BoundaryConditions(
+    inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.4,
+    acid_flow_rate=0.2, chlorine_flow_rate=0.1,
+    inlet_temperature=26.0, ambient_temperature=10.0,
+    heat_loss_coefficient=50.0)
+
+
+def _stratified_state(cfg, dtype):
+    """Initial state with zone gradients so stratification suppression and
+    every stencil term are active."""
+    z = cfg.n_zones
+    s = R.make_initial_state(cfg, dtype=dtype)
+    s = R.ReactorState(
+        time=s.time,
+        pH=s.pH + np.linspace(0, 0.3, z).astype(dtype),
+        chlorine=s.chlorine + np.linspace(0, 0.5, z).astype(dtype),
+        temperature=s.temperature + np.linspace(0, 5.0, z).astype(dtype),
+        flow_rate=s.flow_rate)
+    return R._update_derived(s)
+
+
+@pytest.fixture(scope="module")
+def cfg16():
+    return R.ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=16,
+        flow_rate=5.0, initial_pH=7.2, initial_chlorine=2.0,
+        temperature=20.0)
+
+
+def test_zone_sharded_step_matches_single_device(cfg16):
+    params = R.make_params(cfg16, dtype=jnp.float64)
+    state0 = _stratified_state(cfg16, jnp.float64)
+
+    ref = state0
+    step1 = jax.jit(lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=4))
+    for _ in range(10):
+        ref = step1(params, ref, BC)
+
+    mesh = make_zone_mesh(8)
+    st = shard_state_zones(state0, mesh)
+    fn = zone_sharded_step(mesh, n_zones=16, dt=1.0, substeps=4)
+    for _ in range(10):
+        st = fn(params, st, BC)
+
+    # Same per-zone arithmetic, just distributed: bit-exact in f64.
+    np.testing.assert_array_equal(np.asarray(st.pH), np.asarray(ref.pH))
+    np.testing.assert_array_equal(np.asarray(st.chlorine),
+                                  np.asarray(ref.chlorine))
+    np.testing.assert_array_equal(np.asarray(st.temperature),
+                                  np.asarray(ref.temperature))
+
+
+def test_zone_sharded_rollout_matches_single_device(cfg16):
+    params = R.make_params(cfg16, dtype=jnp.float64)
+    state0 = _stratified_state(cfg16, jnp.float64)
+
+    ref, _ = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=1.0, substeps=4, n_steps=25, record=False))(
+            params, state0, BC)
+
+    mesh = make_zone_mesh(8)
+    roll = zone_sharded_rollout(mesh, n_zones=16, dt=1.0, substeps=4,
+                                n_steps=25)
+    st = roll(params, shard_state_zones(state0, mesh), BC)
+    np.testing.assert_array_equal(np.asarray(st.pH), np.asarray(ref.pH))
+    assert float(st.time) == pytest.approx(25.0)
+
+
+def test_zone_sharded_batched_plants(cfg16):
+    """[plants, zones] state with the zone axis sharded: broadcasting of the
+    masks and halos over the leading batch axis."""
+    params = R.make_params(cfg16, dtype=jnp.float64)
+    s1 = _stratified_state(cfg16, jnp.float64)
+    batch = R.ReactorState(
+        time=s1.time,
+        pH=jnp.stack([s1.pH, s1.pH + 0.2]),
+        chlorine=jnp.stack([s1.chlorine, s1.chlorine * 0.5]),
+        temperature=jnp.stack([s1.temperature, s1.temperature + 2.0]),
+        flow_rate=s1.flow_rate)
+    batch = R._update_derived(batch)
+
+    ref = jax.jit(lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=4))(
+        params, batch, BC)
+
+    mesh = make_zone_mesh(8)
+    fn = zone_sharded_step(mesh, n_zones=16, dt=1.0, substeps=4,
+                           state_ndim=2)
+    st = fn(params, shard_state_zones(batch, mesh), BC)
+    assert st.pH.shape == (2, 16)
+    np.testing.assert_array_equal(np.asarray(st.pH), np.asarray(ref.pH))
+
+
+def test_zone_count_must_divide_mesh(cfg16):
+    mesh = make_zone_mesh(8)
+    with pytest.raises(ValueError, match="not divisible"):
+        zone_sharded_step(mesh, n_zones=20, dt=1.0, substeps=2)
+
+
+def test_single_shard_degenerates_to_plain_step(cfg16):
+    """A 1-device zone mesh must also match (mirror-ghost edges only)."""
+    params = R.make_params(cfg16, dtype=jnp.float64)
+    state0 = _stratified_state(cfg16, jnp.float64)
+    ref = jax.jit(lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=2))(
+        params, state0, BC)
+    mesh = make_zone_mesh(1)
+    fn = zone_sharded_step(mesh, n_zones=16, dt=1.0, substeps=2)
+    st = fn(params, shard_state_zones(state0, mesh), BC)
+    np.testing.assert_array_equal(np.asarray(st.pH), np.asarray(ref.pH))
+
+
+def test_masked_derivatives_match_default_layout(cfg16):
+    """The mask formulation of derivatives (used by the sharded path) is
+    numerically identical to the canonical .at[0]/.at[-1] layout."""
+    params = R.make_params(cfg16, dtype=jnp.float64)
+    s = _stratified_state(cfg16, jnp.float64)
+    d_ref = R.derivatives(params, s.pH, s.chlorine, s.temperature, BC)
+
+    z = cfg16.n_zones
+    pos = jnp.arange(z)
+    inlet = (pos == 0).astype(jnp.float64)
+    outlet = (pos == z - 1).astype(jnp.float64)
+    d_mask = R.derivatives(params, s.pH, s.chlorine, s.temperature, BC,
+                           inlet_mask=inlet, outlet_mask=outlet)
+    for a, b in zip(d_ref, d_mask):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-15)
