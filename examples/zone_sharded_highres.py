@@ -1,0 +1,107 @@
+"""
+Spatial decomposition demo: one very-high-resolution plant split across a
+device mesh.
+
+A 256-zone contactor (cm-scale vertical resolution) is too tall for the
+reference engine's dense-matrix formulation to be pleasant, and on a pod a
+single core shouldn't own it anyway. Here the zone axis is sharded over every
+available device (real TPU chips, or virtual CPU devices under
+``--xla_force_host_platform_device_count``); each device owns a contiguous
+block of zones and exchanges one ghost zone per side per RK4 stage over
+nearest-neighbour links (``lax.ppermute``).
+
+Run on the host CPU with 8 virtual devices:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/zone_sharded_highres.py --cpu
+
+The zone-sharded trajectory is checked against the single-device engine at
+the end (bit-exact — same arithmetic, just distributed).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--zones", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--dt", type=float, default=1.0)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (virtual devices)")
+    args = parser.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import math
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ics_wt_physicsengine_tpu.core import reactor as R
+    from ics_wt_physicsengine_tpu.parallel import (
+        make_zone_mesh, shard_state_zones, zone_sharded_rollout)
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    while args.zones % n_dev:
+        n_dev -= 1
+    print(f"{len(devices)} device(s) visible; using {n_dev} "
+          f"({args.zones // n_dev} zones each)")
+
+    height = 4.0
+    volume = 2000.0
+    diameter = 2 * math.sqrt((volume / 1000) / (math.pi * height))
+    cfg = R.ReactorConfiguration(
+        volume=volume, height=height, diameter=diameter, n_zones=args.zones,
+        flow_rate=8.0, initial_pH=7.3, initial_chlorine=1.5,
+        temperature=18.0)
+    substeps = R.default_substeps(cfg, args.dt)
+    params = R.make_params(cfg, dtype=jnp.float32)
+    state = R.make_initial_state(cfg, dtype=jnp.float32)
+    # warm inflow over a cold tank: stratification active
+    state = R.ReactorState(
+        time=state.time, pH=state.pH, chlorine=state.chlorine,
+        temperature=state.temperature
+        + np.linspace(6.0, 0.0, args.zones, dtype=np.float32),
+        flow_rate=state.flow_rate)
+    state = R._update_derived(state)
+    bc = R.BoundaryConditions(
+        inlet_flow_rate=8.0, inlet_pH=7.6, inlet_chlorine=0.8,
+        inlet_temperature=24.0, ambient_temperature=8.0,
+        heat_loss_coefficient=120.0)
+
+    mesh = make_zone_mesh(n_dev)
+    roll = zone_sharded_rollout(mesh, n_zones=args.zones, dt=args.dt,
+                                substeps=substeps, n_steps=args.steps)
+    sharded = shard_state_zones(state, mesh)
+
+    out = roll(params, sharded, bc)       # compile + run
+    np.asarray(out.time)
+    t0 = time.perf_counter()
+    out = roll(params, out, bc)
+    np.asarray(out.time)
+    elapsed = time.perf_counter() - t0
+    print(f"{args.steps} steps x {args.zones} zones x {substeps} substeps: "
+          f"{elapsed:.3f}s ({args.steps / elapsed:,.0f} steps/s)")
+
+    ref, _ = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=args.dt, substeps=substeps, n_steps=2 * args.steps,
+        record=False))(params, state, bc)
+    err = float(jnp.max(jnp.abs(out.pH - ref.pH)))
+    print(f"max |pH(sharded) - pH(single-device)| = {err:.2e}")
+    print(f"outlet: pH={float(out.pH[-1]):.3f} "
+          f"Cl={float(out.chlorine[-1]):.3f} mg/L "
+          f"T={float(out.temperature[-1]):.2f} C")
+
+
+if __name__ == "__main__":
+    main()

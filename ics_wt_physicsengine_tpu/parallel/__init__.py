@@ -9,7 +9,10 @@ from ics_wt_physicsengine_tpu.parallel.mesh import (  # noqa: F401
     sharded_step,
 )
 from ics_wt_physicsengine_tpu.parallel.spatial import (  # noqa: F401
+    make_plant_zone_mesh,
     make_zone_mesh,
+    plant_zone_sharded_step,
+    shard_batch_zones,
     shard_state_zones,
     zone_sharded_rollout,
     zone_sharded_step,

@@ -146,6 +146,84 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
     return jax.jit(fn)
 
 
+def make_plant_zone_mesh(n_plant_shards: int, n_zone_shards: int,
+                         devices: Optional[Sequence] = None,
+                         plants_axis: str = "plants",
+                         zone_axis: str = ZONE_AXIS) -> Mesh:
+    """2-D mesh: data-parallel plants x spatially-decomposed zones.
+
+    The zone axis should map to the mesh's minor (fastest-wire) dimension on
+    real hardware so halo ppermutes ride nearest-neighbour ICI links while
+    the plant axis needs no steady-state traffic at all.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_plant_shards * n_zone_shards
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(n_plant_shards, n_zone_shards)
+    return Mesh(grid, (plants_axis, zone_axis))
+
+
+def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
+                            substeps: int, params_example,
+                            plants_axis: str = "plants",
+                            zone_axis: str = ZONE_AXIS):
+    """Jitted batched step over a 2-D (plants x zones) mesh: the leading
+    plant axis of every ``[n_plants]``-batched params/state leaf is sharded
+    over ``plants_axis``, the trailing zone axis over ``zone_axis``.
+
+    ``params_example`` supplies the params pytree structure (per-plant
+    leaves are rank >= 1; scalars replicate). Halo ppermutes run along the
+    zone axis only — each plant-row of the mesh exchanges ghosts
+    independently; the plant axis stays collective-free.
+    """
+    n_shards = mesh.shape[zone_axis]
+    if n_zones % n_shards:
+        raise ValueError(f"n_zones={n_zones} not divisible by "
+                         f"zone mesh size {n_shards}")
+    local_zones = n_zones // n_shards
+
+    param_specs = jax.tree_util.tree_map(
+        lambda x: P() if np.ndim(x) == 0 else P(plants_axis),
+        params_example)
+    zone = P(plants_axis, zone_axis)
+    state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
+                                temperature=zone, flow_rate=P(),
+                                H_concentration=zone, density=zone,
+                                chlorine_decay_rate=zone)
+
+    def local_step(params, state, boundary):
+        f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
+                            zone_axis, n_shards)
+        return R.step(params, state, boundary, dt=dt, substeps=substeps,
+                      deriv_fn=f)
+
+    fn = jax.shard_map(local_step, mesh=mesh,
+                       in_specs=(param_specs, state_spec, P()),
+                       out_specs=state_spec, check_vma=False)
+    return jax.jit(fn)
+
+
+def shard_batch_zones(tree, mesh: Mesh, plants_axis: str = "plants",
+                      zone_axis: str = ZONE_AXIS):
+    """Place a plant-batched pytree on a 2-D mesh: rank-0 leaves replicate,
+    rank-1 leaves (per-plant params) shard over plants, rank-2+ leaves
+    ([plants, ..., zones] state) shard plants x zones."""
+
+    def place(x):
+        nd = np.ndim(x)
+        if nd == 0:
+            spec = P()
+        elif nd == 1:
+            spec = P(plants_axis)
+        else:
+            spec = P(plants_axis, *([None] * (nd - 2)), zone_axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                          n_steps: int, state_ndim: int = 1,
                          axis_name: str = ZONE_AXIS):

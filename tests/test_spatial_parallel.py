@@ -141,3 +141,33 @@ def test_masked_derivatives_match_default_layout(cfg16):
     for a, b in zip(d_ref, d_mask):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-15)
+
+
+def test_plant_zone_2d_mesh(cfg16):
+    """Combined dp x sp: Monte-Carlo plant batch sharded over plants while
+    each plant's zone axis is split across the zone mesh dimension."""
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+    from ics_wt_physicsengine_tpu.parallel import (
+        make_plant_zone_mesh, plant_zone_sharded_step, shard_batch_zones)
+
+    params, state = make_monte_carlo_batch(cfg16, 4, seed=3,
+                                           dtype=jnp.float64)
+    ref = jax.jit(lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=4))(
+        params, state, BC)
+
+    mesh = make_plant_zone_mesh(2, 4)
+    fn = plant_zone_sharded_step(mesh, n_zones=16, dt=1.0, substeps=4,
+                                 params_example=params)
+    out = fn(shard_batch_zones(params, mesh), shard_batch_zones(state, mesh),
+             BC)
+    assert out.pH.shape == (4, 16)
+    np.testing.assert_array_equal(np.asarray(out.pH), np.asarray(ref.pH))
+    np.testing.assert_array_equal(np.asarray(out.chlorine),
+                                  np.asarray(ref.chlorine))
+
+
+def test_plant_zone_mesh_device_count():
+    from ics_wt_physicsengine_tpu.parallel import make_plant_zone_mesh
+    with pytest.raises(ValueError, match="need 16 devices"):
+        make_plant_zone_mesh(4, 4)
