@@ -404,12 +404,17 @@ def _enforce_bounds(pH, Cl, T):
 
 def step(params: ReactorParams, state: ReactorState,
          boundary: BoundaryConditions, dt: float,
-         substeps: int, deriv_fn=None) -> ReactorState:
+         substeps: int, deriv_fn=None,
+         stages: Optional[int] = None) -> ReactorState:
     """Advance the reactor by ``dt`` seconds (reference reactor.py:450-509).
 
     ``dt`` and ``substeps`` must be static (Python) values. ``deriv_fn``
     optionally replaces the derivative evaluation ``(pH, Cl, T) -> d/dt``
     (the zone-sharded SPMD path injects a halo-exchanging variant).
+    ``stages`` switches the integrator from RK4 to s-stage RKC2
+    (ops/integrators.py) — fewer sequential derivative evaluations for the
+    same stability span; accuracy-gated against the reference Radau
+    trajectories in tests/test_rkc.py.
     """
     if deriv_fn is None:
         def f(y):
@@ -418,7 +423,10 @@ def step(params: ReactorParams, state: ReactorState,
         f = deriv_fn
 
     y = (state.pH, state.chlorine, state.temperature)
-    pH, Cl, T = integrators.integrate_fixed(f, y, dt, substeps)
+    if stages is None:
+        pH, Cl, T = integrators.integrate_fixed(f, y, dt, substeps)
+    else:
+        pH, Cl, T = integrators.integrate_rkc(f, y, dt, substeps, stages)
     pH, Cl, T = _enforce_bounds(pH, Cl, T)
 
     total_flow = (boundary.inlet_flow_rate + boundary.acid_flow_rate
@@ -436,7 +444,8 @@ def step(params: ReactorParams, state: ReactorState,
 
 def rollout(params: ReactorParams, state: ReactorState,
             boundary: BoundaryConditions, dt: float, substeps: int,
-            n_steps: int, record: bool = True):
+            n_steps: int, record: bool = True,
+            stages: Optional[int] = None):
     """Scan ``step`` over ``n_steps`` inside one jit.
 
     Returns ``(final_state, trajectory)`` where trajectory stacks the primary
@@ -444,7 +453,7 @@ def rollout(params: ReactorParams, state: ReactorState,
     benchmarking).
     """
     def body(s, _):
-        s = step(params, s, boundary, dt, substeps)
+        s = step(params, s, boundary, dt, substeps, stages=stages)
         out = {"pH": s.pH, "chlorine": s.chlorine,
                "temperature": s.temperature} if record else None
         return s, out
@@ -470,6 +479,31 @@ def default_substeps(config: ReactorConfiguration, dt: float) -> int:
                                                   config.temperature)
     lambda_max = 4.0 * coeffs["k_exchange"] + coeffs["q_per_v"]
     return max(1, math.ceil(dt * lambda_max / 1.8 - 1e-9))
+
+
+def default_rkc_plan(config: ReactorConfiguration, dt: float,
+                     max_stages: int = 8, mode: str = "strict"):
+    """(substeps, stages) for the RKC2 integrator at this configuration's
+    stiffness — same spectral-radius estimate as ``default_substeps``, but
+    exploiting RKC2's ~0.65 s^2 stability span (ops/integrators.py).
+
+    ``mode="strict"`` holds the 1e-6 Radau-parity envelope; ``mode="fast"``
+    is stability-limited (ensemble-grade accuracy, fewest evaluations)."""
+    geometry = transport_mod.GeometryParameters(
+        volume=config.volume, height=config.height,
+        diameter=config.diameter, n_zones=config.n_zones)
+    flow = transport_mod.FlowParameters(
+        flow_rate=config.flow_rate, impeller_speed=config.impeller_speed,
+        impeller_diameter=config.impeller_diameter,
+        power_number=config.power_number)
+    coeffs = transport_mod.transport_coefficients(geometry, flow,
+                                                  config.temperature)
+    if mode not in ("strict", "fast"):
+        raise ValueError(f"mode must be 'strict' or 'fast', got {mode!r}")
+    lambda_max = 4.0 * coeffs["k_exchange"] + coeffs["q_per_v"]
+    return integrators.rkc_plan(
+        dt, lambda_max, max_stages=max_stages,
+        accuracy_span=1.5 if mode == "strict" else None)
 
 
 # ---------------------------------------------------------------------------
@@ -518,9 +552,17 @@ class IntegratedCSTR:
     """
 
     def __init__(self, config: ReactorConfiguration, dtype=None,
-                 substeps: Optional[int] = None):
+                 substeps: Optional[int] = None,
+                 integrator: str = "rk4"):
+        """``integrator``: "rk4" (default, 1e-6 Radau regression parity),
+        "rkc-strict" (~1.5x fewer sequential evals, <= 2e-6 pH), or
+        "rkc-fast" (stability-limited Chebyshev, ~3x fewer evals, <= 3e-6 pH
+        — ensemble/throughput grade; tests/test_rkc.py)."""
+        if integrator not in ("rk4", "rkc-strict", "rkc-fast"):
+            raise ValueError(f"Unknown integrator: {integrator!r}")
         config.validate()
         self.config = config
+        self.integrator = integrator
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") \
                 else jnp.float32
@@ -558,11 +600,11 @@ class IntegratedCSTR:
         self.params = make_params(config, dtype=dtype)
         self.state = make_initial_state(config, dtype=dtype)
 
-    def _jitted_step(self, dt: float, substeps: int):
-        key = (dt, substeps)
+    def _jitted_step(self, dt: float, substeps: int, stages):
+        key = (dt, substeps, stages)
         if key not in self._step_cache:
             self._step_cache[key] = jax.jit(
-                partial(step, dt=dt, substeps=substeps))
+                partial(step, dt=dt, substeps=substeps, stages=stages))
         return self._step_cache[key]
 
     def substeps_for(self, dt: float) -> int:
@@ -570,8 +612,21 @@ class IntegratedCSTR:
             return self._substeps_override
         return default_substeps(self.config, dt)
 
+    def _plan_for(self, dt: float):
+        """(substeps, stages) for the configured integrator; stages=None
+        selects RK4."""
+        if self.integrator == "rk4":
+            return self.substeps_for(dt), None
+        mode = "strict" if self.integrator == "rkc-strict" else "fast"
+        if self._substeps_override is not None:
+            m, s = self._substeps_override, 4
+        else:
+            m, s = default_rkc_plan(self.config, dt, mode=mode)
+        return m, s
+
     def step(self, dt: float, boundary: BoundaryConditions) -> ReactorState:
-        fn = self._jitted_step(float(dt), self.substeps_for(float(dt)))
+        m, s = self._plan_for(float(dt))
+        fn = self._jitted_step(float(dt), m, s)
         self.state = fn(self.params, self.state, boundary)
         return self.state
 
@@ -579,8 +634,9 @@ class IntegratedCSTR:
                 record: bool = True):
         """Run many steps in a single jitted scan (no reference counterpart —
         this is the TPU fast path)."""
+        m, s = self._plan_for(float(dt))
         fn = jax.jit(partial(
-            rollout, dt=float(dt), substeps=self.substeps_for(float(dt)),
+            rollout, dt=float(dt), substeps=m, stages=s,
             n_steps=int(n_steps), record=record))
         self.state, traj = fn(self.params, self.state, boundary)
         return self.state, traj
