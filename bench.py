@@ -63,7 +63,15 @@ def bench_single_plant(n_steps=200000, reps=3):
         p, s, b, dt=DT, substeps=substeps, n_steps=n_steps)
 
     elapsed = _timed_chained(fn, params, state, bc, reps)
-    return n_steps / elapsed
+
+    # Same kernel with the RKC2-fast integrator (1 substep x 3 Chebyshev
+    # stages covers the stiffness RK4 needs 3 x 4 stages for; accuracy
+    # <= 3e-6 pH vs Radau, tests/test_rkc.py). Measured 1.2M steps/s.
+    m, s = R.default_rkc_plan(config, DT, mode="fast")
+    fn_rkc = lambda p, st, b: rollout_fused(  # noqa: E731
+        p, st, b, dt=DT, substeps=m, stages=s, n_steps=n_steps)
+    elapsed_rkc = _timed_chained(fn_rkc, params, state, bc, reps)
+    return n_steps / elapsed, n_steps / elapsed_rkc
 
 
 def bench_batched(n_plants=32768, n_steps=200, reps=3):
@@ -95,7 +103,7 @@ def bench_batched(n_plants=32768, n_steps=200, reps=3):
 
 
 def main():
-    single = bench_single_plant()
+    single, single_rkc = bench_single_plant()
     batched, batched_rkc = bench_batched()
     print(json.dumps({
         "metric": "single-plant steps/sec (20 zones, dt=1s; == real-time factor)",
@@ -103,6 +111,9 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(single / BASELINE_STEPS_PER_S, 2),
         "extra": {
+            "single_plant_steps_per_sec_rkc_fast": round(single_rkc, 1),
+            "rkc_fast_vs_baseline": round(single_rkc / BASELINE_STEPS_PER_S,
+                                          2),
             "batched_plant_steps_per_sec": round(batched, 1),
             "batched_plant_steps_per_sec_rkc_fast": round(batched_rkc, 1),
             "batched_n_plants": 32768,

@@ -62,7 +62,7 @@ _NCOLS = len(_COLS)
 def _rollout_kernel(scal_ref, ph_ref, cl_ref, t_ref,
                     ph_out, cl_out, t_out,
                     *, n_zones: int, dt: float, substeps: int, n_steps: int,
-                    block_rows: int):
+                    block_rows: int, stages: int | None):
     lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 1)
     zone = lane % n_zones
     plants_per_row = _LANES // n_zones
@@ -189,9 +189,33 @@ def _rollout_kernel(scal_ref, ph_ref, cl_ref, t_ref,
         t = t + (h_step / 6.0) * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
         return ph, cl, t
 
+    def rkc(carry):
+        # s-stage RKC2 (ops/integrators.py::rkc2_step), stage recurrence
+        # unrolled at trace time; coefficients are Python floats so Mosaic
+        # folds them like RK4's weights.
+        from ics_wt_physicsengine_tpu.ops.integrators import (
+            _rkc2_coefficients)
+
+        mu1t, mu, nu, mut, gmt = _rkc2_coefficients(stages)
+        y0 = carry
+        f0 = deriv(*y0)
+        yjm2 = y0
+        yjm1 = tuple(a + float(mu1t) * h_step * b for a, b in zip(y0, f0))
+        for j in range(2, stages + 1):
+            fj = deriv(*yjm1)
+            c0 = 1.0 - float(mu[j]) - float(nu[j])
+            yj = tuple(
+                c0 * a0 + float(mu[j]) * a1 + float(nu[j]) * a2
+                + float(mut[j]) * h_step * fj_ + float(gmt[j]) * h_step * f0_
+                for a0, a1, a2, fj_, f0_ in zip(y0, yjm1, yjm2, fj, f0))
+            yjm2, yjm1 = yjm1, yj
+        return yjm1
+
+    stepper = rk4 if stages is None else rkc
+
     def step_body(_, carry):
         ph, cl, t = jax.lax.fori_loop(
-            0, substeps, lambda __, cy: rk4(cy), carry)
+            0, substeps, lambda __, cy: stepper(cy), carry)
         # end-of-step physical bounds (reference reactor.py:526-541)
         return (jnp.clip(ph, 0.0, 14.0), jnp.maximum(cl, 0.0),
                 jnp.clip(t, 0.0, 100.0))
@@ -267,6 +291,7 @@ def _pack_scalars(params: R.ReactorParams, boundary: R.BoundaryConditions,
 def rollout_fused(params: R.ReactorParams, state: R.ReactorState,
                   boundary: R.BoundaryConditions, *, dt: float,
                   substeps: int, n_steps: int,
+                  stages: int | None = None,
                   interpret: bool | None = None) -> R.ReactorState:
     """Advance ``n_steps`` of ``dt`` seconds in one Pallas kernel launch.
 
@@ -274,6 +299,8 @@ def rollout_fused(params: R.ReactorParams, state: R.ReactorState,
     ``[B]`` params); returns the final state with derived quantities updated,
     matching ``core.reactor.rollout(..., record=False)[0]``.
 
+    ``stages`` switches the in-kernel integrator from RK4 to s-stage RKC2
+    (same semantics as ``core.reactor.rollout(..., stages=...)``).
     ``interpret=None`` auto-selects: compiled Mosaic on TPU backends,
     interpreter elsewhere (Pallas has no compiled CPU lowering).
     """
@@ -281,15 +308,15 @@ def rollout_fused(params: R.ReactorParams, state: R.ReactorState,
         interpret = jax.default_backend() != "tpu"
     return _rollout_fused_jit(params, state, boundary, dt=dt,
                               substeps=substeps, n_steps=n_steps,
-                              interpret=interpret)
+                              stages=stages, interpret=interpret)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "substeps", "n_steps", "interpret"))
+    static_argnames=("dt", "substeps", "n_steps", "stages", "interpret"))
 def _rollout_fused_jit(params: R.ReactorParams, state: R.ReactorState,
                        boundary: R.BoundaryConditions, *, dt: float,
-                       substeps: int, n_steps: int,
+                       substeps: int, n_steps: int, stages: int | None,
                        interpret: bool) -> R.ReactorState:
     z = params.n_zones
     if z > _LANES:
@@ -328,7 +355,7 @@ def _rollout_fused_jit(params: R.ReactorParams, state: R.ReactorState,
 
     kernel = functools.partial(_rollout_kernel, n_zones=z, dt=dt,
                                substeps=substeps, n_steps=n_steps,
-                               block_rows=block_rows)
+                               block_rows=block_rows, stages=stages)
     ph_f, cl_f, t_f = pl.pallas_call(
         kernel,
         grid=grid,

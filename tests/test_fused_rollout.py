@@ -72,3 +72,26 @@ def test_fused_rejects_too_many_zones():
     with pytest.raises(ValueError):
         rollout_fused(params, state, BC, dt=1.0, substeps=1, n_steps=1,
                       interpret=True)
+
+
+@pytest.mark.parametrize("mode", ["strict", "fast"])
+def test_fused_rkc_matches_xla_rkc(mode):
+    """The in-kernel RKC2 stage recurrence must reproduce the XLA
+    integrate_rkc path (same scheme, same coefficients)."""
+    config = R.ReactorConfiguration(n_zones=20)
+    params = R.make_params(config, dtype=jnp.float64)
+    state = R.make_initial_state(config, dtype=jnp.float64)
+    m, s = R.default_rkc_plan(config, 1.0, mode=mode)
+
+    xla, _ = jax.jit(lambda p, st, b: R.rollout(
+        p, st, b, dt=1.0, substeps=m, stages=s, n_steps=50,
+        record=False))(params, state, BC)
+    fused = rollout_fused(params, state, BC, dt=1.0, substeps=m, stages=s,
+                          n_steps=50, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.pH), np.asarray(xla.pH),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fused.chlorine),
+                               np.asarray(xla.chlorine), rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fused.temperature),
+                               np.asarray(xla.temperature), rtol=0,
+                               atol=1e-10)
