@@ -33,6 +33,11 @@ def main():
                         help="quantify uncertainty over *measured* values "
                              "(full instrument suites per plant) instead of "
                              "true state — smaller ensembles, vmapped path")
+    parser.add_argument("--integrator", choices=["rk4", "rkc-fast"],
+                        default="rk4",
+                        help="rkc-fast: Chebyshev-stabilized integrator, "
+                             "~2.7x throughput at ensemble-grade accuracy "
+                             "(<=3e-6 pH vs Radau; tests/test_rkc.py)")
     args = parser.parse_args()
 
     import jax
@@ -51,6 +56,11 @@ def main():
         ensemble_statistics, exceedance_probability)
 
     n_steps = int(args.hours * 3600 / args.dt)
+    # substeps/stages for the stiffest sampled plant (90 rpm impeller)
+    if args.integrator == "rkc-fast":
+        substeps, stages = 1, 4
+    else:
+        substeps, stages = 3, None
 
     if args.with_sensors:
         from ics_wt_physicsengine_tpu.models.plant import (
@@ -65,7 +75,8 @@ def main():
             acid_flow_rate=0.05)
         t0 = time.perf_counter()
         fn = jax.jit(lambda p, s, b: plant_rollout_batched(
-            p, s, b, dt=args.dt, substeps=3, n_steps=n_steps))
+            p, s, b, dt=args.dt, substeps=substeps, stages=stages,
+            n_steps=n_steps))
         plant, traj = fn(params, plant, bc)
         cl = np.asarray(traj["chlorine_outlet"][-1])
         np.asarray(plant.reactor.time)
@@ -98,8 +109,8 @@ def main():
         acid_flow_rate=0.05)
 
     t0 = time.perf_counter()
-    final = rollout_fused(params, state, bc, dt=args.dt, substeps=3,
-                          n_steps=n_steps)
+    final = rollout_fused(params, state, bc, dt=args.dt, substeps=substeps,
+                          stages=stages, n_steps=n_steps)
     np.asarray(final.time)   # completion barrier (see bench.py note)
     wall = time.perf_counter() - t0   # includes one-time kernel compile
 

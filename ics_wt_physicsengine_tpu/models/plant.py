@@ -142,12 +142,14 @@ def _zone(arr, idx: int):
 
 
 def plant_step(params: PlantParams, plant: PlantState,
-               boundary: R.BoundaryConditions, dt: float, substeps: int
+               boundary: R.BoundaryConditions, dt: float, substeps: int,
+               stages=None
                ) -> Tuple[PlantState, Dict[str, SB.SensorOutput]]:
     """Advance physics by dt, then read all seven instruments — one pure
-    function, jittable and batchable."""
+    function, jittable and batchable. ``stages`` selects the RKC2
+    integrator for the physics (core/reactor.py::step)."""
     state = R.step(params.reactor, plant.reactor, boundary, dt=dt,
-                   substeps=substeps)
+                   substeps=substeps, stages=stages)
     t = state.time
 
     ph_in_c, ph_in = SP.ph_read(
@@ -189,11 +191,12 @@ def plant_step(params: PlantParams, plant: PlantState,
 
 def plant_rollout(params: PlantParams, plant: PlantState,
                   boundary: R.BoundaryConditions, dt: float, substeps: int,
-                  n_steps: int, record: bool = True):
+                  n_steps: int, record: bool = True, stages=None):
     """Scan plant_step over n_steps inside one jit: physics + instruments."""
 
     def body(p, _):
-        p, readings = plant_step(params, p, boundary, dt, substeps)
+        p, readings = plant_step(params, p, boundary, dt, substeps,
+                                 stages=stages)
         out = ({k: v.value for k, v in readings.items()} if record else None)
         return p, out
 
@@ -248,24 +251,26 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
 
 def plant_step_batched(params: PlantParams, plant: PlantState,
                        boundary: R.BoundaryConditions, dt: float,
-                       substeps: int):
+                       substeps: int, stages=None):
     """vmap of plant_step over the leading plant axis. (The physics is
     natively batched, but sensor PRNG keys must split per lane, so the
     integrated plant batches through vmap.)"""
     return jax.vmap(
-        lambda p, s: plant_step(p, s, boundary, dt, substeps),
+        lambda p, s: plant_step(p, s, boundary, dt, substeps, stages=stages),
         in_axes=(0, 0))(params, plant)
 
 
 def plant_rollout_batched(params: PlantParams, plant: PlantState,
                           boundary: R.BoundaryConditions, dt: float,
-                          substeps: int, n_steps: int, record: bool = True):
+                          substeps: int, n_steps: int, record: bool = True,
+                          stages=None):
     """Scan plant_step_batched over n_steps: measured-value trajectories for
     a whole Monte-Carlo ensemble in one jit (uncertainty quantification over
     what the instruments would actually report, not the true state)."""
 
     def body(p, _):
-        p, readings = plant_step_batched(params, p, boundary, dt, substeps)
+        p, readings = plant_step_batched(params, p, boundary, dt, substeps,
+                                         stages=stages)
         out = ({k: v.value for k, v in readings.items()} if record else None)
         return p, out
 

@@ -201,7 +201,13 @@ def rkc_plan(dt: float, lambda_max: float, max_stages: int = 8,
     envelope (tests/test_rkc.py). Pass ``None`` for the stability-limited
     fast mode (full ~0.65 s^2 span): ~2-4x fewer sequential evaluations,
     deviations up to ~2e-6 pH / 1e-4 mg/L Cl — far below instrument noise,
-    intended for Monte-Carlo ensemble workloads."""
+    intended for Monte-Carlo ensemble workloads.
+
+    Long-horizon behavior (1M-step TPU soaks): in the buffered operating
+    regime (pH 6-9) the RKC-vs-RK4 steady-state gap is <1e-6 pH. In
+    buffer-exhausted extremes (sustained net-acid dosing driving pH < 3,
+    outside the reference's validated domain) the 2nd-order fixed-point
+    offset grows to ~0.03 pH — both schemes remain stable and finite."""
     best = None
     for s in range(2, max_stages + 1):
         span = RKC_SAFETY * RKC_STABILITY_PER_S2 * s ** 2
