@@ -352,6 +352,13 @@ def main(argv=None):
                         help="Serve Modbus/TCP from the C++ data plane "
                              "(native/modbus_server.cpp) instead of the "
                              "Python asyncio server")
+    parser.add_argument("--integrator", type=str, default="rk4",
+                        choices=["rk4", "rkc-strict", "rkc-fast"],
+                        help="physics integrator (core/reactor.py): rk4 = "
+                             "1e-6 Radau-parity default; rkc-strict/rkc-fast "
+                             "= Chebyshev-stabilized, fewer sequential "
+                             "derivative evals per tick (tests/test_rkc.py "
+                             "accuracy envelopes)")
     parser.add_argument("--backend", type=str, default="cpu",
                         choices=["cpu", "tpu", "default"],
                         help="JAX backend for the serving loop. The HIL loop "
@@ -378,9 +385,11 @@ def main(argv=None):
         config = ReactorConfiguration(
             volume=1000.0, n_zones=args.zones, flow_rate=5.0,
             initial_pH=7.2, initial_chlorine=2.0, temperature=20.0)
-        reactor = IntegratedCSTR(config)
-        logger.info("Physics engine initialized (%d zones, substeps=%d)",
-                    args.zones, reactor.substeps_for(args.dt))
+        reactor = IntegratedCSTR(config, integrator=args.integrator)
+        _m, _s = reactor._plan_for(args.dt)
+        logger.info("Physics engine initialized (%d zones, %s: substeps=%d%s)",
+                    args.zones, args.integrator, _m,
+                    "" if _s is None else f" x {_s} stages")
     except Exception as e:  # noqa: BLE001
         logger.error("Physics engine initialization failed: %s",
                      type(e).__name__)
@@ -406,9 +415,9 @@ def main(argv=None):
 
             plant_params, fused_plant = make_plant(
                 config, seed=args.seed or 0, warmed_up=True)
+            _m, _s = reactor._plan_for(args.dt)
             fused_step = _jax.jit(_partial(
-                plant_step, dt=args.dt,
-                substeps=reactor.substeps_for(args.dt)))
+                plant_step, dt=args.dt, substeps=_m, stages=_s))
             sensors = {}
             logger.info("Fused sensor path enabled (single jitted "
                         "physics+instruments step per tick)")

@@ -117,7 +117,8 @@ def _local_deriv_fn(params, boundary, dtype, local_zones: int,
 
 
 def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
-                      state_ndim: int = 1, axis_name: str = ZONE_AXIS):
+                      state_ndim: int = 1, axis_name: str = ZONE_AXIS,
+                      stages=None):
     """Jitted single-dt step with the zone axis sharded over ``mesh``.
 
     ``n_zones`` must be divisible by the mesh size. ``state_ndim`` is the
@@ -138,7 +139,7 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
                             axis_name, n_shards)
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
-                      deriv_fn=f)
+                      deriv_fn=f, stages=stages)
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(P(), state_spec, P()),
@@ -168,7 +169,7 @@ def make_plant_zone_mesh(n_plant_shards: int, n_zone_shards: int,
 def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
                             substeps: int, params_example,
                             plants_axis: str = "plants",
-                            zone_axis: str = ZONE_AXIS):
+                            zone_axis: str = ZONE_AXIS, stages=None):
     """Jitted batched step over a 2-D (plants x zones) mesh: the leading
     plant axis of every ``[n_plants]``-batched params/state leaf is sharded
     over ``plants_axis``, the trailing zone axis over ``zone_axis``.
@@ -197,7 +198,7 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
                             zone_axis, n_shards)
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
-                      deriv_fn=f)
+                      deriv_fn=f, stages=stages)
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(param_specs, state_spec, P()),
@@ -226,7 +227,7 @@ def shard_batch_zones(tree, mesh: Mesh, plants_axis: str = "plants",
 
 def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                          n_steps: int, state_ndim: int = 1,
-                         axis_name: str = ZONE_AXIS):
+                         axis_name: str = ZONE_AXIS, stages=None):
     """Jitted n-step rollout (scan inside the shard_map, so the halo
     exchanges stay on-device for the whole trajectory)."""
     n_shards = mesh.shape[axis_name]
@@ -246,7 +247,7 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
 
         def body(s, _):
             return R.step(params, s, boundary, dt=dt, substeps=substeps,
-                          deriv_fn=f), None
+                          deriv_fn=f, stages=stages), None
 
         final, _ = jax.lax.scan(body, state, None, length=n_steps)
         return final

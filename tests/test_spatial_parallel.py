@@ -171,3 +171,28 @@ def test_plant_zone_mesh_device_count():
     from ics_wt_physicsengine_tpu.parallel import make_plant_zone_mesh
     with pytest.raises(ValueError, match="need 16 devices"):
         make_plant_zone_mesh(4, 4)
+
+
+def test_zone_sharded_rkc(cfg16):
+    """RKC2 through the halo-exchanged SPMD step: still bit-exact vs the
+    single-device RKC path (the stage recurrence adds no cross-shard
+    coupling beyond the same per-stage halo exchange)."""
+    params = R.make_params(cfg16, dtype=jnp.float64)
+    state0 = _stratified_state(cfg16, jnp.float64)
+    m, s = R.default_rkc_plan(cfg16, 1.0, mode="fast")
+
+    ref, _ = jax.jit(lambda p, st, b: R.rollout(
+        p, st, b, dt=1.0, substeps=m, stages=s, n_steps=20,
+        record=False))(params, state0, BC)
+
+    mesh = make_zone_mesh(8)
+    roll = zone_sharded_rollout(mesh, n_zones=16, dt=1.0, substeps=m,
+                                stages=s, n_steps=20)
+    out = roll(params, shard_state_zones(state0, mesh), BC)
+    # ULP-level only: XLA's fusion/FMA choices differ between the [2]-wide
+    # shard chunks and the [16]-wide single-device arrays in the RKC linear
+    # stage combination (RK4's simpler weighted sum fuses identically).
+    np.testing.assert_allclose(np.asarray(out.pH), np.asarray(ref.pH),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.chlorine),
+                               np.asarray(ref.chlorine), rtol=0, atol=1e-12)
