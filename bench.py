@@ -94,12 +94,17 @@ def bench_batched(n_plants=32768, n_steps=200, reps=3):
     # integrator, one substep x 4 stages covers the same stiffness as
     # 3 x 4 RK4 stages — ~2.7x fewer sequential evaluations. Ensemble-grade
     # accuracy (<= 3e-6 pH vs Radau, tests/test_rkc.py) — the right tool for
-    # exactly this Monte-Carlo workload.
+    # exactly this Monte-Carlo workload. Its lighter per-step footprint
+    # moves the batch-size peak up one notch (sweep: 16k -> 105M,
+    # 32k -> 133M, 64k -> 155M, 128k -> 66M), so it runs at 2x the batch.
+    params2, state2 = make_monte_carlo_batch(base, 2 * n_plants, seed=0,
+                                             dtype=jnp.float32)
     fn_rkc = jax.jit(lambda p, s, b: R.rollout(
         p, s, b, dt=DT, substeps=1, stages=4, n_steps=n_steps,
         record=False)[0])
-    elapsed_rkc = _timed_chained(fn_rkc, params, state, bc, reps)
-    return n_plants * n_steps / elapsed, n_plants * n_steps / elapsed_rkc
+    elapsed_rkc = _timed_chained(fn_rkc, params2, state2, bc, reps)
+    return (n_plants * n_steps / elapsed,
+            2 * n_plants * n_steps / elapsed_rkc)
 
 
 def main():
@@ -117,6 +122,7 @@ def main():
             "batched_plant_steps_per_sec": round(batched, 1),
             "batched_plant_steps_per_sec_rkc_fast": round(batched_rkc, 1),
             "batched_n_plants": 32768,
+            "batched_n_plants_rkc": 65536,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
