@@ -207,7 +207,15 @@ def rkc_plan(dt: float, lambda_max: float, max_stages: int = 8,
     regime (pH 6-9) the RKC-vs-RK4 steady-state gap is <1e-6 pH. In
     buffer-exhausted extremes (sustained net-acid dosing driving pH < 3,
     outside the reference's validated domain) the 2nd-order fixed-point
-    offset grows to ~0.03 pH — both schemes remain stable and finite."""
+    offset grows to ~0.03 pH — both schemes remain stable and finite.
+
+    Forcing sensitivity: the envelopes above hold for slowly-varying
+    boundary conditions. Under adversarial per-step square-wave forcing
+    (tools/fuzz_vs_reference.py --integrator rkc-strict, 40 configs), each
+    BC step re-excites the fast mixing transient and the worst case grows
+    to ~3e-5 pH / 2e-4 mg/L Cl — still two orders below instrument noise,
+    but use RK4 when regression-grade fidelity under fast-switching
+    control inputs matters."""
     best = None
     for s in range(2, max_stages + 1):
         span = RKC_SAFETY * RKC_STABILITY_PER_S2 * s ** 2

@@ -71,6 +71,10 @@ def main():
     parser.add_argument("--random-dt", action="store_true",
                         help="sample dt per config from {0.1,0.5,1,2,5,10}")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--integrator", choices=["rk4", "rkc-strict",
+                                                 "rkc-fast"], default="rk4",
+                        help="which of our integrators to fuzz against the "
+                             "reference Radau oracle")
     args = parser.parse_args()
 
     from wt_simulator.core.reactor import (
@@ -96,7 +100,8 @@ def main():
             print(f"[{c_idx}] reference rejected config "
                   f"({type(e).__name__}); skipped")
             continue
-        ours = R.IntegratedCSTR(R.ReactorConfiguration(**cfg))
+        ours = R.IntegratedCSTR(R.ReactorConfiguration(**cfg),
+                                integrator=args.integrator)
 
         n = cfg["n_zones"]
         max_d = {"pH": 0.0, "Cl": 0.0, "T": 0.0}
