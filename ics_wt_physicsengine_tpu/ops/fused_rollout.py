@@ -61,8 +61,10 @@ _NCOLS = len(_COLS)
 
 def _rollout_kernel(scal_ref, ph_ref, cl_ref, t_ref,
                     ph_out, cl_out, t_out,
+                    ph_traj=None, cl_traj=None, t_traj=None,
                     *, n_zones: int, dt: float, substeps: int, n_steps: int,
-                    block_rows: int, stages: int | None):
+                    block_rows: int, stages: int | None,
+                    record_every: int | None = None):
     lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 1)
     zone = lane % n_zones
     plants_per_row = _LANES // n_zones
@@ -213,12 +215,24 @@ def _rollout_kernel(scal_ref, ph_ref, cl_ref, t_ref,
 
     stepper = rk4 if stages is None else rkc
 
-    def step_body(_, carry):
+    def step_body(i, carry):
         ph, cl, t = jax.lax.fori_loop(
             0, substeps, lambda __, cy: stepper(cy), carry)
         # end-of-step physical bounds (reference reactor.py:526-541)
-        return (jnp.clip(ph, 0.0, 14.0), jnp.maximum(cl, 0.0),
-                jnp.clip(t, 0.0, 100.0))
+        ph = jnp.clip(ph, 0.0, 14.0)
+        cl = jnp.maximum(cl, 0.0)
+        t = jnp.clip(t, 0.0, 100.0)
+        if record_every is not None:
+            # Predicated VMEM store: one [rows, 128] tile per recorded
+            # variable every record_every-th step (trajectory time series
+            # without leaving the kernel).
+            @pl.when((i + 1) % record_every == 0)
+            def _store():
+                slot = (i + 1) // record_every - 1
+                ph_traj[slot] = ph
+                cl_traj[slot] = cl
+                t_traj[slot] = t
+        return ph, cl, t
 
     ph, cl, t = jax.lax.fori_loop(
         0, n_steps, step_body, (ph_ref[:], cl_ref[:], t_ref[:]))
@@ -292,7 +306,8 @@ def rollout_fused(params: R.ReactorParams, state: R.ReactorState,
                   boundary: R.BoundaryConditions, *, dt: float,
                   substeps: int, n_steps: int,
                   stages: int | None = None,
-                  interpret: bool | None = None) -> R.ReactorState:
+                  record_every: int | None = None,
+                  interpret: bool | None = None):
     """Advance ``n_steps`` of ``dt`` seconds in one Pallas kernel launch.
 
     Accepts a single plant (``[Z]`` state) or a batch (``[B, Z]`` state with
@@ -301,23 +316,36 @@ def rollout_fused(params: R.ReactorParams, state: R.ReactorState,
 
     ``stages`` switches the in-kernel integrator from RK4 to s-stage RKC2
     (same semantics as ``core.reactor.rollout(..., stages=...)``).
+    ``record_every=k`` additionally returns ``(final_state, traj)`` where
+    traj stacks pH/chlorine/temperature every k-th step ([n_steps // k,
+    ..., Z] arrays) — the whole time series is produced inside the one
+    kernel launch, so trajectory extraction runs at kernel speed instead of
+    the XLA scan path's per-step dispatch rate. The record buffer lives in
+    VMEM: keep (n_steps // k) * block_rows * 1.5 kB within ~100 MB (single
+    plants / small batches; large-batch trajectory UQ belongs on the XLA
+    ``core.reactor.rollout(record=True)`` path).
     ``interpret=None`` auto-selects: compiled Mosaic on TPU backends,
     interpreter elsewhere (Pallas has no compiled CPU lowering).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if record_every is not None and n_steps % record_every:
+        raise ValueError(f"n_steps={n_steps} must be a multiple of "
+                         f"record_every={record_every}")
     return _rollout_fused_jit(params, state, boundary, dt=dt,
                               substeps=substeps, n_steps=n_steps,
-                              stages=stages, interpret=interpret)
+                              stages=stages, record_every=record_every,
+                              interpret=interpret)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dt", "substeps", "n_steps", "stages", "interpret"))
+    static_argnames=("dt", "substeps", "n_steps", "stages", "record_every",
+                     "interpret"))
 def _rollout_fused_jit(params: R.ReactorParams, state: R.ReactorState,
                        boundary: R.BoundaryConditions, *, dt: float,
                        substeps: int, n_steps: int, stages: int | None,
-                       interpret: bool) -> R.ReactorState:
+                       record_every: int | None, interpret: bool):
     z = params.n_zones
     if z > _LANES:
         raise ValueError(f"fused rollout supports n_zones <= {_LANES}, "
@@ -355,16 +383,28 @@ def _rollout_fused_jit(params: R.ReactorParams, state: R.ReactorState,
 
     kernel = functools.partial(_rollout_kernel, n_zones=z, dt=dt,
                                substeps=substeps, n_steps=n_steps,
-                               block_rows=block_rows, stages=stages)
-    ph_f, cl_f, t_f = pl.pallas_call(
+                               block_rows=block_rows, stages=stages,
+                               record_every=record_every)
+    out_specs = [block, block, block]
+    out_shape = [jax.ShapeDtypeStruct((rows_padded, _LANES), dtype)
+                 for _ in range(3)]
+    if record_every is not None:
+        n_rec = n_steps // record_every
+        traj_block = pl.BlockSpec((n_rec, block_rows, _LANES),
+                                  lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
+        out_specs += [traj_block] * 3
+        out_shape += [jax.ShapeDtypeStruct((n_rec, rows_padded, _LANES),
+                                           dtype) for _ in range(3)]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[scal_block, block, block, block],
-        out_specs=(block, block, block),
-        out_shape=tuple(jax.ShapeDtypeStruct((rows_padded, _LANES), dtype)
-                        for _ in range(3)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(scal, ph_in, cl_in, t_in)
+    ph_f, cl_f, t_f = outs[:3]
 
     def unprep(x):
         x = _unpack_state(x, batch, z, plants_per_row)
@@ -380,4 +420,15 @@ def _rollout_fused_jit(params: R.ReactorParams, state: R.ReactorState,
         flow_rate=jnp.asarray(total_flow, dtype)
         + jnp.zeros_like(jnp.asarray(state.flow_rate)),
     )
-    return R._update_derived(new_state)
+    new_state = R._update_derived(new_state)
+    if record_every is None:
+        return new_state
+
+    def unprep_traj(x):
+        x = jax.vmap(
+            lambda r: _unpack_state(r, batch, z, plants_per_row))(x)
+        return x[:, 0] if single else x
+
+    traj = {"pH": unprep_traj(outs[3]), "chlorine": unprep_traj(outs[4]),
+            "temperature": unprep_traj(outs[5])}
+    return new_state, traj

@@ -95,3 +95,52 @@ def test_fused_rkc_matches_xla_rkc(mode):
     np.testing.assert_allclose(np.asarray(fused.temperature),
                                np.asarray(xla.temperature), rtol=0,
                                atol=1e-10)
+
+
+def test_fused_recorded_trajectory_matches_xla():
+    """record_every=k: in-kernel trajectory equals the XLA scan's recorded
+    trajectory subsampled at every k-th step, and the last record equals the
+    final state."""
+    config = R.ReactorConfiguration(n_zones=20)
+    params = R.make_params(config, dtype=jnp.float64)
+    state = R.make_initial_state(config, dtype=jnp.float64)
+
+    final, traj = rollout_fused(params, state, BC, dt=1.0, substeps=2,
+                                n_steps=40, record_every=4, interpret=True)
+    assert traj["pH"].shape == (10, 20)
+    ref_final, ref_traj = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=1.0, substeps=2, n_steps=40, record=True))(
+            params, state, BC)
+    for key in ("pH", "chlorine", "temperature"):
+        np.testing.assert_allclose(
+            np.asarray(traj[key]), np.asarray(ref_traj[key])[3::4],
+            rtol=0, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(traj["pH"][-1]),
+                                  np.asarray(final.pH))
+
+
+def test_fused_recorded_trajectory_batched():
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+
+    base = R.ReactorConfiguration(n_zones=5)
+    params, state = make_monte_carlo_batch(base, 7, seed=3,
+                                           dtype=jnp.float64)
+    final, traj = rollout_fused(params, state, BC, dt=1.0, substeps=4,
+                                n_steps=20, record_every=5, interpret=True)
+    assert traj["chlorine"].shape == (4, 7, 5)
+    _, ref_traj = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=1.0, substeps=4, n_steps=20, record=True))(
+            params, state, BC)
+    np.testing.assert_allclose(
+        np.asarray(traj["chlorine"]),
+        np.asarray(ref_traj["chlorine"])[4::5], rtol=0, atol=1e-10)
+
+
+def test_fused_record_every_must_divide():
+    config = R.ReactorConfiguration(n_zones=5)
+    params = R.make_params(config, dtype=jnp.float64)
+    state = R.make_initial_state(config, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="multiple of"):
+        rollout_fused(params, state, BC, dt=1.0, substeps=1, n_steps=10,
+                      record_every=3, interpret=True)
