@@ -5,7 +5,6 @@ and the driver entry points."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ics_wt_physicsengine_tpu.core import reactor as R
 from ics_wt_physicsengine_tpu.models.monte_carlo import make_monte_carlo_batch

@@ -4,7 +4,6 @@ step/scan (BASELINE config 3)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ics_wt_physicsengine_tpu.core import BoundaryConditions, ReactorConfiguration
 from ics_wt_physicsengine_tpu.models import (
@@ -63,7 +62,6 @@ def test_named_configs():
 def test_plant_rollout_matches_stepping():
     params, plant = make_plant(ReactorConfiguration(), seed=3,
                                dtype=jnp.float64)
-    import copy
     step = jax.jit(lambda p, s, b: plant_step(p, s, b, dt=1.0, substeps=1))
     p1 = plant
     vals_step = []

@@ -306,7 +306,7 @@ def test_misc_api_parity():
     with pytest.raises(ValueError):
         pHSensor("", zone_index=0)
 
-    from ics_wt_physicsengine_tpu.sensors import SensorReading, SensorStatus
+    from ics_wt_physicsengine_tpu.sensors import SensorReading
     with pytest.raises(ValueError):
         SensorReading(timestamp=-1.0, value=7.0, raw_value=7.0,
                       noise=0.0, drift=0.0)
