@@ -47,6 +47,8 @@ from ics_wt_physicsengine_tpu.core.reactor import (  # noqa: F401
     make_initial_state,
     make_params,
     rollout,
+    rollout_scheduled,
+    stack_boundary_schedule,
     step,
     validate_integrated_reactor,
 )

@@ -461,6 +461,49 @@ def rollout(params: ReactorParams, state: ReactorState,
     return jax.lax.scan(body, state, None, length=n_steps)
 
 
+def rollout_scheduled(params: ReactorParams, state: ReactorState,
+                      schedule: BoundaryConditions, dt: float,
+                      substeps: int, record: bool = True,
+                      stages: Optional[int] = None):
+    """Scan ``step`` over a time-varying boundary-condition *schedule* inside
+    one jit — dosing profiles, diurnal temperature swings, demand curves.
+
+    ``schedule`` is a BoundaryConditions pytree whose leaves carry a leading
+    time axis ``[n_steps]`` (per-step forcing; the reference drives this by
+    mutating BCs between ``step()`` calls, run_simulation.py HIL loop —
+    here the whole schedule is device-resident data consumed by the scan).
+    Scalar leaves (e.g. untouched defaults) broadcast over time; array
+    leaves must agree on ``n_steps``. Returns ``(final_state, trajectory)``
+    like ``rollout``.
+    """
+    lengths = {int(x.shape[0]) for x in jax.tree_util.tree_leaves(schedule)
+               if jnp.ndim(x) >= 1}
+    if not lengths:
+        raise ValueError("schedule has no [n_steps] leaves; use rollout() "
+                         "for constant boundary conditions")
+    if len(lengths) > 1:
+        raise ValueError(f"schedule leaves disagree on n_steps: {lengths}")
+    n_steps = lengths.pop()
+    schedule = jax.tree_util.tree_map(
+        lambda x: (jnp.broadcast_to(jnp.asarray(x), (n_steps,))
+                   if jnp.ndim(x) == 0 else x), schedule)
+
+    def body(s, bc):
+        s = step(params, s, bc, dt, substeps, stages=stages)
+        out = {"pH": s.pH, "chlorine": s.chlorine,
+               "temperature": s.temperature} if record else None
+        return s, out
+
+    return jax.lax.scan(body, state, schedule, length=n_steps)
+
+
+def stack_boundary_schedule(boundaries) -> BoundaryConditions:
+    """Stack a Python sequence of BoundaryConditions into the [n_steps]-leaf
+    pytree ``rollout_scheduled`` consumes (host-side convenience)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *boundaries)
+
+
 def default_substeps(config: ReactorConfiguration, dt: float) -> int:
     """Substep policy: the stiffest linear rate is the exchange operator
     (spectral radius < 4 k_exchange) plus dilution; target lambda*h <= 1.8

@@ -220,3 +220,55 @@ def test_exchange_conservation_random_configs():
         row_sums = model.K_matrix.sum(axis=1)
         assert np.all(np.abs(row_sums[:-1]) < 1e-12)
         assert abs(row_sums[-1] + model.q_per_v) < 1e-12
+
+
+def test_rollout_scheduled_matches_stepping():
+    """A time-varying BC schedule scanned in one jit must equal manual
+    per-step calls with the same forcing sequence."""
+    import numpy as np
+
+    from ics_wt_physicsengine_tpu.core.reactor import (
+        BoundaryConditions, ReactorConfiguration, make_initial_state,
+        make_params, rollout_scheduled, stack_boundary_schedule, step)
+
+    cfg = ReactorConfiguration(n_zones=8)
+    params = make_params(cfg, dtype=jnp.float64)
+    state0 = make_initial_state(cfg, dtype=jnp.float64)
+
+    bcs = [BoundaryConditions(inlet_flow_rate=5.0 + i % 3,
+                              acid_flow_rate=0.1 * (i % 2),
+                              inlet_pH=7.2 + 0.1 * (i % 4),
+                              inlet_temperature=18.0 + i)
+           for i in range(12)]
+
+    s_manual = state0
+    fn = jax.jit(lambda p, s, b: step(p, s, b, dt=1.0, substeps=2))
+    for bc in bcs:
+        s_manual = fn(params, s_manual, bc)
+
+    schedule = stack_boundary_schedule(bcs)
+    final, traj = jax.jit(lambda p, s, sch: rollout_scheduled(
+        p, s, sch, dt=1.0, substeps=2))(params, state0, schedule)
+    np.testing.assert_array_equal(np.asarray(final.pH),
+                                  np.asarray(s_manual.pH))
+    assert traj["pH"].shape == (12, 8)
+    np.testing.assert_array_equal(np.asarray(traj["pH"][-1]),
+                                  np.asarray(final.pH))
+
+
+def test_rollout_scheduled_rkc():
+    import numpy as np
+
+    from ics_wt_physicsengine_tpu.core.reactor import (
+        BoundaryConditions, ReactorConfiguration, make_initial_state,
+        make_params, rollout_scheduled, stack_boundary_schedule)
+
+    cfg = ReactorConfiguration(n_zones=8)
+    params = make_params(cfg, dtype=jnp.float64)
+    state0 = make_initial_state(cfg, dtype=jnp.float64)
+    schedule = stack_boundary_schedule(
+        [BoundaryConditions(inlet_flow_rate=4.0 + i) for i in range(5)])
+    final, traj = rollout_scheduled(params, state0, schedule, dt=1.0,
+                                    substeps=1, stages=3, record=False)
+    assert traj is None
+    assert np.all(np.isfinite(np.asarray(final.pH)))
