@@ -46,4 +46,6 @@ from ics_wt_physicsengine_tpu.core import (  # noqa: F401
     FlowParameters,
     SpatialModel,
     StratificationParameters,
+    rollout_scheduled,
+    stack_boundary_schedule,
 )

@@ -17,6 +17,7 @@ from ics_wt_physicsengine_tpu.models.plant import (  # noqa: F401
     make_plant_batch,
     plant_rollout,
     plant_rollout_batched,
+    plant_rollout_scheduled,
     plant_step,
     plant_step_batched,
 )

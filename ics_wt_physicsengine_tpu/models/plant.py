@@ -203,6 +203,36 @@ def plant_rollout(params: PlantParams, plant: PlantState,
     return jax.lax.scan(body, plant, None, length=n_steps)
 
 
+def plant_rollout_scheduled(params: PlantParams, plant: PlantState,
+                            schedule: R.BoundaryConditions, dt: float,
+                            substeps: int, record: bool = True,
+                            stages=None):
+    """Scan plant_step over a time-varying boundary schedule (see
+    core.reactor.rollout_scheduled): physics + all seven instruments under
+    scripted forcing — e.g. measured-value response to a dosing program
+    without a live control loop."""
+    import jax.numpy as jnp
+
+    lengths = {int(x.shape[0]) for x in jax.tree_util.tree_leaves(schedule)
+               if jnp.ndim(x) >= 1}
+    if not lengths:
+        raise ValueError("schedule has no [n_steps] leaves; use "
+                         "plant_rollout() for constant boundary conditions")
+    if len(lengths) > 1:
+        raise ValueError(f"schedule leaves disagree on n_steps: {lengths}")
+    n_steps = lengths.pop()
+    schedule = jax.tree_util.tree_map(
+        lambda x: (jnp.broadcast_to(jnp.asarray(x), (n_steps,))
+                   if jnp.ndim(x) == 0 else x), schedule)
+
+    def body(p, bc):
+        p, readings = plant_step(params, p, bc, dt, substeps, stages=stages)
+        out = ({k: v.value for k, v in readings.items()} if record else None)
+        return p, out
+
+    return jax.lax.scan(body, plant, schedule, length=n_steps)
+
+
 def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
                      seed: int = 0, dtype=jnp.float32,
                      randomize: bool = True, warmed_up: bool = True):
