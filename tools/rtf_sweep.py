@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_point(rtf: float, n_steps: int, dt: float, native: bool,
-              seed: int = 0):
+              seed: int = 0, integrator: str = "rk4"):
     import jax
     from ics_wt_physicsengine_tpu.core import (
         BoundaryConditions, IntegratedCSTR, ReactorConfiguration)
@@ -29,7 +29,7 @@ def run_point(rtf: float, n_steps: int, dt: float, native: bool,
     import ics_wt_physicsengine_tpu.__main__ as orch
 
     config = ReactorConfiguration()
-    reactor = IntegratedCSTR(config)
+    reactor = IntegratedCSTR(config, integrator=integrator)
     sensors = create_realistic_sensor_suite(config, seed=seed)
     for name, s in sensors.items():
         ref = {"pH": 7.0, "ch": 2.0, "fl": 5.0, "te": 20.0}[name[:2]]
@@ -76,6 +76,8 @@ def main():
     parser.add_argument("--native", action="store_true")
     parser.add_argument("--rtfs", type=float, nargs="*",
                         default=[1.0, 10.0, 100.0, 0.0])
+    parser.add_argument("--integrator", choices=["rk4", "rkc-strict",
+                                                 "rkc-fast"], default="rk4")
     args = parser.parse_args()
 
     import jax
@@ -84,13 +86,15 @@ def main():
                       os.path.join(os.path.dirname(__file__), "..",
                                    ".jax_cache"))
 
-    results = [run_point(rtf, args.steps, args.dt, args.native, seed=i)
+    results = [run_point(rtf, args.steps, args.dt, args.native, seed=i,
+                         integrator=args.integrator)
                for i, rtf in enumerate(args.rtfs)]
     print(json.dumps({
         "sweep": results,
         "dt": args.dt,
         "steps_per_point": args.steps,
         "modbus": "native" if args.native else "python",
+        "integrator": args.integrator,
     }, indent=2))
 
 
