@@ -89,24 +89,40 @@ class ReactorConfiguration:
     def validate(self) -> None:
         """Configuration consistency (reference reactor.py:91-110; the bare
         asserts there are replaced by explicit raises, per the project's own
-        'no asserts in production' rule, reference README.md:468)."""
-        calculated_volume = math.pi * (self.diameter / 2) ** 2 * self.height * 1000
-        volume_error = abs(calculated_volume - self.volume) / self.volume
-        if volume_error > 0.01:
+        'no asserts in production' rule, reference README.md:468).
+
+        Fields may be NumPy arrays (a Monte-Carlo batch of configurations,
+        models/monte_carlo.py) — every check is elementwise over the batch.
+        """
+        import numpy as np
+
+        def ok(cond) -> bool:
+            return bool(np.all(cond))
+
+        calculated_volume = math.pi * (np.asarray(self.diameter) / 2) ** 2 \
+            * np.asarray(self.height) * 1000
+        volume_error = np.abs(calculated_volume - self.volume) / np.asarray(
+            self.volume)
+        if not ok(volume_error <= 0.01):
             raise ValueError(
                 f"Volume mismatch: specified {self.volume}L, calculated "
-                f"{calculated_volume:.1f}L from geometry. "
-                f"Error: {volume_error * 100:.1f}%"
+                f"{calculated_volume}L from geometry. "
+                f"Max error: {float(np.max(volume_error)) * 100:.1f}%"
             )
-        if not 0 < self.volume < 1e6:
+        v = np.asarray(self.volume)
+        if not ok((0 < v) & (v < 1e6)):
             raise ValueError("Volume out of range")
-        if not 0 <= self.flow_rate < 1e5:
+        q = np.asarray(self.flow_rate)
+        if not ok((0 <= q) & (q < 1e5)):
             raise ValueError("Flow rate out of range (use 0 for batch mode)")
-        if not 0 <= self.initial_pH <= 14:
+        ph = np.asarray(self.initial_pH)
+        if not ok((0 <= ph) & (ph <= 14)):
             raise ValueError("pH out of range")
-        if not 0 <= self.initial_chlorine <= 10:
+        cl = np.asarray(self.initial_chlorine)
+        if not ok((0 <= cl) & (cl <= 10)):
             raise ValueError("Chlorine out of range")
-        if not 0 <= self.temperature <= 40:
+        t = np.asarray(self.temperature)
+        if not ok((0 <= t) & (t <= 40)):
             raise ValueError("Temperature out of typical range")
 
 
@@ -241,18 +257,24 @@ def make_initial_state(config: ReactorConfiguration,
     """Initial state from configuration (reference reactor.py:217-222).
 
     Built host-side in NumPy (cheap); becomes device arrays on first jit call.
+    Array-valued config fields (a Monte-Carlo batch, models/monte_carlo.py)
+    produce ``[B, n_zones]`` state leaves.
     """
     z = config.n_zones
 
     def full(v):
-        return np.full((z,), v, dtype)
+        v = np.asarray(v, dtype)
+        return np.broadcast_to(v[..., None], v.shape + (z,)).copy()
 
+    batch = np.shape(np.asarray(config.initial_pH))
     state = ReactorState(
-        time=np.asarray(0.0, dtype),
+        time=np.zeros(batch, dtype) if batch else np.asarray(0.0, dtype),
         pH=full(config.initial_pH),
         chlorine=full(config.initial_chlorine),
         temperature=full(config.temperature),
-        flow_rate=np.asarray(config.flow_rate, dtype),
+        flow_rate=np.broadcast_to(
+            np.asarray(config.flow_rate, dtype), batch).copy()
+        if batch else np.asarray(config.flow_rate, dtype),
     )
     return _update_derived(state)
 

@@ -122,7 +122,9 @@ def transport_coefficients(geometry: GeometryParameters, flow: FlowParameters,
     re = n_rps * d_imp ** 2 / c.WATER_KINEMATIC_VISCOSITY
 
     d_turbulent = c.D_TURB_COEFF * n_rps * d_imp ** 2
-    d_molecular = float(thermo.diffusion_coefficient(temperature))
+    # np scalar for scalar inputs, [B] array for batched configurations
+    # (models/monte_carlo.py) — all downstream math is elementwise.
+    d_molecular = np.asarray(thermo.diffusion_coefficient(temperature))
     d_effective = d_turbulent + d_molecular
 
     mixing_time_s = (
@@ -138,9 +140,14 @@ def transport_coefficients(geometry: GeometryParameters, flow: FlowParameters,
         d_effective * geometry.cross_sectional_area / geometry.zone_height
     ) / (geometry.zone_volume / 1000.0)
 
-    residence_time = (
-        geometry.volume / flow.flow_rate if flow.flow_rate > 0 else None
-    )
+    if np.ndim(flow.flow_rate) == 0:
+        residence_time = (
+            geometry.volume / flow.flow_rate if flow.flow_rate > 0 else None
+        )
+    else:  # batched configs: inf marks batch mode instead of None
+        q = np.asarray(flow.flow_rate)
+        residence_time = np.where(q > 0, np.asarray(geometry.volume)
+                                  / np.where(q > 0, q, 1.0), np.inf)
 
     return {
         "residence_time": residence_time,               # [min] or None (batch)

@@ -55,7 +55,17 @@ def make_monte_carlo_batch(base_config: R.ReactorConfiguration,
                            ranges: ParameterRanges | None = None,
                            dtype=jnp.float32):
     """Sample ``n_plants`` configurations around ``base_config`` and assemble
-    batched (params, state) pytrees with leading ``[n_plants]`` axes."""
+    batched (params, state) pytrees with leading ``[n_plants]`` axes.
+
+    Fully vectorized and host-pure: one array-valued configuration flows
+    through ``make_params``/``make_initial_state`` once (their float64 NumPy
+    math is elementwise, so this is leaf-for-leaf identical to building each
+    plant separately and stacking — tests/test_parallel.py asserts it), and
+    every returned leaf is a NumPy array. No per-plant Python loop (65,536
+    plants assemble in milliseconds on this 1-core host) and no device
+    commit — callers choose placement (``parallel.shard_batch`` puts leaves
+    onto the mesh; jit arguments land on the default device).
+    """
     if n_plants < 1:
         raise ValueError(f"n_plants must be >= 1, got {n_plants}")
     if ranges is None:
@@ -68,20 +78,31 @@ def make_monte_carlo_batch(base_config: R.ReactorConfiguration,
         ratio = rng.uniform(*ranges.alkalinity_ratio, n_plants)
         samples["alkalinity"] = ratio * 50.0 * samples["total_carbonate"]
 
-    params_list, state_list = [], []
-    for i in range(n_plants):
-        kwargs = {name: float(vals[i]) for name, vals in samples.items()}
-        config = R.ReactorConfiguration(
-            **{**base_config.__dict__, **kwargs})
-        params_list.append(R.make_params(config, dtype=dtype))
-        state_list.append(R.make_initial_state(config, dtype=dtype))
+    # One configuration whose numeric fields are all [n_plants] float64
+    # arrays (sampled where ranged, broadcast base values elsewhere) —
+    # derived parameter/state leaves then come out batched automatically.
+    fields = dict(base_config.__dict__)
+    for name, value in fields.items():
+        if name in samples:
+            fields[name] = samples[name]
+        elif isinstance(value, float):
+            fields[name] = np.full(n_plants, value, np.float64)
+    config = R.ReactorConfiguration(**fields)
 
-    def stack(*leaves):
-        first = leaves[0]
-        if isinstance(first, int):          # static n_zones
-            return first
-        return jnp.asarray(np.stack(leaves))
+    params = R.make_params(config, dtype=dtype)
+    state = R.make_initial_state(config, dtype=dtype)
 
-    params = jax.tree_util.tree_map(stack, *params_list)
-    state = jax.tree_util.tree_map(stack, *state_list)
+    # Leaves that depend only on constants are still scalars — broadcast so
+    # every non-static leaf carries the [n_plants] axis (shard_batch shards
+    # the leading axis of every array leaf).
+    def batched(x):
+        if isinstance(x, int):              # static n_zones
+            return x
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return np.broadcast_to(x, (n_plants,)).copy()
+        return x
+
+    params = jax.tree_util.tree_map(batched, params)
+    state = jax.tree_util.tree_map(batched, state)
     return params, state

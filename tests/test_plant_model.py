@@ -145,3 +145,44 @@ def test_plant_rollout_scheduled():
     # chlorine analyzer sits: its reading must rise well above both the
     # decay trend and sensor noise within the next minute
     assert second[-10:].mean() > first[-10:].mean() + 0.2
+
+
+def test_plant_batch_matches_loop_construction():
+    """Vectorized make_plant_batch is leaf-for-leaf identical to building
+    each plant separately (distinct PRNG seeds) and stacking — guards the
+    broadcast + wrap_key_data construction."""
+    import numpy as np
+    from dataclasses import replace as dcr
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+    from ics_wt_physicsengine_tpu.models.plant import (
+        make_plant, make_plant_batch)
+
+    cfg = ReactorConfiguration(n_zones=4)
+    n = 5
+    params, state = make_plant_batch(cfg, n, seed=2, dtype=jnp.float32)
+
+    plants = [make_plant(cfg, seed=2 * 100003 + i, dtype=jnp.float32)
+              for i in range(n)]
+
+    def stack(*leaves):
+        if isinstance(leaves[0], int):
+            return leaves[0]
+        return jnp.stack([jnp.asarray(v) for v in leaves])
+
+    p_oracle = jax.tree_util.tree_map(stack, *[p for p, _ in plants])
+    s_oracle = jax.tree_util.tree_map(stack, *[s for _, s in plants])
+    rp, rs = make_monte_carlo_batch(cfg, n, seed=2, dtype=jnp.float32)
+    p_oracle = dcr(p_oracle, reactor=rp)
+    s_oracle = dcr(s_oracle, reactor=rs)
+
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path((params, state)),
+            jax.tree_util.tree_leaves_with_path((p_oracle, s_oracle))):
+        if hasattr(a, "dtype") and jax.dtypes.issubdtype(
+                a.dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        a, b = np.asarray(a), np.asarray(b)
+        eq = (np.array_equal(a, b, equal_nan=True) if a.dtype.kind == "f"
+              else np.array_equal(a, b))
+        assert eq, path
