@@ -634,6 +634,7 @@ class IntegratedCSTR:
         self._dtype = dtype
         self._substeps_override = substeps
         self._step_cache = {}
+        self._rollout_cache = {}
 
         # Sub-models kept for API parity / diagnostics.
         self.thermo = thermo.TemperatureDependentKinetics()
@@ -695,15 +696,52 @@ class IntegratedCSTR:
         self.state = fn(self.params, self.state, boundary)
         return self.state
 
+    def _jitted_rollout(self, kind: str, **statics):
+        """Per-instance jit cache for the rollout family — a second call with
+        identical statics compiles nothing (mirrors ``_jitted_step``; this
+        environment's remote compiles cost seconds to minutes)."""
+        fns = {"rollout": rollout, "scheduled": rollout_scheduled}
+        key = (kind,) + tuple(sorted(statics.items()))
+        if key not in self._rollout_cache:
+            self._rollout_cache[key] = jax.jit(partial(fns[kind], **statics))
+        return self._rollout_cache[key]
+
     def rollout(self, dt: float, boundary: BoundaryConditions, n_steps: int,
                 record: bool = True):
         """Run many steps in a single jitted scan (no reference counterpart —
         this is the TPU fast path)."""
         m, s = self._plan_for(float(dt))
-        fn = jax.jit(partial(
-            rollout, dt=float(dt), substeps=m, stages=s,
-            n_steps=int(n_steps), record=record))
+        fn = self._jitted_rollout("rollout", dt=float(dt), substeps=m,
+                                  stages=s, n_steps=int(n_steps),
+                                  record=record)
         self.state, traj = fn(self.params, self.state, boundary)
+        return self.state, traj
+
+    def rollout_scheduled(self, dt: float, schedule: BoundaryConditions,
+                          record: bool = True):
+        """Run a time-varying boundary *schedule* ([n_steps]-leaf
+        BoundaryConditions pytree, see module-level ``rollout_scheduled`` /
+        ``stack_boundary_schedule``) in one jitted scan."""
+        m, s = self._plan_for(float(dt))
+        fn = self._jitted_rollout("scheduled", dt=float(dt), substeps=m,
+                                  stages=s, record=record)
+        self.state, traj = fn(self.params, self.state, schedule)
+        return self.state, traj
+
+    def rollout_fused(self, dt: float, boundary: BoundaryConditions,
+                      n_steps: int, record_every: Optional[int] = None):
+        """Run many steps in ONE Pallas kernel launch (ops/fused_rollout.py)
+        — the fastest single/small-batch path on TPU. Jit caching is handled
+        by the fused op itself (static_argnames jit)."""
+        from ics_wt_physicsengine_tpu.ops.fused_rollout import rollout_fused
+        m, s = self._plan_for(float(dt))
+        out = rollout_fused(self.params, self.state, boundary, dt=float(dt),
+                            substeps=m, stages=s, n_steps=int(n_steps),
+                            record_every=record_every)
+        if record_every is None:
+            self.state = out
+            return self.state
+        self.state, traj = out
         return self.state, traj
 
     def get_state_at_location(self, zone_idx: int, parameter: str) -> float:

@@ -113,6 +113,21 @@ class ModbusTcpClient:
         pdu = struct.pack(">BHHB", 0x0F, address, count, n_bytes) + bytes(data)
         self._transact(pdu)
 
+    def read_device_identification(self, read_code: int = 0x01,
+                                   object_id: int = 0x00) -> dict:
+        """FC 43 / MEI 14 Read Device Identification. Returns
+        ``{object_id: string}`` (vendor/product identity, reference
+        slave.py:89-95)."""
+        resp = self._transact(struct.pack(">BBBB", 0x2B, 0x0E,
+                                          read_code, object_id))
+        n_objects = resp[6]
+        out, off = {}, 7
+        for _ in range(n_objects):
+            oid, length = resp[off], resp[off + 1]
+            out[oid] = resp[off + 2:off + 2 + length].decode("ascii")
+            off += 2 + length
+        return out
+
     # -- typed convenience --
     def read_float32(self, address: int, input_register: bool = True) -> float:
         regs = (self.read_input_registers(address, 2) if input_register

@@ -90,6 +90,9 @@ def _load_library():
         lib.mb_request_count.restype = ctypes.c_uint64
         lib.mb_error_count.argtypes = [ctypes.c_void_p]
         lib.mb_error_count.restype = ctypes.c_uint64
+        lib.mb_set_unit_id.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.mb_set_identity.argtypes = [ctypes.c_void_p, ctypes.c_uint8,
+                                        ctypes.c_char_p]
         _lib = lib
         return _lib
 
@@ -122,6 +125,9 @@ class NativeModbusSlave:
             block_size(register_map.input_registers),
             block_size(register_map.holding_registers))
         self._handle = lib.mb_create(sizes)
+        # Serve only the configured unit id (FC 43 identity is compiled into
+        # the C++ side with the same strings as ModbusSlave.device_info).
+        lib.mb_set_unit_id(self._handle, int(self.config.unit_id))
         self._running = False
         self._actual_port: Optional[int] = None
 

@@ -47,10 +47,22 @@ FC_WRITE_SINGLE_COIL = 0x05
 FC_WRITE_SINGLE_REGISTER = 0x06
 FC_WRITE_MULTIPLE_COILS = 0x0F
 FC_WRITE_MULTIPLE_REGISTERS = 0x10
+FC_ENCAPSULATED_INTERFACE = 0x2B   # MEI transport (FC 43)
+MEI_READ_DEVICE_ID = 0x0E          # Read Device Identification
 
 EX_ILLEGAL_FUNCTION = 0x01
 EX_ILLEGAL_DATA_ADDRESS = 0x02
 EX_ILLEGAL_DATA_VALUE = 0x03
+
+# Read Device Identification object ids (Modbus spec 6.21)
+DEVICE_ID_OBJECTS = {
+    0x00: "VendorName",
+    0x01: "ProductCode",
+    0x02: "MajorMinorRevision",
+    0x04: "ProductName",
+    0x05: "ModelName",
+}
+_BASIC_OBJECTS = (0x00, 0x01, 0x02)
 
 MAX_REGISTER_VALUE = 1e9   # reference slave.py range validation (:205-214)
 
@@ -136,6 +148,10 @@ class ModbusSlave:
 
     def _process_pdu(self, pdu: bytes) -> bytes:
         """Handle one request PDU, return the response PDU."""
+        if not pdu:
+            # Empty PDU (MBAP length = 1): answer with a generic exception
+            # rather than dropping the connection.
+            return bytes([0x80, EX_ILLEGAL_DATA_VALUE])
         fc = pdu[0]
         try:
             if fc in (FC_READ_COILS, FC_READ_DISCRETE_INPUTS):
@@ -176,24 +192,65 @@ class ModbusSlave:
 
             if fc == FC_WRITE_MULTIPLE_COILS:
                 address, count, n_bytes = struct.unpack(">HHB", pdu[1:6])
+                # Spec validation (same checks as the C++ server): count in
+                # [1, 0x07B0] and byte count consistent with the coil count.
+                if not 1 <= count <= 0x07B0 or n_bytes != (count + 7) // 8:
+                    return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
                 data = pdu[6:6 + n_bytes]
+                if len(data) != n_bytes:
+                    return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
                 bits = [(data[i // 8] >> (i % 8)) & 1 for i in range(count)]
                 self.coil_block.set(address, bits)
                 return pdu[:5]
 
             if fc == FC_WRITE_MULTIPLE_REGISTERS:
                 address, count, n_bytes = struct.unpack(">HHB", pdu[1:6])
-                if n_bytes != count * 2:
+                if not 1 <= count <= 123 or n_bytes != count * 2:
                     return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
                 words = list(struct.unpack(f">{count}H", pdu[6:6 + n_bytes]))
                 self.hr_block.set(address, words)
                 return pdu[:5]
+
+            if fc == FC_ENCAPSULATED_INTERFACE:
+                return self._process_read_device_id(pdu)
 
             return bytes([fc | 0x80, EX_ILLEGAL_FUNCTION])
         except IndexError:
             return bytes([fc | 0x80, EX_ILLEGAL_DATA_ADDRESS])
         except (struct.error, ValueError):
             return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
+
+    def _process_read_device_id(self, pdu: bytes) -> bytes:
+        """FC 43 / MEI type 14: Read Device Identification, serving
+        ``device_info`` (reference slave.py:89-95 publishes the same strings
+        via pymodbus's ModbusDeviceIdentification)."""
+        fc = pdu[0]
+        if len(pdu) < 4 or pdu[1] != MEI_READ_DEVICE_ID:
+            return bytes([fc | 0x80, EX_ILLEGAL_FUNCTION])
+        read_code, object_id = pdu[2], pdu[3]
+
+        if read_code == 0x01:      # basic: objects 0x00-0x02
+            ids = [i for i in _BASIC_OBJECTS if i >= object_id] \
+                or list(_BASIC_OBJECTS)
+        elif read_code in (0x02, 0x03):   # regular / extended: all we have
+            ids = [i for i in sorted(DEVICE_ID_OBJECTS) if i >= object_id] \
+                or sorted(DEVICE_ID_OBJECTS)
+        elif read_code == 0x04:    # specific object
+            if object_id not in DEVICE_ID_OBJECTS:
+                return bytes([fc | 0x80, EX_ILLEGAL_DATA_ADDRESS])
+            ids = [object_id]
+        else:
+            return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
+
+        # conformity 0x82: regular identification, both stream and
+        # individual access; single response (no MoreFollows continuation —
+        # the full object list is far below the 253-byte PDU limit).
+        out = bytearray([fc, MEI_READ_DEVICE_ID, read_code, 0x82,
+                         0x00, 0x00, len(ids)])
+        for i in ids:
+            value = self.device_info[DEVICE_ID_OBJECTS[i]].encode("ascii")
+            out += bytes([i, len(value)]) + value
+        return bytes(out)
 
     async def _handle_client(self, reader: asyncio.StreamReader,
                              writer: asyncio.StreamWriter):
@@ -204,8 +261,22 @@ class ModbusSlave:
                 header = await reader.readexactly(7)
                 transaction_id, protocol_id, length, unit_id = struct.unpack(
                     ">HHHB", header)
+                # MBAP length counts unit id + PDU: valid range [2, 254].
+                # length == 1 is an answerable empty PDU; anything else
+                # outside the range breaks framing — drop the connection.
+                if not 1 <= length <= 254:
+                    logger.warning("Malformed MBAP length %d from %s",
+                                   length, peer)
+                    self.error_count += 1
+                    break
                 pdu = await reader.readexactly(length - 1)
                 self.request_count += 1
+                # A slave only answers frames addressed to it (or the
+                # broadcast unit 0xFF conventionally used over TCP).
+                if unit_id not in (self.config.unit_id, 0xFF):
+                    logger.debug("Ignoring request for unit %d (serving %d)",
+                                 unit_id, self.config.unit_id)
+                    continue
                 response_pdu = self._process_pdu(pdu)
                 response = struct.pack(
                     ">HHHB", transaction_id, protocol_id,

@@ -69,9 +69,16 @@ def sharded_step(mesh: Mesh, dt: float, substeps: int,
 
 def sharded_rollout(mesh: Mesh, dt: float, substeps: int, n_steps: int,
                     record: bool = False, axis_name: str = PLANTS_AXIS):
-    """Jitted batched rollout (scan over steps) over the sharded plant axis."""
+    """Jitted batched rollout (scan over steps) over the sharded plant axis.
+    Output shardings are pinned to the mesh like ``sharded_step`` (the
+    recorded trajectory, when present, keeps its plant axis sharded too —
+    it is axis 1 of each ``[n_steps, n_plants, Z]`` leaf)."""
+    state_sharding = NamedSharding(mesh, P(axis_name))
+    traj_sharding = NamedSharding(mesh, P(None, axis_name))
 
-    @jax.jit
+    @partial(jax.jit,
+             out_shardings=(state_sharding,
+                            traj_sharding if record else None))
     def fn(params, state, boundary):
         return R.rollout(params, state, boundary, dt=dt, substeps=substeps,
                          n_steps=n_steps, record=record)

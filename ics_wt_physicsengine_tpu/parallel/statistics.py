@@ -23,7 +23,11 @@ def ensemble_statistics(state: R.ReactorState,
 
     Returns per-zone mean/std and the requested quantiles for each primary
     variable, plus ensemble-level scalars. Jit-safe; under a sharded batch
-    the reductions run as collectives.
+    the mean/std/min/max reductions run as collectives. ``jnp.quantile``
+    sorts along the plant axis, which under a plant-sharded batch gathers
+    that axis onto each device — fine at current ensemble sizes (65k plants
+    x 20 zones x 4 B = 5 MB); for much larger ensembles, swap in a
+    histogram-based quantile estimate.
     """
     q = jnp.asarray(quantiles)
 

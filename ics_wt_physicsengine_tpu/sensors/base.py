@@ -81,9 +81,13 @@ class SensorParams:
     pipe_vibration_g: jnp.ndarray = None
     ambient_temperature: jnp.ndarray = None
 
-    # sample line (base_sensor.py:148-216)
+    # sample line (base_sensor.py:148-216). Only the transport delay enters
+    # the in-graph pipeline: the reference's read() discards the
+    # temperature-relaxed sample temp returned by transport_sample
+    # (base_sensor.py:611-615), so no temp ring is carried here — the
+    # (value, temp) transport lives host-side on types.SampleLine for API
+    # parity (same treatment as the dead hysteresis path above).
     line_delay_s: jnp.ndarray = None
-    line_ambient_temp: jnp.ndarray = None
 
 
 @jax.tree_util.register_dataclass
@@ -166,8 +170,6 @@ def make_sensor_params(measurement_range: Tuple[float, float],
         ambient_temperature=arr(installation.ambient_temperature),
         line_delay_s=arr(sample_line.transport_delay_s if sample_line
                          else 0.0),
-        line_ambient_temp=arr(sample_line.ambient_temp if sample_line
-                              else 20.0),
     )
 
 

@@ -139,3 +139,37 @@ class SampleLine:
         """Ring capacity (mirrors the reference's deque maxlen policy,
         base_sensor.py:174)."""
         return max(100, int(self.transport_delay_s) + 10)
+
+    # -- host-side (value, temp) transport, API parity with reference
+    #    base_sensor.py:177-216. The in-graph sensor pipeline carries values
+    #    only: the reference's read() discards the transported temperature
+    #    (base_sensor.py:611-615), so buffering temps in the scan carry would
+    #    spend HBM bandwidth on a dead output. Host users of the reference's
+    #    SampleLine.transport_sample get the same semantics here.
+
+    def add_sample(self, value: float, temp: float,
+                   timestamp: float) -> None:
+        """Append a (timestamp, value, temp) sample to the host-side delay
+        buffer (reference base_sensor.py:185-188)."""
+        if not hasattr(self, "_delay_buffer"):
+            from collections import deque
+            self._delay_buffer = deque(maxlen=self.buffer_capacity)
+        self._delay_buffer.append((timestamp, value, temp))
+
+    def transport_sample(self, value: float, temp: float,
+                         timestamp: float):
+        """Delayed, temperature-relaxed sample: the nearest buffered sample
+        to ``timestamp - transport_delay_s``, its temperature exponentially
+        approaching ``ambient_temp`` at 10 %/s of line residence (reference
+        base_sensor.py:177-216). Returns ``(delayed_value, actual_temp)``."""
+        import math
+
+        self.add_sample(value, temp, timestamp)
+        target_time = timestamp - self.transport_delay_s
+        delayed_time, delayed_value, delayed_temp = min(
+            self._delay_buffer, key=lambda s: abs(s[0] - target_time))
+        time_in_line = timestamp - delayed_time
+        temp_fraction = math.exp(-0.1 * time_in_line)
+        actual_temp = (self.ambient_temp
+                       + (delayed_temp - self.ambient_temp) * temp_fraction)
+        return delayed_value, actual_temp

@@ -69,6 +69,23 @@ def load_pytree(path: str, template: Any):
                 leaves.append(jax.random.wrap_key_data(
                     np.asarray(arr), impl=kind[len(_KEY_MARK):]))
             else:
+                # Shape/dtype must match the template leaf: a checkpoint
+                # written under a different configuration (e.g. another
+                # --zones) must fail fast, not silently install state that
+                # disagrees with the reactor's static config.
+                t = leaves_t[i]
+                t_shape = tuple(np.shape(t))
+                if arr.shape != t_shape:
+                    raise ValueError(
+                        f"Checkpoint leaf {i} has shape {arr.shape}; "
+                        f"template expects {t_shape} — configuration "
+                        f"mismatch (was this saved with a different "
+                        f"n_zones / batch size?)")
+                t_dtype = getattr(t, "dtype", None)
+                if t_dtype is not None and arr.dtype != t_dtype:
+                    raise ValueError(
+                        f"Checkpoint leaf {i} has dtype {arr.dtype}; "
+                        f"template expects {t_dtype} — precision mismatch")
                 leaves.append(arr)
         return jax.tree_util.tree_unflatten(treedef, leaves)
 

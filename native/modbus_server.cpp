@@ -21,6 +21,7 @@
 //   mb_request_count / mb_error_count(handle)
 
 #include <arpa/inet.h>
+#include <atomic>
 #include <cerrno>
 #include <fcntl.h>
 #include <cstdint>
@@ -29,6 +30,7 @@
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <poll.h>
+#include <string>
 #include <sys/socket.h>
 #include <thread>
 #include <unistd.h>
@@ -51,6 +53,17 @@ enum Fc : uint8_t {
   FC_WRITE_SINGLE_REG = 0x06,
   FC_WRITE_MULTI_COILS = 0x0F,
   FC_WRITE_MULTI_REGS = 0x10,
+  FC_ENCAPSULATED = 0x2B,   // MEI transport (FC 43)
+};
+
+constexpr uint8_t kMeiReadDeviceId = 0x0E;
+
+// Read Device Identification objects (Modbus spec 6.21); ids 0x00-0x02 are
+// the "basic" set. Same strings as the Python server's device_info
+// (slave.py) unless overridden via mb_set_identity.
+struct DeviceIdObject {
+  uint8_t id;
+  std::string value;
 };
 
 enum Ex : uint8_t {
@@ -61,8 +74,11 @@ enum Ex : uint8_t {
 
 struct Conn {
   int fd = -1;
-  std::vector<uint8_t> buf;
+  std::vector<uint8_t> buf;   // inbound bytes awaiting a complete frame
+  std::vector<uint8_t> out;   // outbound bytes a non-blocking send deferred
 };
+
+constexpr size_t kMaxOutBuffer = 1 << 20;  // drop clients slower than this
 
 struct Server {
   std::vector<uint16_t> blocks[4];
@@ -71,10 +87,22 @@ struct Server {
   int listen_fd = -1;
   int wake_pipe[2] = {-1, -1};
   std::thread thread;
-  bool running = false;
+  // Written by the control thread, read by the server thread (and the
+  // counters the other way around) — atomics, not plain fields.
+  std::atomic<bool> running{false};
   uint16_t bound_port = 0;
-  uint64_t request_count = 0;
-  uint64_t error_count = 0;
+  std::atomic<uint64_t> request_count{0};
+  std::atomic<uint64_t> error_count{0};
+  // -1 = answer any unit id (default); otherwise answer only this unit
+  // or the 0xFF "any" convention used over TCP.
+  std::atomic<int> unit_id{-1};
+  std::vector<DeviceIdObject> device_id{
+      {0x00, "ICS-WT-PhysicsEngine-TPU"},
+      {0x01, "WTS-TPU"},
+      {0x02, "1.0"},
+      {0x04, "Water Treatment Simulator (TPU)"},
+      {0x05, "CSTR-MultiZone"},
+  };
 
   bool get(int block, size_t addr, size_t count, uint16_t* out) {
     if (block < 0 || block > 3) return false;
@@ -110,6 +138,48 @@ struct Server {
       case FC_WRITE_SINGLE_COIL: case FC_WRITE_SINGLE_REG:
       case FC_WRITE_MULTI_COILS: case FC_WRITE_MULTI_REGS:
         break;
+      case FC_ENCAPSULATED: {
+        // FC 43 / MEI 14: Read Device Identification.
+        if (len < 4 || pdu[1] != kMeiReadDeviceId)
+          return exception(EX_ILLEGAL_FUNCTION);
+        uint8_t read_code = pdu[2], object_id = pdu[3];
+        std::vector<const DeviceIdObject*> objs;
+        if (read_code == 0x01) {            // basic: ids 0x00-0x02
+          for (const auto& o : device_id)
+            if (o.id <= 0x02 && o.id >= object_id) objs.push_back(&o);
+          if (objs.empty())
+            for (const auto& o : device_id)
+              if (o.id <= 0x02) objs.push_back(&o);
+        } else if (read_code == 0x02 || read_code == 0x03) {
+          for (const auto& o : device_id)
+            if (o.id >= object_id) objs.push_back(&o);
+          if (objs.empty())
+            for (const auto& o : device_id) objs.push_back(&o);
+        } else if (read_code == 0x04) {     // one specific object
+          for (const auto& o : device_id)
+            if (o.id == object_id) objs.push_back(&o);
+          if (objs.empty()) return exception(EX_ILLEGAL_ADDRESS);
+        } else {
+          return exception(EX_ILLEGAL_VALUE);
+        }
+        size_t n = 7;
+        resp[0] = fc;
+        resp[1] = kMeiReadDeviceId;
+        resp[2] = read_code;
+        resp[3] = 0x82;   // regular identification, stream + individual
+        resp[4] = 0x00;   // no MoreFollows
+        resp[5] = 0x00;   // next object id
+        resp[6] = static_cast<uint8_t>(objs.size());
+        for (const auto* o : objs) {
+          if (n + 2 + o->value.size() > kMaxFrame - 7)
+            return exception(EX_ILLEGAL_VALUE);
+          resp[n++] = o->id;
+          resp[n++] = static_cast<uint8_t>(o->value.size());
+          std::memcpy(resp + n, o->value.data(), o->value.size());
+          n += o->value.size();
+        }
+        return n;
+      }
       default:
         return exception(EX_ILLEGAL_FUNCTION);
     }
@@ -170,7 +240,8 @@ struct Server {
         if (len < 6) return exception(EX_ILLEGAL_VALUE);
         uint16_t count = count_or_value;
         uint8_t n_bytes = pdu[5];
-        if (len < 6u + n_bytes || n_bytes != (count + 7) / 8)
+        if (count < 1 || count > 0x07B0 || len < 6u + n_bytes ||
+            n_bytes != (count + 7) / 8)
           return exception(EX_ILLEGAL_VALUE);
         std::vector<uint16_t> bits(count);
         for (uint16_t i = 0; i < count; i++)
@@ -184,7 +255,8 @@ struct Server {
         if (len < 6) return exception(EX_ILLEGAL_VALUE);
         uint16_t count = count_or_value;
         uint8_t n_bytes = pdu[5];
-        if (n_bytes != count * 2 || len < 6u + n_bytes)
+        if (count < 1 || count > 123 || n_bytes != count * 2 ||
+            len < 6u + n_bytes)
           return exception(EX_ILLEGAL_VALUE);
         std::vector<uint16_t> words(count);
         for (uint16_t i = 0; i < count; i++)
@@ -199,8 +271,25 @@ struct Server {
     }
   }
 
-  // Consume complete MBAP frames from a connection buffer, writing
-  // responses directly to the socket. Returns false on protocol garbage.
+  // Flush a connection's deferred output. Returns false on a hard send
+  // error; EAGAIN leaves the remainder buffered for the next POLLOUT.
+  bool flush(Conn& conn) {
+    while (!conn.out.empty()) {
+      ssize_t n = ::send(conn.fd, conn.out.data(), conn.out.size(),
+                         MSG_NOSIGNAL);
+      if (n < 0)
+        return errno == EAGAIN || errno == EWOULDBLOCK;
+      if (n == 0) return false;
+      conn.out.erase(conn.out.begin(), conn.out.begin() + n);
+    }
+    return true;
+  }
+
+  // Consume complete MBAP frames from a connection buffer. Responses go
+  // out via non-blocking send; bytes the kernel won't take are buffered
+  // per connection (flushed on POLLOUT) so one stalled client can never
+  // block the poll thread and freeze the other masters. Returns false on
+  // protocol garbage or a client slower than kMaxOutBuffer.
   bool drain(Conn& conn) {
     while (conn.buf.size() >= 7) {
       uint16_t proto = (conn.buf[2] << 8) | conn.buf[3];
@@ -208,6 +297,15 @@ struct Server {
       if (proto != 0 || length < 2 || length > 254) return false;
       size_t frame = 6u + length;
       if (conn.buf.size() < frame) return true;  // wait for more bytes
+
+      uint8_t unit = conn.buf[6];
+      int served_unit = unit_id.load(std::memory_order_relaxed);
+      if (served_unit >= 0 && unit != served_unit && unit != 0xFF) {
+        // not addressed to this slave: consume the frame, send nothing
+        request_count++;
+        conn.buf.erase(conn.buf.begin(), conn.buf.begin() + frame);
+        continue;
+      }
 
       uint8_t resp[kMaxFrame];
       // copy MBAP header (transaction + protocol + unit)
@@ -219,12 +317,8 @@ struct Server {
       resp[4] = resp_len >> 8;
       resp[5] = resp_len & 0xFF;
       size_t total = 7 + resp_pdu;
-      size_t sent = 0;
-      while (sent < total) {
-        ssize_t n = ::send(conn.fd, resp + sent, total - sent, MSG_NOSIGNAL);
-        if (n <= 0) return false;
-        sent += n;
-      }
+      conn.out.insert(conn.out.end(), resp, resp + total);
+      if (!flush(conn) || conn.out.size() > kMaxOutBuffer) return false;
       conn.buf.erase(conn.buf.begin(), conn.buf.begin() + frame);
     }
     return true;
@@ -232,11 +326,15 @@ struct Server {
 
   void run() {
     std::vector<Conn> conns;
-    while (running) {
+    while (running.load(std::memory_order_relaxed)) {
       std::vector<pollfd> fds;
       fds.push_back({wake_pipe[0], POLLIN, 0});
       fds.push_back({listen_fd, POLLIN, 0});
-      for (auto& conn : conns) fds.push_back({conn.fd, POLLIN, 0});
+      for (auto& conn : conns)
+        fds.push_back({conn.fd,
+                       static_cast<short>(POLLIN |
+                                          (conn.out.empty() ? 0 : POLLOUT)),
+                       0});
 
       if (::poll(fds.data(), fds.size(), 500) < 0) {
         if (errno == EINTR) continue;
@@ -258,7 +356,11 @@ struct Server {
           } else {
             int one = 1;
             ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-            conns.push_back({fd, {}});
+            // O_NONBLOCK is not inherited from the listener: set it so a
+            // client that stops reading can never stall the poll thread.
+            int cflags = ::fcntl(fd, F_GETFL, 0);
+            ::fcntl(fd, F_SETFL, cflags | O_NONBLOCK);
+            conns.push_back({fd, {}, {}});
           }
         }
       }
@@ -267,15 +369,21 @@ struct Server {
         auto& conn = conns[i];
         pollfd& pfd = fds[2 + i];
         bool drop = false;
-        if (pfd.revents & (POLLIN | POLLHUP | POLLERR)) {
+        if (pfd.revents & POLLOUT) {
+          if (!flush(conn)) drop = true;
+        }
+        if (!drop && (pfd.revents & (POLLIN | POLLHUP | POLLERR))) {
           uint8_t chunk[4096];
           ssize_t n = ::recv(conn.fd, chunk, sizeof(chunk), 0);
-          if (n <= 0) {
+          if (n < 0) {
+            drop = !(errno == EAGAIN || errno == EWOULDBLOCK);
+          } else if (n == 0) {
             drop = true;
           } else {
             conn.buf.insert(conn.buf.end(), chunk, chunk + n);
             if (conn.buf.size() > 16 * kMaxFrame || !drain(conn))
-              drop = true;  // oversized garbage or protocol violation
+              drop = true;  // oversized garbage, protocol violation, or
+                            // a client slower than kMaxOutBuffer
           }
         }
         if (drop) {
@@ -372,11 +480,25 @@ int mb_set(void* handle, int block, uint32_t addr, uint32_t count,
 }
 
 uint64_t mb_request_count(void* handle) {
-  return static_cast<Server*>(handle)->request_count;
+  return static_cast<Server*>(handle)->request_count.load();
 }
 
 uint64_t mb_error_count(void* handle) {
-  return static_cast<Server*>(handle)->error_count;
+  return static_cast<Server*>(handle)->error_count.load();
+}
+
+// unit >= 0: answer only that unit id (or 0xFF); unit < 0: answer any.
+void mb_set_unit_id(void* handle, int unit) {
+  static_cast<Server*>(handle)->unit_id.store(unit);
+}
+
+// Replace one device-identification object (FC 43 / MEI 14). Call before
+// mb_start — the vector is not guarded against the server thread.
+void mb_set_identity(void* handle, uint8_t object_id, const char* value) {
+  auto* s = static_cast<Server*>(handle);
+  for (auto& o : s->device_id)
+    if (o.id == object_id) { o.value = value; return; }
+  s->device_id.push_back({object_id, value});
 }
 
 }  // extern "C"

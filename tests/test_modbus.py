@@ -201,3 +201,97 @@ def test_all_holding_registers_bulk(slave):
     assert hr["simulation_timestep"] == pytest.approx(2.0, rel=1e-6)
     assert set(hr) == {r.name for r in
                        slave.register_map.holding_registers}
+
+
+# ---------------------------------------------------------------------------
+# Protocol fidelity: FC 43 identity, unit-id filtering, malformed frames
+# ---------------------------------------------------------------------------
+
+def test_device_identification_fc43(slave):
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        basic = client.read_device_identification(read_code=0x01)
+        assert basic[0x00] == "ICS-WT-PhysicsEngine-TPU"
+        assert basic[0x01] == "WTS-TPU"
+        assert basic[0x02] == "1.0"
+        regular = client.read_device_identification(read_code=0x02)
+        assert regular[0x04] == "Water Treatment Simulator (TPU)"
+        assert regular[0x05] == "CSTR-MultiZone"
+        # specific object
+        one = client.read_device_identification(read_code=0x04,
+                                                object_id=0x05)
+        assert one == {0x05: "CSTR-MultiZone"}
+        # unknown specific object -> ILLEGAL_DATA_ADDRESS
+        with pytest.raises(IOError, match="exception 2"):
+            client.read_device_identification(read_code=0x04,
+                                              object_id=0x63)
+        # bad read code -> ILLEGAL_DATA_VALUE
+        with pytest.raises(IOError, match="exception 3"):
+            client.read_device_identification(read_code=0x07)
+
+
+def test_unit_id_mismatch_is_ignored(slave):
+    import socket
+    import struct as _struct
+
+    slave.update_input_register("pH_inlet", 7.5)
+    with ModbusTcpClient("127.0.0.1", slave.port, unit_id=9) as client:
+        # request addressed to unit 9; server serves unit 1 -> no response
+        client._sock.settimeout(0.5)
+        pdu = _struct.pack(">BHH", 0x04, 0, 2)
+        req = _struct.pack(">HHHB", 1, 0, len(pdu) + 1, 9) + pdu
+        client._sock.sendall(req)
+        with pytest.raises(socket.timeout):
+            client._sock.recv(16)
+    # unit 0xFF (TCP "any") and the configured unit both answer
+    for unit in (1, 0xFF):
+        with ModbusTcpClient("127.0.0.1", slave.port, unit_id=unit) as c:
+            assert c.read_float32(0) == pytest.approx(7.5, rel=1e-6)
+
+
+def test_malformed_fc15_gets_illegal_value(slave):
+    import struct as _struct
+
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        # byte count inconsistent with coil count
+        pdu = _struct.pack(">BHHB", 0x0F, 0, 9, 1) + b"\xff"
+        client._transaction += 1
+        req = _struct.pack(">HHHB", client._transaction, 0, len(pdu) + 1,
+                           1) + pdu
+        client._sock.sendall(req)
+        header = client._recv_exact(7)
+        _, _, length, _ = _struct.unpack(">HHHB", header)
+        resp = client._recv_exact(length - 1)
+        assert resp[0] == 0x8F and resp[1] == 3    # ILLEGAL_DATA_VALUE
+        # count = 0 is also ILLEGAL_DATA_VALUE
+        pdu = _struct.pack(">BHHB", 0x0F, 0, 0, 0)
+        client._transaction += 1
+        req = _struct.pack(">HHHB", client._transaction, 0, len(pdu) + 1,
+                           1) + pdu
+        client._sock.sendall(req)
+        client._recv_exact(7)
+        resp = client._recv_exact(2)
+        assert resp[0] == 0x8F and resp[1] == 3
+
+
+def test_empty_pdu_gets_exception_not_disconnect(slave):
+    import struct as _struct
+
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        # MBAP length = 1: unit id only, empty PDU
+        client._sock.sendall(_struct.pack(">HHHB", 5, 0, 1, 1))
+        header = client._recv_exact(7)
+        _, _, length, _ = _struct.unpack(">HHHB", header)
+        resp = client._recv_exact(length - 1)
+        assert resp == bytes([0x80, 3])
+        # connection still alive and serving
+        slave.update_input_register("pH_inlet", 6.5)
+        assert client.read_float32(0) == pytest.approx(6.5, rel=1e-6)
+
+
+def test_broken_mbap_length_drops_connection(slave):
+    import struct as _struct
+
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        client._sock.sendall(_struct.pack(">HHHB", 5, 0, 1000, 1))
+        with pytest.raises((ConnectionError, IOError)):
+            client.read_input_registers(0, 1)

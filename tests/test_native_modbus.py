@@ -118,3 +118,78 @@ def test_write_multiple_coils_fc15_native(slave):
     with ModbusTcpClient("127.0.0.1", slave.port) as client:
         client.write_coils(0, [False, True, True])
         assert client.read_coils(0, 3) == [False, True, True]
+
+
+def test_device_identification_fc43_native(slave):
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        basic = client.read_device_identification(read_code=0x01)
+        assert basic[0x00] == "ICS-WT-PhysicsEngine-TPU"
+        assert basic[0x01] == "WTS-TPU"
+        assert basic[0x02] == "1.0"
+        regular = client.read_device_identification(read_code=0x02)
+        assert regular[0x04] == "Water Treatment Simulator (TPU)"
+        assert regular[0x05] == "CSTR-MultiZone"
+        one = client.read_device_identification(read_code=0x04,
+                                                object_id=0x01)
+        assert one == {0x01: "WTS-TPU"}
+        with pytest.raises(IOError, match="exception 2"):
+            client.read_device_identification(read_code=0x04,
+                                              object_id=0x63)
+        with pytest.raises(IOError, match="exception 3"):
+            client.read_device_identification(read_code=0x07)
+
+
+def test_unit_id_mismatch_ignored_native(slave):
+    slave.update_input_register("pH_inlet", 7.5)
+    with ModbusTcpClient("127.0.0.1", slave.port, unit_id=9) as client:
+        client._sock.settimeout(0.5)
+        pdu = struct.pack(">BHH", 0x04, 0, 2)
+        req = struct.pack(">HHHB", 1, 0, len(pdu) + 1, 9) + pdu
+        client._sock.sendall(req)
+        with pytest.raises(socket.timeout):
+            client._sock.recv(16)
+    for unit in (1, 0xFF):
+        with ModbusTcpClient("127.0.0.1", slave.port, unit_id=unit) as c:
+            assert c.read_float32(0) == pytest.approx(7.5, rel=1e-6)
+
+
+def test_fc15_count_zero_illegal_value_native(slave):
+    with ModbusTcpClient("127.0.0.1", slave.port) as client:
+        pdu = struct.pack(">BHHB", 0x0F, 0, 0, 0)
+        client._transaction += 1
+        req = struct.pack(">HHHB", client._transaction, 0, len(pdu) + 1,
+                          1) + pdu
+        client._sock.sendall(req)
+        client._recv_exact(7)
+        resp = client._recv_exact(2)
+        assert resp[0] == 0x8F and resp[1] == 3
+
+
+def test_slow_reader_does_not_stall_others_native(slave):
+    """A client that stops reading its responses must not freeze the poll
+    thread: other masters keep getting sub-second service (non-blocking
+    accepted sockets + per-connection write buffering)."""
+    slave.update_input_register("pH_inlet", 7.0)
+    # Stuffer: fire many requests without ever reading responses, so the
+    # server's send path backs up on this connection.
+    stuffer = socket.create_connection(("127.0.0.1", slave.port))
+    stuffer.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 2048)
+    pdu = struct.pack(">BHH", 0x04, 0, 125)
+    req = struct.pack(">HHHB", 1, 0, len(pdu) + 1, 1) + pdu
+    try:
+        stuffer.setblocking(False)
+        sent_any = True
+        for _ in range(5000):
+            try:
+                stuffer.sendall(req * 8)
+            except (BlockingIOError, InterruptedError):
+                break
+        # Meanwhile a well-behaved master must still be served promptly.
+        with ModbusTcpClient("127.0.0.1", slave.port) as client:
+            client._sock.settimeout(2.0)
+            for _ in range(20):
+                assert client.read_float32(0) == pytest.approx(7.0,
+                                                               rel=1e-6)
+        assert sent_any
+    finally:
+        stuffer.close()

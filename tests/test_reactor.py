@@ -272,3 +272,36 @@ def test_rollout_scheduled_rkc():
                                     substeps=1, stages=3, record=False)
     assert traj is None
     assert np.all(np.isfinite(np.asarray(final.pH)))
+
+
+def test_rollout_jit_cached_and_scheduled_on_wrapper():
+    """IntegratedCSTR.rollout reuses one jitted callable across calls with
+    identical statics (no per-call retrace), and the wrapper surfaces
+    rollout_scheduled / rollout_fused."""
+    config = R.ReactorConfiguration(n_zones=3)
+    reactor = R.IntegratedCSTR(config, dtype=jnp.float64)
+    bc = R.BoundaryConditions(acid_flow_rate=0.1)
+
+    reactor.rollout(1.0, bc, n_steps=4, record=False)
+    fn1 = next(iter(reactor._rollout_cache.values()))
+    reactor.rollout(1.0, bc, n_steps=4, record=False)
+    assert len(reactor._rollout_cache) == 1
+    assert next(iter(reactor._rollout_cache.values())) is fn1
+
+    # scheduled rollout through the wrapper matches stepping the schedule
+    sched = R.stack_boundary_schedule(
+        [R.BoundaryConditions(acid_flow_rate=0.1 * i) for i in range(4)])
+    r2 = R.IntegratedCSTR(config, dtype=jnp.float64)
+    state, traj = r2.rollout_scheduled(1.0, sched)
+    assert traj["pH"].shape[0] == 4
+
+    r3 = R.IntegratedCSTR(config, dtype=jnp.float64)
+    for i in range(4):
+        r3.step(1.0, R.BoundaryConditions(acid_flow_rate=0.1 * i))
+    np.testing.assert_allclose(np.asarray(state.pH),
+                               np.asarray(r3.state.pH), rtol=1e-12)
+
+    # fused rollout through the wrapper (interpret path on CPU)
+    r4 = R.IntegratedCSTR(config, dtype=jnp.float32)
+    out = r4.rollout_fused(1.0, bc, n_steps=4)
+    assert np.all(np.isfinite(np.asarray(out.pH)))

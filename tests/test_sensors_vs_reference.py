@@ -134,3 +134,26 @@ def test_sample_line_delay_matches_reference():
     # both still deliver the pre-step sample through the line
     assert r_ref.raw_value == pytest.approx(22.0, abs=0.01)
     assert r_ours.raw_value == pytest.approx(22.0, abs=0.01)
+
+
+def test_transport_sample_matches_reference():
+    """Host-side (value, temp) SampleLine transport matches the reference's
+    delayed + temperature-relaxed semantics sample-for-sample
+    (reference base_sensor.py:177-216)."""
+    from wt_simulator.sensors.base_sensor import SampleLine as RefLine
+    from ics_wt_physicsengine_tpu.sensors.types import SampleLine
+
+    ref = RefLine(volume_mL=250, flow_rate_mL_min=500, ambient_temp=25.0)
+    ours = SampleLine(volume_mL=250, flow_rate_mL_min=500, ambient_temp=25.0)
+    assert ours.transport_delay_s == ref.transport_delay_s
+
+    rng = np.random.default_rng(7)
+    t = 0.0
+    for _ in range(120):
+        t += float(rng.uniform(0.5, 3.0))
+        value = float(rng.uniform(6.0, 9.0))
+        temp = float(rng.uniform(15.0, 30.0))
+        rv, rt = ref.transport_sample(value, temp, t)
+        ov, ot = ours.transport_sample(value, temp, t)
+        assert rv == ov
+        assert abs(rt - ot) < 1e-12
