@@ -144,3 +144,127 @@ def test_fused_record_every_must_divide():
     with pytest.raises(ValueError, match="multiple of"):
         rollout_fused(params, state, BC, dt=1.0, substeps=1, n_steps=10,
                       record_every=3, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Scheduled (time-varying forcing) fused kernel
+# ---------------------------------------------------------------------------
+
+def _square_wave_schedule(n_steps):
+    """Per-step square-wave dosing + drifting inlet conditions."""
+    t = np.arange(n_steps)
+    return R.BoundaryConditions(
+        inlet_flow_rate=5.0 + 2.0 * np.sin(2 * np.pi * t / 17.0),
+        inlet_pH=7.2,
+        inlet_chlorine=np.where(t % 10 < 5, 0.5, 1.5).astype(float),
+        inlet_temperature=26.0 - 0.05 * t,
+        acid_flow_rate=np.where(t % 8 < 4, 0.0, 0.3).astype(float),
+        acid_concentration=0.1,
+        chlorine_flow_rate=0.2,
+        chlorine_concentration=50.0,
+        ambient_temperature=15.0,
+        heat_loss_coefficient=50.0)
+
+
+@pytest.mark.parametrize("n_zones,stages", [(5, None), (20, None), (20, 6)])
+def test_scheduled_fused_matches_xla(n_zones, stages):
+    from ics_wt_physicsengine_tpu.ops.fused_rollout import (
+        rollout_scheduled_fused)
+
+    config = R.ReactorConfiguration(n_zones=n_zones)
+    params = R.make_params(config, dtype=jnp.float64)
+    state = R.make_initial_state(config, dtype=jnp.float64)
+    substeps = R.default_substeps(config, 1.0)
+    n_steps = 60
+    sched = _square_wave_schedule(n_steps)
+
+    xla_final, xla_traj = jax.jit(lambda p, s, b: R.rollout_scheduled(
+        p, s, b, dt=1.0, substeps=substeps, stages=stages))(
+            params, state, sched)
+    fused, traj = rollout_scheduled_fused(
+        params, state, sched, dt=1.0, substeps=substeps, stages=stages,
+        record_every=1, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(fused.pH), np.asarray(xla_final.pH),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fused.chlorine),
+                               np.asarray(xla_final.chlorine),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fused.temperature),
+                               np.asarray(xla_final.temperature),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(traj["pH"]),
+                               np.asarray(xla_traj["pH"]),
+                               rtol=0, atol=1e-10)
+    assert float(fused.time) == pytest.approx(n_steps * 1.0)
+    assert float(fused.flow_rate) == pytest.approx(
+        float(np.asarray(sched.inlet_flow_rate)[-1])
+        + float(np.asarray(sched.acid_flow_rate)[-1]) + 0.2)
+
+
+def test_scheduled_fused_constant_schedule_matches_constant_kernel():
+    """A schedule whose rows are all identical must reproduce the
+    constant-BC kernel bit-for-bit (same arithmetic path)."""
+    from ics_wt_physicsengine_tpu.ops.fused_rollout import (
+        rollout_scheduled_fused)
+
+    config = R.ReactorConfiguration(n_zones=20)
+    params = R.make_params(config, dtype=jnp.float32)
+    state = R.make_initial_state(config, dtype=jnp.float32)
+    substeps = R.default_substeps(config, 1.0)
+    n_steps = 30
+
+    sched = jax.tree_util.tree_map(
+        lambda x: np.full(n_steps, x, np.float64), BC)
+    const = rollout_fused(params, state, BC, dt=1.0, substeps=substeps,
+                          n_steps=n_steps, interpret=True)
+    scheduled = rollout_scheduled_fused(params, state, sched, dt=1.0,
+                                        substeps=substeps, interpret=True)
+    assert np.array_equal(np.asarray(const.pH), np.asarray(scheduled.pH))
+    assert np.array_equal(np.asarray(const.chlorine),
+                          np.asarray(scheduled.chlorine))
+    assert np.array_equal(np.asarray(const.temperature),
+                          np.asarray(scheduled.temperature))
+
+
+def test_scheduled_fused_batched():
+    """A Monte-Carlo batch under a shared schedule matches the XLA scan."""
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+    from ics_wt_physicsengine_tpu.ops.fused_rollout import (
+        rollout_scheduled_fused)
+
+    base = R.ReactorConfiguration(n_zones=5)
+    params, state = make_monte_carlo_batch(base, 13, seed=4,
+                                           dtype=jnp.float64)
+    n_steps = 25
+    sched = _square_wave_schedule(n_steps)
+
+    xla_final, _ = jax.jit(lambda p, s, b: R.rollout_scheduled(
+        p, s, b, dt=1.0, substeps=4))(params, state, sched)
+    fused = rollout_scheduled_fused(params, state, sched, dt=1.0,
+                                    substeps=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.pH),
+                               np.asarray(xla_final.pH), rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fused.chlorine),
+                               np.asarray(xla_final.chlorine),
+                               rtol=0, atol=1e-10)
+
+
+def test_scheduled_fused_spans_chunks():
+    """n_steps > one SMEM chunk (512): state carries across time chunks."""
+    from ics_wt_physicsengine_tpu.ops.fused_rollout import (
+        rollout_scheduled_fused)
+
+    config = R.ReactorConfiguration(n_zones=2)
+    params = R.make_params(config, dtype=jnp.float64)
+    state = R.make_initial_state(config, dtype=jnp.float64)
+    n_steps = 700            # crosses the 512-step chunk boundary
+    sched = _square_wave_schedule(n_steps)
+
+    xla_final, _ = jax.jit(lambda p, s, b: R.rollout_scheduled(
+        p, s, b, dt=1.0, substeps=2))(params, state, sched)
+    fused = rollout_scheduled_fused(params, state, sched, dt=1.0,
+                                    substeps=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.pH),
+                               np.asarray(xla_final.pH), rtol=0, atol=1e-10)
