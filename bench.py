@@ -107,9 +107,74 @@ def bench_batched(n_plants=32768, n_steps=200, reps=3):
             2 * n_plants * n_steps / elapsed_rkc)
 
 
+def bench_integrated(n_plants=16384, n_steps=64, reps=3):
+    """BASELINE configs 3+4 combined: batched integrated plants — physics
+    plus all seven PRNG-threaded instruments per step per plant
+    (models/plant.py). The reference cannot run this workload at all (one
+    plant, ~31 steps/s with sensors on a CPU)."""
+    from ics_wt_physicsengine_tpu.models.plant import (
+        make_plant_batch, plant_rollout_batched)
+
+    config = R.ReactorConfiguration(volume=1000, height=2.0, diameter=0.798,
+                                    n_zones=20)
+    m, s = R.default_rkc_plan(config, DT, mode="fast")
+    params, plant = make_plant_batch(config, n_plants, seed=1,
+                                     dtype=jnp.float32)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.2,
+                              inlet_chlorine=0.5, acid_flow_rate=0.1)
+    fn = jax.jit(lambda p: plant_rollout_batched(
+        params, p, bc, DT, m, n_steps, record=False, stages=s)[0])
+
+    import numpy as np
+    out = fn(plant)
+    np.asarray(out.reactor.time)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(out)
+    np.asarray(out.reactor.time)
+    elapsed = (time.perf_counter() - t0) / reps
+    return n_plants * n_steps / elapsed
+
+
+def bench_scheduled(n_steps=4096, reps=3):
+    """Scheduled forcing (per-step boundary mutation, the reference's HIL
+    loop pattern) through the SMEM-streaming fused kernel."""
+    import numpy as np
+
+    from ics_wt_physicsengine_tpu.ops.fused_rollout import (
+        rollout_scheduled_fused)
+
+    config = R.ReactorConfiguration(volume=1000, height=2.0, diameter=0.798,
+                                    n_zones=20)
+    m, s = R.default_rkc_plan(config, DT, mode="fast")
+    params = R.make_params(config, dtype=jnp.float32)
+    state = R.make_initial_state(config, dtype=jnp.float32)
+    t = np.arange(n_steps)
+    sched = R.BoundaryConditions(
+        inlet_flow_rate=(5.0 + 2.0 * np.sin(2 * np.pi * t / 17.0)
+                         ).astype(np.float32),
+        inlet_pH=7.2,
+        inlet_chlorine=np.where(t % 10 < 5, 0.5, 1.5).astype(np.float32),
+        acid_flow_rate=np.where(t % 8 < 4, 0.0, 0.3).astype(np.float32),
+        ambient_temperature=15.0, heat_loss_coefficient=50.0)
+
+    fn = lambda st: rollout_scheduled_fused(  # noqa: E731
+        params, st, sched, dt=DT, substeps=m, stages=s)
+    out = fn(state)
+    np.asarray(out.time)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(out)
+    np.asarray(out.time)
+    elapsed = (time.perf_counter() - t0) / reps
+    return n_steps / elapsed
+
+
 def main():
     single, single_rkc = bench_single_plant()
     batched, batched_rkc = bench_batched()
+    integrated = bench_integrated()
+    scheduled = bench_scheduled()
     print(json.dumps({
         "metric": "single-plant steps/sec (20 zones, dt=1s; == real-time factor)",
         "value": round(single, 1),
@@ -123,6 +188,9 @@ def main():
             "batched_plant_steps_per_sec_rkc_fast": round(batched_rkc, 1),
             "batched_n_plants": 32768,
             "batched_n_plants_rkc": 65536,
+            "integrated_plant_steps_per_sec": round(integrated, 1),
+            "integrated_n_plants": 16384,
+            "scheduled_forcing_steps_per_sec": round(scheduled, 1),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

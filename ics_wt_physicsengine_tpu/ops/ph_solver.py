@@ -1,17 +1,23 @@
 """
-Fixed-iteration Newton-Raphson pH solver as a Pallas TPU kernel.
+EXPERIMENTAL: fixed-iteration Newton-Raphson pH solver as a Pallas kernel.
 
-Thousands of plants (or plant-zones) solve the carbonate charge balance in
-lockstep on the VPU: the batch is laid out as an (8k, 128)-tiled 2D array in
-VMEM, every lane runs the same fixed iteration count, and converged lanes
-freeze via masked updates — bit-identical semantics to
-``core.chemistry.solve_pH`` (which remains the jnp fallback used for CPU
-bit-matching regression and as the in-graph path when the batch is tiny).
+Status (benchmarked v5e, 65k plants, f32): the plain XLA masked-Newton
+(``core.chemistry.solve_pH``) runs ~7x faster than this kernel — XLA's
+automatic fusion is already optimal for a pure elementwise fixed-point
+loop, and a hand-written kernel only adds launch/packing overhead. The
+production entry point is therefore ``solve_pH_auto``, which always
+dispatches to the XLA path. This kernel is kept as a correctness-tested
+building block for future fused chemistry pipelines where the solve must
+live *inside* a larger hand-written kernel (where it pays no launch cost),
+not as a standalone fast path. Note also the f32 convergence floor
+(``solve_pH_pallas`` docstring).
 
-Physics: charge-balance residual and analytic derivative per reference
-core/chemistry.py:193-330; see core/chemistry.py here for the formula
-derivation. Kernel-design per the Pallas TPU guide (grid/BlockSpec, masked
-updates instead of data-dependent control flow).
+Design notes (for reuse in fused pipelines): thousands of plants solve the
+carbonate charge balance in lockstep on the VPU; the batch is laid out as an
+(8k, 128)-tiled 2D array in VMEM, every lane runs the same fixed iteration
+count, and converged lanes freeze via masked updates — same semantics as
+``core.chemistry.solve_pH``. Physics: charge-balance residual and analytic
+derivative per reference core/chemistry.py:193-330.
 """
 
 from __future__ import annotations
@@ -103,10 +109,26 @@ def solve_pH_pallas(constants: ChemistryConstants, initial_guess,
                     interpret: bool = False):
     """Solve the charge balance for a batch of plants on the TPU VPU.
 
+    EXPERIMENTAL — slower than ``core.chemistry.solve_pH`` as a standalone
+    op (see module docstring); use ``solve_pH_auto`` unless embedding the
+    solve in a larger kernel.
+
     ``constants`` leaves and ``initial_guess`` must share one shape (any
     rank); the result has that shape. Lanes are padded to (8k, 128) tiles.
+
+    float32 convergence floor: the default 1e-6 tolerance sits below f32
+    resolution near the root, so non-converged lanes oscillate within the
+    decayed step cap (~1e-2 pH by iteration 100) instead of meeting the
+    tolerance. A sub-f32-resolution tolerance with an f32 guess logs a
+    warning; pass float64 inputs when solver-grade accuracy matters.
     """
     ph0 = jnp.asarray(initial_guess)
+    if ph0.dtype == jnp.float32 and tolerance < 1e-5:
+        import logging
+        logging.getLogger(__name__).warning(
+            "solve_pH_pallas: tolerance %g is below float32 resolution "
+            "near the root; convergence stalls at ~1e-2 worst-case. "
+            "Use float64 inputs or tolerance >= 1e-5.", tolerance)
     shape = ph0.shape
     n = max(1, math.prod(shape))
     total = -(-n // _TILE) * _TILE

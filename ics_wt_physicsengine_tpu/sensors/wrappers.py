@@ -296,7 +296,7 @@ class pHSensor(_SensorShell):
             cal_point_2=jnp.asarray(buffer_pH_2, self._dtype),
             reference_contamination=jnp.asarray(0.0, self._dtype))
         mid = (buffer_pH_1 + buffer_pH_2) / 2.0
-        self.calibrate(mid, current_time, operator_id)
+        return self.calibrate(mid, current_time, operator_id)
 
     def clean_electrode(self, cleaning_method: str, current_time=None):
         if current_time is None:

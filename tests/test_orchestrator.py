@@ -213,3 +213,21 @@ def test_checkpoint_resume_via_cli(tmp_path):
     assert rc == 0
     from ics_wt_physicsengine_tpu.utils import load_metadata
     assert load_metadata(ckpt)["sim_time"] == pytest.approx(100.0)
+
+
+def test_sensors_demo_main(capsys):
+    """The sensors module demo runs end-to-end (per-module runnable demos,
+    reference-style)."""
+    from ics_wt_physicsengine_tpu.sensors.__main__ import main
+    main()
+    out = capsys.readouterr().out
+    assert "SENSOR SUITE DEMO" in out
+    assert "Demo complete." in out
+
+
+def test_modbus_demo_main(capsys):
+    from ics_wt_physicsengine_tpu.modbus.__main__ import main
+    main()
+    out = capsys.readouterr().out
+    assert "FC 43 device identification" in out
+    assert "Demo complete." in out
