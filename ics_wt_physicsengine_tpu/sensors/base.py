@@ -236,19 +236,49 @@ def _ring_append_and_lookup(params: SensorParams, carry: SensorCarry,
     return new_carry, delayed_value
 
 
-def base_read(params: SensorParams, carry: SensorCarry, true_value, t):
+# Randomness layout of one base read (two batched draws instead of a 9-way
+# key split + 8 scalar draws: ~2.5x less threefry work per read, identical
+# distributions — each value is still an independent standard draw).
+BASE_NORMALS = 5     # supply voltage, noise, stagnation, grounding, vibration
+BASE_UNIFORMS = 3    # air bubble, random-fault roll, fault-type pick
+
+
+def draw_read_rand(key, dtype, extra_normals: int = 0,
+                   extra_uniforms: int = 0):
+    """(new_key, normals, uniforms) for one read — base layout first, then
+    ``extra_*`` overlay values (sensor overlays append their draws so each
+    read costs one split + two vector generates total)."""
+    key, k_n, k_u = jax.random.split(key, 3)
+    normals = jax.random.normal(k_n, (BASE_NORMALS + extra_normals,), dtype)
+    uniforms = jax.random.uniform(k_u, (BASE_UNIFORMS + extra_uniforms,),
+                                  dtype)
+    return key, normals, uniforms
+
+
+def base_read(params: SensorParams, carry: SensorCarry, true_value, t,
+              rand=None):
     """One reading through the full base pipeline (base_sensor.py:509-698).
 
     Returns ``(carry', SensorOutput)``. ``true_value`` is the physical value
     already extracted by the sensor-specific ``_get_true_value`` equivalent.
+    ``rand``: optional ``(normals[..., 5], uniforms[..., 3])`` pre-drawn by
+    the caller (overlays batch their draws with the base's); when None the
+    read draws its own and advances ``carry.key``.
     """
     dtype = jnp.asarray(carry.current_value).dtype
     t = jnp.asarray(t, dtype)
     true_value = jnp.asarray(true_value, dtype)
     nan = jnp.asarray(jnp.nan, dtype)
 
-    key, k_volt, k_noise, k_stag, k_bub, k_gnd, k_vib, k_fr, k_ft = \
-        jax.random.split(carry.key, 9)
+    if rand is None:
+        key, normals, uniforms = draw_read_rand(carry.key, dtype)
+    else:
+        key = carry.key                 # caller owns the stream
+        normals, uniforms = rand
+    n_volt, n_noise, n_stag, n_gnd, n_vib = (
+        normals[..., i] for i in range(BASE_NORMALS))
+    u_bub, u_fault_roll, u_fault_type = (
+        uniforms[..., i] for i in range(BASE_UNIFORMS))
 
     # --- pre-existing power fault (early return #1, :553-574) ---
     v0 = carry.supply_voltage
@@ -258,7 +288,7 @@ def base_read(params: SensorParams, carry: SensorCarry, true_value, t):
                                  _F[SensorFault.POWER_HIGH]).astype(jnp.int32)
 
     # voltage fluctuation for next read (:577) — skipped on the fault path
-    new_voltage = VOLTAGE_NOMINAL + jax.random.normal(k_volt, dtype=dtype)
+    new_voltage = VOLTAGE_NOMINAL + n_volt
     supply_voltage = jnp.where(power_bad, v0, new_voltage)
 
     # --- warm-up gate (early return #2, :580-591) ---
@@ -281,7 +311,7 @@ def base_read(params: SensorParams, carry: SensorCarry, true_value, t):
 
     # --- drift + noise + lag (:617-630) ---
     drift = params.drift_rate * cal_age_h + carry.calibration_offset
-    noise = jax.random.normal(k_noise, dtype=dtype) * params.precision
+    noise = n_noise * params.precision
     lagged = RESPONSE_ALPHA * (raw_value + noise + drift) \
         + (1.0 - RESPONSE_ALPHA) * carry.current_value
 
@@ -291,18 +321,15 @@ def base_read(params: SensorParams, carry: SensorCarry, true_value, t):
     value = lagged
     value = value + jnp.where(
         params.flow_velocity < 0.1,
-        jax.random.normal(k_stag, dtype=dtype) * params.precision * 2.0, 0.0)
+        n_stag * params.precision * 2.0, 0.0)
     bubble = (params.air_bubble_frequency > 0) & (
-        jax.random.uniform(k_bub, dtype=dtype)
-        < params.air_bubble_frequency / 60.0)
+        u_bub < params.air_bubble_frequency / 60.0)
     value = value + jnp.where(
         params.grounding_quality < 0.8,
-        jax.random.normal(k_gnd, dtype=dtype) * params.precision
-        * (2.0 - params.grounding_quality), 0.0)
+        n_gnd * params.precision * (2.0 - params.grounding_quality), 0.0)
     value = value + jnp.where(
         params.pipe_vibration_g > 0.2,
-        jax.random.normal(k_vib, dtype=dtype)
-        * params.pipe_vibration_g * params.precision, 0.0)
+        n_vib * params.pipe_vibration_g * params.precision, 0.0)
     value = jnp.where(bubble, nan, value)
 
     # --- rate of change (:641-649) ---
@@ -321,8 +348,8 @@ def base_read(params: SensorParams, carry: SensorCarry, true_value, t):
     out_of_range = (value < params.min_value - 0.1 * span) | \
         (value > params.max_value + 0.1 * span)
     rate_fault = jnp.abs(rate) > params.max_rate_of_change
-    random_fault = jax.random.uniform(k_fr, dtype=dtype) < RANDOM_FAULT_PROB
-    random_code = jnp.where(jax.random.uniform(k_ft, dtype=dtype) < 0.5,
+    random_fault = u_fault_roll < RANDOM_FAULT_PROB
+    random_code = jnp.where(u_fault_type < 0.5,
                             _F[SensorFault.OPEN_CIRCUIT],
                             _F[SensorFault.SHORT_CIRCUIT]).astype(jnp.int32)
 

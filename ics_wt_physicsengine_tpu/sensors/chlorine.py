@@ -115,11 +115,14 @@ def chlorine_read(params: ChlorineSensorParams, carry: ChlorineSensorCarry,
 
     true_value = chlorine_true_value(jnp.asarray(chlorine_zone, dtype),
                                      jnp.asarray(pH_zone, dtype))
-    base_carry, out = B.base_read(params.base, carry.base, true_value, t)
+    key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
+                                              extra_normals=2)
+    base_carry, out = B.base_read(
+        params.base, replace(carry.base, key=key), true_value, t,
+        rand=(normals[..., :B.BASE_NORMALS], uniforms))
     finite = jnp.isfinite(out.value)
-
-    key, k1, k2 = jax.random.split(base_carry.key, 3)
-    base_carry = replace(base_carry, key=key)
+    n1 = normals[..., B.BASE_NORMALS]
+    n2 = normals[..., B.BASE_NORMALS + 1]
 
     dt = jnp.maximum(out.timestamp - prev_ts, 0.0)
     update = had_prev & finite
@@ -142,9 +145,8 @@ def chlorine_read(params: ChlorineSensorParams, carry: ChlorineSensorCarry,
                         carry.membrane_age_days)
         # amperometric effects (:405-449)
         fouling_factor = 1.0 - 0.8 * fouling
-        polarization_noise = jax.random.normal(k1, dtype=dtype) \
-            * 0.005 * (1.0 + age / 365.0)
-        diffusion_noise = jax.random.normal(k2, dtype=dtype) * 0.003
+        polarization_noise = n1 * 0.005 * (1.0 + age / 365.0)
+        diffusion_noise = n2 * 0.003
         final = (out.value + interference) * fouling_factor \
             + polarization_noise + diffusion_noise
 
@@ -173,7 +175,7 @@ def chlorine_read(params: ChlorineSensorParams, carry: ChlorineSensorCarry,
                                 carry.reagent_age_days + dt / 86400.0,
                                 carry.reagent_age_days)
         # DPD effects (:451-484)
-        optical_noise = jax.random.normal(k1, dtype=dtype) * 0.005
+        optical_noise = n1 * 0.005
         final = out.value * potency * 0.95 + optical_noise
 
         new_carry_fields = dict(

@@ -75,12 +75,17 @@ def flow_read(params: FlowSensorParams, carry: FlowSensorCarry,
     prev_ts = carry.base.last_timestamp
     had_prev = carry.base.has_history
 
-    base_carry, out = B.base_read(params.base, carry.base,
-                                  jnp.asarray(flow_rate, dtype), t)
+    key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
+                                              extra_normals=1,
+                                              extra_uniforms=1)
+    base_carry, out = B.base_read(
+        params.base, replace(carry.base, key=key),
+        jnp.asarray(flow_rate, dtype), t,
+        rand=(normals[..., :B.BASE_NORMALS],
+              uniforms[..., :B.BASE_UNIFORMS]))
     finite = jnp.isfinite(out.value)
-
-    key, k1, k2 = jax.random.split(base_carry.key, 3)
-    base_carry = replace(base_carry, key=key)
+    n1 = normals[..., B.BASE_NORMALS]
+    u2 = uniforms[..., B.BASE_UNIFORMS]
 
     dt = jnp.maximum(out.timestamp - prev_ts, 0.0)
     update = had_prev & finite
@@ -96,8 +101,8 @@ def flow_read(params: FlowSensorParams, carry: FlowSensorCarry,
         friction_loss = friction_threshold * params.full_scale
         effective = jnp.where(out.value < friction_loss, 0.0,
                               out.value - friction_loss)
-        vib_noise = jax.random.normal(k1, dtype=dtype) \
-            * params.base.pipe_vibration_g * 0.01 * params.full_scale
+        vib_noise = n1 * params.base.pipe_vibration_g * 0.01 \
+            * params.full_scale
         final = effective + vib_noise
         fouling = carry.electrode_fouling
     else:
@@ -108,16 +113,14 @@ def flow_read(params: FlowSensorParams, carry: FlowSensorCarry,
         cond = carry.fluid_conductivity
         conductivity_factor = jnp.where(
             cond < 5.0, 0.0, jnp.where(cond < 20.0, cond / 20.0, 1.0))
-        electrical_noise = jax.random.normal(k1, dtype=dtype) \
-            * 0.001 * params.full_scale
+        electrical_noise = n1 * 0.001 * params.full_scale
         final = out.value * fouling_factor * conductivity_factor \
             + electrical_noise
         wear = carry.bearing_wear_days
 
     # air bubbles read zero (:150-155)
     bubble = (params.base.air_bubble_frequency > 0) & (
-        jax.random.uniform(k2, dtype=dtype)
-        < params.base.air_bubble_frequency / 60.0)
+        u2 < params.base.air_bubble_frequency / 60.0)
     final = jnp.where(bubble, 0.0, final)
 
     # zero cutoff (:156-159) + clip

@@ -91,11 +91,17 @@ def ph_read(params: PHSensorParams, carry: PHSensorCarry,
         + params.temperature_coefficient * (jnp.asarray(reactor_T_zone, dtype)
                                             - 25.0)
 
-    base_carry, out = B.base_read(params.base, carry.base, true_value, t)
+    # One split + two vector draws cover the base pipeline AND the overlay
+    # (electrical, junction, fouling noise — base.draw_read_rand).
+    key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
+                                              extra_normals=3)
+    base_carry, out = B.base_read(
+        params.base, replace(carry.base, key=key), true_value, t,
+        rand=(normals[..., :B.BASE_NORMALS], uniforms))
     finite = jnp.isfinite(out.value)
-
-    key, k_elec, k_junc, k_foul = jax.random.split(base_carry.key, 4)
-    base_carry = replace(base_carry, key=key)
+    n_elec = normals[..., B.BASE_NORMALS]
+    n_junc = normals[..., B.BASE_NORMALS + 1]
+    n_foul = normals[..., B.BASE_NORMALS + 2]
 
     # --- fouling state update (:250-253 -> :182-214), gated like reference ---
     dt = jnp.maximum(out.timestamp - prev_ts, 0.0)
@@ -117,10 +123,8 @@ def ph_read(params: PHSensorParams, carry: PHSensorCarry,
 
     # --- pH-specific overlay terms (:255-312), gated on finite ---
     ph_dev = jnp.abs(out.value - 7.0)
-    electrical = jax.random.normal(k_elec, dtype=dtype) \
-        * 0.002 * (1.0 + 0.1 * ph_dev)
-    junction = jax.random.normal(k_junc, dtype=dtype) \
-        * 0.005 * (1.0 + carry.reference_contamination)
+    electrical = n_elec * 0.002 * (1.0 + 0.1 * ph_dev)
+    junction = n_junc * 0.005 * (1.0 + carry.reference_contamination)
 
     days_since_cal = jnp.where(
         base_carry.has_calibration,
@@ -138,7 +142,7 @@ def ph_read(params: PHSensorParams, carry: PHSensorCarry,
                             distance * (100.0 - slope_pct) / 100.0)
 
     fouling_offset = fouling * 0.2
-    fouling_noise = jax.random.normal(k_foul, dtype=dtype) * (fouling * 0.05)
+    fouling_noise = n_foul * (fouling * 0.05)
 
     contamination = jnp.where(
         finite,

@@ -85,12 +85,15 @@ def temperature_read(params: TemperatureSensorParams,
                      carry: TemperatureSensorCarry, temperature_zone, t):
     dtype = jnp.asarray(carry.base.current_value).dtype
 
-    base_carry, out = B.base_read(params.base, carry.base,
-                                  jnp.asarray(temperature_zone, dtype), t)
+    key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
+                                              extra_normals=2)
+    base_carry, out = B.base_read(
+        params.base, replace(carry.base, key=key),
+        jnp.asarray(temperature_zone, dtype), t,
+        rand=(normals[..., :B.BASE_NORMALS], uniforms))
     finite = jnp.isfinite(out.value)
-
-    key, k1, k2 = jax.random.split(base_carry.key, 3)
-    base_carry = replace(base_carry, key=key)
+    n1 = normals[..., B.BASE_NORMALS]
+    n2 = normals[..., B.BASE_NORMALS + 1]
 
     if "rtd" in params.sensor_type:
         r_true = params.nominal_resistance \
@@ -101,7 +104,7 @@ def temperature_read(params: TemperatureSensorParams,
         self_heating = params.self_heating_C_per_mW * power_mw
         t_measured = (r_measured / params.nominal_resistance - 1.0) \
             / params.rtd_alpha
-        adc_noise = jax.random.normal(k1, dtype=dtype) * 0.001
+        adc_noise = n1 * 0.001
         final = t_measured + self_heating + adc_noise
         cj_drift = carry.cold_junction_drift
     else:
@@ -109,10 +112,9 @@ def temperature_read(params: TemperatureSensorParams,
             * (out.value - carry.cold_junction_temp)
         cj_drift = jnp.where(
             finite,
-            carry.cold_junction_drift
-            + jax.random.normal(k1, dtype=dtype) * 0.01,
+            carry.cold_junction_drift + n1 * 0.01,
             carry.cold_junction_drift)
-        emf_noise = jax.random.normal(k2, dtype=dtype) * 0.5
+        emf_noise = n2 * 0.5
         final = (v_seebeck + emf_noise) / params.seebeck_coefficient \
             + carry.cold_junction_temp + cj_drift
 
