@@ -143,39 +143,50 @@ def _zone(arr, idx: int):
 
 def plant_step(params: PlantParams, plant: PlantState,
                boundary: R.BoundaryConditions, dt: float, substeps: int,
-               stages=None
+               stages=None, rand=None
                ) -> Tuple[PlantState, Dict[str, SB.SensorOutput]]:
     """Advance physics by dt, then read all seven instruments — one pure
     function, jittable and batchable. ``stages`` selects the RKC2
-    integrator for the physics (core/reactor.py::step)."""
+    integrator for the physics (core/reactor.py::step). ``rand``: optional
+    ``{sensor_name: (normals, uniforms)}`` supplying every instrument's
+    randomness externally (sensor-module N_NORMALS/N_UNIFORMS layouts) —
+    used by the fused kernel's bit-match oracle; None draws from each
+    carry's own key."""
     state = R.step(params.reactor, plant.reactor, boundary, dt=dt,
                    substeps=substeps, stages=stages)
     t = state.time
+    rand = rand or {}
 
     ph_in_c, ph_in = SP.ph_read(
         params.ph_inlet, plant.ph_inlet,
         _zone(state.pH, params.ph_inlet.zone_index),
-        _zone(state.temperature, params.ph_inlet.zone_index), t)
+        _zone(state.temperature, params.ph_inlet.zone_index), t,
+        rand=rand.get("pH_inlet"))
     ph_out_c, ph_out = SP.ph_read(
         params.ph_outlet, plant.ph_outlet,
         _zone(state.pH, params.ph_outlet.zone_index),
-        _zone(state.temperature, params.ph_outlet.zone_index), t)
+        _zone(state.temperature, params.ph_outlet.zone_index), t,
+        rand=rand.get("pH_outlet"))
     cl_in_c, cl_in = SC.chlorine_read(
         params.chlorine_inlet, plant.chlorine_inlet,
         _zone(state.chlorine, params.chlorine_inlet.zone_index),
-        _zone(state.pH, params.chlorine_inlet.zone_index), t)
+        _zone(state.pH, params.chlorine_inlet.zone_index), t,
+        rand=rand.get("chlorine_inlet"))
     cl_out_c, cl_out = SC.chlorine_read(
         params.chlorine_outlet, plant.chlorine_outlet,
         _zone(state.chlorine, params.chlorine_outlet.zone_index),
-        _zone(state.pH, params.chlorine_outlet.zone_index), t)
+        _zone(state.pH, params.chlorine_outlet.zone_index), t,
+        rand=rand.get("chlorine_outlet"))
     fl_c, fl = SF.flow_read(params.flow_main, plant.flow_main,
-                            state.flow_rate, t)
+                            state.flow_rate, t, rand=rand.get("flow_main"))
     t_in_c, t_in = ST.temperature_read(
         params.temp_inlet, plant.temp_inlet,
-        _zone(state.temperature, params.temp_inlet.zone_index), t)
+        _zone(state.temperature, params.temp_inlet.zone_index), t,
+        rand=rand.get("temp_inlet"))
     t_out_c, t_out = ST.temperature_read(
         params.temp_outlet, plant.temp_outlet,
-        _zone(state.temperature, params.temp_outlet.zone_index), t)
+        _zone(state.temperature, params.temp_outlet.zone_index), t,
+        rand=rand.get("temp_outlet"))
 
     new_plant = PlantState(
         reactor=state, ph_inlet=ph_in_c, ph_outlet=ph_out_c,

@@ -101,9 +101,14 @@ def chlorine_true_value(chlorine_zone, pH_zone):
     return chlorine_zone * (0.5 + 0.5 * fraction_hocl)
 
 
+N_NORMALS = B.BASE_NORMALS + 2     # + polarization/optical, diffusion
+N_UNIFORMS = B.BASE_UNIFORMS
+
+
 def chlorine_read(params: ChlorineSensorParams, carry: ChlorineSensorCarry,
                   chlorine_zone, pH_zone, t,
-                  ozone=0.0, hydrogen_peroxide=0.0, chlorine_dioxide=0.0):
+                  ozone=0.0, hydrogen_peroxide=0.0, chlorine_dioxide=0.0,
+                  rand=None):
     """One chlorine reading: base pipeline + principle-specific overlay.
 
     ``ozone``/``hydrogen_peroxide``/``chlorine_dioxide`` are optional zone
@@ -115,11 +120,16 @@ def chlorine_read(params: ChlorineSensorParams, carry: ChlorineSensorCarry,
 
     true_value = chlorine_true_value(jnp.asarray(chlorine_zone, dtype),
                                      jnp.asarray(pH_zone, dtype))
-    key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
-                                              extra_normals=2)
+    if rand is None:
+        key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
+                                                  extra_normals=2)
+    else:
+        key = carry.base.key
+        normals, uniforms = rand
     base_carry, out = B.base_read(
         params.base, replace(carry.base, key=key), true_value, t,
-        rand=(normals[..., :B.BASE_NORMALS], uniforms))
+        rand=(normals[..., :B.BASE_NORMALS],
+              uniforms[..., :B.BASE_UNIFORMS]))
     finite = jnp.isfinite(out.value)
     n1 = normals[..., B.BASE_NORMALS]
     n2 = normals[..., B.BASE_NORMALS + 1]

@@ -69,15 +69,23 @@ def make_flow_carry(params: FlowSensorParams, key, t0=0.0,
                            fluid_conductivity=arr(100.0))
 
 
+N_NORMALS = B.BASE_NORMALS + 1     # + vibration/electrical noise
+N_UNIFORMS = B.BASE_UNIFORMS + 1   # + air-bubble roll
+
+
 def flow_read(params: FlowSensorParams, carry: FlowSensorCarry,
-              flow_rate, t):
+              flow_rate, t, rand=None):
     dtype = jnp.asarray(carry.base.current_value).dtype
     prev_ts = carry.base.last_timestamp
     had_prev = carry.base.has_history
 
-    key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
-                                              extra_normals=1,
-                                              extra_uniforms=1)
+    if rand is None:
+        key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
+                                                  extra_normals=1,
+                                                  extra_uniforms=1)
+    else:
+        key = carry.base.key
+        normals, uniforms = rand
     base_carry, out = B.base_read(
         params.base, replace(carry.base, key=key),
         jnp.asarray(flow_rate, dtype), t,

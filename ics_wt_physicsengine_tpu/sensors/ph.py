@@ -75,12 +75,20 @@ def make_ph_carry(params: PHSensorParams, key, t0=0.0,
         cal_point_1=arr(4.0), cal_point_2=arr(7.0))
 
 
+N_NORMALS = B.BASE_NORMALS + 3     # + electrical, junction, fouling noise
+N_UNIFORMS = B.BASE_UNIFORMS
+
+
 def ph_read(params: PHSensorParams, carry: PHSensorCarry,
-            reactor_pH_zone, reactor_T_zone, t):
+            reactor_pH_zone, reactor_T_zone, t, rand=None):
     """One pH reading: base pipeline + glass-electrode overlay.
 
     ``reactor_pH_zone`` / ``reactor_T_zone`` are the already-selected zone
     values (the wrapper resolves ``zone_index`` against the state arrays).
+    ``rand``: optional pre-drawn ``(normals[..., N_NORMALS],
+    uniforms[..., N_UNIFORMS])`` (base layout first) — used by fused paths
+    that batch randomness across the whole plant; None draws from the
+    carry's key.
     """
     dtype = jnp.asarray(carry.base.current_value).dtype
     prev_ts = carry.base.last_timestamp
@@ -93,11 +101,16 @@ def ph_read(params: PHSensorParams, carry: PHSensorCarry,
 
     # One split + two vector draws cover the base pipeline AND the overlay
     # (electrical, junction, fouling noise — base.draw_read_rand).
-    key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
-                                              extra_normals=3)
+    if rand is None:
+        key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
+                                                  extra_normals=3)
+    else:
+        key = carry.base.key
+        normals, uniforms = rand
     base_carry, out = B.base_read(
         params.base, replace(carry.base, key=key), true_value, t,
-        rand=(normals[..., :B.BASE_NORMALS], uniforms))
+        rand=(normals[..., :B.BASE_NORMALS],
+              uniforms[..., :B.BASE_UNIFORMS]))
     finite = jnp.isfinite(out.value)
     n_elec = normals[..., B.BASE_NORMALS]
     n_junc = normals[..., B.BASE_NORMALS + 1]

@@ -81,12 +81,21 @@ def make_temperature_carry(params: TemperatureSensorParams, key, t0=0.0,
         cold_junction_drift=np.asarray(0.0, dtype))
 
 
+N_NORMALS = B.BASE_NORMALS + 2     # + adc/cold-junction, emf noise
+N_UNIFORMS = B.BASE_UNIFORMS
+
+
 def temperature_read(params: TemperatureSensorParams,
-                     carry: TemperatureSensorCarry, temperature_zone, t):
+                     carry: TemperatureSensorCarry, temperature_zone, t,
+                     rand=None):
     dtype = jnp.asarray(carry.base.current_value).dtype
 
-    key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
-                                              extra_normals=2)
+    if rand is None:
+        key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
+                                                  extra_normals=2)
+    else:
+        key = carry.base.key
+        normals, uniforms = rand
     base_carry, out = B.base_read(
         params.base, replace(carry.base, key=key),
         jnp.asarray(temperature_zone, dtype), t,
