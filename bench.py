@@ -136,6 +136,39 @@ def bench_integrated(n_plants=16384, n_steps=64, reps=3):
     return n_plants * n_steps / elapsed
 
 
+def bench_integrated_single(n_steps=16384, reps=3):
+    """Single instrumented plant through the fused plant kernel
+    (ops/fused_plant.py): physics + all seven sensors per step in one
+    launch — the reference's own serving workload shape (one plant,
+    step + read-all, run_simulation.py) at kernel speed."""
+    import numpy as np
+
+    from ics_wt_physicsengine_tpu.models.plant import make_plant
+    from ics_wt_physicsengine_tpu.ops.fused_plant import plant_rollout_fused
+
+    config = R.ReactorConfiguration(volume=1000, height=2.0, diameter=0.798,
+                                    n_zones=20)
+    substeps = R.default_substeps(config, DT)
+    params, plant = make_plant(config, seed=1, dtype=jnp.float32)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.2,
+                              inlet_chlorine=0.5, acid_flow_rate=0.1)
+
+    def fn(p):
+        out, _ = plant_rollout_fused(params, p, bc, dt=DT,
+                                     substeps=substeps, n_steps=n_steps,
+                                     record_every=n_steps, seed=7)
+        return out
+
+    out = fn(plant)
+    np.asarray(out.reactor.time)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(out)
+    np.asarray(out.reactor.time)
+    elapsed = (time.perf_counter() - t0) / reps
+    return n_steps / elapsed
+
+
 def bench_scheduled(n_steps=4096, reps=3):
     """Scheduled forcing (per-step boundary mutation, the reference's HIL
     loop pattern) through the SMEM-streaming fused kernel."""
@@ -174,6 +207,7 @@ def main():
     single, single_rkc = bench_single_plant()
     batched, batched_rkc = bench_batched()
     integrated = bench_integrated()
+    integrated_single = bench_integrated_single()
     scheduled = bench_scheduled()
     print(json.dumps({
         "metric": "single-plant steps/sec (20 zones, dt=1s; == real-time factor)",
@@ -190,6 +224,7 @@ def main():
             "batched_n_plants_rkc": 65536,
             "integrated_plant_steps_per_sec": round(integrated, 1),
             "integrated_n_plants": 16384,
+            "integrated_single_steps_per_sec": round(integrated_single, 1),
             "scheduled_forcing_steps_per_sec": round(scheduled, 1),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),

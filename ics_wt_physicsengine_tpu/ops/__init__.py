@@ -6,3 +6,6 @@ from ics_wt_physicsengine_tpu.ops.fused_rollout import (  # noqa: F401
     rollout_fused,
     rollout_scheduled_fused,
 )
+from ics_wt_physicsengine_tpu.ops.fused_plant import (  # noqa: F401
+    plant_rollout_fused,
+)

@@ -1,0 +1,720 @@
+"""
+Fused whole-rollout kernel for the INTEGRATED plant: physics + all seven
+instruments per step, inside one Pallas launch.
+
+Why: the XLA scan of ``models.plant.plant_step`` executes hundreds of tiny
+fused programs per step; at single-plant scale that is latency-bound at a
+few thousand steps/s while the bare-physics fused kernel runs at hundreds of
+thousands. This kernel keeps the reactor state, every sensor carry, and the
+sample-line histories resident in VMEM for the whole rollout, so BASELINE
+config 3 (physics + sensor suite) runs at kernel speed.
+
+When to use which path (measured, v5e, 20 zones, RK4):
+- single / small-batch instrumented rollouts: THIS kernel — 57k steps/s at
+  4096 steps, 117k at 16384 (per-step cost ~6.6 us + ~35 ms call overhead)
+  vs 7.1k steps/s for the XLA ``plant_rollout`` scan (8-16x).
+- large Monte-Carlo ensembles: the XLA ``plant_rollout_batched`` path —
+  14.9M plant-steps/s at 16,384 plants vs ~5.5M here. In the zone-packed
+  lane layout each plant's per-plant sensor math is replicated across its
+  ``n_zones`` lanes, wasting (n_zones-1)/n_zones of the VPU on sensor work;
+  XLA's [B]-shaped sensor arrays have no such waste once B fills the VPU.
+
+Design — reuse, don't re-implement:
+- The sensor pipeline code is the *same* jnp code as the XLA path: the
+  kernel builds plane-valued ``SensorParams``/``SensorCarry`` dataclasses
+  ([rows, 128] leaves) from packed VMEM tensors and calls the very same
+  ``ph_read``/``chlorine_read``/``flow_read``/``temperature_read``
+  (sensors/*.py), with externally supplied randomness (their ``rand``
+  hook) and an externally resolved sample line (their ``delayed_true``
+  hook, with ``line_capacity=0`` params so the in-carry ring is skipped).
+  Any fix to the sensor physics automatically applies to both paths.
+- The physics is the shared lane-stencil body from ops/fused_rollout.py.
+- Lane layout: zones on the 128-lane axis, ``128 // n_zones`` plants per
+  row (ops/fused_rollout.py docstring). Per-plant sensor scalars are packed
+  per-lane; each lane computes an independent sensor-noise realization and
+  unpacking reads each plant's zone-0 lane — one coherent stream per plant.
+
+Sample line: with a fixed step dt, the reference's nearest-timestamp ring
+lookup reduces to "the tap from round(delay/dt) steps ago" — a circular
+[delay_steps+1] history in VMEM scratch with O(1) lookup instead of an
+argmin over 100 entries. Differences vs the XLA ring (documented, noise
+level): the fused line records the true process value every step (the
+reference skips appends while warming or power-faulted, shifting post-fault
+delays by +-1 step at ~1e-4/read probability), and an incoming carry's ring
+contents are ignored (a fused rollout starts its line from the first
+in-rollout sample, exactly like a freshly powered reference SampleLine;
+the carried ring passes through untouched).
+
+Randomness: on TPU, the on-chip PRNG (pltpu.prng_seed / prng_random_bits,
+seeded per grid block from ``seed``); uniforms take the top 24 bits,
+normals are Box-Muller pairs. For CPU/interpret testing the same word
+stream can be *injected* (``rng="bits"``) — tests feed identical words to
+this kernel and to an XLA plant_step scan (via the sensors' ``rand`` hook)
+and compare bit-for-bit (tests/test_fused_plant.py).
+
+Reference semantics: sensors/base_sensor.py:509-698 (base pipeline),
+ph_sensor/chlorine_sensor/flow_sensor/temperature_sensor overlays, and
+run_simulation.py's step-then-read-all loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import replace as dc_replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ics_wt_physicsengine_tpu.core import reactor as R
+from ics_wt_physicsengine_tpu.models.plant import PlantState
+from ics_wt_physicsengine_tpu.ops.fused_rollout import (
+    _COL,
+    _LANES,
+    _MAX_BLOCK_ROWS,
+    _boundary_terms,
+    _bound,
+    _make_deriv,
+    _make_stepper,
+    _masks,
+    _pack_planes,
+    _pack_scalars,
+    _pack_state,
+    _param_planes,
+    _unpack_state,
+)
+from ics_wt_physicsengine_tpu.sensors import base as SB
+from ics_wt_physicsengine_tpu.sensors import chlorine as SC
+from ics_wt_physicsengine_tpu.sensors import flow as SF
+from ics_wt_physicsengine_tpu.sensors import ph as SP
+from ics_wt_physicsengine_tpu.sensors import temperature as ST
+
+# ---------------------------------------------------------------------------
+# Registries: sensor order, randomness layout, packed column layouts
+# ---------------------------------------------------------------------------
+
+# (reading name, PlantParams/PlantState attribute, kind)
+SENSORS = [
+    ("pH_inlet", "ph_inlet", "ph"),
+    ("pH_outlet", "ph_outlet", "ph"),
+    ("chlorine_inlet", "chlorine_inlet", "cl"),
+    ("chlorine_outlet", "chlorine_outlet", "cl"),
+    ("flow_main", "flow_main", "flow"),
+    ("temp_inlet", "temp_inlet", "temp"),
+    ("temp_outlet", "temp_outlet", "temp"),
+]
+
+_RAND = {  # (n_normals, n_uniforms) per sensor kind
+    "ph": (SP.N_NORMALS, SP.N_UNIFORMS),
+    "cl": (SC.N_NORMALS, SC.N_UNIFORMS),
+    "flow": (SF.N_NORMALS, SF.N_UNIFORMS),
+    "temp": (ST.N_NORMALS, ST.N_UNIFORMS),
+}
+
+
+def words_per_sensor(kind: str) -> int:
+    n, m = _RAND[kind]
+    return 2 * ((n + 1) // 2) + m
+
+
+N_WORDS = sum(words_per_sensor(kind) for _, _, kind in SENSORS)
+_WORD_OFFSET = {}
+_off = 0
+for _rname, _attr, _kind in SENSORS:
+    _WORD_OFFSET[_attr] = _off
+    _off += words_per_sensor(_kind)
+
+# Per-plant float parameter columns: (attr, field path relative to the
+# sensor params dataclass). Base fields used by base_read, then overlays.
+_BASE_P = ["min_value", "max_value", "precision", "drift_rate",
+           "warmup_time_s", "max_rate_of_change", "flow_velocity",
+           "air_bubble_frequency", "grounding_quality", "pipe_vibration_g",
+           "ambient_temperature"]
+_OVERLAY_P = {
+    "ph": ["temperature_coefficient"],
+    "cl": ["ozone_sensitivity", "h2o2_sensitivity", "clo2_sensitivity"],
+    "flow": ["full_scale"],
+    "temp": ["nominal_resistance", "rtd_alpha", "lead_resistance",
+             "excitation_current_mA", "self_heating_C_per_mW",
+             "seebeck_coefficient"],
+}
+
+# Carry columns (kind tags drive f32 encode/decode: f=float, b=bool, i=int).
+_BASE_C = [("current_value", "f"), ("supply_voltage", "f"),
+           ("power_on_time", "f"), ("calibration_offset", "f"),
+           ("last_calibration_time", "f"),
+           ("calibration_validity_hours", "f"), ("has_calibration", "b"),
+           ("status", "i"), ("fault", "i"), ("last_value", "f"),
+           ("last_timestamp", "f"), ("has_history", "b")]
+_OVERLAY_C = {
+    "ph": [("membrane_fouling", "f"), ("glass_etching", "f"),
+           ("days_since_cleaning", "f"), ("water_hardness", "f"),
+           ("reference_contamination", "f"), ("slope_percentage", "f"),
+           ("cal_point_1", "f"), ("cal_point_2", "f")],
+    "cl": [("membrane_fouling", "f"), ("membrane_age_days", "f"),
+           ("electrode_polarization", "f"), ("reagent_potency", "f"),
+           ("reagent_age_days", "f"), ("light_exposure_hours", "f"),
+           ("storage_temperature", "f")],
+    "flow": [("bearing_friction", "f"), ("bearing_wear_days", "f"),
+             ("electrode_fouling", "f"), ("fluid_conductivity", "f")],
+    "temp": [("cold_junction_temp", "f"), ("cold_junction_drift", "f")],
+}
+
+
+def _build_cols():
+    pcols, ccols = [], []
+    for _, attr, kind in SENSORS:
+        for f in _BASE_P:
+            pcols.append((attr, "base", f))
+        for f in _OVERLAY_P[kind]:
+            pcols.append((attr, None, f))
+        for f, k in _BASE_C:
+            ccols.append((attr, "base", f, k))
+        for f, k in _OVERLAY_C[kind]:
+            ccols.append((attr, None, f, k))
+    return pcols, ccols
+
+
+_PCOLS, _CCOLS = _build_cols()
+_PCOL = {c[:3]: i for i, c in enumerate(_PCOLS)}
+_CCOL = {c[:3]: i for i, c in enumerate(_CCOLS)}
+N_PCOLS, N_CCOLS = len(_PCOLS), len(_CCOLS)
+
+
+# Perf-debug ablation switches (consulted at trace time; empty in
+# production). Members: "no_sensors", "no_rand", "no_taps", "no_store",
+# "no_hist", "one_sensor".
+_ABLATE = frozenset()
+
+
+class _Cols:
+    """Duck-typed stand-in for a trailing-axis-stacked random array: the
+    sensor read fns index ``normals[..., i]`` / slice ``[..., :k]``; this
+    serves those from a plain list of planes (no 3-D stacks in Mosaic)."""
+
+    def __init__(self, cols):
+        self.cols = list(cols)
+
+    def __getitem__(self, idx):
+        assert isinstance(idx, tuple) and idx[0] is Ellipsis
+        sel = idx[1]
+        if isinstance(sel, slice):
+            return _Cols(self.cols[sel])
+        return self.cols[sel]
+
+
+def rand_from_words(words, n_normals: int, n_uniforms: int):
+    """Transform raw int32 words into (normals, uniforms) — shared by the
+    kernel and the XLA bit-match oracle so both consume identical streams.
+
+    Uniforms take the top 24 bits (mask first: prng bits are *signed* int32,
+    a bare >> would sign-extend); normals are Box-Muller pairs."""
+    def unif(w):
+        return ((w >> 8) & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
+
+    n_pairs = (n_normals + 1) // 2
+    normals = []
+    for p in range(n_pairs):
+        u1 = unif(words[2 * p])
+        u2 = unif(words[2 * p + 1])
+        r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+        theta = (2.0 * math.pi) * u2
+        normals.append(r * jnp.cos(theta))
+        normals.append(r * jnp.sin(theta))
+    normals = normals[:n_normals]
+    uniforms = [unif(words[2 * n_pairs + i]) for i in range(n_uniforms)]
+    return _Cols(normals), _Cols(uniforms)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _seg_tap(x, k: int, n_zones: int, zone, lanes: int):
+    """Zone-k value of each packed plant, broadcast across the plant's
+    lanes: left-rotate by k (zone-k lands on the zone-0 lane of the same
+    segment), then logarithmic fill-right within segments."""
+    if k:
+        x = pltpu.roll(x, lanes - k, 1)
+    s = 1
+    while s < n_zones:
+        x = jnp.where(zone >= s, pltpu.roll(x, s, 1), x)
+        s *= 2
+    return x
+
+
+def _plant_kernel(time_ref, scal_ref, sp_ref, cin_ref, bits_ref,
+                  ph_ref, cl_ref, t_ref,
+                  ph_out, cl_out, t_out, time_out, cout_ref, traj_ref,
+                  hist_ph_in, hist_ph_out, hist_t_in, hist_t_out,
+                  *, n_zones: int, dt: float, substeps: int, n_steps: int,
+                  block_rows: int, stages, record_every: int, hw_rng: bool,
+                  seed: int, delays, statics):
+    m = _masks(block_rows, n_zones)
+    p = _param_planes(scal_ref)
+    b = _boundary_terms(p, lambda name: scal_ref[:, _COL[name], :])
+    deriv = _make_deriv(p, b, m)
+    stepper = _make_stepper(deriv, dt / substeps, stages)
+    zone = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 1) \
+        % n_zones
+    q_total = (scal_ref[:, _COL["inlet_flow_rate"], :]
+               + scal_ref[:, _COL["acid_flow_rate"], :]
+               + scal_ref[:, _COL["chlorine_flow_rate"], :])
+
+    if hw_rng:
+        pltpu.prng_seed(seed + pl.program_id(0))
+
+    cout_ref[:] = cin_ref[:]
+
+    def pparam(attr, sub, field):
+        return sp_ref[:, _PCOL[(attr, sub, field)], :]
+
+    def cget(attr, sub, field):
+        return cout_ref[:, _CCOL[(attr, sub, field)], :]
+
+    def cset(attr, sub, field, value):
+        cout_ref[:, _CCOL[(attr, sub, field)], :] = value
+
+    def base_params(attr, **extra):
+        kw = {f: pparam(attr, "base", f) for f in _BASE_P}
+        return SB.SensorParams(
+            line_capacity=0, response_time=jnp.float32(0.0),
+            hysteresis_magnitude=jnp.float32(0.0),
+            line_delay_s=jnp.float32(0.0), **kw)
+
+    def base_carry(attr):
+        g = lambda f: cget(attr, "base", f)  # noqa: E731
+        return SB.SensorCarry(
+            key=jnp.zeros((), jnp.float32),
+            current_value=g("current_value"),
+            supply_voltage=g("supply_voltage"),
+            power_on_time=g("power_on_time"),
+            calibration_offset=g("calibration_offset"),
+            last_calibration_time=g("last_calibration_time"),
+            calibration_validity_hours=g("calibration_validity_hours"),
+            has_calibration=g("has_calibration") > 0.5,
+            status=g("status").astype(jnp.int32),
+            fault=g("fault").astype(jnp.int32),
+            last_value=g("last_value"),
+            last_timestamp=g("last_timestamp"),
+            has_history=g("has_history") > 0.5,
+            line_values=jnp.zeros((1,), jnp.float32),
+            line_times=jnp.zeros((1,), jnp.float32),
+            line_count=jnp.zeros((), jnp.int32),
+            line_ptr=jnp.zeros((), jnp.int32),
+        )
+
+    def store_base(attr, nc):
+        cset(attr, "base", "current_value", nc.current_value)
+        cset(attr, "base", "supply_voltage", nc.supply_voltage)
+        cset(attr, "base", "status", nc.status.astype(jnp.float32))
+        cset(attr, "base", "fault", nc.fault.astype(jnp.float32))
+        cset(attr, "base", "last_value", nc.last_value)
+        cset(attr, "base", "last_timestamp",
+             jnp.zeros_like(nc.current_value) + nc.last_timestamp)
+        cset(attr, "base", "has_history",
+             jnp.zeros_like(nc.current_value)
+             + nc.has_history.astype(jnp.float32))
+
+    def overlay_carry(attr, kind, base):
+        fields = {f: cget(attr, None, f) for f, _ in _OVERLAY_C[kind]}
+        cls = {"ph": SP.PHSensorCarry, "cl": SC.ChlorineSensorCarry,
+               "flow": SF.FlowSensorCarry,
+               "temp": ST.TemperatureSensorCarry}[kind]
+        return cls(base=base, **fields)
+
+    def store_overlay(attr, kind, nc):
+        for f, _ in _OVERLAY_C[kind]:
+            cset(attr, None, f, getattr(nc, f))
+
+    def words_for(attr, kind, i):
+        nw = words_per_sensor(kind)
+        if hw_rng:
+            return [pltpu.prng_random_bits((block_rows, _LANES))
+                    for _ in range(nw)]
+        w0 = _WORD_OFFSET[attr]
+        return [bits_ref[i, w0 + w] for w in range(nw)]
+
+    def step_body(i, carry):
+        ph, cl, tt, t = carry
+        nph, ncl, ntt = jax.lax.fori_loop(
+            0, substeps, lambda __, cy: stepper(cy), (ph, cl, tt))
+        nph, ncl, ntt = _bound(nph, ncl, ntt)
+        t = t + jnp.float32(dt)
+        if "no_sensors" in _ABLATE:
+            return nph, ncl, ntt, t
+
+        z_last = n_zones - 1
+        if "no_taps" in _ABLATE:
+            taps = {k: nph for k in ("pH0", "pHL", "cl0", "clL", "T0",
+                                     "TL")}
+        else:
+            taps = {
+                "pH0": _seg_tap(nph, 0, n_zones, zone, _LANES),
+                "pHL": _seg_tap(nph, z_last, n_zones, zone, _LANES),
+                "cl0": _seg_tap(ncl, 0, n_zones, zone, _LANES),
+                "clL": _seg_tap(ncl, z_last, n_zones, zone, _LANES),
+                "T0": _seg_tap(ntt, 0, n_zones, zone, _LANES),
+                "TL": _seg_tap(ntt, z_last, n_zones, zone, _LANES),
+            }
+
+        def delayed(hist, tap, ds):
+            # circular history: append this step's tap, look up the tap
+            # from ds steps ago (clamped to the rollout's first sample —
+            # the reference ring's nearest-to-target pick for a young line)
+            if "no_hist" in _ABLATE:
+                return tap
+            cap = ds + 1
+            hist[jax.lax.rem(i, cap)] = tap
+            idx = jax.lax.rem(jnp.maximum(i - ds, 0), cap)
+            return hist[idx]
+
+        readings = {}
+        sensors = SENSORS[:1] if "one_sensor" in _ABLATE else SENSORS
+        for rname, attr, kind in sensors:
+            n_n, n_u = _RAND[kind]
+            if "no_rand" in _ABLATE:
+                zero = jnp.zeros_like(nph)
+                half = zero + 0.5
+                normals = _Cols([zero] * n_n)
+                uniforms = _Cols([half] * n_u)
+            else:
+                normals, uniforms = rand_from_words(
+                    words_for(attr, kind, i), n_n, n_u)
+            rand = (normals, uniforms)
+            bp = base_params(attr)
+            bc = base_carry(attr)
+
+            if kind == "ph":
+                pp = SP.PHSensorParams(
+                    zone_index=0, base=bp,
+                    temperature_coefficient=pparam(
+                        attr, None, "temperature_coefficient"))
+                cc = overlay_carry(attr, kind, bc)
+                tap_ph = taps["pH0"] if statics[attr]["zone"] == 0 \
+                    else taps["pHL"]
+                tap_t = taps["T0"] if statics[attr]["zone"] == 0 \
+                    else taps["TL"]
+                comp = tap_ph + pp.temperature_coefficient * (tap_t - 25.0)
+                hist = hist_ph_in if attr == "ph_inlet" else hist_ph_out
+                dtap = delayed(hist, comp, delays[attr])
+                nc, out = SP.ph_read(pp, cc, tap_ph, tap_t, t, rand=rand,
+                                     delayed_true=dtap)
+            elif kind == "cl":
+                pp = SC.ChlorineSensorParams(
+                    zone_index=0, sensor_type=statics[attr]["type"],
+                    base=bp,
+                    ozone_sensitivity=pparam(attr, None,
+                                             "ozone_sensitivity"),
+                    h2o2_sensitivity=pparam(attr, None, "h2o2_sensitivity"),
+                    clo2_sensitivity=pparam(attr, None, "clo2_sensitivity"))
+                cc = overlay_carry(attr, kind, bc)
+                tap_cl = taps["cl0"] if statics[attr]["zone"] == 0 \
+                    else taps["clL"]
+                tap_ph = taps["pH0"] if statics[attr]["zone"] == 0 \
+                    else taps["pHL"]
+                nc, out = SC.chlorine_read(pp, cc, tap_cl, tap_ph, t,
+                                           rand=rand)
+            elif kind == "flow":
+                pp = SF.FlowSensorParams(
+                    sensor_type=statics[attr]["type"], base=bp,
+                    full_scale=pparam(attr, None, "full_scale"))
+                cc = overlay_carry(attr, kind, bc)
+                nc, out = SF.flow_read(pp, cc, q_total, t, rand=rand)
+            else:  # temp
+                pp = ST.TemperatureSensorParams(
+                    zone_index=0, sensor_type=statics[attr]["type"],
+                    base=bp,
+                    nominal_resistance=pparam(attr, None,
+                                              "nominal_resistance"),
+                    rtd_alpha=pparam(attr, None, "rtd_alpha"),
+                    lead_resistance=pparam(attr, None, "lead_resistance"),
+                    excitation_current_mA=pparam(
+                        attr, None, "excitation_current_mA"),
+                    self_heating_C_per_mW=pparam(
+                        attr, None, "self_heating_C_per_mW"),
+                    seebeck_coefficient=pparam(attr, None,
+                                               "seebeck_coefficient"))
+                cc = overlay_carry(attr, kind, bc)
+                tap_t = taps["T0"] if statics[attr]["zone"] == 0 \
+                    else taps["TL"]
+                hist = hist_t_in if attr == "temp_inlet" else hist_t_out
+                dtap = delayed(hist, tap_t, delays[attr])
+                nc, out = ST.temperature_read(pp, cc, tap_t, t, rand=rand,
+                                              delayed_true=dtap)
+
+            if "no_store" not in _ABLATE:
+                store_base(attr, nc.base)
+                store_overlay(attr, kind, nc)
+            readings[rname] = out.value
+
+        @pl.when((i + 1) % record_every == 0)
+        def _record():
+            slot = (i + 1) // record_every - 1
+            for k, (rname, _, _) in enumerate(SENSORS):
+                if rname in readings:       # ablation may drop sensors
+                    traj_ref[slot, k] = readings[rname]
+
+        return nph, ncl, ntt, t
+
+    t0 = time_ref[0]
+    ph, cl, tt, t = jax.lax.fori_loop(
+        0, n_steps, step_body, (ph_ref[:], cl_ref[:], t_ref[:], t0))
+    ph_out[:] = ph
+    cl_out[:] = cl
+    t_out[:] = tt
+    time_out[:] = jnp.zeros_like(time_out) + t
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _uniform_scalar(leaf, what):
+    arr = np.asarray(jax.device_get(leaf), np.float64).ravel()
+    if arr.size > 1 and not np.all(arr == arr[0]):
+        raise ValueError(f"{what} must be uniform across the batch for the "
+                         f"fused plant kernel; got range "
+                         f"[{arr.min()}, {arr.max()}]")
+    return float(arr[0])
+
+
+def plant_rollout_fused(params, plant, boundary, *, dt: float,
+                        substeps: int, n_steps: int, stages=None,
+                        record_every: int = 1, rng: str = "hw",
+                        bits=None, seed: int = 0,
+                        interpret: bool | None = None):
+    """Advance the full instrumented plant ``n_steps`` inside one kernel.
+
+    Returns ``(new_plant, readings)`` where readings maps each sensor name
+    to its measured-value trajectory ``[n_steps // record_every, ...]`` —
+    the measured-value UQ workload (BASELINE config 3) at kernel speed.
+
+    ``rng="hw"`` uses the on-chip PRNG (seeded from ``seed``; TPU only).
+    ``rng="bits"`` consumes caller-supplied int32 ``bits`` of shape
+    ``[n_steps, N_WORDS, rows_padded, 128]`` — the CPU-testable path whose
+    stream the XLA oracle can replay (see module docstring).
+
+    Constraints: n_zones <= 128; uniform sample-line delay and sensor
+    zone/type statics across the batch; incoming delay-ring contents are
+    not consumed (see module docstring).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if rng == "hw" and interpret:
+        raise ValueError("rng='hw' needs the TPU PRNG; pass rng='bits' "
+                         "with explicit words for CPU/interpret runs")
+    if n_steps % record_every:
+        raise ValueError(f"n_steps={n_steps} must be a multiple of "
+                         f"record_every={record_every}")
+
+    rparams = params.reactor
+    state = plant.reactor
+    z = rparams.n_zones
+    if z > _LANES:
+        raise ValueError(f"fused plant supports n_zones <= {_LANES}")
+
+    # -- static per-sensor config (types, zones, delays) — derived from
+    #    concrete params host-side, passed as hashable statics to the jit
+    statics, delays = [], []
+    for _, attr, kind in SENSORS:
+        sp = getattr(params, attr)
+        zi = getattr(sp, "zone_index", 0)
+        if zi not in (-1, 0, z - 1):
+            raise ValueError(f"{attr}: zone_index {zi} unsupported "
+                             f"(inlet 0 / outlet -1 only)")
+        statics.append((attr, (z - 1) if zi in (-1, z - 1) else 0,
+                        getattr(sp, "sensor_type", None)))
+        delay_s = _uniform_scalar(sp.base.line_delay_s,
+                                  f"{attr}.base.line_delay_s")
+        delays.append((attr, max(0, int(round(delay_s / dt)))))
+
+    if rng == "hw":
+        bits = jnp.zeros((1,), jnp.int32)   # placeholder, kernel ignores
+    return _fused_plant_jit(
+        params, plant, boundary, bits, dt=dt, substeps=substeps,
+        n_steps=n_steps, stages=stages, record_every=record_every,
+        hw_rng=rng == "hw", seed=seed, interpret=interpret,
+        statics_t=tuple(statics), delays_t=tuple(delays),
+        ablate=_ABLATE)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "substeps", "n_steps", "stages", "record_every",
+                     "hw_rng", "seed", "interpret", "statics_t", "delays_t",
+                     "ablate"))
+def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
+                     n_steps, stages, record_every, hw_rng, seed,
+                     interpret, statics_t, delays_t, ablate):
+    del ablate  # only a cache key: _ABLATE is read at trace time
+    statics = {attr: {"zone": zone, "type": typ}
+               for attr, zone, typ in statics_t}
+    delays = dict(delays_t)
+    rparams = params.reactor
+    state = plant.reactor
+    z = rparams.n_zones
+
+    ph = jnp.asarray(state.pH)
+    single = ph.ndim == 1
+    batch = 1 if single else ph.shape[0]
+    dtype = jnp.float32
+
+    plants_per_row = _LANES // z
+    rows = -(-batch // plants_per_row)
+    # The integrated kernel carries ~220 packed scalar columns plus four
+    # sample-line histories per block: taller blocks than 16 rows blow the
+    # Mosaic scoped-VMEM stack (compile-time OOM at 64 rows).
+    max_rows = min(_MAX_BLOCK_ROWS, 16)
+    block_rows = 8 if rows <= 8 else min(-(-rows // 8) * 8, max_rows)
+    rows_padded = -(-rows // block_rows) * block_rows
+
+    # -- pack everything
+    def prep(x):
+        x = jnp.asarray(x, dtype)
+        if single:
+            x = x[None, :]
+        return _pack_state(x, batch, z, plants_per_row, rows_padded, dtype)
+
+    scal = _pack_scalars(rparams, boundary, batch, z, plants_per_row,
+                         rows_padded, dtype)
+
+    pvals = {}
+    for (attr, sub, field) in _PCOLS:
+        src = getattr(params, attr)
+        leaf = getattr(src.base if sub == "base" else src, field)
+        pvals[(attr, sub, field)] = leaf
+    sp_t = _pack_planes(pvals, _PCOLS, batch, z, plants_per_row,
+                        rows_padded, dtype)
+
+    cvals = {}
+    for (attr, sub, field, kindtag) in _CCOLS:
+        src = getattr(plant, attr)
+        leaf = getattr(src.base if sub == "base" else src, field)
+        leaf = jnp.asarray(leaf).astype(dtype)
+        cvals[(attr, sub, field)] = leaf
+    cin = _pack_planes(cvals, [c[:3] for c in _CCOLS], batch, z,
+                       plants_per_row, rows_padded, dtype)
+
+    if hw_rng:
+        bits = jnp.zeros((1, 1, rows_padded, _LANES), jnp.int32)
+        bits_block = pl.BlockSpec((1, 1, block_rows, _LANES),
+                                  lambda i: (0, 0, i, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        bits = jnp.asarray(bits, jnp.int32)
+        expect = (n_steps, N_WORDS, rows_padded, _LANES)
+        if bits.shape != expect:
+            raise ValueError(f"bits shape {bits.shape} != {expect}")
+        bits_block = pl.BlockSpec((n_steps, N_WORDS, block_rows, _LANES),
+                                  lambda i: (0, 0, i, 0),
+                                  memory_space=pltpu.VMEM)
+
+    n_rec = n_steps // record_every
+    block = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    scal_block = pl.BlockSpec((block_rows, scal.shape[1], _LANES),
+                              lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sp_block = pl.BlockSpec((block_rows, N_PCOLS, _LANES),
+                            lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    c_block = pl.BlockSpec((block_rows, N_CCOLS, _LANES),
+                           lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    traj_block = pl.BlockSpec((n_rec, len(SENSORS), block_rows, _LANES),
+                              lambda i: (0, 0, i, 0),
+                              memory_space=pltpu.VMEM)
+
+    t0 = jnp.asarray(state.time, dtype).reshape(-1)[0]
+
+    kernel = functools.partial(
+        _plant_kernel, n_zones=z, dt=dt, substeps=substeps,
+        n_steps=n_steps, block_rows=block_rows, stages=stages,
+        record_every=record_every, hw_rng=hw_rng, seed=seed,
+        delays=delays,
+        statics={k: dict(v) for k, v in statics.items()})
+
+    scratch = [pltpu.VMEM((delays[a] + 1, block_rows, _LANES), dtype)
+               for a in ("ph_inlet", "ph_outlet", "temp_inlet",
+                         "temp_outlet")]
+
+    time_in = (jnp.zeros((1,), dtype) + t0)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rows_padded // block_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  scal_block, sp_block, c_block, bits_block,
+                  block, block, block],
+        out_specs=(block, block, block,
+                   pl.BlockSpec((block_rows, _LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   c_block, traj_block),
+        out_shape=(jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
+                   jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
+                   jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
+                   jax.ShapeDtypeStruct((block_rows, _LANES), dtype),
+                   jax.ShapeDtypeStruct((rows_padded, N_CCOLS, _LANES),
+                                        dtype),
+                   jax.ShapeDtypeStruct((n_rec, len(SENSORS), rows_padded,
+                                         _LANES), dtype)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(time_in, scal, sp_t, cin, bits, prep(state.pH),
+      prep(state.chlorine), prep(state.temperature))
+
+    ph_f, cl_f, t_f, time_plane, cout, traj = outs
+
+    def unprep(x):
+        x = _unpack_state(x, batch, z, plants_per_row)
+        return x[0] if single else x
+
+    def per_plant(plane):
+        x = _unpack_state(plane, batch, z, plants_per_row)[:, 0]
+        return x[0] if single else x
+
+    t_final = time_plane[0, 0] + 0.0 * t0  # scalar; t0 keeps dtype/trace
+    total_flow = (jnp.asarray(boundary.inlet_flow_rate, dtype)
+                  + jnp.asarray(boundary.acid_flow_rate, dtype)
+                  + jnp.asarray(boundary.chlorine_flow_rate, dtype))
+    new_reactor = R.ReactorState(
+        time=t_final.astype(jnp.asarray(state.time).dtype)
+        + jnp.zeros_like(jnp.asarray(state.time)),
+        pH=unprep(ph_f), chlorine=unprep(cl_f), temperature=unprep(t_f),
+        flow_rate=total_flow + jnp.zeros_like(jnp.asarray(state.flow_rate)),
+    )
+    new_reactor = R._update_derived(new_reactor)
+
+    # -- rebuild the PlantState: updated scalar carries, pass-through keys
+    #    and delay rings (see module docstring)
+    sensors_new = {}
+    for _, attr, kind in SENSORS:
+        old = getattr(plant, attr)
+        base_updates, overlay_updates = {}, {}
+        for (a, sub, field, ktag) in _CCOLS:
+            if a != attr:
+                continue
+            col = _CCOL[(a, sub, field)]
+            val = per_plant(cout[:, col, :])
+            ref_leaf = getattr(old.base if sub == "base" else old, field)
+            if ktag == "b":
+                val = val > 0.5
+            elif ktag == "i":
+                val = val.astype(jnp.int32)
+            else:
+                val = val.astype(jnp.asarray(ref_leaf).dtype)
+            (base_updates if sub == "base" else overlay_updates)[field] = val
+        new_base = dc_replace(old.base, **base_updates)
+        sensors_new[attr] = dc_replace(old, base=new_base,
+                                       **overlay_updates)
+
+    new_plant = PlantState(reactor=new_reactor, **sensors_new)
+
+    readings = {}
+    for k, (rname, _, _) in enumerate(SENSORS):
+        series = jax.vmap(per_plant)(traj[:, k])
+        readings[rname] = series
+    return new_plant, readings

@@ -80,7 +80,8 @@ N_UNIFORMS = B.BASE_UNIFORMS
 
 
 def ph_read(params: PHSensorParams, carry: PHSensorCarry,
-            reactor_pH_zone, reactor_T_zone, t, rand=None):
+            reactor_pH_zone, reactor_T_zone, t, rand=None,
+            delayed_true=None):
     """One pH reading: base pipeline + glass-electrode overlay.
 
     ``reactor_pH_zone`` / ``reactor_T_zone`` are the already-selected zone
@@ -89,6 +90,10 @@ def ph_read(params: PHSensorParams, carry: PHSensorCarry,
     uniforms[..., N_UNIFORMS])`` (base layout first) — used by fused paths
     that batch randomness across the whole plant; None draws from the
     carry's key.
+    ``delayed_true``: optional already-delayed Nernst-compensated sample —
+    fused paths resolve the sample line outside (params built with
+    ``line_capacity=0``) and pass the delayed value here; None applies the
+    in-carry delay ring to the freshly compensated tap.
     """
     dtype = jnp.asarray(carry.base.current_value).dtype
     prev_ts = carry.base.last_timestamp
@@ -98,6 +103,8 @@ def ph_read(params: PHSensorParams, carry: PHSensorCarry,
     true_value = jnp.asarray(reactor_pH_zone, dtype) \
         + params.temperature_coefficient * (jnp.asarray(reactor_T_zone, dtype)
                                             - 25.0)
+    if delayed_true is not None:
+        true_value = jnp.asarray(delayed_true, dtype)
 
     # One split + two vector draws cover the base pipeline AND the overlay
     # (electrical, junction, fouling noise — base.draw_read_rand).

@@ -87,8 +87,12 @@ N_UNIFORMS = B.BASE_UNIFORMS
 
 def temperature_read(params: TemperatureSensorParams,
                      carry: TemperatureSensorCarry, temperature_zone, t,
-                     rand=None):
+                     rand=None, delayed_true=None):
+    """``delayed_true``: optional already-delayed sample (fused paths
+    resolve the sample line outside; see ph.ph_read)."""
     dtype = jnp.asarray(carry.base.current_value).dtype
+    if delayed_true is not None:
+        temperature_zone = delayed_true
 
     if rand is None:
         key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,

@@ -1,0 +1,171 @@
+"""Fused integrated-plant kernel vs the XLA plant_step scan.
+
+Both paths consume the *identical* random word stream (the kernel via its
+``rng="bits"`` injection, the oracle via the sensors' ``rand`` hook fed
+through ``rand_from_words``), so the comparison isolates the kernel's
+arithmetic: physics, taps, sample-line history, and the full sensor fault /
+noise / drift pipeline. Runs in interpreter mode on the CPU test backend.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_wt_physicsengine_tpu.core import reactor as R
+from ics_wt_physicsengine_tpu.models.plant import (
+    make_plant,
+    make_plant_batch,
+    plant_step,
+)
+from ics_wt_physicsengine_tpu.ops.fused_plant import (
+    N_WORDS,
+    SENSORS,
+    _RAND,
+    _WORD_OFFSET,
+    plant_rollout_fused,
+    rand_from_words,
+    words_per_sensor,
+)
+from ics_wt_physicsengine_tpu.ops.fused_rollout import _LANES, _unpack_state
+
+BC = R.BoundaryConditions(
+    inlet_flow_rate=5.0, inlet_pH=7.2, inlet_chlorine=0.5,
+    inlet_temperature=26.0, acid_flow_rate=0.1, acid_concentration=0.1,
+    ambient_temperature=15.0, heat_loss_coefficient=50.0)
+
+
+def _oracle_rollout(params, plant, bc, bits, dt, substeps, n_steps, batch,
+                    n_zones, single=False):
+    """XLA plant_step scan consuming the kernel's word stream (each plant's
+    zone-0 lane)."""
+    plants_per_row = _LANES // n_zones
+
+    def plant_words(plane):
+        w = _unpack_state(plane, batch, n_zones, plants_per_row)[:, 0]
+        return w[0] if single else w
+
+    # [n_steps, N_WORDS, B] per-plant words
+    words = jnp.stack([
+        jnp.stack([plant_words(bits[i, w]) for w in range(N_WORDS)])
+        for i in range(n_steps)])
+
+    def stack_cols(cols):
+        return jnp.stack([jnp.asarray(c, jnp.float32) for c in cols.cols],
+                         axis=-1)
+
+    def body(p, w):
+        rand = {}
+        for rname, attr, kind in SENSORS:
+            n_n, n_u = _RAND[kind]
+            w0 = _WORD_OFFSET[attr]
+            sensor_words = [w[w0 + k] for k in range(words_per_sensor(kind))]
+            normals, uniforms = rand_from_words(sensor_words, n_n, n_u)
+            rand[rname] = (stack_cols(normals), stack_cols(uniforms))
+        if single:
+            p, readings = plant_step(params, p, bc, dt, substeps, rand=rand)
+        else:
+            # the delay ring needs per-plant vmap (like plant_step_batched)
+            p, readings = jax.vmap(
+                lambda pp, st, rd: plant_step(pp, st, bc, dt, substeps,
+                                              rand=rd))(params, p, rand)
+        return p, {k: v.value for k, v in readings.items()}
+
+    return jax.lax.scan(body, plant, words)
+
+
+@pytest.mark.parametrize("batch", [None, 5])
+def test_fused_plant_matches_xla_oracle(batch):
+    n_zones = 5
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, n_steps = 1.0, 12
+    substeps = R.default_substeps(cfg, dt)
+    if batch is None:
+        params, plant = make_plant(cfg, seed=3, dtype=jnp.float32)
+        b = 1
+    else:
+        params, plant = make_plant_batch(cfg, batch, seed=3,
+                                         dtype=jnp.float32)
+        b = batch
+
+    plants_per_row = _LANES // n_zones
+    rows = -(-b // plants_per_row)
+    rows_padded = max(rows, 8)
+    rng = np.random.default_rng(0)
+    bits = rng.integers(-2**31, 2**31, size=(n_steps, N_WORDS, rows_padded,
+                                             _LANES), dtype=np.int32)
+
+    new_plant, readings = plant_rollout_fused(
+        params, plant, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        rng="bits", bits=bits, interpret=True)
+
+    o_plant, o_readings = _oracle_rollout(
+        params, plant, BC, jnp.asarray(bits), dt, substeps, n_steps, b,
+        n_zones, single=batch is None)
+
+    # physics
+    np.testing.assert_allclose(np.asarray(new_plant.reactor.pH),
+                               np.asarray(o_plant.reactor.pH),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_plant.reactor.chlorine),
+                               np.asarray(o_plant.reactor.chlorine),
+                               rtol=0, atol=2e-5)
+    assert float(np.ravel(np.asarray(new_plant.reactor.time))[0]) == \
+        pytest.approx(float(np.ravel(np.asarray(o_plant.reactor.time))[0]))
+
+    # measured-value trajectories, every sensor
+    for rname, attr, kind in SENSORS:
+        got = np.asarray(readings[rname])
+        want = np.asarray(o_readings[rname])
+        if batch is None:
+            want = want.reshape(got.shape)
+        both_nan = np.isnan(got) & np.isnan(want)
+        np.testing.assert_allclose(np.where(both_nan, 0.0, got),
+                                   np.where(both_nan, 0.0, want),
+                                   rtol=0, atol=5e-4, err_msg=rname)
+
+    # sensor scalar carries (spot-check the drift/fouling accumulators)
+    for attr, field in [("ph_outlet", "membrane_fouling"),
+                        ("ph_outlet", "reference_contamination"),
+                        ("chlorine_inlet", "membrane_age_days"),
+                        ("chlorine_outlet", "reagent_potency"),
+                        ("flow_main", "electrode_fouling"),
+                        ("temp_outlet", "cold_junction_drift")]:
+        got = np.asarray(getattr(getattr(new_plant, attr), field))
+        want = np.asarray(getattr(getattr(o_plant, attr), field))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5,
+                                   err_msg=f"{attr}.{field}")
+    for attr in ("ph_inlet", "flow_main", "temp_inlet"):
+        got = np.asarray(getattr(new_plant, attr).base.current_value)
+        want = np.asarray(getattr(o_plant, attr).base.current_value)
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-4,
+                                   err_msg=f"{attr}.current_value")
+
+
+def test_fused_plant_sample_line_delay():
+    """The in-kernel circular history reproduces the delayed-sample rule
+    across the delay boundary (delay_steps = 30 > and < n_steps)."""
+    n_zones = 4
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, n_steps = 1.0, 40           # crosses the 30 s pH line delay
+    substeps = R.default_substeps(cfg, dt)
+    params, plant = make_plant(cfg, seed=11, dtype=jnp.float32)
+
+    plants_per_row = _LANES // n_zones
+    rng = np.random.default_rng(4)
+    bits = rng.integers(-2**31, 2**31,
+                        size=(n_steps, N_WORDS, 8, _LANES), dtype=np.int32)
+
+    _, readings = plant_rollout_fused(
+        params, plant, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        rng="bits", bits=bits, interpret=True)
+    o_plant, o_readings = _oracle_rollout(
+        params, plant, BC, jnp.asarray(bits), dt, substeps, n_steps, 1,
+        n_zones, single=True)
+
+    got = np.asarray(readings["pH_outlet"]).ravel()
+    want = np.asarray(o_readings["pH_outlet"]).ravel()
+    both_nan = np.isnan(got) & np.isnan(want)
+    np.testing.assert_allclose(np.where(both_nan, 0, got),
+                               np.where(both_nan, 0, want),
+                               rtol=0, atol=5e-4)
