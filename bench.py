@@ -50,8 +50,9 @@ def bench_single_plant(n_steps=200000, reps=3):
         volume=1000, height=2.0, diameter=0.798, n_zones=20,
         flow_rate=5.0, initial_pH=7.0, initial_chlorine=2.0, temperature=20.0)
     substeps = R.default_substeps(config, DT)
-    params = R.make_params(config, dtype=jnp.float32)
-    state = R.make_initial_state(config, dtype=jnp.float32)
+    params, state = jax.device_put(
+        (R.make_params(config, dtype=jnp.float32),
+         R.make_initial_state(config, dtype=jnp.float32)))
     bc = R.BoundaryConditions(
         inlet_flow_rate=5.0, inlet_pH=7.2, inlet_chlorine=0.5,
         inlet_temperature=26.0, acid_flow_rate=0.1,
@@ -81,6 +82,10 @@ def bench_batched(n_plants=32768, n_steps=200, reps=3):
     base = R.ReactorConfiguration(n_zones=20)
     params, state = make_monte_carlo_batch(base, n_plants, seed=0,
                                            dtype=jnp.float32)
+    # Batch construction is host-pure NumPy: commit to the device ONCE —
+    # otherwise every timed call re-uploads the whole pytree through the
+    # relay (measured 2x throughput loss at 65k plants).
+    params, state = jax.device_put((params, state))
     bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.5,
                               inlet_chlorine=0.3)
     substeps = 3  # stiffest sampled plant (90 rpm impeller): lambda*h <= 1.8
@@ -97,8 +102,8 @@ def bench_batched(n_plants=32768, n_steps=200, reps=3):
     # exactly this Monte-Carlo workload. Its lighter per-step footprint
     # moves the batch-size peak up one notch (sweep: 16k -> 105M,
     # 32k -> 133M, 64k -> 155M, 128k -> 66M), so it runs at 2x the batch.
-    params2, state2 = make_monte_carlo_batch(base, 2 * n_plants, seed=0,
-                                             dtype=jnp.float32)
+    params2, state2 = jax.device_put(make_monte_carlo_batch(
+        base, 2 * n_plants, seed=0, dtype=jnp.float32))
     fn_rkc = jax.jit(lambda p, s, b: R.rollout(
         p, s, b, dt=DT, substeps=1, stages=4, n_steps=n_steps,
         record=False)[0])
