@@ -72,9 +72,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ics_wt_physicsengine_tpu.core import reactor as R
 from ics_wt_physicsengine_tpu.models.plant import PlantState
 from ics_wt_physicsengine_tpu.ops.fused_rollout import (
+    _BFIELDS,
     _COL,
     _LANES,
     _MAX_BLOCK_ROWS,
+    _NBF,
+    _SCHED_CHUNK,
     _boundary_terms,
     _bound,
     _make_deriv,
@@ -189,6 +192,10 @@ N_PCOLS, N_CCOLS = len(_PCOLS), len(_CCOLS)
 # "no_hist", "one_sensor".
 _ABLATE = frozenset()
 
+# Schedule rows per SMEM slab (tests shrink this to cross chunk
+# boundaries cheaply in interpreter mode).
+_PLANT_SCHED_CHUNK = _SCHED_CHUNK
+
 
 class _Cols:
     """Duck-typed stand-in for a trailing-axis-stacked random array: the
@@ -247,28 +254,64 @@ def _seg_tap(x, k: int, n_zones: int, zone, lanes: int):
     return x
 
 
-def _plant_kernel(time_ref, scal_ref, sp_ref, cin_ref, bits_ref,
+def _plant_kernel(time_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits_ref,
                   ph_ref, cl_ref, t_ref,
                   ph_out, cl_out, t_out, time_out, cout_ref, traj_ref,
                   hist_ph_in, hist_ph_out, hist_t_in, hist_t_out,
                   *, n_zones: int, dt: float, substeps: int, n_steps: int,
                   block_rows: int, stages, record_every: int, hw_rng: bool,
-                  seed: int, delays, statics):
+                  seed: int, delays, statics, scheduled: bool, chunk: int):
     m = _masks(block_rows, n_zones)
     p = _param_planes(scal_ref)
-    b = _boundary_terms(p, lambda name: scal_ref[:, _COL[name], :])
-    deriv = _make_deriv(p, b, m)
-    stepper = _make_stepper(deriv, dt / substeps, stages)
     zone = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 1) \
         % n_zones
-    q_total = (scal_ref[:, _COL["inlet_flow_rate"], :]
-               + scal_ref[:, _COL["acid_flow_rate"], :]
-               + scal_ref[:, _COL["chlorine_flow_rate"], :])
+
+    if scheduled:
+        # 2-D grid (rows, time chunks): per-step boundary scalars stream
+        # through SMEM; the state carry lives in the output refs, whose
+        # block index is constant along the time axis (revisiting pattern,
+        # like fused_rollout._scheduled_kernel).
+        t_idx = pl.program_id(1)
+
+        def boundary_for(j):
+            def get(name):
+                return sched_ref[j, _BFIELDS.index(name)]
+            b = _boundary_terms(p, get)
+            q_total = (get("inlet_flow_rate") + get("acid_flow_rate")
+                       + get("chlorine_flow_rate")) \
+                + jnp.zeros((block_rows, _LANES), jnp.float32)
+            return b, q_total
+    else:
+        t_idx = 0
+        b_const = _boundary_terms(
+            p, lambda name: scal_ref[:, _COL[name], :])
+        q_const = (scal_ref[:, _COL["inlet_flow_rate"], :]
+                   + scal_ref[:, _COL["acid_flow_rate"], :]
+                   + scal_ref[:, _COL["chlorine_flow_rate"], :])
+
+        def boundary_for(j):
+            return b_const, q_const
 
     if hw_rng:
-        pltpu.prng_seed(seed + pl.program_id(0))
+        # distinct stream per (row block, time chunk); Mosaic prng_seed
+        # accepts at most two values, so fold the grid coords into one
+        if scheduled:
+            pltpu.prng_seed(seed,
+                            pl.program_id(0) * 65536 + pl.program_id(1))
+        else:
+            pltpu.prng_seed(seed, pl.program_id(0))
 
-    cout_ref[:] = cin_ref[:]
+    def _init():
+        cout_ref[:] = cin_ref[:]
+        ph_out[:] = ph_ref[:]
+        cl_out[:] = cl_ref[:]
+        t_out[:] = t_ref[:]
+        time_out[:] = jnp.zeros_like(time_out) + time_ref[0]
+
+    if scheduled:
+        pl.when(t_idx == 0)(_init)
+    else:
+        _init()
 
     def pparam(attr, sub, field):
         return sp_ref[:, _PCOL[(attr, sub, field)], :]
@@ -339,14 +382,26 @@ def _plant_kernel(time_ref, scal_ref, sp_ref, cin_ref, bits_ref,
         w0 = _WORD_OFFSET[attr]
         return [bits_ref[i, w0 + w] for w in range(nw)]
 
-    def step_body(i, carry):
-        ph, cl, tt, t = carry
+    def run_step(j):
+        """One dt step, mutating the output refs in place. ``j`` is the
+        step index within this kernel invocation (== the global step in
+        constant mode; chunk-relative when scheduled)."""
+        g = t_idx * chunk + j if scheduled else j
+        b, q_total = boundary_for(j)
+        deriv = _make_deriv(p, b, m)
+        stepper = _make_stepper(deriv, dt / substeps, stages)
+
         nph, ncl, ntt = jax.lax.fori_loop(
-            0, substeps, lambda __, cy: stepper(cy), (ph, cl, tt))
+            0, substeps, lambda __, cy: stepper(cy),
+            (ph_out[:], cl_out[:], t_out[:]))
         nph, ncl, ntt = _bound(nph, ncl, ntt)
-        t = t + jnp.float32(dt)
+        t = time_out[:] + jnp.float32(dt)
+        ph_out[:] = nph
+        cl_out[:] = ncl
+        t_out[:] = ntt
+        time_out[:] = t
         if "no_sensors" in _ABLATE:
-            return nph, ncl, ntt, t
+            return
 
         z_last = n_zones - 1
         if "no_taps" in _ABLATE:
@@ -368,9 +423,11 @@ def _plant_kernel(time_ref, scal_ref, sp_ref, cin_ref, bits_ref,
             # the reference ring's nearest-to-target pick for a young line)
             if "no_hist" in _ABLATE:
                 return tap
-            cap = ds + 1
-            hist[jax.lax.rem(i, cap)] = tap
-            idx = jax.lax.rem(jnp.maximum(i - ds, 0), cap)
+            cap = jnp.int32(ds + 1)
+            gi = jnp.int32(g)
+            hist[jax.lax.rem(gi, cap)] = tap
+            idx = jax.lax.rem(jnp.maximum(gi - jnp.int32(ds),
+                                          jnp.int32(0)), cap)
             return hist[idx]
 
         readings = {}
@@ -384,7 +441,7 @@ def _plant_kernel(time_ref, scal_ref, sp_ref, cin_ref, bits_ref,
                 uniforms = _Cols([half] * n_u)
             else:
                 normals, uniforms = rand_from_words(
-                    words_for(attr, kind, i), n_n, n_u)
+                    words_for(attr, kind, j), n_n, n_u)
             rand = (normals, uniforms)
             bp = base_params(attr)
             bc = base_carry(attr)
@@ -452,22 +509,29 @@ def _plant_kernel(time_ref, scal_ref, sp_ref, cin_ref, bits_ref,
                 store_overlay(attr, kind, nc)
             readings[rname] = out.value
 
-        @pl.when((i + 1) % record_every == 0)
+        @pl.when((g + 1) % record_every == 0)
         def _record():
-            slot = (i + 1) // record_every - 1
+            slot = (g + 1) // record_every - 1
             for k, (rname, _, _) in enumerate(SENSORS):
                 if rname in readings:       # ablation may drop sensors
                     traj_ref[slot, k] = readings[rname]
 
-        return nph, ncl, ntt, t
+    if scheduled:
+        def chunk_body(j, _):
+            g = t_idx * chunk + j
 
-    t0 = time_ref[0]
-    ph, cl, tt, t = jax.lax.fori_loop(
-        0, n_steps, step_body, (ph_ref[:], cl_ref[:], t_ref[:], t0))
-    ph_out[:] = ph
-    cl_out[:] = cl
-    t_out[:] = tt
-    time_out[:] = jnp.zeros_like(time_out) + t
+            @pl.when(g < n_steps)        # padded tail steps are no-ops
+            def _step():
+                run_step(j)
+            return 0
+
+        jax.lax.fori_loop(0, chunk, chunk_body, 0)
+    else:
+        def body(j, _):
+            run_step(j)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +558,12 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
     Returns ``(new_plant, readings)`` where readings maps each sensor name
     to its measured-value trajectory ``[n_steps // record_every, ...]`` —
     the measured-value UQ workload (BASELINE config 3) at kernel speed.
+
+    ``boundary`` may be constant (scalar leaves) or a *schedule*: a
+    BoundaryConditions pytree with ``[n_steps]`` leaves (scalars broadcast)
+    applies per-step forcing, streamed through SMEM exactly like
+    ``rollout_scheduled_fused`` — the reference's HIL loop shape (per-step
+    BC mutation + read-all-instruments) in one launch.
 
     ``rng="hw"`` uses the on-chip PRNG (seeded from ``seed``; TPU only).
     ``rng="bits"`` consumes caller-supplied int32 ``bits`` of shape
@@ -534,6 +604,19 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
                                   f"{attr}.base.line_delay_s")
         delays.append((attr, max(0, int(round(delay_s / dt)))))
 
+    # -- schedule handling: [n_steps]-leaf BoundaryConditions => per-step
+    #    forcing streamed through SMEM (chunked sequential time grid axis)
+    sched_lengths = {int(jnp.shape(x)[0])
+                     for x in jax.tree_util.tree_leaves(boundary)
+                     if jnp.ndim(x) >= 1}
+    if sched_lengths:
+        if sched_lengths != {n_steps}:
+            raise ValueError(f"schedule leaves have length {sched_lengths}; "
+                             f"expected n_steps={n_steps}")
+        scheduled = True
+    else:
+        scheduled = False
+
     if rng == "hw":
         bits = jnp.zeros((1,), jnp.int32)   # placeholder, kernel ignores
     return _fused_plant_jit(
@@ -541,6 +624,7 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
         n_steps=n_steps, stages=stages, record_every=record_every,
         hw_rng=rng == "hw", seed=seed, interpret=interpret,
         statics_t=tuple(statics), delays_t=tuple(delays),
+        scheduled=scheduled, sched_chunk=_PLANT_SCHED_CHUNK,
         ablate=_ABLATE)
 
 
@@ -548,10 +632,11 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
     jax.jit,
     static_argnames=("dt", "substeps", "n_steps", "stages", "record_every",
                      "hw_rng", "seed", "interpret", "statics_t", "delays_t",
-                     "ablate"))
+                     "scheduled", "sched_chunk", "ablate"))
 def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
                      n_steps, stages, record_every, hw_rng, seed,
-                     interpret, statics_t, delays_t, ablate):
+                     interpret, statics_t, delays_t, scheduled, sched_chunk,
+                     ablate):
     del ablate  # only a cache key: _ABLATE is read at trace time
     statics = {attr: {"zone": zone, "type": typ}
                for attr, zone, typ in statics_t}
@@ -581,8 +666,22 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
             x = x[None, :]
         return _pack_state(x, batch, z, plants_per_row, rows_padded, dtype)
 
-    scal = _pack_scalars(rparams, boundary, batch, z, plants_per_row,
-                         rows_padded, dtype)
+    if scheduled:
+        # boundary columns of the physics tensor are unused (the kernel
+        # reads per-step scalars from the SMEM schedule); pack defaults
+        scal = _pack_scalars(rparams, R.BoundaryConditions(), batch, z,
+                             plants_per_row, rows_padded, dtype)
+        fields = [jnp.broadcast_to(jnp.asarray(getattr(boundary, n), dtype),
+                                   (n_steps,)) for n in _BFIELDS]
+        sched = jnp.stack(fields, axis=1)
+        chunk = min(sched_chunk, max(n_steps, 1))
+        n_chunks = -(-n_steps // chunk)
+        sched = jnp.pad(sched, ((0, n_chunks * chunk - n_steps), (0, 0)))
+    else:
+        scal = _pack_scalars(rparams, boundary, batch, z, plants_per_row,
+                             rows_padded, dtype)
+        sched = jnp.zeros((1, _NBF), dtype)
+        chunk, n_chunks = n_steps, 1
 
     pvals = {}
     for (attr, sub, field) in _PCOLS:
@@ -601,32 +700,57 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
     cin = _pack_planes(cvals, [c[:3] for c in _CCOLS], batch, z,
                        plants_per_row, rows_padded, dtype)
 
-    if hw_rng:
-        bits = jnp.zeros((1, 1, rows_padded, _LANES), jnp.int32)
-        bits_block = pl.BlockSpec((1, 1, block_rows, _LANES),
-                                  lambda i: (0, 0, i, 0),
-                                  memory_space=pltpu.VMEM)
+    # Index maps take one grid coordinate per grid axis: (rows,) in
+    # constant mode, (rows, time_chunks) when scheduled. Row-tiled blocks
+    # ignore the time coordinate (constant in t = resident carry).
+    grid = (rows_padded // block_rows, n_chunks) if scheduled \
+        else (rows_padded // block_rows,)
+
+    def bspec(shape, index):
+        return pl.BlockSpec(shape, index, memory_space=pltpu.VMEM)
+
+    if scheduled:
+        row2 = lambda i, t: (i, 0)              # noqa: E731
+        row3 = lambda i, t: (i, 0, 0)           # noqa: E731
+        traj_idx = lambda i, t: (0, 0, i, 0)    # noqa: E731
+        sched_block = pl.BlockSpec((chunk, _NBF), lambda i, t: (t, 0),
+                                   memory_space=pltpu.SMEM)
+        if hw_rng:
+            bits = jnp.zeros((1, 1, rows_padded, _LANES), jnp.int32)
+            bits_block = bspec((1, 1, block_rows, _LANES),
+                               lambda i, t: (0, 0, i, 0))
+        else:
+            bits = jnp.asarray(bits, jnp.int32)
+            expect = (n_steps, N_WORDS, rows_padded, _LANES)
+            if bits.shape != expect:
+                raise ValueError(f"bits shape {bits.shape} != {expect}")
+            bits = jnp.pad(bits, ((0, n_chunks * chunk - n_steps),
+                                  (0, 0), (0, 0), (0, 0)))
+            bits_block = bspec((chunk, N_WORDS, block_rows, _LANES),
+                               lambda i, t: (t, 0, i, 0))
     else:
-        bits = jnp.asarray(bits, jnp.int32)
-        expect = (n_steps, N_WORDS, rows_padded, _LANES)
-        if bits.shape != expect:
-            raise ValueError(f"bits shape {bits.shape} != {expect}")
-        bits_block = pl.BlockSpec((n_steps, N_WORDS, block_rows, _LANES),
-                                  lambda i: (0, 0, i, 0),
-                                  memory_space=pltpu.VMEM)
+        row2 = lambda i: (i, 0)                 # noqa: E731
+        row3 = lambda i: (i, 0, 0)              # noqa: E731
+        traj_idx = lambda i: (0, 0, i, 0)       # noqa: E731
+        sched_block = pl.BlockSpec(memory_space=pltpu.SMEM)
+        if hw_rng:
+            bits = jnp.zeros((1, 1, rows_padded, _LANES), jnp.int32)
+            bits_block = bspec((1, 1, block_rows, _LANES),
+                               lambda i: (0, 0, i, 0))
+        else:
+            bits = jnp.asarray(bits, jnp.int32)
+            expect = (n_steps, N_WORDS, rows_padded, _LANES)
+            if bits.shape != expect:
+                raise ValueError(f"bits shape {bits.shape} != {expect}")
+            bits_block = bspec((n_steps, N_WORDS, block_rows, _LANES),
+                               lambda i: (0, 0, i, 0))
 
     n_rec = n_steps // record_every
-    block = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    scal_block = pl.BlockSpec((block_rows, scal.shape[1], _LANES),
-                              lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    sp_block = pl.BlockSpec((block_rows, N_PCOLS, _LANES),
-                            lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    c_block = pl.BlockSpec((block_rows, N_CCOLS, _LANES),
-                           lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    traj_block = pl.BlockSpec((n_rec, len(SENSORS), block_rows, _LANES),
-                              lambda i: (0, 0, i, 0),
-                              memory_space=pltpu.VMEM)
+    block = bspec((block_rows, _LANES), row2)
+    scal_block = bspec((block_rows, scal.shape[1], _LANES), row3)
+    sp_block = bspec((block_rows, N_PCOLS, _LANES), row3)
+    c_block = bspec((block_rows, N_CCOLS, _LANES), row3)
+    traj_block = bspec((n_rec, len(SENSORS), block_rows, _LANES), traj_idx)
 
     t0 = jnp.asarray(state.time, dtype).reshape(-1)[0]
 
@@ -635,7 +759,8 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         n_steps=n_steps, block_rows=block_rows, stages=stages,
         record_every=record_every, hw_rng=hw_rng, seed=seed,
         delays=delays,
-        statics={k: dict(v) for k, v in statics.items()})
+        statics={k: dict(v) for k, v in statics.items()},
+        scheduled=scheduled, chunk=chunk)
 
     scratch = [pltpu.VMEM((delays[a] + 1, block_rows, _LANES), dtype)
                for a in ("ph_inlet", "ph_outlet", "temp_inlet",
@@ -645,25 +770,22 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
 
     outs = pl.pallas_call(
         kernel,
-        grid=(rows_padded // block_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), sched_block,
                   scal_block, sp_block, c_block, bits_block,
                   block, block, block],
-        out_specs=(block, block, block,
-                   pl.BlockSpec((block_rows, _LANES), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM),
-                   c_block, traj_block),
+        out_specs=(block, block, block, block, c_block, traj_block),
         out_shape=(jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
                    jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
                    jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
-                   jax.ShapeDtypeStruct((block_rows, _LANES), dtype),
+                   jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
                    jax.ShapeDtypeStruct((rows_padded, N_CCOLS, _LANES),
                                         dtype),
                    jax.ShapeDtypeStruct((n_rec, len(SENSORS), rows_padded,
                                          _LANES), dtype)),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(time_in, scal, sp_t, cin, bits, prep(state.pH),
+    )(time_in, sched, scal, sp_t, cin, bits, prep(state.pH),
       prep(state.chlorine), prep(state.temperature))
 
     ph_f, cl_f, t_f, time_plane, cout, traj = outs
@@ -677,9 +799,14 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         return x[0] if single else x
 
     t_final = time_plane[0, 0] + 0.0 * t0  # scalar; t0 keeps dtype/trace
-    total_flow = (jnp.asarray(boundary.inlet_flow_rate, dtype)
-                  + jnp.asarray(boundary.acid_flow_rate, dtype)
-                  + jnp.asarray(boundary.chlorine_flow_rate, dtype))
+
+    def last(x):        # final boundary value (scheduled: last row applied)
+        x = jnp.asarray(x, dtype)
+        return x[n_steps - 1] if x.ndim else x
+
+    total_flow = (last(boundary.inlet_flow_rate)
+                  + last(boundary.acid_flow_rate)
+                  + last(boundary.chlorine_flow_rate))
     new_reactor = R.ReactorState(
         time=t_final.astype(jnp.asarray(state.time).dtype)
         + jnp.zeros_like(jnp.asarray(state.time)),

@@ -169,3 +169,86 @@ def test_fused_plant_sample_line_delay():
     np.testing.assert_allclose(np.where(both_nan, 0, got),
                                np.where(both_nan, 0, want),
                                rtol=0, atol=5e-4)
+
+
+def test_fused_plant_scheduled_matches_xla():
+    """Per-step boundary schedule + full sensor suite in one kernel matches
+    the XLA plant_step scan driven with the same per-step BCs and words
+    (the reference HIL loop shape). Crosses the 512-step SMEM chunk."""
+    import ics_wt_physicsengine_tpu.ops.fused_plant as FP
+
+    n_zones = 4
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, n_steps = 1.0, 50
+    # shrink the SMEM slab so the test crosses a chunk boundary cheaply
+    old_chunk = FP._PLANT_SCHED_CHUNK
+    FP._PLANT_SCHED_CHUNK = 32
+    substeps = R.default_substeps(cfg, dt)
+    params, plant = make_plant(cfg, seed=5, dtype=jnp.float32)
+
+    t_axis = np.arange(n_steps)
+    sched = R.BoundaryConditions(
+        inlet_flow_rate=(5.0 + 2.0 * np.sin(2 * np.pi * t_axis / 17.0)
+                         ).astype(np.float32),
+        inlet_pH=7.2,
+        inlet_chlorine=np.where(t_axis % 10 < 5, 0.5, 1.5).astype(np.float32),
+        acid_flow_rate=np.where(t_axis % 8 < 4, 0.0, 0.3).astype(np.float32),
+        ambient_temperature=15.0, heat_loss_coefficient=50.0)
+
+    rng = np.random.default_rng(9)
+    bits = rng.integers(-2**31, 2**31,
+                        size=(n_steps, N_WORDS, 8, _LANES), dtype=np.int32)
+
+    try:
+        new_plant, readings = plant_rollout_fused(
+            params, plant, sched, dt=dt, substeps=substeps,
+            n_steps=n_steps, record_every=1, rng="bits", bits=bits,
+            interpret=True)
+    finally:
+        FP._PLANT_SCHED_CHUNK = old_chunk
+
+    # oracle: scan plant_step over (words, per-step bc)
+    plants_per_row = _LANES // n_zones
+
+    def plant_words(plane):
+        return _unpack_state(plane, 1, n_zones, plants_per_row)[0, 0]
+
+    words = jnp.stack([
+        jnp.stack([plant_words(jnp.asarray(bits)[i, w])
+                   for w in range(N_WORDS)])
+        for i in range(n_steps)])
+    bcs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32), (n_steps,)),
+        sched)
+
+    def body(p, xs):
+        w, bc = xs
+        rand = {}
+        for rname, attr, kind in SENSORS:
+            n_n, n_u = _RAND[kind]
+            w0 = _WORD_OFFSET[attr]
+            sensor_words = [w[w0 + k] for k in range(words_per_sensor(kind))]
+            normals, uniforms = rand_from_words(sensor_words, n_n, n_u)
+            rand[rname] = (jnp.stack(normals.cols, -1),
+                           jnp.stack(uniforms.cols, -1))
+        p, r = plant_step(params, p, bc, dt, substeps, rand=rand)
+        return p, {k: v.value for k, v in r.items()}
+
+    o_plant, o_readings = jax.lax.scan(body, plant, (words, bcs))
+
+    np.testing.assert_allclose(np.asarray(new_plant.reactor.pH),
+                               np.asarray(o_plant.reactor.pH),
+                               rtol=0, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(new_plant.reactor.chlorine),
+                               np.asarray(o_plant.reactor.chlorine),
+                               rtol=0, atol=5e-5)
+    assert float(np.ravel(np.asarray(new_plant.reactor.flow_rate))[0]) == \
+        pytest.approx(float(np.asarray(sched.inlet_flow_rate)[-1])
+                      + float(np.asarray(sched.acid_flow_rate)[-1]))
+    for rname, _, _ in SENSORS:
+        got = np.asarray(readings[rname]).ravel()
+        want = np.asarray(o_readings[rname]).ravel()
+        both_nan = np.isnan(got) & np.isnan(want)
+        np.testing.assert_allclose(np.where(both_nan, 0, got),
+                                   np.where(both_nan, 0, want),
+                                   rtol=0, atol=1e-3, err_msg=rname)
