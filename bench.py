@@ -171,7 +171,33 @@ def bench_integrated_single(n_steps=16384, reps=3):
         out = fn(out)
     np.asarray(out.reactor.time)
     elapsed = (time.perf_counter() - t0) / reps
-    return n_steps / elapsed
+
+    # Same kernel under per-step scheduled forcing (the reference's HIL
+    # loop shape: mutate BCs, step, read all instruments).
+    t_axis = np.arange(n_steps)
+    sched = R.BoundaryConditions(
+        inlet_flow_rate=(5.0 + 2.0 * np.sin(2 * np.pi * t_axis / 17.0)
+                         ).astype(np.float32),
+        inlet_pH=7.2,
+        inlet_chlorine=np.where(t_axis % 10 < 5, 0.5, 1.5
+                                ).astype(np.float32),
+        acid_flow_rate=np.where(t_axis % 8 < 4, 0.0, 0.3
+                                ).astype(np.float32))
+
+    def fn_s(p):
+        out, _ = plant_rollout_fused(params, p, sched, dt=DT,
+                                     substeps=substeps, n_steps=n_steps,
+                                     record_every=n_steps, seed=7)
+        return out
+
+    out = fn_s(plant)
+    np.asarray(out.reactor.time)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn_s(out)
+    np.asarray(out.reactor.time)
+    elapsed_s = (time.perf_counter() - t0) / reps
+    return n_steps / elapsed, n_steps / elapsed_s
 
 
 def bench_scheduled(n_steps=4096, reps=3):
@@ -212,7 +238,7 @@ def main():
     single, single_rkc = bench_single_plant()
     batched, batched_rkc = bench_batched()
     integrated = bench_integrated()
-    integrated_single = bench_integrated_single()
+    integrated_single, integrated_single_hil = bench_integrated_single()
     scheduled = bench_scheduled()
     print(json.dumps({
         "metric": "single-plant steps/sec (20 zones, dt=1s; == real-time factor)",
@@ -230,6 +256,8 @@ def main():
             "integrated_plant_steps_per_sec": round(integrated, 1),
             "integrated_n_plants": 16384,
             "integrated_single_steps_per_sec": round(integrated_single, 1),
+            "integrated_hil_scheduled_steps_per_sec": round(
+                integrated_single_hil, 1),
             "scheduled_forcing_steps_per_sec": round(scheduled, 1),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),

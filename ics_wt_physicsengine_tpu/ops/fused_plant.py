@@ -254,13 +254,13 @@ def _seg_tap(x, k: int, n_zones: int, zone, lanes: int):
     return x
 
 
-def _plant_kernel(time_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits_ref,
+def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits_ref,
                   ph_ref, cl_ref, t_ref,
                   ph_out, cl_out, t_out, time_out, cout_ref, traj_ref,
                   hist_ph_in, hist_ph_out, hist_t_in, hist_t_out,
                   *, n_zones: int, dt: float, substeps: int, n_steps: int,
                   block_rows: int, stages, record_every: int, hw_rng: bool,
-                  seed: int, delays, statics, scheduled: bool, chunk: int):
+                  delays, statics, scheduled: bool, chunk: int):
     m = _masks(block_rows, n_zones)
     p = _param_planes(scal_ref)
     zone = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 1) \
@@ -294,12 +294,14 @@ def _plant_kernel(time_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits_ref,
 
     if hw_rng:
         # distinct stream per (row block, time chunk); Mosaic prng_seed
-        # accepts at most two values, so fold the grid coords into one
+        # accepts at most two values, so fold the grid coords into one.
+        # The seed itself is runtime data (SMEM) so per-device streams
+        # under shard_map and seed changes don't recompile.
         if scheduled:
-            pltpu.prng_seed(seed,
+            pltpu.prng_seed(seed_ref[0],
                             pl.program_id(0) * 65536 + pl.program_id(1))
         else:
-            pltpu.prng_seed(seed, pl.program_id(0))
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     def _init():
         cout_ref[:] = cin_ref[:]
@@ -631,7 +633,7 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "substeps", "n_steps", "stages", "record_every",
-                     "hw_rng", "seed", "interpret", "statics_t", "delays_t",
+                     "hw_rng", "interpret", "statics_t", "delays_t",
                      "scheduled", "sched_chunk", "ablate"))
 def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
                      n_steps, stages, record_every, hw_rng, seed,
@@ -757,7 +759,7 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
     kernel = functools.partial(
         _plant_kernel, n_zones=z, dt=dt, substeps=substeps,
         n_steps=n_steps, block_rows=block_rows, stages=stages,
-        record_every=record_every, hw_rng=hw_rng, seed=seed,
+        record_every=record_every, hw_rng=hw_rng,
         delays=delays,
         statics={k: dict(v) for k, v in statics.items()},
         scheduled=scheduled, chunk=chunk)
@@ -767,11 +769,13 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
                          "temp_outlet")]
 
     time_in = (jnp.zeros((1,), dtype) + t0)
+    seed_in = jnp.zeros((1,), jnp.int32) + jnp.asarray(seed, jnp.int32)
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), sched_block,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), sched_block,
                   scal_block, sp_block, c_block, bits_block,
                   block, block, block],
         out_specs=(block, block, block, block, c_block, traj_block),
@@ -785,7 +789,7 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
                                          _LANES), dtype)),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(time_in, sched, scal, sp_t, cin, bits, prep(state.pH),
+    )(time_in, seed_in, sched, scal, sp_t, cin, bits, prep(state.pH),
       prep(state.chlorine), prep(state.temperature))
 
     ph_f, cl_f, t_f, time_plane, cout, traj = outs

@@ -21,3 +21,7 @@ from ics_wt_physicsengine_tpu.parallel.statistics import (  # noqa: F401
     ensemble_statistics,
     exceedance_probability,
 )
+from ics_wt_physicsengine_tpu.parallel.fused import (  # noqa: F401
+    sharded_plant_rollout_fused,
+    sharded_rollout_fused,
+)
