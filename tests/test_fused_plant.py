@@ -252,3 +252,62 @@ def test_fused_plant_scheduled_matches_xla():
         np.testing.assert_allclose(np.where(both_nan, 0, got),
                                    np.where(both_nan, 0, want),
                                    rtol=0, atol=1e-3, err_msg=rname)
+
+
+def test_fused_plant_record_every_decimation():
+    """record_every=k returns every k-th reading of the record_every=1 run
+    (same bits => same trajectory, just decimated)."""
+    n_zones = 5
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, n_steps = 1.0, 12
+    substeps = R.default_substeps(cfg, dt)
+    params, plant = make_plant(cfg, seed=8, dtype=jnp.float32)
+
+    rng = np.random.default_rng(2)
+    bits = rng.integers(-2**31, 2**31,
+                        size=(n_steps, N_WORDS, 8, _LANES), dtype=np.int32)
+
+    p1, full = plant_rollout_fused(
+        params, plant, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        record_every=1, rng="bits", bits=bits, interpret=True)
+    p4, deci = plant_rollout_fused(
+        params, plant, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        record_every=4, rng="bits", bits=bits, interpret=True)
+
+    for rname, _, _ in SENSORS:
+        a = np.asarray(full[rname])[3::4]
+        b = np.asarray(deci[rname])
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert np.array_equal(np.where(both_nan, 0, a),
+                              np.where(both_nan, 0, b)), rname
+    assert np.array_equal(np.asarray(p1.reactor.pH),
+                          np.asarray(p4.reactor.pH))
+
+
+def test_fused_plant_nonunit_dt_delay():
+    """dt=2 s: the static delay conversion (round(30/2)=15 steps) matches
+    the oracle ring's time-based nearest lookup."""
+    n_zones = 4
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, n_steps = 2.0, 40            # crosses the 15-step delay boundary
+    substeps = R.default_substeps(cfg, dt)
+    params, plant = make_plant(cfg, seed=13, dtype=jnp.float32)
+
+    rng = np.random.default_rng(6)
+    bits = rng.integers(-2**31, 2**31,
+                        size=(n_steps, N_WORDS, 8, _LANES), dtype=np.int32)
+
+    _, readings = plant_rollout_fused(
+        params, plant, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        rng="bits", bits=bits, interpret=True)
+    o_plant, o_readings = _oracle_rollout(
+        params, plant, BC, jnp.asarray(bits), dt, substeps, n_steps, 1,
+        n_zones, single=True)
+
+    for rname in ("pH_outlet", "temp_outlet"):
+        got = np.asarray(readings[rname]).ravel()
+        want = np.asarray(o_readings[rname]).ravel()
+        both_nan = np.isnan(got) & np.isnan(want)
+        np.testing.assert_allclose(np.where(both_nan, 0, got),
+                                   np.where(both_nan, 0, want),
+                                   rtol=0, atol=1e-3, err_msg=rname)
