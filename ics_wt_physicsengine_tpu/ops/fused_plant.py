@@ -14,10 +14,21 @@ When to use which path (measured, v5e, 20 zones, RK4):
   4096 steps, 117k at 16384 (per-step cost ~6.6 us + ~35 ms call overhead)
   vs 7.1k steps/s for the XLA ``plant_rollout`` scan (8-16x).
 - large Monte-Carlo ensembles: the XLA ``plant_rollout_batched`` path —
-  14.9M plant-steps/s at 16,384 plants vs ~5.5M here. In the zone-packed
-  lane layout each plant's per-plant sensor math is replicated across its
-  ``n_zones`` lanes, wasting (n_zones-1)/n_zones of the VPU on sensor work;
-  XLA's [B]-shaped sensor arrays have no such waste once B fills the VPU.
+  14.9M plant-steps/s at 16,384 plants vs 5.5M (``layout="zl"``) / 6.7M
+  (``layout="pl"``) here.
+
+Two lane layouts (``layout=``, "auto" picks by batch size):
+- "zl" (zones on lanes): 128//Z plants per row; per-plant sensor math is
+  replicated across each plant's Z lanes — ideal at single/small batch,
+  wasteful at scale.
+- "pl" (plants on lanes): one plant per lane, zones on the major axis of
+  [Z, rows, 128] state. Sensor math then uses every lane productively and
+  zone taps are free row slices, BUT each physics intermediate is Z
+  sublane-tiles tall and the zone stencil becomes major-axis shifts —
+  measured only ~1.2x over "zl" at 16k plants (the physics dominates; a
+  physics-only "pl" run caps near 5M plant-steps/s vs the standalone
+  zone-packed physics kernel's 48M). Large ensembles should stay on the
+  XLA batched path.
 
 Design — reuse, don't re-implement:
 - The sensor pipeline code is the *same* jnp code as the XLA path: the
@@ -74,6 +85,7 @@ from ics_wt_physicsengine_tpu.models.plant import PlantState
 from ics_wt_physicsengine_tpu.ops.fused_rollout import (
     _BFIELDS,
     _COL,
+    _COLS as _COLS_ALL,
     _LANES,
     _MAX_BLOCK_ROWS,
     _NBF,
@@ -83,10 +95,12 @@ from ics_wt_physicsengine_tpu.ops.fused_rollout import (
     _make_deriv,
     _make_stepper,
     _masks,
+    _masks_zone_major,
     _pack_planes,
     _pack_scalars,
     _pack_state,
     _param_planes,
+    _param_values,
     _unpack_state,
 )
 from ics_wt_physicsengine_tpu.sensors import base as SB
@@ -260,8 +274,14 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
                   hist_ph_in, hist_ph_out, hist_t_in, hist_t_out,
                   *, n_zones: int, dt: float, substeps: int, n_steps: int,
                   block_rows: int, stages, record_every: int, hw_rng: bool,
-                  delays, statics, scheduled: bool, chunk: int):
-    m = _masks(block_rows, n_zones)
+                  delays, statics, scheduled: bool, chunk: int,
+                  layout: str):
+    # layout "zl": zones on lanes, 128//Z plants per row (single/small
+    # batch). layout "pl": one plant per lane, zones on the major axis of
+    # [Z, rows, 128] state — zero lane waste on the per-plant sensor math
+    # and free zone taps (large batches).
+    m = _masks(block_rows, n_zones) if layout == "zl" \
+        else _masks_zone_major(n_zones)
     p = _param_planes(scal_ref)
     zone = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 1) \
         % n_zones
@@ -407,8 +427,16 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
 
         z_last = n_zones - 1
         if "no_taps" in _ABLATE:
-            taps = {k: nph for k in ("pH0", "pHL", "cl0", "clL", "T0",
-                                     "TL")}
+            ref_plane = nph if layout == "zl" else nph[0]
+            taps = {k: ref_plane for k in ("pH0", "pHL", "cl0", "clL",
+                                           "T0", "TL")}
+        elif layout == "pl":
+            # plants-on-lanes: zone k of every plant is just row k
+            taps = {
+                "pH0": nph[0], "pHL": nph[z_last],
+                "cl0": ncl[0], "clL": ncl[z_last],
+                "T0": ntt[0], "TL": ntt[z_last],
+            }
         else:
             taps = {
                 "pH0": _seg_tap(nph, 0, n_zones, zone, _LANES),
@@ -437,7 +465,7 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
         for rname, attr, kind in sensors:
             n_n, n_u = _RAND[kind]
             if "no_rand" in _ABLATE:
-                zero = jnp.zeros_like(nph)
+                zero = jnp.zeros_like(taps["pH0"])
                 half = zero + 0.5
                 normals = _Cols([zero] * n_n)
                 uniforms = _Cols([half] * n_u)
@@ -554,7 +582,8 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
                         substeps: int, n_steps: int, stages=None,
                         record_every: int = 1, rng: str = "hw",
                         bits=None, seed: int = 0,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None,
+                        layout: str = "auto"):
     """Advance the full instrumented plant ``n_steps`` inside one kernel.
 
     Returns ``(new_plant, readings)`` where readings maps each sensor name
@@ -619,6 +648,15 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
     else:
         scheduled = False
 
+    if layout == "auto":
+        # measured crossover on v5e (20 zones): zone packing wins below
+        # ~8k plants; plants-on-lanes is ~1.2x faster above it
+        ph_arr = jnp.asarray(plant.reactor.pH)
+        batch = 1 if ph_arr.ndim == 1 else ph_arr.shape[0]
+        layout = "pl" if batch >= 8192 else "zl"
+    if layout not in ("zl", "pl"):
+        raise ValueError(f"unknown layout {layout!r} (zl, pl, or auto)")
+
     if rng == "hw":
         bits = jnp.zeros((1,), jnp.int32)   # placeholder, kernel ignores
     return _fused_plant_jit(
@@ -627,18 +665,18 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
         hw_rng=rng == "hw", seed=seed, interpret=interpret,
         statics_t=tuple(statics), delays_t=tuple(delays),
         scheduled=scheduled, sched_chunk=_PLANT_SCHED_CHUNK,
-        ablate=_ABLATE)
+        layout=layout, ablate=_ABLATE)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "substeps", "n_steps", "stages", "record_every",
                      "hw_rng", "interpret", "statics_t", "delays_t",
-                     "scheduled", "sched_chunk", "ablate"))
+                     "scheduled", "sched_chunk", "layout", "ablate"))
 def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
                      n_steps, stages, record_every, hw_rng, seed,
                      interpret, statics_t, delays_t, scheduled, sched_chunk,
-                     ablate):
+                     layout, ablate):
     del ablate  # only a cache key: _ABLATE is read at trace time
     statics = {attr: {"zone": zone, "type": typ}
                for attr, zone, typ in statics_t}
@@ -652,27 +690,52 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
     batch = 1 if single else ph.shape[0]
     dtype = jnp.float32
 
-    plants_per_row = _LANES // z
+    plants_per_row = _LANES // z if layout == "zl" else _LANES
     rows = -(-batch // plants_per_row)
     # The integrated kernel carries ~220 packed scalar columns plus four
     # sample-line histories per block: taller blocks than 16 rows blow the
-    # Mosaic scoped-VMEM stack (compile-time OOM at 64 rows).
-    max_rows = min(_MAX_BLOCK_ROWS, 16)
+    # Mosaic scoped-VMEM stack (compile-time OOM at 64 rows). In the
+    # plants-on-lanes layout every physics intermediate is n_zones rows
+    # tall, so its blocks cap at 8 (still 1024 plants per block).
+    max_rows = min(_MAX_BLOCK_ROWS, 16 if layout == "zl" else 8)
     block_rows = 8 if rows <= 8 else min(-(-rows // 8) * 8, max_rows)
     rows_padded = -(-rows // block_rows) * block_rows
 
     # -- pack everything
+    def pack_flat(x):
+        """[B] per-plant values -> [rows_padded, 128], one plant per lane."""
+        x = jnp.broadcast_to(jnp.asarray(x, dtype), (batch,))
+        x = jnp.pad(x, (0, rows_padded * _LANES - batch))
+        return x.reshape(rows_padded, _LANES)
+
     def prep(x):
         x = jnp.asarray(x, dtype)
         if single:
             x = x[None, :]
+        if layout == "pl":
+            # [B, Z] -> [Z, rows_padded, 128]
+            x = jnp.pad(x, ((0, rows_padded * _LANES - batch), (0, 0)))
+            return x.reshape(rows_padded, _LANES, z).transpose(2, 0, 1)
         return _pack_state(x, batch, z, plants_per_row, rows_padded, dtype)
+
+    def pack_cols(values, names):
+        if layout == "pl":
+            return jnp.stack([pack_flat(values[n]) for n in names], axis=1)
+        return _pack_planes(values, names, batch, z, plants_per_row,
+                            rows_padded, dtype)
+
+    def pack_physics_scalars(bc):
+        vals = _param_values(rparams)
+        vals.update({n: getattr(bc, n) for n in _BFIELDS})
+        if layout == "pl":
+            return pack_cols(vals, _COLS_ALL)
+        return _pack_scalars(rparams, bc, batch, z, plants_per_row,
+                             rows_padded, dtype)
 
     if scheduled:
         # boundary columns of the physics tensor are unused (the kernel
         # reads per-step scalars from the SMEM schedule); pack defaults
-        scal = _pack_scalars(rparams, R.BoundaryConditions(), batch, z,
-                             plants_per_row, rows_padded, dtype)
+        scal = pack_physics_scalars(R.BoundaryConditions())
         fields = [jnp.broadcast_to(jnp.asarray(getattr(boundary, n), dtype),
                                    (n_steps,)) for n in _BFIELDS]
         sched = jnp.stack(fields, axis=1)
@@ -680,8 +743,7 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         n_chunks = -(-n_steps // chunk)
         sched = jnp.pad(sched, ((0, n_chunks * chunk - n_steps), (0, 0)))
     else:
-        scal = _pack_scalars(rparams, boundary, batch, z, plants_per_row,
-                             rows_padded, dtype)
+        scal = pack_physics_scalars(boundary)
         sched = jnp.zeros((1, _NBF), dtype)
         chunk, n_chunks = n_steps, 1
 
@@ -690,8 +752,7 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         src = getattr(params, attr)
         leaf = getattr(src.base if sub == "base" else src, field)
         pvals[(attr, sub, field)] = leaf
-    sp_t = _pack_planes(pvals, _PCOLS, batch, z, plants_per_row,
-                        rows_padded, dtype)
+    sp_t = pack_cols(pvals, _PCOLS)
 
     cvals = {}
     for (attr, sub, field, kindtag) in _CCOLS:
@@ -699,8 +760,7 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         leaf = getattr(src.base if sub == "base" else src, field)
         leaf = jnp.asarray(leaf).astype(dtype)
         cvals[(attr, sub, field)] = leaf
-    cin = _pack_planes(cvals, [c[:3] for c in _CCOLS], batch, z,
-                       plants_per_row, rows_padded, dtype)
+    cin = pack_cols(cvals, [c[:3] for c in _CCOLS])
 
     # Index maps take one grid coordinate per grid axis: (rows,) in
     # constant mode, (rows, time_chunks) when scheduled. Row-tiled blocks
@@ -714,6 +774,7 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
     if scheduled:
         row2 = lambda i, t: (i, 0)              # noqa: E731
         row3 = lambda i, t: (i, 0, 0)           # noqa: E731
+        traj3_idx = lambda i, t: (0, i, 0)      # noqa: E731
         traj_idx = lambda i, t: (0, 0, i, 0)    # noqa: E731
         sched_block = pl.BlockSpec((chunk, _NBF), lambda i, t: (t, 0),
                                    memory_space=pltpu.SMEM)
@@ -733,6 +794,7 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
     else:
         row2 = lambda i: (i, 0)                 # noqa: E731
         row3 = lambda i: (i, 0, 0)              # noqa: E731
+        traj3_idx = lambda i: (0, i, 0)         # noqa: E731
         traj_idx = lambda i: (0, 0, i, 0)       # noqa: E731
         sched_block = pl.BlockSpec(memory_space=pltpu.SMEM)
         if hw_rng:
@@ -749,6 +811,12 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
 
     n_rec = n_steps // record_every
     block = bspec((block_rows, _LANES), row2)
+    if layout == "pl":      # physics state [Z, rows, 128]
+        state_block = bspec((z, block_rows, _LANES), traj3_idx)
+        state_shape = (z, rows_padded, _LANES)
+    else:
+        state_block = block
+        state_shape = (rows_padded, _LANES)
     scal_block = bspec((block_rows, scal.shape[1], _LANES), row3)
     sp_block = bspec((block_rows, N_PCOLS, _LANES), row3)
     c_block = bspec((block_rows, N_CCOLS, _LANES), row3)
@@ -762,7 +830,7 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         record_every=record_every, hw_rng=hw_rng,
         delays=delays,
         statics={k: dict(v) for k, v in statics.items()},
-        scheduled=scheduled, chunk=chunk)
+        scheduled=scheduled, chunk=chunk, layout=layout)
 
     scratch = [pltpu.VMEM((delays[a] + 1, block_rows, _LANES), dtype)
                for a in ("ph_inlet", "ph_outlet", "temp_inlet",
@@ -777,11 +845,12 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM), sched_block,
                   scal_block, sp_block, c_block, bits_block,
-                  block, block, block],
-        out_specs=(block, block, block, block, c_block, traj_block),
-        out_shape=(jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
-                   jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
-                   jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
+                  state_block, state_block, state_block],
+        out_specs=(state_block, state_block, state_block, block, c_block,
+                   traj_block),
+        out_shape=(jax.ShapeDtypeStruct(state_shape, dtype),
+                   jax.ShapeDtypeStruct(state_shape, dtype),
+                   jax.ShapeDtypeStruct(state_shape, dtype),
                    jax.ShapeDtypeStruct((rows_padded, _LANES), dtype),
                    jax.ShapeDtypeStruct((rows_padded, N_CCOLS, _LANES),
                                         dtype),
@@ -795,11 +864,17 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
     ph_f, cl_f, t_f, time_plane, cout, traj = outs
 
     def unprep(x):
-        x = _unpack_state(x, batch, z, plants_per_row)
+        if layout == "pl":      # [Z, rows, 128] -> [B, Z]
+            x = x.transpose(1, 2, 0).reshape(rows_padded * _LANES, z)[:batch]
+        else:
+            x = _unpack_state(x, batch, z, plants_per_row)
         return x[0] if single else x
 
     def per_plant(plane):
-        x = _unpack_state(plane, batch, z, plants_per_row)[:, 0]
+        if layout == "pl":      # [rows, 128] -> [B]
+            x = plane.reshape(rows_padded * _LANES)[:batch]
+        else:
+            x = _unpack_state(plane, batch, z, plants_per_row)[:, 0]
         return x[0] if single else x
 
     t_final = time_plane[0, 0] + 0.0 * t0  # scalar; t0 keeps dtype/trace

@@ -70,7 +70,8 @@ _SCHED_CHUNK = 512
 
 def _masks(block_rows: int, n_zones: int):
     """Lane-geometry masks for the packed layout (zones on the 128-lane
-    axis, 128 // n_zones plants per row; tail lanes dead)."""
+    axis, 128 // n_zones plants per row; tail lanes dead), plus the
+    zone-axis shift functions the stencil uses (lane rolls here)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 1)
     zone = lane % n_zones
     plants_per_row = _LANES // n_zones
@@ -82,6 +83,29 @@ def _masks(block_rows: int, n_zones: int):
         "first": in_plant & (zone == 0),
         "last": in_plant & (zone == (n_zones - 1)),
         "zone_height_iota": zone,
+        "roll_next": lambda x: pltpu.roll(x, _LANES - 1, 1),
+        "roll_prev": lambda x: pltpu.roll(x, 1, 1),
+    }
+
+
+def _masks_zone_major(n_zones: int):
+    """Masks/shifts for the plants-on-lanes layout: state is
+    ``[n_zones, rows, 128]`` with one plant per lane, zones on the leading
+    (major) axis. Zone shifts are static-slice concatenations; masks are
+    ``[n_zones, 1, 1]`` planes that broadcast over the plant axes."""
+    zone = jax.lax.broadcasted_iota(jnp.int32, (n_zones, 1, 1), 0)
+    true_ = zone >= 0
+    return {
+        "zone_mask": true_,
+        "iface_mask": zone < (n_zones - 1),
+        "not_first": zone >= 1,
+        "first": zone == 0,
+        "last": zone == (n_zones - 1),
+        "zone_height_iota": zone,
+        # wrap-around rows land on masked terms, matching the lane layout's
+        # periodic rolls
+        "roll_next": lambda x: jnp.concatenate([x[1:], x[:1]], axis=0),
+        "roll_prev": lambda x: jnp.concatenate([x[-1:], x[:-1]], axis=0),
     }
 
 
@@ -98,14 +122,17 @@ def _make_deriv(p, b, m):
     iface_mask, not_first = m["iface_mask"], m["not_first"]
     first, last, zone_mask = m["first"], m["last"], m["zone_mask"]
 
+    roll_next, roll_prev = m["roll_next"], m["roll_prev"]
+
     def exchange(x, k_iface):
         # (L x)[i] = k_iface[i] (x[i+1]-x[i]) + k_iface[i-1] (x[i-1]-x[i]),
-        # reference reactor.py:318-337 as a lane stencil. The masks are
-        # periodic per packed plant, so rolls never couple across plants.
-        x_next = pltpu.roll(x, _LANES - 1, 1)
-        x_prev = pltpu.roll(x, 1, 1)
+        # reference reactor.py:318-337 as a zone stencil (lane rolls in the
+        # packed layout, major-axis shifts in the plants-on-lanes layout).
+        # The masks are periodic per plant, so shifts never couple plants.
+        x_next = roll_next(x)
+        x_prev = roll_prev(x)
         up = jnp.where(iface_mask, k_iface * (x_next - x), 0.0)
-        k_prev = pltpu.roll(k_iface, 1, 1)
+        k_prev = roll_prev(k_iface)
         dn = jnp.where(not_first, k_prev * (x_prev - x), 0.0)
         return up + dn - jnp.where(last, b["q_per_v"] * x, 0.0)
 
@@ -120,7 +147,7 @@ def _make_deriv(p, b, m):
             t <= 8.0,
             c.RHO_MAX_4C - c.DENSITY_ANOMALY_COEFF * (t - 4.0) ** 2,
             c.WATER_DENSITY_20C * (1.0 - c.THERMAL_EXPANSION_COEFF * (t - 20.0)))
-        rho_next = pltpu.roll(rho, _LANES - 1, 1)
+        rho_next = roll_next(rho)
         drho = rho_next - rho
         rho_avg = 0.5 * (rho_next + rho)
         ri = c.G_GRAVITY * drho * p["zone_height"] / (rho_avg * safe_u2)

@@ -68,7 +68,8 @@ def sharded_plant_rollout_fused(mesh, params, *, dt: float, substeps: int,
                                 n_steps: int, stages=None,
                                 record_every: int = 1, rng: str = "hw",
                                 seed: int = 0, bits=None,
-                                axis_name: str = PLANTS_AXIS):
+                                axis_name: str = PLANTS_AXIS,
+                                layout: str = "zl"):
     """Jitted SPMD wrapper for the fused integrated-plant kernel
     (ops/fused_plant.py): physics + all seven instruments per step, one
     kernel instance per device over the plant shard.
@@ -119,7 +120,7 @@ def sharded_plant_rollout_fused(mesh, params, *, dt: float, substeps: int,
             hw_rng=hw_rng, seed=dev_seed, interpret=interpret,
             statics_t=statics_t, delays_t=delays_t,
             scheduled=False, sched_chunk=FP._PLANT_SCHED_CHUNK,
-            ablate=FP._ABLATE)
+            layout=layout, ablate=FP._ABLATE)
         stacked = jax.numpy.stack(
             [readings[rname] for rname, _, _ in FP.SENSORS], axis=-1)
         return new_plant, stacked

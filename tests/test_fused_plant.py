@@ -311,3 +311,67 @@ def test_fused_plant_nonunit_dt_delay():
         np.testing.assert_allclose(np.where(both_nan, 0, got),
                                    np.where(both_nan, 0, want),
                                    rtol=0, atol=1e-3, err_msg=rname)
+
+
+def test_fused_plant_plants_on_lanes_matches_xla():
+    """The plants-on-lanes layout (layout='pl': one plant per lane, zones
+    on the major axis) matches the XLA oracle with the same word stream."""
+    n_zones = 5
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, n_steps = 1.0, 12
+    substeps = R.default_substeps(cfg, dt)
+    B = 6
+    params, plant = make_plant_batch(cfg, B, seed=3, dtype=jnp.float32)
+
+    rows_padded = 8
+    rng = np.random.default_rng(1)
+    bits = rng.integers(-2**31, 2**31, size=(n_steps, N_WORDS, rows_padded,
+                                             _LANES), dtype=np.int32)
+
+    new_plant, readings = plant_rollout_fused(
+        params, plant, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        rng="bits", bits=bits, interpret=True, layout="pl")
+
+    # oracle: plant p lives at (row p//128, lane p%128)
+    def plant_words(plane):
+        return plane.reshape(rows_padded * _LANES)[:B]
+
+    words = jnp.stack([
+        jnp.stack([plant_words(jnp.asarray(bits)[i, w])
+                   for w in range(N_WORDS)])
+        for i in range(n_steps)])
+
+    def body(p, w):
+        rand = {}
+        for rname, attr, kind in SENSORS:
+            n_n, n_u = _RAND[kind]
+            w0 = _WORD_OFFSET[attr]
+            sensor_words = [w[w0 + k] for k in range(words_per_sensor(kind))]
+            normals, uniforms = rand_from_words(sensor_words, n_n, n_u)
+            rand[rname] = (jnp.stack(normals.cols, -1),
+                           jnp.stack(uniforms.cols, -1))
+        p, r = jax.vmap(
+            lambda pp, st, rd: plant_step(pp, st, BC, dt, substeps,
+                                          rand=rd))(params, p, rand)
+        return p, {k: v.value for k, v in r.items()}
+
+    o_plant, o_readings = jax.lax.scan(body, plant, words)
+
+    np.testing.assert_allclose(np.asarray(new_plant.reactor.pH),
+                               np.asarray(o_plant.reactor.pH),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_plant.reactor.chlorine),
+                               np.asarray(o_plant.reactor.chlorine),
+                               rtol=0, atol=2e-5)
+    for rname, attr, kind in SENSORS:
+        got = np.asarray(readings[rname])
+        want = np.asarray(o_readings[rname])
+        both_nan = np.isnan(got) & np.isnan(want)
+        np.testing.assert_allclose(np.where(both_nan, 0.0, got),
+                                   np.where(both_nan, 0.0, want),
+                                   rtol=0, atol=5e-4, err_msg=rname)
+    for attr in ("ph_outlet", "chlorine_inlet", "temp_outlet"):
+        got = np.asarray(getattr(new_plant, attr).base.current_value)
+        want = np.asarray(getattr(o_plant, attr).base.current_value)
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-4,
+                                   err_msg=f"{attr}.current_value")
