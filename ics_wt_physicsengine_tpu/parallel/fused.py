@@ -69,7 +69,8 @@ def sharded_plant_rollout_fused(mesh, params, *, dt: float, substeps: int,
                                 record_every: int = 1, rng: str = "hw",
                                 seed: int = 0, bits=None,
                                 axis_name: str = PLANTS_AXIS,
-                                layout: str = "zl"):
+                                layout: str = "zl",
+                                scheduled: bool = False):
     """Jitted SPMD wrapper for the fused integrated-plant kernel
     (ops/fused_plant.py): physics + all seven instruments per step, one
     kernel instance per device over the plant shard.
@@ -79,7 +80,9 @@ def sharded_plant_rollout_fused(mesh, params, *, dt: float, substeps: int,
     tracers inside shard_map). Each device seeds its PRNG stream with
     ``seed`` plus its mesh position, so shards draw independent noise.
     ``rng="bits"`` (testing) replicates the given word stream to every
-    shard. Returns ``fn(params, plant, boundary) -> (new_plant, readings)``.
+    shard. ``scheduled=True`` declares that ``boundary`` will be an
+    [n_steps]-leaf BoundaryConditions schedule (replicated to all shards).
+    Returns ``fn(params, plant, boundary) -> (new_plant, readings)``.
     """
     from ics_wt_physicsengine_tpu.ops import fused_plant as FP
 
@@ -119,7 +122,7 @@ def sharded_plant_rollout_fused(mesh, params, *, dt: float, substeps: int,
             n_steps=n_steps, stages=stages, record_every=record_every,
             hw_rng=hw_rng, seed=dev_seed, interpret=interpret,
             statics_t=statics_t, delays_t=delays_t,
-            scheduled=False, sched_chunk=FP._PLANT_SCHED_CHUNK,
+            scheduled=scheduled, sched_chunk=FP._PLANT_SCHED_CHUNK,
             layout=layout, ablate=FP._ABLATE)
         stacked = jax.numpy.stack(
             [readings[rname] for rname, _, _ in FP.SENSORS], axis=-1)

@@ -87,3 +87,48 @@ def test_sharded_fused_plant_matches_per_shard():
             assert np.array_equal(np.where(both_nan, 0, g),
                                   np.where(both_nan, 0, w)), \
                 f"shard {d} {rname}"
+
+
+def test_sharded_scheduled_plant_matches_per_shard():
+    """Scheduled forcing + instruments + shard_map: the full matrix."""
+    n_dev = 8
+    n_zones = 4
+    per_shard = 2
+    B = n_dev * per_shard
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    params, plant = make_plant_batch(cfg, B, seed=6, dtype=jnp.float32)
+
+    n_steps = 8
+    t = np.arange(n_steps)
+    sched = R.BoundaryConditions(
+        inlet_flow_rate=(5.0 + np.sin(t / 3.0)).astype(np.float32),
+        acid_flow_rate=np.where(t % 4 < 2, 0.0, 0.3).astype(np.float32))
+    rng = np.random.default_rng(8)
+    bits = rng.integers(-2**31, 2**31,
+                        size=(n_steps, N_WORDS, 8, _LANES), dtype=np.int32)
+
+    mesh = make_mesh(n_dev)
+    fn = sharded_plant_rollout_fused(mesh, params, dt=1.0, substeps=4,
+                                     n_steps=n_steps, record_every=1,
+                                     rng="bits", bits=bits, scheduled=True)
+    out_plant, out_readings = fn(shard_batch(params, mesh),
+                                 shard_batch(plant, mesh), sched)
+
+    def shard_slice(tree, d):
+        return jax.tree_util.tree_map(
+            lambda x: x[d * per_shard:(d + 1) * per_shard]
+            if not isinstance(x, int) else x, tree)
+
+    for d in (0, 3, 7):
+        ref_plant, ref_readings = plant_rollout_fused(
+            shard_slice(params, d), shard_slice(plant, d), sched, dt=1.0,
+            substeps=4, n_steps=n_steps, record_every=1, rng="bits",
+            bits=bits, interpret=True)
+        sl = slice(d * per_shard, (d + 1) * per_shard)
+        assert np.array_equal(np.asarray(out_plant.reactor.pH)[sl],
+                              np.asarray(ref_plant.reactor.pH)), f"shard {d}"
+        g = np.asarray(out_readings["pH_outlet"])[:, sl]
+        w = np.asarray(ref_readings["pH_outlet"])
+        both_nan = np.isnan(g) & np.isnan(w)
+        assert np.array_equal(np.where(both_nan, 0, g),
+                              np.where(both_nan, 0, w)), f"shard {d}"
