@@ -112,11 +112,17 @@ def bench_batched(n_plants=32768, n_steps=200, reps=3):
             2 * n_plants * n_steps / elapsed_rkc)
 
 
-def bench_integrated(n_plants=16384, n_steps=64, reps=3):
+def bench_integrated(n_plants=65536, n_steps=64, reps=3):
     """BASELINE configs 3+4 combined: batched integrated plants — physics
     plus all seven PRNG-threaded instruments per step per plant
     (models/plant.py). The reference cannot run this workload at all (one
-    plant, ~31 steps/s with sensors on a CPU)."""
+    plant, ~31 steps/s with sensors on a CPU).
+
+    Sample lines run on the O(1) fixed-dt tap path and sensor randomness
+    on the packed two-generate draw (the defaults) — the exact in-carry
+    ring was measured at ~70% of the whole integrated step
+    (tools/ablate_integrated.py: 15.3M exact vs 50.3M tap at 16k plants;
+    with packed PRNG 59.8M at 16k / 96.1M at the 64k peak)."""
     from ics_wt_physicsengine_tpu.models.plant import (
         make_plant_batch, plant_rollout_batched)
 
@@ -254,7 +260,7 @@ def main():
             "batched_n_plants": 32768,
             "batched_n_plants_rkc": 65536,
             "integrated_plant_steps_per_sec": round(integrated, 1),
-            "integrated_n_plants": 16384,
+            "integrated_n_plants": 65536,
             "integrated_single_steps_per_sec": round(integrated_single, 1),
             "integrated_hil_scheduled_steps_per_sec": round(
                 integrated_single_hil, 1),

@@ -143,7 +143,7 @@ def _zone(arr, idx: int):
 
 def plant_step(params: PlantParams, plant: PlantState,
                boundary: R.BoundaryConditions, dt: float, substeps: int,
-               stages=None, rand=None
+               stages=None, rand=None, delayed=None
                ) -> Tuple[PlantState, Dict[str, SB.SensorOutput]]:
     """Advance physics by dt, then read all seven instruments — one pure
     function, jittable and batchable. ``stages`` selects the RKC2
@@ -151,22 +151,35 @@ def plant_step(params: PlantParams, plant: PlantState,
     ``{sensor_name: (normals, uniforms)}`` supplying every instrument's
     randomness externally (sensor-module N_NORMALS/N_UNIFORMS layouts) —
     used by the fused kernel's bit-match oracle; None draws from each
-    carry's own key."""
+    carry's own key. ``delayed``: optional ``{sensor_name: value}`` of
+    externally resolved sample-line taps (pH/temperature sensors only) —
+    the fixed-dt fast path resolves delays outside (see
+    ``plant_rollout_batched(line_mode=...)``); the caller must pass params
+    with ``line_capacity=0`` for those sensors."""
     state = R.step(params.reactor, plant.reactor, boundary, dt=dt,
                    substeps=substeps, stages=stages)
+    return _read_all(params, state, plant, rand=rand, delayed=delayed)
+
+
+def _read_all(params: PlantParams, state: R.ReactorState, plant: PlantState,
+              rand=None, delayed=None
+              ) -> Tuple[PlantState, Dict[str, SB.SensorOutput]]:
+    """Read all seven instruments against an already-stepped reactor state
+    (the sensor half of ``plant_step``)."""
     t = state.time
     rand = rand or {}
+    delayed = delayed or {}
 
     ph_in_c, ph_in = SP.ph_read(
         params.ph_inlet, plant.ph_inlet,
         _zone(state.pH, params.ph_inlet.zone_index),
         _zone(state.temperature, params.ph_inlet.zone_index), t,
-        rand=rand.get("pH_inlet"))
+        rand=rand.get("pH_inlet"), delayed_true=delayed.get("pH_inlet"))
     ph_out_c, ph_out = SP.ph_read(
         params.ph_outlet, plant.ph_outlet,
         _zone(state.pH, params.ph_outlet.zone_index),
         _zone(state.temperature, params.ph_outlet.zone_index), t,
-        rand=rand.get("pH_outlet"))
+        rand=rand.get("pH_outlet"), delayed_true=delayed.get("pH_outlet"))
     cl_in_c, cl_in = SC.chlorine_read(
         params.chlorine_inlet, plant.chlorine_inlet,
         _zone(state.chlorine, params.chlorine_inlet.zone_index),
@@ -182,11 +195,11 @@ def plant_step(params: PlantParams, plant: PlantState,
     t_in_c, t_in = ST.temperature_read(
         params.temp_inlet, plant.temp_inlet,
         _zone(state.temperature, params.temp_inlet.zone_index), t,
-        rand=rand.get("temp_inlet"))
+        rand=rand.get("temp_inlet"), delayed_true=delayed.get("temp_inlet"))
     t_out_c, t_out = ST.temperature_read(
         params.temp_outlet, plant.temp_outlet,
         _zone(state.temperature, params.temp_outlet.zone_index), t,
-        rand=rand.get("temp_outlet"))
+        rand=rand.get("temp_outlet"), delayed_true=delayed.get("temp_outlet"))
 
     new_plant = PlantState(
         reactor=state, ph_inlet=ph_in_c, ph_outlet=ph_out_c,
@@ -334,30 +347,253 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
 
 def plant_step_batched(params: PlantParams, plant: PlantState,
                        boundary: R.BoundaryConditions, dt: float,
-                       substeps: int, stages=None):
+                       substeps: int, stages=None, rand=None):
     """vmap of plant_step over the leading plant axis. (The physics is
     natively batched, but sensor PRNG keys must split per lane, so the
-    integrated plant batches through vmap.)"""
+    integrated plant batches through vmap.) ``rand``: optional externally
+    drawn randomness, ``{sensor: (normals[n, k], uniforms[n, k])}`` — see
+    ``draw_packed_rand``."""
+    if rand is None:
+        return jax.vmap(
+            lambda p, s: plant_step(p, s, boundary, dt, substeps,
+                                    stages=stages),
+            in_axes=(0, 0))(params, plant)
     return jax.vmap(
-        lambda p, s: plant_step(p, s, boundary, dt, substeps, stages=stages),
-        in_axes=(0, 0))(params, plant)
+        lambda p, s, r: plant_step(p, s, boundary, dt, substeps,
+                                   stages=stages, rand=r),
+        in_axes=(0, 0, 0))(params, plant, rand)
+
+
+# Canonical order + per-sensor randomness widths (base layout first, then
+# each overlay's extra draws — sensors/<type>.py N_NORMALS/N_UNIFORMS).
+_RAND_LAYOUT = (
+    ("pH_inlet", SP.N_NORMALS, SP.N_UNIFORMS),
+    ("pH_outlet", SP.N_NORMALS, SP.N_UNIFORMS),
+    ("chlorine_inlet", SC.N_NORMALS, SC.N_UNIFORMS),
+    ("chlorine_outlet", SC.N_NORMALS, SC.N_UNIFORMS),
+    ("flow_main", SF.N_NORMALS, SF.N_UNIFORMS),
+    ("temp_inlet", ST.N_NORMALS, ST.N_UNIFORMS),
+    ("temp_outlet", ST.N_NORMALS, ST.N_UNIFORMS),
+)
+_TOT_N = sum(n for _, n, _ in _RAND_LAYOUT)
+_TOT_U = sum(u for _, _, u in _RAND_LAYOUT)
+
+
+def draw_packed_rand(key, batch_shape, dtype):
+    """All seven instruments' per-read randomness in two batched generates
+    from one key (instead of seven per-plant key splits + fourteen
+    generates): every element is still an independent standard draw —
+    independence across plants/sensors comes from the generate counter
+    rather than per-plant key streams. Returns the ``rand=`` dict consumed
+    by ``plant_step``/``_read_all``."""
+    kn, ku = jax.random.split(key)
+    normals = jax.random.normal(kn, batch_shape + (_TOT_N,), dtype)
+    uniforms = jax.random.uniform(ku, batch_shape + (_TOT_U,), dtype)
+    rand, i, j = {}, 0, 0
+    for name, nn, nu in _RAND_LAYOUT:
+        rand[name] = (normals[..., i:i + nn], uniforms[..., j:j + nu])
+        i, j = i + nn, j + nu
+    return rand
+
+
+# Sensors whose read functions accept an externally resolved sample tap
+# (reading name -> PlantParams/PlantState field name).
+_LINE_SENSORS = (("pH_inlet", "ph_inlet"), ("pH_outlet", "ph_outlet"),
+                 ("temp_inlet", "temp_inlet"), ("temp_outlet", "temp_outlet"))
+
+
+def _static_line_taps(params: PlantParams, dt: float):
+    """``{reading_name: tap_steps}`` for line sensors whose delay is concrete
+    and identical across the batch — the precondition for the O(1) fixed-dt
+    tap path. Sensors with traced or per-plant-varying delays are excluded
+    (they keep the exact in-carry ring)."""
+    import numpy as np
+
+    taps = {}
+    for rname, fname in _LINE_SENSORS:
+        base = getattr(params, fname).base
+        if base.line_capacity <= 0:
+            continue
+        try:
+            delay = np.asarray(base.line_delay_s)
+        except Exception:       # traced under vmap/jit: can't be static
+            continue
+        if delay.size > 1 and not np.all(delay == delay.flat[0]):
+            continue
+        k = max(0, int(round(float(delay.flat[0]) / dt)))
+        # The exact ring can only reach capacity-1 samples back once full;
+        # clamp so both schemes resolve the same (oldest-available) sample.
+        taps[rname] = min(k, base.line_capacity - 1)
+    return taps
+
+
+def _disable_lines(params: PlantParams, taps):
+    """Params copy with ``line_capacity=0`` on the tap-resolved sensors so
+    ``base_read`` skips the in-carry ring (the carried ring arrays pass
+    through the scan untouched)."""
+    from dataclasses import replace as dc_replace
+
+    fields = {}
+    for rname, fname in _LINE_SENSORS:
+        if rname not in taps:
+            continue
+        sp = getattr(params, fname)
+        fields[fname] = dc_replace(sp, base=dc_replace(sp.base,
+                                                       line_capacity=0))
+    return dc_replace(params, **fields)
+
+
+def _line_true_values(params: PlantParams, state: R.ReactorState, taps):
+    """The pre-line 'true' sample per tap sensor, computed exactly where the
+    read functions would: Nernst-compensated pH (ph.ph_read) and the raw
+    zone temperature (temperature.temperature_read)."""
+    out = {}
+    for rname, fname in _LINE_SENSORS:
+        if rname not in taps:
+            continue
+        sp = getattr(params, fname)
+        if fname.startswith("ph"):
+            out[rname] = (_zone(state.pH, sp.zone_index)
+                          + sp.temperature_coefficient
+                          * (_zone(state.temperature, sp.zone_index) - 25.0))
+        else:
+            out[rname] = _zone(state.temperature, sp.zone_index)
+    return out
+
+
+def _tap_update(bufs, taps, trues, j):
+    """Advance the fixed-dt delay buffers: write this step's sample at row
+    ``j mod (k+1)``, read the sample from ``max(j-k, 0)`` (the oldest
+    available until the buffer spans the delay — the same clamp the exact
+    ring's nearest-timestamp argmin resolves to under uniform dt)."""
+    delayed, new_bufs = {}, {}
+    for name, buf in bufs.items():
+        k = taps[name]
+        buf = jax.lax.dynamic_update_index_in_dim(buf, trues[name],
+                                                  j % (k + 1), 0)
+        ridx = jnp.maximum(j - k, 0) % (k + 1)
+        delayed[name] = jax.lax.dynamic_index_in_dim(buf, ridx, 0,
+                                                     keepdims=False)
+        new_bufs[name] = buf
+    return delayed, new_bufs
 
 
 def plant_rollout_batched(params: PlantParams, plant: PlantState,
                           boundary: R.BoundaryConditions, dt: float,
                           substeps: int, n_steps: int, record: bool = True,
-                          stages=None):
-    """Scan plant_step_batched over n_steps: measured-value trajectories for
-    a whole Monte-Carlo ensemble in one jit (uncertainty quantification over
-    what the instruments would actually report, not the true state)."""
+                          stages=None, line_mode: str = "auto",
+                          rng_mode: str = "packed"):
+    """Scan the batched integrated step over n_steps: measured-value
+    trajectories for a whole Monte-Carlo ensemble in one jit (uncertainty
+    quantification over what the instruments would actually report, not the
+    true state).
 
-    def body(p, _):
-        p, readings = plant_step_batched(params, p, boundary, dt, substeps,
-                                         stages=stages)
+    ``line_mode`` selects the sample-line implementation:
+
+    - ``"exact"``: the in-carry nearest-timestamp ring (bit-identical to
+      stepping ``plant_step_batched`` manually) — O(capacity) masked work
+      per sensor per step, measured ~70% of the whole integrated step at
+      16k plants.
+    - ``"tap"``: O(1) fixed-dt circular taps resolved outside the sensor
+      carries — the fused plant kernel's scheme (ops/fused_plant.py) on the
+      XLA path. Identical readings wherever appends are unconditional;
+      differences vs "exact" (documented, noise-level): samples are
+      recorded every step even while a sensor is warming up or
+      power-faulted (the exact ring skips those appends, shifting
+      post-fault delays by one step at ~1e-4/read probability), the line
+      starts from the first in-rollout sample (pre-existing carry ring
+      contents are ignored), and a delay exactly halfway between steps
+      rounds to nearest-even instead of the argmin's storage-order tie.
+      Requires concrete, batch-identical line delays.
+    - ``"auto"`` (default): "tap" for every sensor where it applies,
+      "exact" for the rest.
+
+    ``rng_mode`` selects the sensor-randomness implementation:
+
+    - ``"packed"`` (default): two batched generates per step from one
+      rollout-derived key cover all seven instruments
+      (``draw_packed_rand``) — every element is still an independent
+      standard draw, but independence comes from the generate counter, so
+      streams differ from per-sensor key threading (statistically
+      identical; ~7x less threefry work per step). The carried per-sensor
+      keys pass through untouched except pH-inlet's, which is folded with
+      ``n_steps`` at the end so chained rollout calls draw fresh streams.
+    - ``"per-sensor"``: each instrument draws from its own carried key,
+      bit-identical to stepping ``plant_step_batched`` manually.
+    """
+    if line_mode not in ("auto", "tap", "exact"):
+        raise ValueError(f"unknown line_mode: {line_mode!r}")
+    if rng_mode not in ("packed", "per-sensor"):
+        raise ValueError(f"unknown rng_mode: {rng_mode!r}")
+    taps = _static_line_taps(params, dt) if line_mode != "exact" else {}
+    if line_mode == "tap" and not taps:
+        raise ValueError("line_mode='tap' needs concrete batch-identical "
+                         "line delays (none found)")
+
+    batch_shape = jnp.shape(plant.reactor.pH)[:-1]
+    dtype = plant.reactor.pH.dtype
+    packed = rng_mode == "packed"
+    if packed:
+        # One scalar stream root per rollout call; per-step keys fold in
+        # the step index, so the scan carries no key state.
+        root = jax.random.fold_in(
+            plant.ph_inlet.base.key.reshape(-1)[0], n_steps)
+
+        def draw(j):
+            return draw_packed_rand(jax.random.fold_in(root, j),
+                                    batch_shape, dtype)
+
+        def advance_keys(p):
+            new_keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                p.ph_inlet.base.key.reshape(-1), n_steps)
+            from dataclasses import replace as dc_replace
+            return dc_replace(p, ph_inlet=dc_replace(
+                p.ph_inlet, base=dc_replace(
+                    p.ph_inlet.base,
+                    key=new_keys.reshape(p.ph_inlet.base.key.shape))))
+    else:
+        draw = advance_keys = None
+
+    if not taps:
+        def body(p, j):
+            rand = draw(j) if packed else None
+            p, readings = plant_step_batched(params, p, boundary, dt,
+                                             substeps, stages=stages,
+                                             rand=rand)
+            out = ({k: v.value for k, v in readings.items()}
+                   if record else None)
+            return p, out
+
+        plant, traj = jax.lax.scan(body, plant, jnp.arange(n_steps))
+        return (advance_keys(plant) if packed else plant), traj
+
+    params_nl = _disable_lines(params, taps)
+    bufs = {name: jnp.zeros((k + 1,) + batch_shape, dtype)
+            for name, k in taps.items()}
+
+    read_v = jax.vmap(
+        lambda prm, st, cr, dl: _read_all(prm, st, cr, delayed=dl))
+    read_v_rand = jax.vmap(
+        lambda prm, st, cr, dl, rnd: _read_all(prm, st, cr, delayed=dl,
+                                               rand=rnd))
+
+    def body(carry, j):
+        p, bufs = carry
+        state = R.step(params.reactor, p.reactor, boundary, dt=dt,
+                       substeps=substeps, stages=stages)
+        delayed, bufs = _tap_update(bufs, taps,
+                                    _line_true_values(params, state, taps),
+                                    j)
+        if packed:
+            p, readings = read_v_rand(params_nl, state, p, delayed, draw(j))
+        else:
+            p, readings = read_v(params_nl, state, p, delayed)
         out = ({k: v.value for k, v in readings.items()} if record else None)
-        return p, out
+        return (p, bufs), out
 
-    return jax.lax.scan(body, plant, None, length=n_steps)
+    (plant, _), traj = jax.lax.scan(body, (plant, bufs),
+                                    jnp.arange(n_steps))
+    return (advance_keys(plant) if packed else plant), traj
 
 
 # ---------------------------------------------------------------------------

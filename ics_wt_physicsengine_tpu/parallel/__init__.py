@@ -1,6 +1,12 @@
 """Device-mesh sharding: plant batches (data-parallel over ICI),
-zone-axis spatial decomposition (halo exchange via ppermute), and
-cross-plant ensemble statistics."""
+zone-axis spatial decomposition (halo exchange via ppermute), multi-host
+(DCN) process linking, and cross-plant ensemble statistics."""
+
+from ics_wt_physicsengine_tpu.parallel.multihost import (  # noqa: F401
+    initialize_multihost,
+    local_plant_slice,
+    shard_batch_multihost,
+)
 
 from ics_wt_physicsengine_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
