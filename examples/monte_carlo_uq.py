@@ -74,10 +74,12 @@ def main():
             chlorine_flow_rate=0.15, chlorine_concentration=50.0,
             acid_flow_rate=0.05)
         t0 = time.perf_counter()
-        fn = jax.jit(lambda p, s, b: plant_rollout_batched(
-            p, s, b, dt=args.dt, substeps=substeps, stages=stages,
+        # params closed over, not traced: the O(1) sample-line tap path
+        # needs Python-visible delays (models/plant.py docstring).
+        fn = jax.jit(lambda s, b: plant_rollout_batched(
+            params, s, b, dt=args.dt, substeps=substeps, stages=stages,
             n_steps=n_steps))
-        plant, traj = fn(params, plant, bc)
+        plant, traj = fn(plant, bc)
         cl = np.asarray(traj["chlorine_outlet"][-1])
         np.asarray(plant.reactor.time)
         wall = time.perf_counter() - t0

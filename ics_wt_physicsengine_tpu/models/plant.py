@@ -402,11 +402,15 @@ _LINE_SENSORS = (("pH_inlet", "ph_inlet"), ("pH_outlet", "ph_outlet"),
                  ("temp_inlet", "temp_inlet"), ("temp_outlet", "temp_outlet"))
 
 
-def _static_line_taps(params: PlantParams, dt: float):
+def _static_line_taps(params: PlantParams, dt: float,
+                      collect_traced: list = None):
     """``{reading_name: tap_steps}`` for line sensors whose delay is concrete
     and identical across the batch — the precondition for the O(1) fixed-dt
     tap path. Sensors with traced or per-plant-varying delays are excluded
-    (they keep the exact in-carry ring)."""
+    (they keep the exact in-carry ring); traced names are appended to
+    ``collect_traced`` so callers can warn (a traced delay usually means
+    params were passed through ``jax.jit`` as an argument instead of closed
+    over — the delay's *value* is static, but the trace can't see it)."""
     import numpy as np
 
     taps = {}
@@ -414,10 +418,11 @@ def _static_line_taps(params: PlantParams, dt: float):
         base = getattr(params, fname).base
         if base.line_capacity <= 0:
             continue
-        try:
-            delay = np.asarray(base.line_delay_s)
-        except Exception:       # traced under vmap/jit: can't be static
+        if isinstance(base.line_delay_s, jax.core.Tracer):
+            if collect_traced is not None:
+                collect_traced.append(rname)
             continue
+        delay = np.asarray(base.line_delay_s)
         if delay.size > 1 and not np.all(delay == delay.flat[0]):
             continue
         k = max(0, int(round(float(delay.flat[0]) / dt)))
@@ -453,9 +458,9 @@ def _line_true_values(params: PlantParams, state: R.ReactorState, taps):
             continue
         sp = getattr(params, fname)
         if fname.startswith("ph"):
-            out[rname] = (_zone(state.pH, sp.zone_index)
-                          + sp.temperature_coefficient
-                          * (_zone(state.temperature, sp.zone_index) - 25.0))
+            out[rname] = SP.nernst_compensated_ph(
+                sp, _zone(state.pH, sp.zone_index),
+                _zone(state.temperature, sp.zone_index))
         else:
             out[rname] = _zone(state.temperature, sp.zone_index)
     return out
@@ -482,7 +487,7 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
                           boundary: R.BoundaryConditions, dt: float,
                           substeps: int, n_steps: int, record: bool = True,
                           stages=None, line_mode: str = "auto",
-                          rng_mode: str = "packed"):
+                          rng_mode: str = "packed", line_taps=None):
     """Scan the batched integrated step over n_steps: measured-value
     trajectories for a whole Monte-Carlo ensemble in one jit (uncertainty
     quantification over what the instruments would actually report, not the
@@ -508,6 +513,13 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
     - ``"auto"`` (default): "tap" for every sensor where it applies,
       "exact" for the rest.
 
+    Tap resolution needs the delays as *Python-visible numbers*: close the
+    params over the jit (``jax.jit(lambda state: plant_rollout_batched(
+    params, state, ...))``) rather than passing them as a traced argument,
+    or pass ``line_taps={reading_name: tap_steps}`` explicitly (as computed
+    by ``_static_line_taps(params, dt)`` outside the trace). Under "auto"
+    with traced delays a UserWarning is emitted and the exact ring is used.
+
     ``rng_mode`` selects the sensor-randomness implementation:
 
     - ``"packed"`` (default): two batched generates per step from one
@@ -516,8 +528,9 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
       standard draw, but independence comes from the generate counter, so
       streams differ from per-sensor key threading (statistically
       identical; ~7x less threefry work per step). The carried per-sensor
-      keys pass through untouched except pH-inlet's, which is folded with
-      ``n_steps`` at the end so chained rollout calls draw fresh streams.
+      keys pass through untouched except pH-inlet's, which is advanced at
+      the end along a fold branch disjoint from the rollout's draw root,
+      so chained rollout calls draw genuinely fresh streams.
     - ``"per-sensor"``: each instrument draws from its own carried key,
       bit-identical to stepping ``plant_step_batched`` manually.
     """
@@ -525,7 +538,30 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
         raise ValueError(f"unknown line_mode: {line_mode!r}")
     if rng_mode not in ("packed", "per-sensor"):
         raise ValueError(f"unknown rng_mode: {rng_mode!r}")
-    taps = _static_line_taps(params, dt) if line_mode != "exact" else {}
+    if line_mode == "exact":
+        taps = {}
+    elif line_taps is not None:
+        valid = {r for r, _ in _LINE_SENSORS}
+        if not set(line_taps) <= valid:
+            raise ValueError(f"unknown line_taps names: "
+                             f"{sorted(set(line_taps) - valid)}")
+        taps = {r: int(k) for r, k in line_taps.items()}
+    else:
+        traced = []
+        taps = _static_line_taps(params, dt, collect_traced=traced)
+        if traced and line_mode == "tap":
+            raise ValueError(
+                f"line_mode='tap': line delays for {traced} are traced "
+                "(params passed as a jit/vmap argument). Close params over "
+                "the jit or pass line_taps= explicitly.")
+        if traced:     # auto: fall back, but never silently
+            import warnings
+            warnings.warn(
+                f"plant_rollout_batched(line_mode='auto'): line delays for "
+                f"{traced} are traced, falling back to the ~4-6x slower "
+                "exact delay ring. Close params over the jit or pass "
+                "line_taps= to keep the O(1) tap path.", UserWarning,
+                stacklevel=2)
     if line_mode == "tap" and not taps:
         raise ValueError("line_mode='tap' needs concrete batch-identical "
                          "line delays (none found)")
@@ -535,17 +571,21 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
     packed = rng_mode == "packed"
     if packed:
         # One scalar stream root per rollout call; per-step keys fold in
-        # the step index, so the scan carries no key state.
-        root = jax.random.fold_in(
-            plant.ph_inlet.base.key.reshape(-1)[0], n_steps)
+        # the step index, so the scan carries no key state. The draw root
+        # and the carried-forward key advance along DISJOINT fold branches
+        # (tags 0 vs 1): the carried key must never equal a key this
+        # rollout consumed, or a chained call re-derives spent streams.
+        key0 = plant.ph_inlet.base.key.reshape(-1)[0]
+        root = jax.random.fold_in(jax.random.fold_in(key0, n_steps), 0)
 
         def draw(j):
             return draw_packed_rand(jax.random.fold_in(root, j),
                                     batch_shape, dtype)
 
         def advance_keys(p):
-            new_keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-                p.ph_inlet.base.key.reshape(-1), n_steps)
+            def adv(k):
+                return jax.random.fold_in(jax.random.fold_in(k, n_steps), 1)
+            new_keys = jax.vmap(adv)(p.ph_inlet.base.key.reshape(-1))
             from dataclasses import replace as dc_replace
             return dc_replace(p, ph_inlet=dc_replace(
                 p.ph_inlet, base=dc_replace(

@@ -487,7 +487,7 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
                     else taps["pHL"]
                 tap_t = taps["T0"] if statics[attr]["zone"] == 0 \
                     else taps["TL"]
-                comp = tap_ph + pp.temperature_coefficient * (tap_t - 25.0)
+                comp = SP.nernst_compensated_ph(pp, tap_ph, tap_t)
                 hist = hist_ph_in if attr == "ph_inlet" else hist_ph_out
                 dtap = delayed(hist, comp, delays[attr])
                 nc, out = SP.ph_read(pp, cc, tap_ph, tap_t, t, rand=rand,

@@ -78,9 +78,17 @@ def shard_batch_multihost(tree, mesh, axis_name: str = "plants"):
     ``jax.make_array_from_process_local_data``.
     """
     import numpy as np
+    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def place(x):
+        # Typed PRNG-key leaves (sensor carries) can't round-trip through
+        # NumPy: ship their raw uint32 words and re-wrap on device.
+        if isinstance(x, jax.Array) and jnp.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = place(np.asarray(jax.random.key_data(x)))
+            return jax.random.wrap_key_data(data, impl=impl)
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, NamedSharding(mesh, P()))

@@ -79,6 +79,20 @@ N_NORMALS = B.BASE_NORMALS + 3     # + electrical, junction, fouling noise
 N_UNIFORMS = B.BASE_UNIFORMS
 
 
+def nernst_compensated_ph(params: PHSensorParams, reactor_pH_zone,
+                          reactor_T_zone, dtype=None):
+    """The electrode's pre-line 'true' sample: Nernst temperature
+    compensation around the 25 C calibration point (ph_sensor.py:171-177).
+    Shared by ``ph_read`` and the external sample-line resolvers
+    (models/plant.py line taps, ops/fused_plant.py) so the two paths can
+    never desynchronize."""
+    if dtype is not None:
+        reactor_pH_zone = jnp.asarray(reactor_pH_zone, dtype)
+        reactor_T_zone = jnp.asarray(reactor_T_zone, dtype)
+    return reactor_pH_zone + params.temperature_coefficient * (
+        reactor_T_zone - 25.0)
+
+
 def ph_read(params: PHSensorParams, carry: PHSensorCarry,
             reactor_pH_zone, reactor_T_zone, t, rand=None,
             delayed_true=None):
@@ -100,9 +114,8 @@ def ph_read(params: PHSensorParams, carry: PHSensorCarry,
     had_prev = carry.base.has_history
 
     # Nernst temperature compensation (:171-177)
-    true_value = jnp.asarray(reactor_pH_zone, dtype) \
-        + params.temperature_coefficient * (jnp.asarray(reactor_T_zone, dtype)
-                                            - 25.0)
+    true_value = nernst_compensated_ph(params, reactor_pH_zone,
+                                       reactor_T_zone, dtype)
     if delayed_true is not None:
         true_value = jnp.asarray(delayed_true, dtype)
 

@@ -31,10 +31,12 @@ def _run(line_mode, n_steps=45, seed=21, dt=1.0, n_plants=4):
     params, plant = make_plant_batch(R.ReactorConfiguration(n_zones=4),
                                      n_plants=n_plants, seed=seed,
                                      dtype=jnp.float64)
-    fn = jax.jit(lambda p, s: plant_rollout_batched(
-        params, s, BC, dt, 4, n_steps, record=True,
-        line_mode=line_mode)[1], static_argnames=())
-    return params, fn(params, plant)
+    # params closed over (concrete) — the tap path needs Python-visible
+    # delays; passing params as a traced jit argument falls back to the
+    # exact ring (tested in test_auto_warns_on_traced_params).
+    fn = jax.jit(lambda s: plant_rollout_batched(
+        params, s, BC, dt, 4, n_steps, record=True, line_mode=line_mode)[1])
+    return params, fn(plant)
 
 
 def test_tap_matches_exact_across_fill_boundary():
@@ -50,7 +52,7 @@ def test_tap_matches_exact_across_fill_boundary():
     # this length, only the post-fault ring contents; with this seed none
     # fire (checked below via finiteness).
     for name in ("pH_inlet", "pH_outlet", "temp_inlet", "temp_outlet",
-                 "chlorine_outlet", "flow_main"):
+                 "chlorine_inlet", "chlorine_outlet", "flow_main"):
         a, b = np.asarray(traj_exact[name]), np.asarray(traj_tap[name])
         assert np.all(np.isfinite(a)), name
         np.testing.assert_array_equal(a, b, err_msg=name)
@@ -133,6 +135,66 @@ def test_packed_rng_statistics():
 
     s_packed, s_per = run("packed"), run("per-sensor")
     assert 0.5 < s_packed / s_per < 2.0, (s_packed, s_per)
+
+
+def test_auto_warns_on_traced_params():
+    """Params passed as a traced jit argument hide the delay values: 'auto'
+    must warn (not silently lose the 4-6x tap speedup), 'tap' must raise
+    with an actionable message, and explicit line_taps= restores the tap
+    path under the same traced-params call shape (bit-matching the
+    closed-over-params run)."""
+    import warnings
+
+    params, plant = make_plant_batch(R.ReactorConfiguration(n_zones=4),
+                                     n_plants=3, seed=21, dtype=jnp.float64)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _, traj_traced = jax.jit(lambda p, s: plant_rollout_batched(
+            p, s, BC, 1.0, 4, 8, line_mode="auto"))(params, plant)
+    assert any("traced" in str(w.message) for w in caught), \
+        [str(w.message) for w in caught]
+
+    try:
+        jax.jit(lambda p, s: plant_rollout_batched(
+            p, s, BC, 1.0, 4, 8, line_mode="tap"))(params, plant)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "line_taps" in str(e)
+
+    taps = _static_line_taps(params, dt=1.0)
+    _, traj_taps = jax.jit(lambda p, s: plant_rollout_batched(
+        p, s, BC, 1.0, 4, 8, line_mode="tap", line_taps=taps))(params, plant)
+    _, traj_closed = jax.jit(lambda s: plant_rollout_batched(
+        params, s, BC, 1.0, 4, 8, line_mode="tap"))(plant)
+    np.testing.assert_array_equal(np.asarray(traj_taps["pH_outlet"]),
+                                  np.asarray(traj_closed["pH_outlet"]))
+
+
+def test_chained_packed_rollouts_draw_fresh_streams():
+    """The carried-forward key advances on a fold branch disjoint from the
+    rollout's draw root: a chained second rollout must not re-derive any key
+    the first consumed (regression: advance == fold_in(key, n_steps) was
+    bit-equal to the draw root, so chained calls replayed spent streams)."""
+    params, plant = make_plant_batch(R.ReactorConfiguration(n_zones=4),
+                                     n_plants=3, seed=9, dtype=jnp.float64)
+    run = jax.jit(lambda s: plant_rollout_batched(
+        params, s, BC, 1.0, 4, 6, line_mode="exact", rng_mode="packed"))
+    p1, traj1 = run(plant)
+    # Carried key must differ from every key the rollout drew from:
+    # root and fold_in(root, j) for each step j.
+    key0 = plant.ph_inlet.base.key.reshape(-1)[0]
+    root = jax.random.fold_in(jax.random.fold_in(key0, 6), 0)
+    spent = [root] + [jax.random.fold_in(root, j) for j in range(6)]
+    carried = p1.ph_inlet.base.key.reshape(-1)[0]
+    cd = np.asarray(jax.random.key_data(carried))
+    for k in spent:
+        assert not np.array_equal(cd, np.asarray(jax.random.key_data(k)))
+    # And the chained rollout's readings differ from a replay of the first
+    # (same state, different streams -> different noise).
+    _, traj2 = run(p1)
+    assert not np.array_equal(np.asarray(traj1["temp_outlet"]),
+                              np.asarray(traj2["temp_outlet"]))
 
 
 def test_non_unit_dt_tap():

@@ -35,20 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ics_wt_physicsengine_tpu.core import reactor as R  # noqa: E402
 from ics_wt_physicsengine_tpu.models import plant as P  # noqa: E402
 from ics_wt_physicsengine_tpu.sensors import base as SB  # noqa: E402
-from ics_wt_physicsengine_tpu.sensors import chlorine as SC  # noqa: E402
-from ics_wt_physicsengine_tpu.sensors import flow as SF  # noqa: E402
-from ics_wt_physicsengine_tpu.sensors import ph as SP  # noqa: E402
-from ics_wt_physicsengine_tpu.sensors import temperature as ST  # noqa: E402
 
-SENSOR_DIMS = {
-    "pH_inlet": (SP.N_NORMALS, SP.N_UNIFORMS),
-    "pH_outlet": (SP.N_NORMALS, SP.N_UNIFORMS),
-    "chlorine_inlet": (SC.N_NORMALS, SC.N_UNIFORMS),
-    "chlorine_outlet": (SC.N_NORMALS, SC.N_UNIFORMS),
-    "flow_main": (SF.N_NORMALS, SF.N_UNIFORMS),
-    "temp_inlet": (ST.N_NORMALS, ST.N_UNIFORMS),
-    "temp_outlet": (ST.N_NORMALS, ST.N_UNIFORMS),
-}
+# One source of truth for per-sensor randomness widths: the model's table.
+SENSOR_DIMS = {name: (nn, nu) for name, nn, nu in P._RAND_LAYOUT}
 
 
 def timed(fn, carry, reps):

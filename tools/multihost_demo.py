@@ -24,17 +24,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-COORD = "localhost:12377"
 N_PLANTS = 16
 N_ZONES = 4
 N_STEPS = 5
 LOCAL_DEVICES = 4
 
 
-def worker(rank: int, nprocs: int) -> None:
+def worker(rank: int, nprocs: int, coord: str) -> None:
     from ics_wt_physicsengine_tpu.parallel.multihost import (
         initialize_multihost, shard_batch_multihost)
-    initialize_multihost(COORD, num_processes=nprocs, process_id=rank,
+    initialize_multihost(coord, num_processes=nprocs, process_id=rank,
                          local_device_count=LOCAL_DEVICES)
 
     import jax
@@ -83,22 +82,61 @@ def worker(rank: int, nprocs: int) -> None:
               f"{worst:.3g}", flush=True)
         assert np.isfinite(mean_ph)
     assert worst == 0.0, worst
+
+    # Integrated plant batch: carries typed PRNG-key leaves, which
+    # shard_batch_multihost ships as raw key words and re-wraps (a plain
+    # np.asarray would raise on PRNGKey-dtype arrays).
+    from ics_wt_physicsengine_tpu.models.plant import (
+        make_plant_batch, plant_step_batched)
+    p_params, p_state = make_plant_batch(base, N_PLANTS, seed=3,
+                                         dtype=jnp.float32)
+    gp = shard_batch_multihost(p_params, mesh)
+    gs = shard_batch_multihost(p_state, mesh)
+    step = jax.jit(lambda pp, ss: plant_step_batched(pp, ss, bc, 1.0, 4))
+    _, readings = step(gp, gs)
+    oracle_r = jax.jit(
+        lambda pp, ss: plant_step_batched(pp, ss, bc, 1.0, 4))(
+            p_params, p_state)[1]
+    worst_r = 0.0
+    for shard in readings["pH_outlet"].value.addressable_shards:
+        ref = np.asarray(oracle_r["pH_outlet"].value)[shard.index]
+        worst_r = max(worst_r, float(np.max(np.abs(
+            np.asarray(shard.data) - ref))))
+    if rank == 0:
+        print(f"[rank 0] plant batch (PRNG-key leaves): max local-shard "
+              f"|diff| vs single-process = {worst_r:.3g}", flush=True)
+    assert worst_r == 0.0, worst_r
     print(f"[rank {rank}] OK", flush=True)
+
+
+def _free_port() -> int:
+    """Bind-then-release an ephemeral port: a fixed port collides with
+    concurrent test sessions or a stale worker from an aborted run."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rank", type=int, default=None)
     ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--coord", type=str, default=None,
+                    help="coordinator address (chosen automatically when "
+                         "self-spawning)")
     args = ap.parse_args()
 
     if args.rank is not None:
-        worker(args.rank, args.nprocs)
+        worker(args.rank, args.nprocs, args.coord)
         return
 
+    coord = f"localhost:{_free_port()}"
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
-         "--rank", str(r), "--nprocs", str(args.nprocs)],
+         "--rank", str(r), "--nprocs", str(args.nprocs),
+         "--coord", coord],
         cwd=REPO) for r in range(args.nprocs)]
     rc = [p.wait() for p in procs]
     if any(rc):
