@@ -75,10 +75,15 @@ def bench_single_plant(n_steps=200000, reps=3):
     return n_steps / elapsed, n_steps / elapsed_rkc
 
 
-def bench_batched(n_plants=32768, n_steps=200, reps=3):
+def bench_batched(n_plants=32768, n_steps=2000, reps=3):
     # 32768 plants is the measured throughput peak on a v5e chip (sweep:
     # 4096 -> 27.6M, 8192 -> 36.8M, 16384 -> 43.9M, 32768 -> 48.1M,
     # 65536 -> 39.1M plant-steps/s — past 32k the working set spills VMEM).
+    #
+    # n_steps=2000 measures steady-state throughput: the tunneled-TPU relay
+    # adds a fixed ~30 ms per jitted call, which at 200-step calls was
+    # 10-40% of wall time (probed by fitting total time vs n_steps; the
+    # marginal per-step cost is what the hardware sustains).
     base = R.ReactorConfiguration(n_zones=20)
     params, state = make_monte_carlo_batch(base, n_plants, seed=0,
                                            dtype=jnp.float32)
@@ -112,7 +117,7 @@ def bench_batched(n_plants=32768, n_steps=200, reps=3):
             2 * n_plants * n_steps / elapsed_rkc)
 
 
-def bench_integrated(n_plants=65536, n_steps=64, reps=3):
+def bench_integrated(n_plants=65536, n_steps=512, reps=3):
     """BASELINE configs 3+4 combined: batched integrated plants — physics
     plus all seven PRNG-threaded instruments per step per plant
     (models/plant.py). The reference cannot run this workload at all (one
