@@ -167,9 +167,11 @@ def read_all_sensors(sensors: Dict, state, sim_time: float,
 
 def update_modbus_inputs(slave: Optional[ModbusSlave],
                          readings: Dict[str, SensorReading],
-                         state, sim_time: float) -> bool:
+                         state, sim_time: float,
+                         unit: Optional[int] = None) -> bool:
     """Push sensor values + fault bits to the register map
-    (reference __main__.py:166-224; pH_middle gap-fixed)."""
+    (reference __main__.py:166-224; pH_middle gap-fixed). ``unit`` selects
+    a fleet unit's register space (fleet.py); None = the primary unit."""
     if slave is None or not slave.is_running:
         return False
 
@@ -187,64 +189,76 @@ def update_modbus_inputs(slave: Optional[ModbusSlave],
         return reading is not None and reading.fault != SensorFault.NONE
 
     try:
-        slave.update_input_register("pH_inlet", safe_value("pH_inlet"))
-        slave.update_input_register("pH_outlet", safe_value("pH_outlet"))
+        slave.update_input_register("pH_inlet", safe_value("pH_inlet"),
+                                    unit=unit)
+        slave.update_input_register("pH_outlet", safe_value("pH_outlet"),
+                                    unit=unit)
         # pH_middle: the register exists in the map but the reference never
         # writes it (__main__.py:195-207); publish the true mid-zone value.
         import numpy as np
         mid = int(np.asarray(state.pH).shape[-1] // 2)
         slave.update_input_register("pH_middle",
-                                    float(np.asarray(state.pH)[mid]))
+                                    float(np.asarray(state.pH)[mid]),
+                                    unit=unit)
         slave.update_input_register("chlorine_inlet",
-                                    safe_value("chlorine_inlet"))
+                                    safe_value("chlorine_inlet"), unit=unit)
         slave.update_input_register("chlorine_outlet",
-                                    safe_value("chlorine_outlet"))
-        slave.update_input_register("flow_rate", safe_value("flow_main"))
+                                    safe_value("chlorine_outlet"), unit=unit)
+        slave.update_input_register("flow_rate", safe_value("flow_main"),
+                                    unit=unit)
         slave.update_input_register("temperature_inlet",
-                                    safe_value("temp_inlet"))
+                                    safe_value("temp_inlet"), unit=unit)
         slave.update_input_register("temperature_outlet",
-                                    safe_value("temp_outlet"))
-        slave.update_input_register("simulation_time", sim_time)
+                                    safe_value("temp_outlet"), unit=unit)
+        slave.update_input_register("simulation_time", sim_time, unit=unit)
 
         any_fault = any(r.fault != SensorFault.NONE
                         for r in readings.values())
-        slave.update_input_register("system_status", 1 if any_fault else 0)
+        slave.update_input_register("system_status", 1 if any_fault else 0,
+                                    unit=unit)
 
         slave.update_discrete_input("sensor_fault_pH_inlet",
-                                    has_fault("pH_inlet"))
+                                    has_fault("pH_inlet"), unit=unit)
         slave.update_discrete_input("sensor_fault_pH_outlet",
-                                    has_fault("pH_outlet"))
+                                    has_fault("pH_outlet"), unit=unit)
         slave.update_discrete_input(
             "sensor_fault_chlorine",
-            has_fault("chlorine_inlet") or has_fault("chlorine_outlet"))
+            has_fault("chlorine_inlet") or has_fault("chlorine_outlet"),
+            unit=unit)
         return True
     except Exception as e:  # noqa: BLE001
         logger.error("Modbus update failed: %s", type(e).__name__)
         return False
 
 
-def read_modbus_commands(slave: Optional[ModbusSlave]
+def read_modbus_commands(slave: Optional[ModbusSlave],
+                         unit: Optional[int] = None
                          ) -> Tuple[float, float, float, float, float, bool,
                                     bool, bool]:
     """Read + validate actuator commands, dosing concentrations, and coils
-    (reference __main__.py:227-252, extended to the full register map)."""
+    (reference __main__.py:227-252, extended to the full register map).
+    ``unit`` selects a fleet unit's register space; None = primary."""
     if slave is None or not slave.is_running:
         return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True
     try:
         acid_rate = validate_flow_rate(
-            slave.read_holding_register("acid_flow_rate"), max_value=2.0)
+            slave.read_holding_register("acid_flow_rate", unit=unit),
+            max_value=2.0)
         chlorine_rate = validate_flow_rate(
-            slave.read_holding_register("chlorine_flow_rate"), max_value=1.0)
+            slave.read_holding_register("chlorine_flow_rate", unit=unit),
+            max_value=1.0)
         inlet_rate = validate_flow_rate(
-            slave.read_holding_register("inlet_flow_rate"), max_value=20.0)
+            slave.read_holding_register("inlet_flow_rate", unit=unit),
+            max_value=20.0)
         acid_conc = validate_concentration(
-            slave.read_holding_register("acid_concentration"), max_value=1.0)
+            slave.read_holding_register("acid_concentration", unit=unit),
+            max_value=1.0)
         cl_conc = validate_concentration(
-            slave.read_holding_register("chlorine_concentration"),
+            slave.read_holding_register("chlorine_concentration", unit=unit),
             max_value=1000.0)
-        acid_enable = slave.read_coil("acid_pump_enable")
-        cl_enable = slave.read_coil("chlorine_pump_enable")
-        sim_running = slave.read_coil("simulation_running")
+        acid_enable = slave.read_coil("acid_pump_enable", unit=unit)
+        cl_enable = slave.read_coil("chlorine_pump_enable", unit=unit)
+        sim_running = slave.read_coil("simulation_running", unit=unit)
         return (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
                 acid_enable, cl_enable, sim_running)
     except Exception as e:  # noqa: BLE001
@@ -276,21 +290,28 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
     )
 
 
-def _readings_from_outputs(outputs) -> Dict[str, SensorReading]:
+def _readings_from_outputs(outputs, lane: Optional[int] = None
+                           ) -> Dict[str, SensorReading]:
     """Convert the fused plant's SensorOutput pytrees into SensorReading
-    objects for the Modbus/logging plumbing."""
+    objects for the Modbus/logging plumbing. ``lane`` selects one plant of
+    a batched output (fleet.py); None = unbatched."""
     from ics_wt_physicsengine_tpu.sensors.types import (
         FAULT_FROM_CODE, STATUS_FROM_CODE)
+    import numpy as np
+
+    def sel(x):
+        a = np.asarray(x)
+        return a if lane is None else a[lane]
 
     readings = {}
     for name, out in outputs.items():
         readings[name] = SensorReading(
-            timestamp=float(out.timestamp), value=float(out.value),
-            raw_value=float(out.raw_value), noise=float(out.noise),
-            drift=float(out.drift),
-            status=STATUS_FROM_CODE[int(out.status)],
-            uncertainty=float(out.uncertainty),
-            fault=FAULT_FROM_CODE[int(out.fault)])
+            timestamp=float(sel(out.timestamp)), value=float(sel(out.value)),
+            raw_value=float(sel(out.raw_value)), noise=float(sel(out.noise)),
+            drift=float(sel(out.drift)),
+            status=STATUS_FROM_CODE[int(sel(out.status))],
+            uncertainty=float(sel(out.uncertainty)),
+            fault=FAULT_FROM_CODE[int(sel(out.fault))])
     return readings
 
 
@@ -343,6 +364,13 @@ def main(argv=None):
                              "N simulated hours — the maintenance the "
                              "reference's 24 h calibration validity implies "
                              "but its loop never performs. 0 disables.")
+    parser.add_argument("--fleet", type=int, default=1,
+                        help="Serve N independently controlled plants from "
+                             "one Modbus endpoint: unit id u = plant lane "
+                             "u-1 of a batched device ensemble, one jitted "
+                             "batched step per tick (fleet.py). No "
+                             "reference counterpart (its physics cannot "
+                             "batch); 1 = classic single-plant serving.")
     parser.add_argument("--fused-sensors", action="store_true",
                         help="Run physics + all 7 instruments as ONE jitted "
                              "step per tick (models/plant.py) instead of "
@@ -374,6 +402,12 @@ def main(argv=None):
             jax.config.update("jax_platforms", args.backend)
         except RuntimeError:
             logger.warning("Backend already initialized; --backend ignored")
+
+    if args.fleet > 1:
+        from ics_wt_physicsengine_tpu.fleet import main_fleet
+        return main_fleet(args)
+    if args.fleet < 1:
+        parser.error(f"--fleet must be >= 1, got {args.fleet}")
 
     logger.info("=" * 70)
     logger.info("WATER TREATMENT REACTOR SIMULATION (TPU-NATIVE)")

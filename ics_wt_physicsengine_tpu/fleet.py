@@ -1,0 +1,225 @@
+"""
+Fleet serving: one Modbus/TCP endpoint, N independently controlled plants.
+
+The device steps a batched integrated plant (models/plant.py — physics +
+all seven instruments per lane) as ONE jitted call per tick; the Modbus
+plane maps unit id ``u`` to plant lane ``u-1``, the standard Modbus/TCP
+gateway multiplexing (``ModbusSlave(units=[1..N])``). Each unit has its own
+full register space — a SCADA master addresses plant ``u`` exactly as it
+would address the reference's single plant, including per-unit actuator
+commands, which are gathered host-side into a batched ``BoundaryConditions``
+(leading ``[N]`` leaves) for the next step.
+
+This is a TPU-native extension with no reference counterpart: the reference
+(`__main__.py:274-480`) serves exactly one plant on one unit id, and its
+physics cannot batch. Here the batch axis of the device ensemble becomes a
+fleet of plants behind one endpoint — digital-twin fleets, operator
+training ranges, and controller regression farms against hundreds of
+parameter-varied plants from a single process.
+
+Run:  ``python -m ics_wt_physicsengine_tpu --fleet 8``
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import replace as dc_replace
+from types import SimpleNamespace
+
+logger = logging.getLogger("ics_wt_physicsengine_tpu.fleet")
+
+
+def _stack_boundaries(boundaries, dtype):
+    """Per-unit BoundaryConditions -> one pytree with leading [N] leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.asarray(xs, dtype=dtype), *boundaries)
+
+
+def main_fleet(args) -> None:
+    """Fleet serving loop — mirrors main()'s 5 phases for N plants."""
+    import numpy as np
+
+    import ics_wt_physicsengine_tpu.__main__ as M
+    from ics_wt_physicsengine_tpu.core.reactor import (
+        BoundaryConditions, IntegratedCSTR, ReactorConfiguration)
+    from ics_wt_physicsengine_tpu.modbus import (
+        ModbusRegisterMap, ModbusServerConfig, ModbusSlave)
+    from ics_wt_physicsengine_tpu.models.plant import (
+        make_plant_batch, plant_step)
+
+    import jax
+
+    n = args.fleet
+    units = list(range(1, n + 1))
+    for flag, name in ((args.fused_sensors, "--fused-sensors"),
+                       (args.checkpoint_file, "--checkpoint-file"),
+                       (args.log_csv, "--log-csv"),
+                       (args.native_modbus, "--native-modbus")):
+        if flag:
+            logger.warning("%s is not supported in fleet mode — ignored",
+                           name)
+
+    logger.info("=" * 70)
+    logger.info("WATER TREATMENT PLANT FLEET (TPU-NATIVE) — %d plants", n)
+    logger.info("=" * 70)
+
+    # PHASE 1: batched physics + instruments (parameter-randomized lanes)
+    logger.info("[PHASE 1] Initializing %d-plant batched engine...", n)
+    try:
+        config = ReactorConfiguration(
+            volume=1000.0, n_zones=args.zones, flow_rate=5.0,
+            initial_pH=7.2, initial_chlorine=2.0, temperature=20.0)
+        # Plan the integrator exactly like the single-plant path.
+        m, s = IntegratedCSTR(
+            config, integrator=args.integrator)._plan_for(args.dt)
+        params, plant = make_plant_batch(config, n, seed=args.seed or 0,
+                                         warmed_up=True)
+        dtype = plant.reactor.pH.dtype
+
+        step = jax.jit(lambda pl, bc: jax.vmap(
+            lambda p, st, b: plant_step(p, st, b, args.dt, m, stages=s)
+        )(params, pl, bc))
+        logger.info("Fleet engine initialized (%d zones, %s: substeps=%d%s, "
+                    "one jitted batched step/tick)", args.zones,
+                    args.integrator, m, "" if s is None else f" x {s} stages")
+    except Exception as e:  # noqa: BLE001
+        logger.error("Fleet engine initialization failed: %s",
+                     type(e).__name__)
+        raise SystemExit(1)
+
+    # PHASE 2: per-unit boundary conditions
+    boundaries = [BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.0,
+        inlet_temperature=20.0, acid_flow_rate=0.0, acid_concentration=0.1,
+        chlorine_flow_rate=0.0) for _ in units]
+
+    # PHASE 3: sensors are in the batched carries (nothing host-side)
+    # PHASE 4: one Modbus endpoint, one unit id per plant
+    slave = None
+    if not args.no_modbus:
+        logger.info("[PHASE 4] Initializing Modbus server "
+                    "(units %d..%d)...", units[0], units[-1])
+        try:
+            server_config = ModbusServerConfig(host=args.host,
+                                               port=args.port, unit_id=1)
+            slave = ModbusSlave(ModbusRegisterMap(), server_config,
+                                units=units)
+            slave.start(blocking=False)
+            for u in units:
+                slave.write_holding_register("inlet_flow_rate", 5.0, unit=u)
+                slave.write_holding_register("acid_concentration", 0.1,
+                                             unit=u)
+                slave.write_holding_register("chlorine_concentration", 50.0,
+                                             unit=u)
+                slave.write_holding_register("simulation_timestep", args.dt,
+                                             unit=u)
+                slave.write_coil("acid_pump_enable", True, unit=u)
+                slave.write_coil("chlorine_pump_enable", True, unit=u)
+                slave.write_coil("simulation_running", True, unit=u)
+            logger.info("Modbus server started on %s:%d (%d units)",
+                        args.host, slave.port, n)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Modbus server startup failed: %s",
+                         type(e).__name__)
+            logger.warning("Continuing in no-Modbus mode")
+            slave = None
+    else:
+        logger.info("[PHASE 4] Skipping Modbus (--no-modbus)")
+
+    # PHASE 5: fleet loop
+    logger.info("[PHASE 5] Starting fleet loop...")
+    sim_time = 0.0
+    step_count = 0
+    log_interval = 60
+    modbus_error_count = 0
+    max_modbus_errors = 10
+
+    try:
+        while M.running and sim_time < args.duration:
+            step_start = time.monotonic()
+
+            # The primary unit's simulation_running coil pauses the fleet.
+            paused = False
+            if slave:
+                try:
+                    paused = not slave.read_coil("simulation_running")
+                except Exception:  # noqa: BLE001
+                    pass
+
+            if not paused:
+                try:
+                    plant, outputs = step(
+                        plant, _stack_boundaries(boundaries, dtype))
+                except Exception as e:  # noqa: BLE001
+                    logger.error("Fleet step failed: %s", type(e).__name__)
+                    break
+
+                # One device -> host transfer for the whole fleet's readings
+                host_out = jax.device_get(outputs)
+                pH_np = np.asarray(plant.reactor.pH)        # [N, Z]
+
+                if slave:
+                    ok = True
+                    for i, u in enumerate(units):
+                        readings = M._readings_from_outputs(host_out, lane=i)
+                        ok &= M.update_modbus_inputs(
+                            slave, readings, SimpleNamespace(pH=pH_np[i]),
+                            sim_time, unit=u)
+                    if not ok:
+                        modbus_error_count += 1
+                        if modbus_error_count >= max_modbus_errors:
+                            logger.error(
+                                "Too many Modbus errors, disabling interface")
+                            slave = None
+
+                if slave:
+                    for i, u in enumerate(units):
+                        commands = M.read_modbus_commands(slave, unit=u)
+                        boundaries[i] = M.apply_boundary_conditions(
+                            boundaries[i], commands)
+
+                if step_count % log_interval == 0:
+                    ph_out = np.asarray(host_out["pH_outlet"].value)
+                    cl_out = np.asarray(host_out["chlorine_outlet"].value)
+                    fin = np.isfinite(ph_out)
+                    if fin.any():
+                        logger.info(
+                            "t=%.0fs | fleet pH_out %.2f..%.2f (mean %.2f) "
+                            "| Cl_out mean %.2f | %d/%d reporting",
+                            sim_time, np.nanmin(ph_out), np.nanmax(ph_out),
+                            np.nanmean(ph_out),
+                            float(np.nanmean(cl_out[np.isfinite(cl_out)]))
+                            if np.isfinite(cl_out).any() else float("nan"),
+                            int(fin.sum()), n)
+                    else:
+                        logger.info("t=%.0fs | Fleet sensors warming up...",
+                                    sim_time)
+
+                step_count += 1
+                sim_time += args.dt
+
+            # real-time pacing (reference __main__.py:453-457)
+            if args.rtf > 0:
+                elapsed = time.monotonic() - step_start
+                sleep_time = max(0.0, args.dt / args.rtf - elapsed)
+                if sleep_time > 0:
+                    time.sleep(sleep_time)
+
+    except KeyboardInterrupt:
+        logger.info("Keyboard interrupt received")
+    except Exception as e:  # noqa: BLE001
+        logger.error("Fleet error: %s", type(e).__name__)
+    finally:
+        logger.info("Shutting down fleet...")
+        if slave:
+            logger.info("Stopping Modbus server...")
+            try:
+                slave.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        logger.info("Fleet stopped cleanly (t=%.0fs, %d steps x %d plants)",
+                    sim_time, step_count, n)

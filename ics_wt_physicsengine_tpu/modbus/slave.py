@@ -102,11 +102,35 @@ class _DataBlock:
             self.values[address:address + len(values)] = values
 
 
+class _UnitStore:
+    """One Modbus unit's four data blocks (one simulated plant)."""
+
+    def __init__(self, register_map: ModbusRegisterMap):
+        # Data blocks sized from the map + headroom (slave.py:113-137)
+        def block_size(regs):
+            if not regs:
+                return 16
+            return max(r.address + r.size_words for r in regs) + 10
+
+        self.ir = _DataBlock(block_size(register_map.input_registers))
+        self.hr = _DataBlock(block_size(register_map.holding_registers))
+        self.coil = _DataBlock(block_size(register_map.coils))
+        self.di = _DataBlock(block_size(register_map.discrete_inputs))
+
+
 class ModbusSlave:
-    """Modbus/TCP slave with the reference's API (slave.py:54-397)."""
+    """Modbus/TCP slave with the reference's API (slave.py:54-397).
+
+    TPU-native extension: ``units`` serves several Modbus unit ids from one
+    endpoint, each with its own register space — the standard Modbus/TCP
+    gateway multiplexing. The fleet serving mode (``python -m
+    ics_wt_physicsengine_tpu --fleet N``) maps unit id ``u`` to plant lane
+    ``u-1`` of a batched device ensemble; the reference serves exactly one
+    plant on one unit id."""
 
     def __init__(self, register_map: ModbusRegisterMap,
-                 config: Optional[ModbusServerConfig] = None):
+                 config: Optional[ModbusServerConfig] = None,
+                 units: Optional[List[int]] = None):
         self.register_map = register_map
         self.config = config or ModbusServerConfig()
 
@@ -119,16 +143,16 @@ class ModbusSlave:
             "MajorMinorRevision": "1.0",
         }
 
-        # Data blocks sized from the map + headroom (slave.py:113-137)
-        def block_size(regs):
-            if not regs:
-                return 16
-            return max(r.address + r.size_words for r in regs) + 10
-
-        self.ir_block = _DataBlock(block_size(register_map.input_registers))
-        self.hr_block = _DataBlock(block_size(register_map.holding_registers))
-        self.coil_block = _DataBlock(block_size(register_map.coils))
-        self.di_block = _DataBlock(block_size(register_map.discrete_inputs))
+        ids = tuple(units) if units else (self.config.unit_id,)
+        if len(set(ids)) != len(ids):
+            raise ValueError(f"duplicate unit ids: {ids}")
+        if not all(0 <= u <= 0xFE for u in ids):
+            raise ValueError(f"unit ids must be in [0, 254]: {ids}")
+        self.units = ids
+        self._primary = (self.config.unit_id
+                         if self.config.unit_id in ids else ids[0])
+        self._stores: Dict[int, _UnitStore] = {
+            u: _UnitStore(register_map) for u in ids}
 
         self._lock = threading.RLock()
         self._server_ready = threading.Event()
@@ -142,12 +166,42 @@ class ModbusSlave:
         self.request_count = 0
         self.error_count = 0
 
+    # Backward-compatible single-unit block views (the primary unit's).
+    @property
+    def ir_block(self) -> _DataBlock:
+        return self._stores[self._primary].ir
+
+    @property
+    def hr_block(self) -> _DataBlock:
+        return self._stores[self._primary].hr
+
+    @property
+    def coil_block(self) -> _DataBlock:
+        return self._stores[self._primary].coil
+
+    @property
+    def di_block(self) -> _DataBlock:
+        return self._stores[self._primary].di
+
+    def _store(self, unit: Optional[int]) -> _UnitStore:
+        if unit is None:
+            return self._stores[self._primary]
+        try:
+            return self._stores[unit]
+        except KeyError:
+            raise KeyError(f"not serving unit id {unit} "
+                           f"(units: {self.units})") from None
+
     # ------------------------------------------------------------------
     # Wire protocol
     # ------------------------------------------------------------------
 
-    def _process_pdu(self, pdu: bytes) -> bytes:
-        """Handle one request PDU, return the response PDU."""
+    def _process_pdu(self, pdu: bytes,
+                     store: Optional[_UnitStore] = None) -> bytes:
+        """Handle one request PDU against one unit's store, return the
+        response PDU."""
+        if store is None:
+            store = self._stores[self._primary]
         if not pdu:
             # Empty PDU (MBAP length = 1): answer with a generic exception
             # rather than dropping the connection.
@@ -158,8 +212,8 @@ class ModbusSlave:
                 address, count = struct.unpack(">HH", pdu[1:5])
                 if not 1 <= count <= 2000:
                     return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
-                block = (self.coil_block if fc == FC_READ_COILS
-                         else self.di_block)
+                block = (store.coil if fc == FC_READ_COILS
+                         else store.di)
                 bits = block.get(address, count)
                 n_bytes = (count + 7) // 8
                 payload = bytearray(n_bytes)
@@ -172,8 +226,8 @@ class ModbusSlave:
                 address, count = struct.unpack(">HH", pdu[1:5])
                 if not 1 <= count <= 125:
                     return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
-                block = (self.hr_block if fc == FC_READ_HOLDING_REGISTERS
-                         else self.ir_block)
+                block = (store.hr if fc == FC_READ_HOLDING_REGISTERS
+                         else store.ir)
                 words = block.get(address, count)
                 return bytes([fc, count * 2]) + b"".join(
                     struct.pack(">H", w & 0xFFFF) for w in words)
@@ -182,12 +236,12 @@ class ModbusSlave:
                 address, value = struct.unpack(">HH", pdu[1:5])
                 if value not in (0x0000, 0xFF00):
                     return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
-                self.coil_block.set(address, [1 if value else 0])
+                store.coil.set(address, [1 if value else 0])
                 return pdu[:5]
 
             if fc == FC_WRITE_SINGLE_REGISTER:
                 address, value = struct.unpack(">HH", pdu[1:5])
-                self.hr_block.set(address, [value])
+                store.hr.set(address, [value])
                 return pdu[:5]
 
             if fc == FC_WRITE_MULTIPLE_COILS:
@@ -200,7 +254,7 @@ class ModbusSlave:
                 if len(data) != n_bytes:
                     return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
                 bits = [(data[i // 8] >> (i % 8)) & 1 for i in range(count)]
-                self.coil_block.set(address, bits)
+                store.coil.set(address, bits)
                 return pdu[:5]
 
             if fc == FC_WRITE_MULTIPLE_REGISTERS:
@@ -208,7 +262,7 @@ class ModbusSlave:
                 if not 1 <= count <= 123 or n_bytes != count * 2:
                     return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
                 words = list(struct.unpack(f">{count}H", pdu[6:6 + n_bytes]))
-                self.hr_block.set(address, words)
+                store.hr.set(address, words)
                 return pdu[:5]
 
             if fc == FC_ENCAPSULATED_INTERFACE:
@@ -271,13 +325,18 @@ class ModbusSlave:
                     break
                 pdu = await reader.readexactly(length - 1)
                 self.request_count += 1
-                # A slave only answers frames addressed to it (or the
-                # broadcast unit 0xFF conventionally used over TCP).
-                if unit_id not in (self.config.unit_id, 0xFF):
-                    logger.debug("Ignoring request for unit %d (serving %d)",
-                                 unit_id, self.config.unit_id)
+                # A slave only answers frames addressed to a unit it serves
+                # (or the broadcast unit 0xFF conventionally used over TCP,
+                # which maps to the primary unit).
+                if unit_id == 0xFF:
+                    store = self._stores[self._primary]
+                elif unit_id in self._stores:
+                    store = self._stores[unit_id]
+                else:
+                    logger.debug("Ignoring request for unit %d (serving %s)",
+                                 unit_id, self.units)
                     continue
-                response_pdu = self._process_pdu(pdu)
+                response_pdu = self._process_pdu(pdu, store)
                 response = struct.pack(
                     ">HHHB", transaction_id, protocol_id,
                     len(response_pdu) + 1, unit_id) + response_pdu
@@ -382,66 +441,80 @@ class ModbusSlave:
         if not (-MAX_REGISTER_VALUE < value < MAX_REGISTER_VALUE):
             raise ValueError(f"Value {value} outside +-{MAX_REGISTER_VALUE}")
 
-    def update_input_register(self, name: str, value: float) -> None:
+    def update_input_register(self, name: str, value: float,
+                              unit: Optional[int] = None) -> None:
         reg = self._lookup(name, RegisterType.INPUT_REGISTER)
+        st = self._store(unit)
         with self._lock:
             if reg.data_type == "float32":
                 import math
                 if not math.isnan(value):
                     self._validate_value(value)
                 high, low = ModbusEncoder.float32_to_registers(value)
-                self.ir_block.set(reg.address, [high, low])
+                st.ir.set(reg.address, [high, low])
             else:
-                self.ir_block.set(
+                st.ir.set(
                     reg.address,
                     [ModbusEncoder.uint16_to_register(int(value))])
 
-    def update_discrete_input(self, name: str, value: bool) -> None:
+    def update_discrete_input(self, name: str, value: bool,
+                              unit: Optional[int] = None) -> None:
         reg = self._lookup(name, RegisterType.DISCRETE_INPUT)
+        st = self._store(unit)
         with self._lock:
-            self.di_block.set(reg.address, [1 if value else 0])
+            st.di.set(reg.address, [1 if value else 0])
 
-    def read_holding_register(self, name: str) -> float:
+    def read_holding_register(self, name: str,
+                              unit: Optional[int] = None) -> float:
         reg = self._lookup(name, RegisterType.HOLDING_REGISTER)
+        st = self._store(unit)
         with self._lock:
-            words = self.hr_block.get(reg.address, reg.size_words)
+            words = st.hr.get(reg.address, reg.size_words)
         if reg.data_type == "float32":
             return ModbusDecoder.registers_to_float32(*words)
         return float(words[0])
 
-    def write_holding_register(self, name: str, value: float) -> None:
+    def write_holding_register(self, name: str, value: float,
+                               unit: Optional[int] = None) -> None:
         reg = self._lookup(name, RegisterType.HOLDING_REGISTER)
         self._validate_value(value)
+        st = self._store(unit)
         with self._lock:
             if reg.data_type == "float32":
                 high, low = ModbusEncoder.float32_to_registers(value)
-                self.hr_block.set(reg.address, [high, low])
+                st.hr.set(reg.address, [high, low])
             else:
-                self.hr_block.set(
+                st.hr.set(
                     reg.address,
                     [ModbusEncoder.uint16_to_register(int(value))])
 
-    def read_coil(self, name: str) -> bool:
+    def read_coil(self, name: str, unit: Optional[int] = None) -> bool:
         reg = self._lookup(name, RegisterType.COIL)
+        st = self._store(unit)
         with self._lock:
-            return bool(self.coil_block.get(reg.address, 1)[0])
+            return bool(st.coil.get(reg.address, 1)[0])
 
-    def write_coil(self, name: str, value: bool) -> None:
+    def write_coil(self, name: str, value: bool,
+                   unit: Optional[int] = None) -> None:
         reg = self._lookup(name, RegisterType.COIL)
+        st = self._store(unit)
         with self._lock:
-            self.coil_block.set(reg.address, [1 if value else 0])
+            st.coil.set(reg.address, [1 if value else 0])
 
     # -- bulk getters (reference slave.py:374-392) --
-    def get_all_input_registers(self) -> Dict[str, float]:
+    def get_all_input_registers(self, unit: Optional[int] = None
+                                ) -> Dict[str, float]:
         out = {}
+        st = self._store(unit)
         for reg in self.register_map.input_registers:
-            words = self.ir_block.get(reg.address, reg.size_words)
+            words = st.ir.get(reg.address, reg.size_words)
             if reg.data_type == "float32":
                 out[reg.name] = ModbusDecoder.registers_to_float32(*words)
             else:
                 out[reg.name] = float(words[0])
         return out
 
-    def get_all_holding_registers(self) -> Dict[str, float]:
-        return {reg.name: self.read_holding_register(reg.name)
+    def get_all_holding_registers(self, unit: Optional[int] = None
+                                  ) -> Dict[str, float]:
+        return {reg.name: self.read_holding_register(reg.name, unit=unit)
                 for reg in self.register_map.holding_registers}

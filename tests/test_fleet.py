@@ -1,0 +1,174 @@
+"""Fleet serving: one Modbus/TCP endpoint, N plants behind unit ids.
+
+Covers the multi-unit slave (per-unit register spaces, broadcast routing,
+unknown-unit silence) and the closed-loop fleet orchestrator: an external
+master doses acid into ONE unit of a 3-plant fleet over a real socket and
+must see that unit's measured pH fall while its neighbours hold steady.
+No reference counterpart (SURVEY.md section 2: the reference serves one
+plant on one unit id and its physics cannot batch)."""
+
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ics_wt_physicsengine_tpu.modbus import (
+    ModbusRegisterMap,
+    ModbusServerConfig,
+    ModbusSlave,
+    ModbusTcpClient,
+)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+# ---------------------------------------------------------------------------
+# Multi-unit slave
+# ---------------------------------------------------------------------------
+
+def test_multi_unit_register_spaces_are_independent():
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0),
+                        units=[1, 2, 5])
+    slave.start(blocking=False)
+    try:
+        for u, ph in ((1, 7.1), (2, 6.5), (5, 8.2)):
+            slave.update_input_register("pH_inlet", ph, unit=u)
+        for u, ph in ((1, 7.1), (2, 6.5), (5, 8.2)):
+            with ModbusTcpClient("127.0.0.1", slave.port, unit_id=u) as c:
+                assert c.read_float32(0) == pytest.approx(ph, abs=1e-5)
+        # holding-register writes land in the addressed unit only
+        with ModbusTcpClient("127.0.0.1", slave.port, unit_id=2) as c:
+            c.write_float32(0, 1.25)     # acid_flow_rate
+        assert slave.read_holding_register("acid_flow_rate",
+                                           unit=2) == pytest.approx(1.25)
+        assert slave.read_holding_register("acid_flow_rate", unit=1) == 0.0
+        assert slave.read_holding_register("acid_flow_rate", unit=5) == 0.0
+    finally:
+        slave.stop()
+
+
+def test_unknown_unit_is_silent_and_broadcast_hits_primary():
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0,
+                                           unit_id=2),
+                        units=[1, 2])
+    slave.start(blocking=False)
+    try:
+        slave.update_input_register("pH_inlet", 6.8, unit=2)
+        # 0xFF broadcast resolves to the primary unit (config.unit_id=2)
+        with ModbusTcpClient("127.0.0.1", slave.port, unit_id=0xFF) as c:
+            assert c.read_float32(0) == pytest.approx(6.8, abs=1e-5)
+        # an unserved unit id gets no response at all (gateway semantics)
+        with ModbusTcpClient("127.0.0.1", slave.port, unit_id=9,
+                             timeout=1.0) as c:
+            with pytest.raises((socket.timeout, TimeoutError, OSError)):
+                c.read_float32(0)
+    finally:
+        slave.stop()
+
+
+def test_unit_api_validation():
+    slave = ModbusSlave(ModbusRegisterMap(), units=[1, 2])
+    with pytest.raises(KeyError):
+        slave.read_holding_register("acid_flow_rate", unit=7)
+    with pytest.raises(ValueError):
+        ModbusSlave(ModbusRegisterMap(), units=[1, 1])
+    with pytest.raises(ValueError):
+        ModbusSlave(ModbusRegisterMap(), units=[300])
+    # single-unit default keeps the reference-compatible behavior
+    assert ModbusSlave(ModbusRegisterMap()).units == (1,)
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop fleet orchestrator
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def running_fleet():
+    """Run the fleet orchestrator (3 plants) in a thread, free-running."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    port = _free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(port), "--host", "127.0.0.1", "--dt", "30",
+               "--duration", "1000000", "--rtf", "0", "--seed", "11",
+               "--fleet", "3", "--zones", "4"],),
+        daemon=True)
+    thread.start()
+
+    deadline = time.time() + 60
+    client = None
+    while time.time() < deadline:
+        try:
+            client = ModbusTcpClient("127.0.0.1", port, unit_id=1,
+                                     timeout=5).connect()
+            break
+        except OSError:
+            time.sleep(0.3)
+    if client is None:
+        orchestrator.running = False
+        pytest.fail("Fleet Modbus server did not start")
+
+    yield port, client
+
+    client.close()
+    orchestrator.running = False
+    thread.join(timeout=30)
+
+
+def _wait_sim_time(client, target, timeout=120):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        t = client.read_float32(100)     # simulation_time input register
+        if t >= target:
+            return t
+        time.sleep(0.2)
+    pytest.fail(f"fleet did not reach t={target}")
+
+
+def test_fleet_units_report_independent_plants(running_fleet):
+    port, c1 = running_fleet
+    _wait_sim_time(c1, 60.0)
+    values = {}
+    for u in (1, 2, 3):
+        with ModbusTcpClient("127.0.0.1", port, unit_id=u) as c:
+            values[u] = c.read_float32(6)     # chlorine_inlet register
+    # parameter-randomized lanes + independent sensor noise: the three
+    # plants' measured values are real numbers and not all identical
+    assert all(np.isfinite(v) for v in values.values()), values
+    assert len({round(v, 6) for v in values.values()}) > 1, values
+
+
+def test_fleet_closed_loop_single_unit_dosing(running_fleet):
+    """Acid into unit 2 only: unit 2's measured inlet pH falls; unit 1's
+    holds (the fleet lanes are physically independent)."""
+    port, c1 = running_fleet
+
+    with ModbusTcpClient("127.0.0.1", port, unit_id=2) as c2:
+        ph1_before = c1.read_float32(0)
+        ph2_before = c2.read_float32(0)
+        assert ph1_before > 5.0 and ph2_before > 5.0
+
+        c2.write_float32(0, 0.5)         # acid_flow_rate, unit 2 only
+        t_now = c1.read_float32(100)
+        _wait_sim_time(c1, t_now + 1200.0)
+
+        ph2_after = c2.read_float32(0)
+        ph1_after = c1.read_float32(0)
+        c2.write_float32(0, 0.0)
+
+    assert ph2_after < ph2_before - 0.5, \
+        f"unit 2 pH did not fall: {ph2_before} -> {ph2_after}"
+    assert abs(ph1_after - ph1_before) < 0.3, \
+        f"unit 1 pH moved without dosing: {ph1_before} -> {ph1_after}"
