@@ -1,0 +1,128 @@
+"""
+Controller regression farm over a plant fleet — the fleet-mode demo.
+
+One simulator process serves N independently controlled plants from a
+single Modbus/TCP endpoint (``--fleet N``: unit id u = lane u-1 of the
+batched device ensemble, fleet.py). This script plays the SCADA side: one
+PI chlorine-residual controller **per unit**, each with a different
+setpoint, all talking to the same endpoint — the workload shape of
+controller regression farms and operator training ranges. At the end it
+reports each unit's measured residual against its own setpoint.
+
+The reference can serve exactly one plant per process (its physics cannot
+batch, SURVEY.md section 2); here the marginal cost of another plant is one
+more lane in the batched step.
+
+Usage:
+  # self-contained: spawns the fleet simulator in-process, free-running
+  python examples/fleet_farm.py --units 6 --iterations 150
+
+  # against an already-running fleet simulator
+  python examples/fleet_farm.py --host 127.0.0.1 --port 5020 --units 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ics_wt_physicsengine_tpu.modbus import ModbusTcpClient  # noqa: E402
+from examples.pid_controller import PID  # noqa: E402
+
+
+def farm(host, port, n_units, iterations, period=0.2, verbose=True):
+    """One PI residual controller per unit, round-robin over one endpoint."""
+    setpoints = [0.5 + 0.25 * u for u in range(n_units)]     # mg/L, distinct
+    pids = [PID(kp=0.4, ki=0.02, kd=0.0, setpoint=sp,
+                out_min=0.0, out_max=1.0) for sp in setpoints]
+    clients = [ModbusTcpClient(host, port, unit_id=u + 1,
+                               timeout=10).connect()
+               for u in range(n_units)]
+    try:
+        for i in range(iterations):
+            for u, (c, pid) in enumerate(zip(clients, pids)):
+                cl_out = c.read_float32(8)            # chlorine_outlet
+                if cl_out > 0.0:                      # past warm-up
+                    c.write_float32(2, pid.update(cl_out, period))
+            if verbose and i % 25 == 0:
+                t = clients[0].read_float32(100)
+                print(f"[farm] iter {i:4d} t={t:7.0f}s", flush=True)
+            time.sleep(period)
+
+        results = []
+        for u, (c, sp) in enumerate(zip(clients, setpoints)):
+            measured = c.read_float32(8)
+            results.append({"unit": u + 1, "setpoint_mg_L": round(sp, 3),
+                            "measured_mg_L": round(measured, 3),
+                            "error_mg_L": round(measured - sp, 3)})
+        return results
+    finally:
+        for c in clients:
+            c.close()
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=5020)
+    ap.add_argument("--units", type=int, default=4)
+    ap.add_argument("--iterations", type=int, default=150)
+    ap.add_argument("--spawn", action="store_true",
+                    help="run the fleet simulator in-process (implied when "
+                         "no server is reachable)")
+    args = ap.parse_args()
+
+    spawn = args.spawn
+    if not spawn:
+        try:
+            socket.create_connection((args.host, args.port),
+                                     timeout=1).close()
+        except OSError:
+            spawn = True
+
+    sim_thread = None
+    if spawn:
+        import ics_wt_physicsengine_tpu.__main__ as orch
+
+        s = socket.socket()
+        s.bind((args.host, 0))
+        args.port = s.getsockname()[1]
+        s.close()
+        orch.running = True
+        sim_thread = threading.Thread(
+            target=orch.main,
+            args=(["--port", str(args.port), "--host", args.host,
+                   "--dt", "15", "--duration", "1000000", "--rtf", "0",
+                   "--fleet", str(args.units), "--zones", "5",
+                   "--seed", "4", "--recal-hours", "2"],),
+            daemon=True)
+        sim_thread.start()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                socket.create_connection((args.host, args.port),
+                                         timeout=1).close()
+                break
+            except OSError:
+                time.sleep(0.3)
+
+    try:
+        results = farm(args.host, args.port, args.units, args.iterations)
+        print(json.dumps({"fleet_units": args.units,
+                          "per_unit_residual_control": results}, indent=2))
+    finally:
+        if sim_thread is not None:
+            import ics_wt_physicsengine_tpu.__main__ as orch
+            orch.running = False
+            sim_thread.join(timeout=20)
+
+
+if __name__ == "__main__":
+    main()

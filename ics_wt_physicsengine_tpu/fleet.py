@@ -137,6 +137,9 @@ def main_fleet(args) -> None:
     log_interval = 60
     modbus_error_count = 0
     max_modbus_errors = 10
+    recal_interval_s = args.recal_hours * 3600.0 if args.recal_hours > 0 \
+        else float("inf")
+    next_recal = recal_interval_s
 
     try:
         while M.running and sim_time < args.duration:
@@ -201,6 +204,18 @@ def main_fleet(args) -> None:
 
                 step_count += 1
                 sim_time += args.dt
+                if sim_time >= next_recal:
+                    # Fleet sensor maintenance: fresh calibrated carries on
+                    # every lane, physics state untouched (the batched
+                    # equivalent of the single-plant --fused-sensors
+                    # maintenance, __main__.py maintain_sensors).
+                    _, fresh = make_plant_batch(
+                        config, n, seed=(args.seed or 0) + step_count,
+                        warmed_up=True)
+                    plant = dc_replace(fresh, reactor=plant.reactor)
+                    logger.info("t=%.0fs | fleet sensor maintenance/"
+                                "recalibration done", sim_time)
+                    next_recal += recal_interval_s
 
             # real-time pacing (reference __main__.py:453-457)
             if args.rtf > 0:
