@@ -403,6 +403,9 @@ def main(argv=None):
         except RuntimeError:
             logger.warning("Backend already initialized; --backend ignored")
 
+    if args.fleet > 254:
+        parser.error(f"--fleet is capped at 254 (the Modbus unit-id "
+                     f"space, ids 1..254), got {args.fleet}")
     if args.fleet > 1:
         from ics_wt_physicsengine_tpu.fleet import main_fleet
         return main_fleet(args)
