@@ -211,9 +211,13 @@ def bench_integrated_single(n_steps=16384, reps=3):
     return n_steps / elapsed, n_steps / elapsed_s
 
 
-def bench_scheduled(n_steps=4096, reps=3):
+def bench_scheduled(n_steps=32768, reps=3):
     """Scheduled forcing (per-step boundary mutation, the reference's HIL
-    loop pattern) through the SMEM-streaming fused kernel."""
+    loop pattern) through the SMEM-streaming fused kernel.
+
+    n_steps=32768 (~130 ms of device work/call) amortizes the relay's fixed
+    ~30 ms call overhead; at the old 4096 the overhead dominated and the
+    reported number swung 140-250k between runs."""
     import numpy as np
 
     from ics_wt_physicsengine_tpu.ops.fused_rollout import (
