@@ -208,6 +208,15 @@ class ReactorState:
     density: jnp.ndarray = None
     chlorine_decay_rate: jnp.ndarray = None
 
+    def update_derived(self) -> "ReactorState":
+        """Recompute derived quantities from the primary variables
+        (reference ReactorState.update_derived, reactor.py:138-150).
+
+        Arrays are immutable here, so this *returns* the updated state
+        instead of mutating in place — the one signature difference from
+        the reference, noted in docs/MIGRATION.md."""
+        return _update_derived(self)
+
 
 def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParams:
     """Derive the traced parameter pytree from a validated configuration."""
@@ -695,6 +704,18 @@ class IntegratedCSTR:
         fn = self._jitted_step(float(dt), m, s)
         self.state = fn(self.params, self.state, boundary)
         return self.state
+
+    def derivatives(self, t, y, boundary: BoundaryConditions):
+        """d y/dt for the packed state vector y = [pH_0..n, Cl_0..n, T_0..n]
+        — the reference's ODE-system entry point (reactor.py:272-448), for
+        users who drive their own integrator. ``t`` is accepted for ODE-API
+        compatibility; the system is autonomous (as in the reference)."""
+        del t
+        n = self.config.n_zones
+        y = jnp.asarray(y)
+        dpH, dCl, dT = derivatives(self.params, y[..., :n], y[..., n:2 * n],
+                                   y[..., 2 * n:], boundary)
+        return jnp.concatenate([dpH, dCl, dT], axis=-1)
 
     def _jitted_rollout(self, kind: str, **statics):
         """Per-instance jit cache for the rollout family — a second call with

@@ -29,6 +29,12 @@ from dataclasses import dataclass
 from ics_wt_physicsengine_tpu.core import constants as c
 from ics_wt_physicsengine_tpu.utils.dispatch import align_trailing, array_namespace
 
+# Module-level constant aliases (reference thermodynamics.py:54-56); the
+# canonical values live in core/constants.py.
+R_GAS = c.R_GAS
+T_REFERENCE_K = c.T_REFERENCE_K
+T_REFERENCE_C = c.T_REFERENCE_C
+
 
 # ---------------------------------------------------------------------------
 # Pure functions (the compute path)

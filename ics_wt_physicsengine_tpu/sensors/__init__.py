@@ -26,6 +26,7 @@ from ics_wt_physicsengine_tpu.sensors.base import (  # noqa: F401
     make_sensor_params,
 )
 from ics_wt_physicsengine_tpu.sensors.wrappers import (  # noqa: F401
+    BaseSensor,
     ChlorineSensor,
     FlowSensor,
     TemperatureSensor,

@@ -227,6 +227,15 @@ def _new_key(seed: Optional[int] = None):
     return jax.random.key(seed)
 
 
+# The reference's abstract base class name (base_sensor.py:219): users
+# subclass BaseSensor to build custom instruments. _SensorShell carries the
+# same surface (read/calibrate/statistics/reset/history + the two abstract
+# hooks _get_true_value-equivalents raise NotImplementedError), so the name
+# is exported as an alias — subclass it exactly as you would the
+# reference's, supplying a params pytree + carry + read transform.
+BaseSensor = _SensorShell
+
+
 class pHSensor(_SensorShell):
     """Glass-electrode pH sensor (reference ph_sensor.py:62-488)."""
 
