@@ -80,9 +80,24 @@ def main_fleet(args) -> None:
                                          warmed_up=True)
         dtype = plant.reactor.pH.dtype
 
-        step = jax.jit(lambda pl, bc: jax.vmap(
-            lambda p, st, b: plant_step(p, st, b, args.dt, m, stages=s)
-        )(params, pl, bc))
+        import jax.numpy as jnp
+
+        def _step_masked(pl, bc, mask):
+            """One batched step with per-lane freeze: lanes where ``mask``
+            is False keep their carry unchanged (that unit's own
+            simulation_running coil is cleared — the per-unit
+            generalization of the reference's pause semantics)."""
+            new_pl, outputs = jax.vmap(
+                lambda p, st, b: plant_step(p, st, b, args.dt, m, stages=s)
+            )(params, pl, bc)
+
+            def sel(new, old):
+                mk = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
+                return jnp.where(mk, new, old)
+
+            return jax.tree_util.tree_map(sel, new_pl, pl), outputs
+
+        step = jax.jit(_step_masked)
         logger.info("Fleet engine initialized (%d zones, %s: substeps=%d%s, "
                     "one jitted batched step/tick)", args.zones,
                     args.integrator, m, "" if s is None else f" x {s} stages")
@@ -145,18 +160,23 @@ def main_fleet(args) -> None:
         while M.running and sim_time < args.duration:
             step_start = time.monotonic()
 
-            # The primary unit's simulation_running coil pauses the fleet.
-            paused = False
+            # Each unit's own simulation_running coil freezes its lane;
+            # the whole tick is skipped only when every lane is paused.
+            run_mask = np.ones(n, dtype=bool)
             if slave:
-                try:
-                    paused = not slave.read_coil("simulation_running")
-                except Exception:  # noqa: BLE001
-                    pass
+                for i, u in enumerate(units):
+                    try:
+                        run_mask[i] = slave.read_coil("simulation_running",
+                                                      unit=u)
+                    except Exception:  # noqa: BLE001
+                        pass
+            paused = not run_mask.any()
 
             if not paused:
                 try:
                     plant, outputs = step(
-                        plant, _stack_boundaries(boundaries, dtype))
+                        plant, _stack_boundaries(boundaries, dtype),
+                        run_mask)
                 except Exception as e:  # noqa: BLE001
                     logger.error("Fleet step failed: %s", type(e).__name__)
                     break
@@ -168,6 +188,8 @@ def main_fleet(args) -> None:
                 if slave:
                     ok = True
                     for i, u in enumerate(units):
+                        if not run_mask[i]:
+                            continue   # frozen lane keeps its last registers
                         readings = M._readings_from_outputs(host_out, lane=i)
                         ok &= M.update_modbus_inputs(
                             slave, readings, SimpleNamespace(pH=pH_np[i]),

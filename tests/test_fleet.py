@@ -172,3 +172,25 @@ def test_fleet_closed_loop_single_unit_dosing(running_fleet):
         f"unit 2 pH did not fall: {ph2_before} -> {ph2_after}"
     assert abs(ph1_after - ph1_before) < 0.3, \
         f"unit 1 pH moved without dosing: {ph1_before} -> {ph1_after}"
+
+
+def test_per_unit_pause_coil_freezes_one_lane(running_fleet):
+    """Clearing unit 3's simulation_running coil freezes ONLY lane 3: its
+    simulation_time register stops while unit 1 keeps advancing; setting
+    the coil again resumes it (per-unit generalization of the reference's
+    pause semantics)."""
+    port, c1 = running_fleet
+    with ModbusTcpClient("127.0.0.1", port, unit_id=3) as c3:
+        try:
+            c3.write_coil(2, False)          # simulation_running, unit 3
+            time.sleep(1.0)                  # let in-flight ticks drain
+            t3_frozen = c3.read_float32(100)
+            t1_a = c1.read_float32(100)
+            _wait_sim_time(c1, t1_a + 120.0)
+            assert c3.read_float32(100) == pytest.approx(t3_frozen), \
+                "paused unit advanced"
+        finally:
+            c3.write_coil(2, True)
+        t3_resumed = c3.read_float32(100)
+        _wait_sim_time(c1, c1.read_float32(100) + 120.0)
+        assert c3.read_float32(100) > t3_resumed, "unit did not resume"
