@@ -57,8 +57,7 @@ def main_fleet(args) -> None:
     units = list(range(1, n + 1))
     for flag, name in ((args.fused_sensors, "--fused-sensors"),
                        (args.checkpoint_file, "--checkpoint-file"),
-                       (args.log_csv, "--log-csv"),
-                       (args.native_modbus, "--native-modbus")):
+                       (args.log_csv, "--log-csv")):
         if flag:
             logger.warning("%s is not supported in fleet mode — ignored",
                            name)
@@ -121,8 +120,13 @@ def main_fleet(args) -> None:
         try:
             server_config = ModbusServerConfig(host=args.host,
                                                port=args.port, unit_id=1)
-            slave = ModbusSlave(ModbusRegisterMap(), server_config,
-                                units=units)
+            if args.native_modbus:
+                from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
+                slave = NativeModbusSlave(ModbusRegisterMap(), server_config,
+                                          units=units)
+            else:
+                slave = ModbusSlave(ModbusRegisterMap(), server_config,
+                                    units=units)
             slave.start(blocking=False)
             for u in units:
                 slave.write_holding_register("inlet_flow_rate", 5.0, unit=u)

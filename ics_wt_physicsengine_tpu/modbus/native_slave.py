@@ -91,6 +91,18 @@ def _load_library():
         lib.mb_error_count.argtypes = [ctypes.c_void_p]
         lib.mb_error_count.restype = ctypes.c_uint64
         lib.mb_set_unit_id.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.mb_add_unit.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.mb_add_unit.restype = ctypes.c_int
+        lib.mb_get_unit.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_uint32,
+                                    ctypes.c_uint32,
+                                    ctypes.POINTER(ctypes.c_uint16)]
+        lib.mb_get_unit.restype = ctypes.c_int
+        lib.mb_set_unit.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_uint32,
+                                    ctypes.c_uint32,
+                                    ctypes.POINTER(ctypes.c_uint16)]
+        lib.mb_set_unit.restype = ctypes.c_int
         lib.mb_set_identity.argtypes = [ctypes.c_void_p, ctypes.c_uint8,
                                         ctypes.c_char_p]
         _lib = lib
@@ -105,7 +117,8 @@ class NativeModbusSlave:
     """Drop-in alternative to ``ModbusSlave`` backed by the C++ data plane."""
 
     def __init__(self, register_map: ModbusRegisterMap,
-                 config: Optional[ModbusServerConfig] = None):
+                 config: Optional[ModbusServerConfig] = None,
+                 units: Optional[list] = None):
         lib = _load_library()
         if lib is None:
             raise RuntimeError(
@@ -113,6 +126,15 @@ class NativeModbusSlave:
         self._lib = lib
         self.register_map = register_map
         self.config = config or ModbusServerConfig()
+
+        ids = tuple(units) if units else (self.config.unit_id,)
+        if len(set(ids)) != len(ids):
+            raise ValueError(f"duplicate unit ids: {ids}")
+        if not all(0 <= u <= 0xFE for u in ids):
+            raise ValueError(f"unit ids must be in [0, 254]: {ids}")
+        self.units = ids
+        self._primary = (self.config.unit_id
+                         if self.config.unit_id in ids else ids[0])
 
         def block_size(regs):
             if not regs:
@@ -125,9 +147,15 @@ class NativeModbusSlave:
             block_size(register_map.input_registers),
             block_size(register_map.holding_registers))
         self._handle = lib.mb_create(sizes)
-        # Serve only the configured unit id (FC 43 identity is compiled into
-        # the C++ side with the same strings as ModbusSlave.device_info).
-        lib.mb_set_unit_id(self._handle, int(self.config.unit_id))
+        # Serve only the configured unit ids (FC 43 identity is compiled
+        # into the C++ side with the same strings as ModbusSlave.device_info).
+        # The primary unit's bank is the one mb_create made; every other id
+        # gets its own bank (fleet mode — gateway multiplexing).
+        lib.mb_set_unit_id(self._handle, int(self._primary))
+        for u in ids:
+            if u != self._primary:
+                if lib.mb_add_unit(self._handle, int(u)) != 0:
+                    raise RuntimeError(f"mb_add_unit({u}) failed")
         self._running = False
         self._actual_port: Optional[int] = None
 
@@ -182,17 +210,26 @@ class NativeModbusSlave:
         return int(self._lib.mb_error_count(self._handle))
 
     # -- raw word access --
-    def _get_words(self, block: int, address: int, count: int):
+    def _resolve_unit(self, unit) -> int:
+        if unit is None:
+            return -1                       # C side: -1 = primary bank
+        if unit not in self.units:
+            raise KeyError(f"not serving unit id {unit} "
+                           f"(units: {self.units})")
+        return int(unit)
+
+    def _get_words(self, block: int, address: int, count: int, unit=None):
         out = (ctypes.c_uint16 * count)()
-        if self._lib.mb_get(self._handle, block, address, count, out) != 0:
+        if self._lib.mb_get_unit(self._handle, self._resolve_unit(unit),
+                                 block, address, count, out) != 0:
             raise IndexError(f"block {block} address {address}+{count} "
                              f"out of range")
         return list(out)
 
-    def _set_words(self, block: int, address: int, values):
+    def _set_words(self, block: int, address: int, values, unit=None):
         arr = (ctypes.c_uint16 * len(values))(*[v & 0xFFFF for v in values])
-        if self._lib.mb_set(self._handle, block, address,
-                            len(values), arr) != 0:
+        if self._lib.mb_set_unit(self._handle, self._resolve_unit(unit),
+                                 block, address, len(values), arr) != 0:
             raise IndexError(f"block {block} address {address}+{len(values)} "
                              f"out of range")
 
@@ -208,45 +245,56 @@ class NativeModbusSlave:
         if not (-MAX_REGISTER_VALUE < value < MAX_REGISTER_VALUE):
             raise ValueError(f"Value {value} outside +-{MAX_REGISTER_VALUE}")
 
-    def update_input_register(self, name: str, value: float) -> None:
+    def update_input_register(self, name: str, value: float,
+                              unit=None) -> None:
         reg = self._lookup(name, RegisterType.INPUT_REGISTER)
         if reg.data_type == "float32":
             if not math.isnan(value):
                 self._validate_value(value)
             self._set_words(_BLOCK_INPUT, reg.address,
-                            ModbusEncoder.float32_to_registers(value))
+                            ModbusEncoder.float32_to_registers(value),
+                            unit=unit)
         else:
             self._set_words(_BLOCK_INPUT, reg.address,
-                            [ModbusEncoder.uint16_to_register(int(value))])
+                            [ModbusEncoder.uint16_to_register(int(value))],
+                            unit=unit)
 
-    def update_discrete_input(self, name: str, value: bool) -> None:
+    def update_discrete_input(self, name: str, value: bool,
+                              unit=None) -> None:
         reg = self._lookup(name, RegisterType.DISCRETE_INPUT)
-        self._set_words(_BLOCK_DISCRETE, reg.address, [1 if value else 0])
+        self._set_words(_BLOCK_DISCRETE, reg.address, [1 if value else 0],
+                        unit=unit)
 
-    def read_holding_register(self, name: str) -> float:
+    def read_holding_register(self, name: str, unit=None) -> float:
         reg = self._lookup(name, RegisterType.HOLDING_REGISTER)
-        words = self._get_words(_BLOCK_HOLDING, reg.address, reg.size_words)
+        words = self._get_words(_BLOCK_HOLDING, reg.address, reg.size_words,
+                                unit=unit)
         if reg.data_type == "float32":
             return ModbusDecoder.registers_to_float32(*words)
         return float(words[0])
 
-    def write_holding_register(self, name: str, value: float) -> None:
+    def write_holding_register(self, name: str, value: float,
+                               unit=None) -> None:
         reg = self._lookup(name, RegisterType.HOLDING_REGISTER)
         self._validate_value(value)
         if reg.data_type == "float32":
             self._set_words(_BLOCK_HOLDING, reg.address,
-                            ModbusEncoder.float32_to_registers(value))
+                            ModbusEncoder.float32_to_registers(value),
+                            unit=unit)
         else:
             self._set_words(_BLOCK_HOLDING, reg.address,
-                            [ModbusEncoder.uint16_to_register(int(value))])
+                            [ModbusEncoder.uint16_to_register(int(value))],
+                            unit=unit)
 
-    def read_coil(self, name: str) -> bool:
+    def read_coil(self, name: str, unit=None) -> bool:
         reg = self._lookup(name, RegisterType.COIL)
-        return bool(self._get_words(_BLOCK_COILS, reg.address, 1)[0])
+        return bool(self._get_words(_BLOCK_COILS, reg.address, 1,
+                                    unit=unit)[0])
 
-    def write_coil(self, name: str, value: bool) -> None:
+    def write_coil(self, name: str, value: bool, unit=None) -> None:
         reg = self._lookup(name, RegisterType.COIL)
-        self._set_words(_BLOCK_COILS, reg.address, [1 if value else 0])
+        self._set_words(_BLOCK_COILS, reg.address, [1 if value else 0],
+                        unit=unit)
 
     def get_all_input_registers(self) -> Dict[str, float]:
         out = {}

@@ -21,11 +21,13 @@
 //   mb_request_count / mb_error_count(handle)
 
 #include <arpa/inet.h>
+#include <array>
 #include <atomic>
 #include <cerrno>
 #include <fcntl.h>
 #include <cstdint>
 #include <cstring>
+#include <map>
 #include <mutex>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
@@ -80,8 +82,14 @@ struct Conn {
 
 constexpr size_t kMaxOutBuffer = 1 << 20;  // drop clients slower than this
 
+using Bank = std::array<std::vector<uint16_t>, 4>;
+
 struct Server {
-  std::vector<uint16_t> blocks[4];
+  Bank blocks;                 // the primary unit's four register blocks
+  // Extra Modbus units (fleet mode): unit id -> its own four blocks.
+  // Mutated only before mb_start (mb_add_unit); read lock-free by the
+  // server thread afterwards. Word access still goes through data_mutex.
+  std::map<int, Bank> extra_units;
   std::mutex data_mutex;
 
   int listen_fd = -1;
@@ -104,26 +112,38 @@ struct Server {
       {0x05, "CSTR-MultiZone"},
   };
 
-  bool get(int block, size_t addr, size_t count, uint16_t* out) {
+  // unit < 0 or == the served unit id -> primary bank; otherwise a
+  // registered extra unit's bank, or nullptr when the id is not served.
+  Bank* bank_for(int unit) {
+    if (unit < 0 || unit == 0xFF ||
+        unit == unit_id.load(std::memory_order_relaxed))
+      return &blocks;
+    auto it = extra_units.find(unit);
+    return it == extra_units.end() ? nullptr : &it->second;
+  }
+
+  bool get(Bank& bank, int block, size_t addr, size_t count, uint16_t* out) {
     if (block < 0 || block > 3) return false;
     std::lock_guard<std::mutex> lock(data_mutex);
-    auto& b = blocks[block];
+    auto& b = bank[block];
     if (addr + count > b.size()) return false;
     std::memcpy(out, b.data() + addr, count * sizeof(uint16_t));
     return true;
   }
 
-  bool set(int block, size_t addr, size_t count, const uint16_t* in) {
+  bool set(Bank& bank, int block, size_t addr, size_t count,
+           const uint16_t* in) {
     if (block < 0 || block > 3) return false;
     std::lock_guard<std::mutex> lock(data_mutex);
-    auto& b = blocks[block];
+    auto& b = bank[block];
     if (addr + count > b.size()) return false;
     std::memcpy(b.data() + addr, in, count * sizeof(uint16_t));
     return true;
   }
 
   // Build the response PDU for a request PDU. Returns response length.
-  size_t process_pdu(const uint8_t* pdu, size_t len, uint8_t* resp) {
+  size_t process_pdu(Bank& bank, const uint8_t* pdu, size_t len,
+                     uint8_t* resp) {
     if (len < 1) return 0;
     uint8_t fc = pdu[0];
     auto exception = [&](uint8_t code) -> size_t {
@@ -194,7 +214,7 @@ struct Server {
         uint16_t count = count_or_value;
         if (count < 1 || count > 2000) return exception(EX_ILLEGAL_VALUE);
         std::vector<uint16_t> bits(count);
-        if (!get(block, address, count, bits.data()))
+        if (!get(bank, block, address, count, bits.data()))
           return exception(EX_ILLEGAL_ADDRESS);
         uint8_t n_bytes = (count + 7) / 8;
         resp[0] = fc;
@@ -211,7 +231,7 @@ struct Server {
         uint16_t count = count_or_value;
         if (count < 1 || count > 125) return exception(EX_ILLEGAL_VALUE);
         std::vector<uint16_t> words(count);
-        if (!get(block, address, count, words.data()))
+        if (!get(bank, block, address, count, words.data()))
           return exception(EX_ILLEGAL_ADDRESS);
         resp[0] = fc;
         resp[1] = count * 2;
@@ -225,13 +245,13 @@ struct Server {
         if (count_or_value != 0x0000 && count_or_value != 0xFF00)
           return exception(EX_ILLEGAL_VALUE);
         uint16_t bit = count_or_value ? 1 : 0;
-        if (!set(COILS, address, 1, &bit))
+        if (!set(bank, COILS, address, 1, &bit))
           return exception(EX_ILLEGAL_ADDRESS);
         std::memcpy(resp, pdu, 5);
         return 5;
       }
       case FC_WRITE_SINGLE_REG: {
-        if (!set(HOLDING_REGISTERS, address, 1, &count_or_value))
+        if (!set(bank, HOLDING_REGISTERS, address, 1, &count_or_value))
           return exception(EX_ILLEGAL_ADDRESS);
         std::memcpy(resp, pdu, 5);
         return 5;
@@ -246,7 +266,7 @@ struct Server {
         std::vector<uint16_t> bits(count);
         for (uint16_t i = 0; i < count; i++)
           bits[i] = (pdu[6 + i / 8] >> (i % 8)) & 1;
-        if (!set(COILS, address, count, bits.data()))
+        if (!set(bank, COILS, address, count, bits.data()))
           return exception(EX_ILLEGAL_ADDRESS);
         std::memcpy(resp, pdu, 5);
         return 5;
@@ -261,7 +281,7 @@ struct Server {
         std::vector<uint16_t> words(count);
         for (uint16_t i = 0; i < count; i++)
           words[i] = (pdu[6 + 2 * i] << 8) | pdu[7 + 2 * i];
-        if (!set(HOLDING_REGISTERS, address, count, words.data()))
+        if (!set(bank, HOLDING_REGISTERS, address, count, words.data()))
           return exception(EX_ILLEGAL_ADDRESS);
         std::memcpy(resp, pdu, 5);
         return 5;
@@ -300,8 +320,15 @@ struct Server {
 
       uint8_t unit = conn.buf[6];
       int served_unit = unit_id.load(std::memory_order_relaxed);
-      if (served_unit >= 0 && unit != served_unit && unit != 0xFF) {
-        // not addressed to this slave: consume the frame, send nothing
+      Bank* bank = nullptr;
+      if (unit == 0xFF || served_unit < 0 || unit == served_unit) {
+        bank = &blocks;                     // primary (0xFF = broadcast)
+      } else {
+        auto it = extra_units.find(unit);   // fleet unit?
+        if (it != extra_units.end()) bank = &it->second;
+      }
+      if (bank == nullptr) {
+        // not addressed to a unit this slave serves: consume, send nothing
         request_count++;
         conn.buf.erase(conn.buf.begin(), conn.buf.begin() + frame);
         continue;
@@ -310,7 +337,7 @@ struct Server {
       uint8_t resp[kMaxFrame];
       // copy MBAP header (transaction + protocol + unit)
       std::memcpy(resp, conn.buf.data(), 7);
-      size_t resp_pdu = process_pdu(conn.buf.data() + 7, length - 1,
+      size_t resp_pdu = process_pdu(*bank, conn.buf.data() + 7, length - 1,
                                     resp + 7);
       request_count++;
       uint16_t resp_len = static_cast<uint16_t>(resp_pdu + 1);
@@ -410,6 +437,20 @@ void* mb_create(const uint32_t sizes[4]) {
   return s;
 }
 
+// Register an extra Modbus unit id (fleet mode) with its own four blocks,
+// sized like the primary's. Call before mb_start. Returns 0, or -1 if the
+// server is already running or the id is invalid/duplicate.
+int mb_add_unit(void* handle, int unit) {
+  auto* s = static_cast<Server*>(handle);
+  if (s->running || unit < 0 || unit > 0xFE ||
+      unit == s->unit_id.load() || s->extra_units.count(unit))
+    return -1;
+  Bank bank;
+  for (int i = 0; i < 4; i++) bank[i].assign(s->blocks[i].size(), 0);
+  s->extra_units.emplace(unit, std::move(bank));
+  return 0;
+}
+
 // Returns the bound port, or -1 on failure.
 int mb_start(void* handle, const char* host, uint16_t port) {
   auto* s = static_cast<Server*>(handle);
@@ -471,12 +512,29 @@ void mb_destroy(void* handle) {
 
 int mb_get(void* handle, int block, uint32_t addr, uint32_t count,
            uint16_t* out) {
-  return static_cast<Server*>(handle)->get(block, addr, count, out) ? 0 : -1;
+  auto* s = static_cast<Server*>(handle);
+  return s->get(s->blocks, block, addr, count, out) ? 0 : -1;
 }
 
 int mb_set(void* handle, int block, uint32_t addr, uint32_t count,
            const uint16_t* in) {
-  return static_cast<Server*>(handle)->set(block, addr, count, in) ? 0 : -1;
+  auto* s = static_cast<Server*>(handle);
+  return s->set(s->blocks, block, addr, count, in) ? 0 : -1;
+}
+
+// unit-addressed variants (fleet mode); unit < 0 = primary.
+int mb_get_unit(void* handle, int unit, int block, uint32_t addr,
+                uint32_t count, uint16_t* out) {
+  auto* s = static_cast<Server*>(handle);
+  Bank* bank = s->bank_for(unit);
+  return bank && s->get(*bank, block, addr, count, out) ? 0 : -1;
+}
+
+int mb_set_unit(void* handle, int unit, int block, uint32_t addr,
+                uint32_t count, const uint16_t* in) {
+  auto* s = static_cast<Server*>(handle);
+  Bank* bank = s->bank_for(unit);
+  return bank && s->set(*bank, block, addr, count, in) ? 0 : -1;
 }
 
 uint64_t mb_request_count(void* handle) {

@@ -76,6 +76,43 @@ def test_unknown_unit_is_silent_and_broadcast_hits_primary():
         slave.stop()
 
 
+def test_native_multi_unit_register_spaces():
+    """The C++ data plane serves the same multi-unit semantics: per-unit
+    banks, broadcast to primary, unserved ids silent."""
+    from ics_wt_physicsengine_tpu.modbus import native_slave
+
+    if not native_slave.is_available():
+        pytest.skip("native library unavailable")
+    slave = native_slave.NativeModbusSlave(
+        ModbusRegisterMap(), ModbusServerConfig(host="127.0.0.1", port=0),
+        units=[1, 2, 5])
+    slave.start(blocking=False)
+    try:
+        for u, ph in ((1, 7.1), (2, 6.5), (5, 8.2)):
+            slave.update_input_register("pH_inlet", ph, unit=u)
+        for u, ph in ((1, 7.1), (2, 6.5), (5, 8.2)):
+            with ModbusTcpClient("127.0.0.1", slave.port, unit_id=u) as c:
+                assert c.read_float32(0) == pytest.approx(ph, abs=1e-5)
+        with ModbusTcpClient("127.0.0.1", slave.port, unit_id=2) as c:
+            c.write_float32(0, 1.25)
+        assert slave.read_holding_register("acid_flow_rate",
+                                           unit=2) == pytest.approx(1.25)
+        assert slave.read_holding_register("acid_flow_rate", unit=1) == 0.0
+        # broadcast resolves to the primary unit's bank
+        slave.update_input_register("pH_outlet", 7.77, unit=1)
+        with ModbusTcpClient("127.0.0.1", slave.port, unit_id=0xFF) as c:
+            assert c.read_float32(4) == pytest.approx(7.77, abs=1e-5)
+        # unserved unit id: silence (gateway semantics)
+        with ModbusTcpClient("127.0.0.1", slave.port, unit_id=9,
+                             timeout=1.0) as c:
+            with pytest.raises((socket.timeout, TimeoutError, OSError)):
+                c.read_float32(0)
+        with pytest.raises(KeyError):
+            slave.read_holding_register("acid_flow_rate", unit=7)
+    finally:
+        slave.stop()
+
+
 def test_unit_api_validation():
     slave = ModbusSlave(ModbusRegisterMap(), units=[1, 2])
     with pytest.raises(KeyError):
