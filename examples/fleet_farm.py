@@ -38,22 +38,36 @@ from examples.pid_controller import PID  # noqa: E402
 
 
 def farm(host, port, n_units, iterations, period=0.2, verbose=True):
-    """One PI residual controller per unit, round-robin over one endpoint."""
+    """One PI residual controller per unit, round-robin over one endpoint.
+
+    The controller dt is the *simulated* time elapsed since each unit's
+    previous iteration (read from its simulation_time register) — under
+    ``--rtf 0`` the fleet free-runs at host speed, so wall-clock period
+    bears no relation to simulated elapsed time."""
     setpoints = [0.5 + 0.25 * u for u in range(n_units)]     # mg/L, distinct
-    pids = [PID(kp=0.4, ki=0.02, kd=0.0, setpoint=sp,
+    pids = [PID(kp=0.4, ki=0.004, kd=0.0, setpoint=sp,
                 out_min=0.0, out_max=1.0) for sp in setpoints]
     clients = [ModbusTcpClient(host, port, unit_id=u + 1,
                                timeout=10).connect()
                for u in range(n_units)]
+    last_t = [None] * n_units
+    live = [False] * n_units     # first nonzero reading = sensor is live
     try:
         for i in range(iterations):
             for u, (c, pid) in enumerate(zip(clients, pids)):
+                t_sim = c.read_float32(100)           # this unit's sim clock
                 cl_out = c.read_float32(8)            # chlorine_outlet
-                if cl_out > 0.0:                      # past warm-up
-                    c.write_float32(2, pid.update(cl_out, period))
+                dt_sim = (t_sim - last_t[u]) if last_t[u] is not None else 0.0
+                last_t[u] = t_sim
+                # A register of exactly 0.0 before any nonzero reading is
+                # the warm-up/NaN placeholder; once the sensor has reported
+                # a real value, 0.0 is a legitimate measurement (fully
+                # decayed residual) the controller must respond to.
+                live[u] = live[u] or cl_out > 0.0
+                if live[u] and dt_sim > 0.0:
+                    c.write_float32(2, pid.update(cl_out, dt_sim))
             if verbose and i % 25 == 0:
-                t = clients[0].read_float32(100)
-                print(f"[farm] iter {i:4d} t={t:7.0f}s", flush=True)
+                print(f"[farm] iter {i:4d} t={last_t[0]:7.0f}s", flush=True)
             time.sleep(period)
 
         results = []

@@ -587,8 +587,11 @@ def main(argv=None):
         if fused_plant is not None:
             from ics_wt_physicsengine_tpu.models.plant import make_plant
             from dataclasses import replace as dc_replace
+            # t0= anchors calibration age / warm-up at the maintenance
+            # instant — without it the fresh carries read as
+            # calibration-expired again the moment sim_time > 24 h.
             _, fresh = make_plant(config, seed=(args.seed or 0) + step_count,
-                                  warmed_up=True)
+                                  warmed_up=True, t0=sim_time)
             fused_plant = dc_replace(fresh, reactor=fused_plant.reactor)
         else:
             import math as _math

@@ -49,7 +49,7 @@ def main_fleet(args) -> None:
     from ics_wt_physicsengine_tpu.modbus import (
         ModbusRegisterMap, ModbusServerConfig, ModbusSlave)
     from ics_wt_physicsengine_tpu.models.plant import (
-        make_plant_batch, plant_step)
+        make_plant_batch, plant_step_batched)
 
     import jax
 
@@ -86,9 +86,8 @@ def main_fleet(args) -> None:
             is False keep their carry unchanged (that unit's own
             simulation_running coil is cleared — the per-unit
             generalization of the reference's pause semantics)."""
-            new_pl, outputs = jax.vmap(
-                lambda p, st, b: plant_step(p, st, b, args.dt, m, stages=s)
-            )(params, pl, bc)
+            new_pl, outputs = plant_step_batched(params, pl, bc, args.dt, m,
+                                                 stages=s, boundary_axes=0)
 
             def sel(new, old):
                 mk = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
@@ -188,6 +187,10 @@ def main_fleet(args) -> None:
                 # One device -> host transfer for the whole fleet's readings
                 host_out = jax.device_get(outputs)
                 pH_np = np.asarray(plant.reactor.pH)        # [N, Z]
+                # Per-lane clocks: a paused lane's physics/sensor time holds,
+                # so its published simulation_time must hold with it (the
+                # global tick counter would jump over pauses on resume).
+                t_np = np.asarray(plant.reactor.time).reshape(-1)
 
                 if slave:
                     ok = True
@@ -197,7 +200,7 @@ def main_fleet(args) -> None:
                         readings = M._readings_from_outputs(host_out, lane=i)
                         ok &= M.update_modbus_inputs(
                             slave, readings, SimpleNamespace(pH=pH_np[i]),
-                            sim_time, unit=u)
+                            float(t_np[i]), unit=u)
                     if not ok:
                         modbus_error_count += 1
                         if modbus_error_count >= max_modbus_errors:
@@ -231,16 +234,29 @@ def main_fleet(args) -> None:
                 step_count += 1
                 sim_time += args.dt
                 if sim_time >= next_recal:
-                    # Fleet sensor maintenance: fresh calibrated carries on
-                    # every lane, physics state untouched (the batched
-                    # equivalent of the single-plant --fused-sensors
-                    # maintenance, __main__.py maintain_sensors).
+                    # Fleet sensor maintenance: fresh calibrated carries,
+                    # anchored at the current sim time (t0= resets
+                    # calibration age and warm-up from the maintenance
+                    # instant — without it the rebuilt carries would read
+                    # calibration-expired again immediately past 24 h).
+                    # Only RUNNING lanes are serviced: a paused lane's
+                    # freeze invariant holds through maintenance.
+                    import jax.numpy as _jnp
                     _, fresh = make_plant_batch(
                         config, n, seed=(args.seed or 0) + step_count,
-                        warmed_up=True)
-                    plant = dc_replace(fresh, reactor=plant.reactor)
+                        warmed_up=True, t0=sim_time)
+                    fresh = dc_replace(fresh, reactor=plant.reactor)
+                    mask = _jnp.asarray(run_mask)
+
+                    def _sel(new, old):
+                        mk = mask.reshape(mask.shape
+                                          + (1,) * (new.ndim - 1))
+                        return _jnp.where(mk, new, old)
+
+                    plant = jax.tree_util.tree_map(_sel, fresh, plant)
                     logger.info("t=%.0fs | fleet sensor maintenance/"
-                                "recalibration done", sim_time)
+                                "recalibration done (%d/%d lanes)",
+                                sim_time, int(run_mask.sum()), n)
                     next_recal += recal_interval_s
 
             # real-time pacing (reference __main__.py:453-457)

@@ -57,18 +57,28 @@ def _load_library():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not _LIB_PATH.exists():
-            try:
-                subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                               capture_output=True, timeout=120)
-            except (subprocess.SubprocessError, FileNotFoundError) as e:
+        # Always run make: it is a no-op when libwtmodbus.so is newer than
+        # modbus_server.cpp, and it rebuilds a STALE .so left by an older
+        # source (whose missing symbols would otherwise crash the ctypes
+        # bindings below with AttributeError).
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError) as e:
+            if not _LIB_PATH.exists():
                 logger.warning("Native modbus build failed: %s",
                                type(e).__name__)
                 return None
+            logger.warning("Native modbus rebuild failed (%s); trying the "
+                           "existing library", type(e).__name__)
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
         except OSError as e:
             logger.warning("Native modbus load failed: %s", e)
+            return None
+        if not hasattr(lib, "mb_add_unit"):   # stale pre-fleet binary
+            logger.warning("Native modbus library is stale (mb_add_unit "
+                           "missing) and rebuild failed; not using it")
             return None
 
         lib.mb_create.argtypes = [ctypes.POINTER(ctypes.c_uint32)]
@@ -296,16 +306,17 @@ class NativeModbusSlave:
         self._set_words(_BLOCK_COILS, reg.address, [1 if value else 0],
                         unit=unit)
 
-    def get_all_input_registers(self) -> Dict[str, float]:
+    def get_all_input_registers(self, unit=None) -> Dict[str, float]:
         out = {}
         for reg in self.register_map.input_registers:
-            words = self._get_words(_BLOCK_INPUT, reg.address, reg.size_words)
+            words = self._get_words(_BLOCK_INPUT, reg.address,
+                                    reg.size_words, unit=unit)
             if reg.data_type == "float32":
                 out[reg.name] = ModbusDecoder.registers_to_float32(*words)
             else:
                 out[reg.name] = float(words[0])
         return out
 
-    def get_all_holding_registers(self) -> Dict[str, float]:
-        return {reg.name: self.read_holding_register(reg.name)
+    def get_all_holding_registers(self, unit=None) -> Dict[str, float]:
+        return {reg.name: self.read_holding_register(reg.name, unit=unit)
                 for reg in self.register_map.holding_registers}

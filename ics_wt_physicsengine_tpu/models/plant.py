@@ -55,7 +55,7 @@ class PlantState:
 
 
 def make_plant(config: R.ReactorConfiguration, seed: int = 0,
-               dtype=jnp.float32, warmed_up: bool = True
+               dtype=jnp.float32, warmed_up: bool = True, t0: float = 0.0
                ) -> Tuple[PlantParams, PlantState]:
     """Build the canonical 7-sensor plant (sensor layout matching
     create_realistic_sensor_suite, reference sensors/__init__.py:41-120).
@@ -107,11 +107,14 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
     def backdate(carry, base_params):
         if not warmed_up:
             return carry
-        t0 = -float(np.asarray(base_params.warmup_time_s)) - 1.0
+        # ``t0`` anchors the warm start (0.0 at construction; maintenance
+        # rebuilds pass the current sim time so calibration age and warm-up
+        # restart from the maintenance instant, not from sim start).
+        t_on = t0 - float(np.asarray(base_params.warmup_time_s)) - 1.0
         return dc_replace(carry, base=dc_replace(
             carry.base,
-            power_on_time=np.asarray(t0, dtype),
-            last_calibration_time=np.asarray(0.0, dtype),
+            power_on_time=np.asarray(t_on, dtype),
+            last_calibration_time=np.asarray(t0, dtype),
             has_calibration=np.asarray(True)))
 
     state = PlantState(
@@ -268,7 +271,8 @@ def plant_rollout_scheduled(params: PlantParams, plant: PlantState,
 
 def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
                      seed: int = 0, dtype=jnp.float32,
-                     randomize: bool = True, warmed_up: bool = True):
+                     randomize: bool = True, warmed_up: bool = True,
+                     t0: float = 0.0):
     """Batched integrated plants: physics params randomized per plant
     (models/monte_carlo.py ranges) and per-plant sensor PRNG streams —
     BASELINE configs 3 + 4 combined. Returns (params, state) pytrees with
@@ -302,7 +306,7 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
     # host loop (65,536 plants: milliseconds instead of minutes on this
     # 1-core host).
     template_p, template_s = make_plant(config, seed=0, dtype=dtype,
-                                        warmed_up=warmed_up)
+                                        warmed_up=warmed_up, t0=t0)
 
     def bcast(x):
         if isinstance(x, int):
@@ -347,21 +351,24 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
 
 def plant_step_batched(params: PlantParams, plant: PlantState,
                        boundary: R.BoundaryConditions, dt: float,
-                       substeps: int, stages=None, rand=None):
+                       substeps: int, stages=None, rand=None,
+                       boundary_axes=None):
     """vmap of plant_step over the leading plant axis. (The physics is
     natively batched, but sensor PRNG keys must split per lane, so the
     integrated plant batches through vmap.) ``rand``: optional externally
     drawn randomness, ``{sensor: (normals[n, k], uniforms[n, k])}`` — see
-    ``draw_packed_rand``."""
+    ``draw_packed_rand``. ``boundary_axes=0`` maps a BoundaryConditions
+    with leading [n_plants] leaves per lane (fleet mode: one independently
+    controlled boundary per plant); None broadcasts one boundary."""
     if rand is None:
         return jax.vmap(
-            lambda p, s: plant_step(p, s, boundary, dt, substeps,
-                                    stages=stages),
-            in_axes=(0, 0))(params, plant)
+            lambda p, s, b: plant_step(p, s, b, dt, substeps,
+                                       stages=stages),
+            in_axes=(0, 0, boundary_axes))(params, plant, boundary)
     return jax.vmap(
-        lambda p, s, r: plant_step(p, s, boundary, dt, substeps,
-                                   stages=stages, rand=r),
-        in_axes=(0, 0, 0))(params, plant, rand)
+        lambda p, s, b, r: plant_step(p, s, b, dt, substeps,
+                                      stages=stages, rand=r),
+        in_axes=(0, 0, boundary_axes, 0))(params, plant, boundary, rand)
 
 
 # Canonical order + per-sensor randomness widths (base layout first, then

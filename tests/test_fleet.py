@@ -125,6 +125,44 @@ def test_unit_api_validation():
     assert ModbusSlave(ModbusRegisterMap()).units == (1,)
 
 
+def test_maintenance_t0_resets_calibration_age():
+    """make_plant_batch(t0=T) anchors calibration age and warm-up at T —
+    the maintenance rebuild contract (regression: t0 was pinned to 0, so
+    'recalibrated' carries read calibration-expired immediately whenever
+    sim time exceeded the 24 h validity)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ics_wt_physicsengine_tpu.core import reactor as R
+    from ics_wt_physicsengine_tpu.models.plant import (
+        make_plant_batch, plant_step_batched)
+    from ics_wt_physicsengine_tpu.sensors.types import (
+        STATUS_FROM_CODE, SensorStatus)
+
+    T = 200_000.0      # ~55 h of sim time, past the 24 h validity
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.2,
+                              inlet_chlorine=0.5)
+
+    def read_status_at(t0):
+        params, plant = make_plant_batch(R.ReactorConfiguration(n_zones=4),
+                                         2, seed=1, dtype=jnp.float64,
+                                         t0=t0)
+        # maintenance keeps the aged reactor: clock sits at T
+        plant = dataclasses.replace(
+            plant, reactor=dataclasses.replace(
+                plant.reactor, time=jnp.full_like(plant.reactor.time, T)))
+        _, readings = plant_step_batched(params, plant, bc, 1.0, 4)
+        return STATUS_FROM_CODE[int(np.asarray(
+            readings["pH_inlet"].status)[0])]
+
+    assert float(make_plant_batch(
+        R.ReactorConfiguration(n_zones=4), 2, seed=1, dtype=jnp.float64,
+        t0=T)[1].ph_inlet.base.last_calibration_time[0]) == T
+    assert read_status_at(T) == SensorStatus.NORMAL
+    assert read_status_at(0.0) == SensorStatus.CALIBRATION_EXPIRED
+
+
 # ---------------------------------------------------------------------------
 # Closed-loop fleet orchestrator
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ from types import SimpleNamespace
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(n, n_ticks, zones, args):
+def measure(n, n_ticks, zones):
     import numpy as np
     import jax
 
@@ -35,7 +35,7 @@ def measure(n, n_ticks, zones, args):
     from ics_wt_physicsengine_tpu.modbus import (
         ModbusRegisterMap, ModbusServerConfig, ModbusSlave)
     from ics_wt_physicsengine_tpu.models.plant import (
-        make_plant_batch, plant_step)
+        make_plant_batch, plant_step_batched)
 
     units = list(range(1, n + 1))
     config = ReactorConfiguration(volume=1000.0, n_zones=zones,
@@ -44,9 +44,8 @@ def measure(n, n_ticks, zones, args):
     m, s = IntegratedCSTR(config, integrator="rk4")._plan_for(1.0)
     params, plant = make_plant_batch(config, n, seed=1, warmed_up=True)
     dtype = plant.reactor.pH.dtype
-    step = jax.jit(lambda pl, bc: jax.vmap(
-        lambda p, st, b: plant_step(p, st, b, 1.0, m, stages=s)
-    )(params, pl, bc))
+    step = jax.jit(lambda pl, bc: plant_step_batched(
+        params, pl, bc, 1.0, m, stages=s, boundary_axes=0))
 
     slave = ModbusSlave(ModbusRegisterMap(),
                         ModbusServerConfig(host="127.0.0.1", port=0),
@@ -94,7 +93,7 @@ def main():
 
     tick_ms = []
     for n in args.sizes:
-        t = measure(n, args.ticks, args.zones, args)
+        t = measure(n, args.ticks, args.zones)
         tick_ms.append(round(t * 1e3, 2))
         print(f"# {n:5d} units: {t * 1e3:8.2f} ms/tick "
               f"({t * 1e6 / n:7.1f} us/unit)", file=sys.stderr)
