@@ -56,7 +56,6 @@ def main_fleet(args) -> None:
     n = args.fleet
     units = list(range(1, n + 1))
     for flag, name in ((args.fused_sensors, "--fused-sensors"),
-                       (args.checkpoint_file, "--checkpoint-file"),
                        (args.log_csv, "--log-csv")):
         if flag:
             logger.warning("%s is not supported in fleet mode — ignored",
@@ -159,6 +158,48 @@ def main_fleet(args) -> None:
         else float("inf")
     next_recal = recal_interval_s
 
+    # Checkpoint/resume: the whole batched PlantState (physics + all
+    # sensor carries incl. PRNG keys) as one pytree, with sim_time and the
+    # per-unit boundaries in the metadata (utils/checkpoint.py — leaf
+    # shape validation fails fast on a fleet-size/config mismatch).
+    import dataclasses
+    import os as _os
+
+    from ics_wt_physicsengine_tpu.utils.checkpoint import (
+        load_metadata, load_pytree, save_pytree)
+
+    checkpoint_interval_s = args.checkpoint_hours * 3600.0
+    next_checkpoint = checkpoint_interval_s
+    if args.checkpoint_file and _os.path.exists(args.checkpoint_file):
+        try:
+            meta = load_metadata(args.checkpoint_file)
+            plant = load_pytree(args.checkpoint_file, plant)
+            sim_time = float(meta.get("sim_time", 0.0))
+            next_checkpoint = sim_time + checkpoint_interval_s
+            next_recal = sim_time + recal_interval_s \
+                if recal_interval_s != float("inf") else float("inf")
+            for i, b in enumerate(meta.get("boundaries", [])[:n]):
+                boundaries[i] = BoundaryConditions(**b)
+            logger.info("Resumed fleet from checkpoint %s at t=%.0fs",
+                        args.checkpoint_file, sim_time)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Fleet checkpoint resume failed: %s — starting "
+                         "fresh", type(e).__name__)
+
+    def write_checkpoint():
+        if not args.checkpoint_file:
+            return
+        try:
+            save_pytree(args.checkpoint_file, plant, metadata={
+                "sim_time": sim_time, "fleet": n,
+                "boundaries": [
+                    {k: float(v) for k, v in
+                     dataclasses.asdict(b).items()} for b in boundaries]})
+            logger.info("t=%.0fs | fleet checkpoint written", sim_time)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Fleet checkpoint write failed: %s",
+                         type(e).__name__)
+
     try:
         while M.running and sim_time < args.duration:
             step_start = time.monotonic()
@@ -258,6 +299,9 @@ def main_fleet(args) -> None:
                                 "recalibration done (%d/%d lanes)",
                                 sim_time, int(run_mask.sum()), n)
                     next_recal += recal_interval_s
+                if args.checkpoint_file and sim_time >= next_checkpoint:
+                    write_checkpoint()
+                    next_checkpoint += checkpoint_interval_s
 
             # real-time pacing (reference __main__.py:453-457)
             if args.rtf > 0:
@@ -272,6 +316,7 @@ def main_fleet(args) -> None:
         logger.error("Fleet error: %s", type(e).__name__)
     finally:
         logger.info("Shutting down fleet...")
+        write_checkpoint()
         if slave:
             logger.info("Stopping Modbus server...")
             try:

@@ -163,6 +163,33 @@ def test_maintenance_t0_resets_calibration_age():
     assert read_status_at(0.0) == SensorStatus.CALIBRATION_EXPIRED
 
 
+def test_fleet_checkpoint_resume_bitexact(tmp_path):
+    """Fleet checkpoint/resume: 10 steps + resume to 20 must equal a
+    straight 20-step run bit for bit (physics + every sensor carry incl.
+    PRNG keys ride the checkpoint)."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    def run(ckpt, duration):
+        orchestrator.running = True
+        orchestrator.main(["--no-modbus", "--fleet", "3", "--zones", "4",
+                           "--dt", "1", "--duration", str(duration),
+                           "--rtf", "0", "--seed", "5",
+                           "--checkpoint-file", str(ckpt)])
+
+    two_phase = tmp_path / "two_phase.npz"
+    straight = tmp_path / "straight.npz"
+    run(two_phase, 10)
+    run(two_phase, 20)      # resumes from t=10
+    run(straight, 20)
+
+    a, b = np.load(two_phase), np.load(straight)
+    keys = [k for k in a.files if k.startswith("leaf_")]
+    assert keys and set(keys) == {k for k in b.files
+                                  if k.startswith("leaf_")}
+    for k in keys:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 # ---------------------------------------------------------------------------
 # Closed-loop fleet orchestrator
 # ---------------------------------------------------------------------------
