@@ -55,11 +55,10 @@ def main_fleet(args) -> None:
 
     n = args.fleet
     units = list(range(1, n + 1))
-    for flag, name in ((args.fused_sensors, "--fused-sensors"),
-                       (args.log_csv, "--log-csv")):
-        if flag:
-            logger.warning("%s is not supported in fleet mode — ignored",
-                           name)
+    if args.fused_sensors:
+        logger.warning("--fused-sensors is implied in fleet mode (the "
+                       "batched step is one jitted physics+instruments "
+                       "call) — flag ignored")
 
     logger.info("=" * 70)
     logger.info("WATER TREATMENT PLANT FLEET (TPU-NATIVE) — %d plants", n)
@@ -158,6 +157,35 @@ def main_fleet(args) -> None:
         else float("inf")
     next_recal = recal_interval_s
 
+    csv_file = None
+    if args.log_csv:
+        csv_file = open(args.log_csv, "a", buffering=1)
+        if csv_file.tell() == 0:
+            csv_file.write("sim_time,unit,pH_inlet,pH_outlet,"
+                           "chlorine_inlet,chlorine_outlet,flow_main,"
+                           "temp_inlet,temp_outlet,acid_cmd,chlorine_cmd,"
+                           "inlet_flow_cmd\n")
+
+    def log_csv_rows(host_out, t_np, run_mask):
+        if csv_file is None:
+            return
+
+        def v(name, i):
+            x = float(np.asarray(host_out[name].value)[i])
+            return f"{x:.6g}" if x == x else ""
+
+        for i, u in enumerate(units):
+            if not run_mask[i]:
+                continue
+            b = boundaries[i]
+            csv_file.write(
+                f"{float(t_np[i]):.3f},{u},{v('pH_inlet', i)},"
+                f"{v('pH_outlet', i)},{v('chlorine_inlet', i)},"
+                f"{v('chlorine_outlet', i)},{v('flow_main', i)},"
+                f"{v('temp_inlet', i)},{v('temp_outlet', i)},"
+                f"{b.acid_flow_rate:.6g},{b.chlorine_flow_rate:.6g},"
+                f"{b.inlet_flow_rate:.6g}\n")
+
     # Checkpoint/resume: the whole batched PlantState (physics + all
     # sensor carries incl. PRNG keys) as one pytree, with sim_time and the
     # per-unit boundaries in the metadata (utils/checkpoint.py — leaf
@@ -255,6 +283,8 @@ def main_fleet(args) -> None:
                         boundaries[i] = M.apply_boundary_conditions(
                             boundaries[i], commands)
 
+                log_csv_rows(host_out, t_np, run_mask)
+
                 if step_count % log_interval == 0:
                     ph_out = np.asarray(host_out["pH_outlet"].value)
                     cl_out = np.asarray(host_out["chlorine_outlet"].value)
@@ -317,6 +347,11 @@ def main_fleet(args) -> None:
     finally:
         logger.info("Shutting down fleet...")
         write_checkpoint()
+        if csv_file is not None:
+            try:
+                csv_file.close()
+            except Exception:  # noqa: BLE001
+                pass
         if slave:
             logger.info("Stopping Modbus server...")
             try:

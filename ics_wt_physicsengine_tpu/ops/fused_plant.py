@@ -14,9 +14,9 @@ When to use which path (measured, v5e, 20 zones, RK4):
   4096 steps, 117k at 16384 (per-step cost ~6.6 us + ~35 ms call overhead)
   vs 7.1k steps/s for the XLA ``plant_rollout`` scan (8-16x).
 - large Monte-Carlo ensembles: the XLA ``plant_rollout_batched`` path —
-  59.8M plant-steps/s at 16,384 plants / 96.1M at 65,536 (with its O(1)
-  line taps + packed PRNG, models/plant.py) vs 5.5M (``layout="zl"``) /
-  6.7M (``layout="pl"``) here.
+  120M plant-steps/s at 65,536 plants (with its O(1) line taps + packed
+  PRNG, models/plant.py; steady-state 512-step calls) vs 5.5M
+  (``layout="zl"``) / 6.7M (``layout="pl"``) here.
 
 Two lane layouts (``layout=``, "auto" picks by batch size):
 - "zl" (zones on lanes): 128//Z plants per row; per-plant sensor math is
