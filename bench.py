@@ -156,7 +156,7 @@ def bench_integrated_single(n_steps=16384, reps=3):
     """Single instrumented plant through the fused plant kernel
     (ops/fused_plant.py): physics + all seven sensors per step in one
     launch — the reference's own serving workload shape (one plant,
-    step + read-all, run_simulation.py) at kernel speed."""
+    step + read-all, reference __main__.py:398-457) at kernel speed."""
     import numpy as np
 
     from ics_wt_physicsengine_tpu.models.plant import make_plant

@@ -4,7 +4,7 @@ instrumented plant, in ONE kernel launch.
 
 This is the reference's HIL loop shape — mutate boundary conditions every
 step, advance the physics, read all seven instruments
-(reference __main__.py:398-457 + run_simulation.py) — executed offline at
+(reference __main__.py:398-457) — executed offline at
 kernel speed via ``ops.fused_plant.plant_rollout_fused`` with a
 BoundaryConditions *schedule*. A day of plant time with per-second forcing
 and per-minute measured-value extraction takes under a second on a v5e.

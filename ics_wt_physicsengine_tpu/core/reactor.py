@@ -501,7 +501,7 @@ def rollout_scheduled(params: ReactorParams, state: ReactorState,
 
     ``schedule`` is a BoundaryConditions pytree whose leaves carry a leading
     time axis ``[n_steps]`` (per-step forcing; the reference drives this by
-    mutating BCs between ``step()`` calls, run_simulation.py HIL loop —
+    mutating BCs between ``step()`` calls in its HIL loop, __main__.py:398-457 —
     here the whole schedule is device-resident data consumed by the scan).
     Scalar leaves (e.g. untouched defaults) broadcast over time; array
     leaves must agree on ``n_steps``. Returns ``(final_state, trajectory)``

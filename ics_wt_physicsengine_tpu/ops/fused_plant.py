@@ -66,7 +66,7 @@ and compare bit-for-bit (tests/test_fused_plant.py).
 
 Reference semantics: sensors/base_sensor.py:509-698 (base pipeline),
 ph_sensor/chlorine_sensor/flow_sensor/temperature_sensor overlays, and
-run_simulation.py's step-then-read-all loop.
+the reference __main__.py:398-457 step-then-read-all loop.
 """
 
 from __future__ import annotations
