@@ -515,7 +515,10 @@ def main(argv=None):
         else float("inf")
     next_recal = recal_interval_s
 
-    checkpoint_interval_s = args.checkpoint_hours * 3600.0
+    # 0 disables periodic checkpoints (same zero convention as
+    # --recal-hours); the shutdown checkpoint still writes.
+    checkpoint_interval_s = args.checkpoint_hours * 3600.0 \
+        if args.checkpoint_hours > 0 else float("inf")
     next_checkpoint = checkpoint_interval_s
     if args.checkpoint_file and os.path.exists(args.checkpoint_file):
         try:

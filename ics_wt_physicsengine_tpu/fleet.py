@@ -79,12 +79,15 @@ def main_fleet(args) -> None:
 
         import jax.numpy as jnp
 
-        def _step_masked(pl, bc, mask):
+        def _step_masked(prm, pl, bc, mask):
             """One batched step with per-lane freeze: lanes where ``mask``
             is False keep their carry unchanged (that unit's own
             simulation_running coil is cleared — the per-unit
-            generalization of the reference's pause semantics)."""
-            new_pl, outputs = plant_step_batched(params, pl, bc, args.dt, m,
+            generalization of the reference's pause semantics).
+            ``prm`` is an explicit argument (not a closure) so checkpoint
+            resume can swap in the restored params — a closed-over pytree
+            would be baked into the trace as constants."""
+            new_pl, outputs = plant_step_batched(prm, pl, bc, args.dt, m,
                                                  stages=s, boundary_axes=0)
 
             def sel(new, old):
@@ -164,7 +167,7 @@ def main_fleet(args) -> None:
             csv_file.write("sim_time,unit,pH_inlet,pH_outlet,"
                            "chlorine_inlet,chlorine_outlet,flow_main,"
                            "temp_inlet,temp_outlet,acid_cmd,chlorine_cmd,"
-                           "inlet_flow_cmd\n")
+                           "inlet_flow_cmd,any_fault\n")
 
     def log_csv_rows(host_out, t_np, run_mask):
         if csv_file is None:
@@ -174,55 +177,109 @@ def main_fleet(args) -> None:
             x = float(np.asarray(host_out[name].value)[i])
             return f"{x:.6g}" if x == x else ""
 
+        from ics_wt_physicsengine_tpu.sensors.types import (
+            FAULT_FROM_CODE, SensorFault)
+
         for i, u in enumerate(units):
             if not run_mask[i]:
                 continue
             b = boundaries[i]
+            any_fault = int(any(
+                FAULT_FROM_CODE[int(np.asarray(out.fault)[i])]
+                != SensorFault.NONE for out in host_out.values()))
             csv_file.write(
                 f"{float(t_np[i]):.3f},{u},{v('pH_inlet', i)},"
                 f"{v('pH_outlet', i)},{v('chlorine_inlet', i)},"
                 f"{v('chlorine_outlet', i)},{v('flow_main', i)},"
                 f"{v('temp_inlet', i)},{v('temp_outlet', i)},"
                 f"{b.acid_flow_rate:.6g},{b.chlorine_flow_rate:.6g},"
-                f"{b.inlet_flow_rate:.6g}\n")
+                f"{b.inlet_flow_rate:.6g},{any_fault}\n")
 
-    # Checkpoint/resume: the whole batched PlantState (physics + all
-    # sensor carries incl. PRNG keys) as one pytree, with sim_time and the
-    # per-unit boundaries in the metadata (utils/checkpoint.py — leaf
-    # shape validation fails fast on a fleet-size/config mismatch).
+    # Checkpoint/resume: the randomized per-lane params AND the whole
+    # batched PlantState (physics + all sensor carries incl. PRNG keys) as
+    # one pytree — params ride the checkpoint so resuming with a different
+    # --seed cannot silently pair old state with different physics — with
+    # sim_time and the per-unit boundaries in the metadata
+    # (utils/checkpoint.py leaf validation fails fast on a fleet-size or
+    # zone-count mismatch).
     import dataclasses
     import os as _os
 
     from ics_wt_physicsengine_tpu.utils.checkpoint import (
         load_metadata, load_pytree, save_pytree)
 
-    checkpoint_interval_s = args.checkpoint_hours * 3600.0
+    checkpoint_interval_s = args.checkpoint_hours * 3600.0 \
+        if args.checkpoint_hours > 0 else float("inf")
     next_checkpoint = checkpoint_interval_s
     if args.checkpoint_file and _os.path.exists(args.checkpoint_file):
         try:
+            # Stage everything, then commit atomically: a failure anywhere
+            # leaves the fresh-start state fully intact.
             meta = load_metadata(args.checkpoint_file)
-            plant = load_pytree(args.checkpoint_file, plant)
+            restored = load_pytree(args.checkpoint_file,
+                                   {"params": params, "plant": plant})
+            new_bounds = [BoundaryConditions(**b)
+                          for b in meta.get("boundaries", [])[:n]]
+            params, plant = restored["params"], restored["plant"]
+            for i, b in enumerate(new_bounds):
+                boundaries[i] = b
             sim_time = float(meta.get("sim_time", 0.0))
             next_checkpoint = sim_time + checkpoint_interval_s
-            next_recal = sim_time + recal_interval_s \
-                if recal_interval_s != float("inf") else float("inf")
-            for i, b in enumerate(meta.get("boundaries", [])[:n]):
-                boundaries[i] = BoundaryConditions(**b)
+            # Maintenance stays on the absolute k*recal_interval schedule
+            # so a resumed run recalibrates at the same sim times a
+            # straight run would.
+            if recal_interval_s != float("inf"):
+                import math as _math
+                next_recal = (_math.floor(sim_time / recal_interval_s) + 1) \
+                    * recal_interval_s
+            # The registers are the command source of truth: push the
+            # restored actuator state back so the first tick's
+            # read_modbus_commands doesn't clobber it with defaults.
+            if slave:
+                for i, u in enumerate(units):
+                    b = boundaries[i]
+                    slave.write_holding_register("acid_flow_rate",
+                                                 b.acid_flow_rate, unit=u)
+                    slave.write_holding_register("chlorine_flow_rate",
+                                                 b.chlorine_flow_rate,
+                                                 unit=u)
+                    slave.write_holding_register("inlet_flow_rate",
+                                                 b.inlet_flow_rate, unit=u)
+                    slave.write_holding_register("acid_concentration",
+                                                 b.acid_concentration,
+                                                 unit=u)
+                    slave.write_holding_register("chlorine_concentration",
+                                                 b.chlorine_concentration,
+                                                 unit=u)
             logger.info("Resumed fleet from checkpoint %s at t=%.0fs",
                         args.checkpoint_file, sim_time)
         except Exception as e:  # noqa: BLE001
-            logger.error("Fleet checkpoint resume failed: %s — starting "
-                         "fresh", type(e).__name__)
+            # Preserve the incompatible checkpoint: the shutdown write
+            # would otherwise overwrite hours of state with a fresh t~0.
+            backup = args.checkpoint_file + ".incompatible"
+            try:
+                _os.replace(args.checkpoint_file, backup)
+                logger.error(
+                    "Fleet checkpoint resume failed: %s — starting fresh; "
+                    "the old checkpoint was preserved at %s",
+                    type(e).__name__, backup)
+            except OSError:
+                logger.error("Fleet checkpoint resume failed: %s — "
+                             "starting fresh", type(e).__name__)
 
     def write_checkpoint():
         if not args.checkpoint_file:
             return
         try:
-            save_pytree(args.checkpoint_file, plant, metadata={
-                "sim_time": sim_time, "fleet": n,
-                "boundaries": [
-                    {k: float(v) for k, v in
-                     dataclasses.asdict(b).items()} for b in boundaries]})
+            save_pytree(args.checkpoint_file,
+                        {"params": params, "plant": plant}, metadata={
+                            "sim_time": sim_time, "fleet": n,
+                            "zones": args.zones, "dt": args.dt,
+                            "seed": args.seed or 0,
+                            "boundaries": [
+                                {k: float(v) for k, v in
+                                 dataclasses.asdict(b).items()}
+                                for b in boundaries]})
             logger.info("t=%.0fs | fleet checkpoint written", sim_time)
         except Exception as e:  # noqa: BLE001
             logger.error("Fleet checkpoint write failed: %s",
@@ -247,7 +304,7 @@ def main_fleet(args) -> None:
             if not paused:
                 try:
                     plant, outputs = step(
-                        plant, _stack_boundaries(boundaries, dtype),
+                        params, plant, _stack_boundaries(boundaries, dtype),
                         run_mask)
                 except Exception as e:  # noqa: BLE001
                     logger.error("Fleet step failed: %s", type(e).__name__)
@@ -314,7 +371,7 @@ def main_fleet(args) -> None:
                     # freeze invariant holds through maintenance.
                     import jax.numpy as _jnp
                     _, fresh = make_plant_batch(
-                        config, n, seed=(args.seed or 0) + step_count,
+                        config, n, seed=(args.seed or 0) + int(sim_time),
                         warmed_up=True, t0=sim_time)
                     fresh = dc_replace(fresh, reactor=plant.reactor)
                     mask = _jnp.asarray(run_mask)
