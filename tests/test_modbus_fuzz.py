@@ -1,0 +1,134 @@
+"""Wire-level fuzzing of both Modbus/TCP data planes.
+
+An ICS-facing server must survive arbitrary garbage on the wire: malformed
+MBAP headers, truncated PDUs, illegal function codes, oversized counts,
+random bytes mid-stream. After every fuzz barrage the server must still
+answer a well-formed request correctly on a fresh connection — no crash, no
+wedged poll loop, no corrupted register state. Deterministic RNG so any
+failure reproduces.
+
+(The reference delegates framing to pymodbus and never tests this; both
+from-scratch planes here get the same barrage.)
+"""
+
+import socket
+import struct
+
+import numpy as np
+import pytest
+
+from ics_wt_physicsengine_tpu.modbus import (
+    ModbusRegisterMap,
+    ModbusServerConfig,
+    ModbusSlave,
+    ModbusTcpClient,
+)
+
+N_FRAMES = 300
+
+
+def _random_frames(rng):
+    """A mix of structurally valid frames with hostile PDUs and raw noise."""
+    frames = []
+    for _ in range(N_FRAMES):
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            # valid MBAP, random PDU (random fc + random payload)
+            pdu = bytes(rng.integers(0, 256, rng.integers(1, 40),
+                                     dtype=np.uint8))
+            frames.append(struct.pack(">HHHB", int(rng.integers(0, 65536)),
+                                      0, len(pdu) + 1, 1) + pdu)
+        elif kind == 1:
+            # valid fc, hostile address/count (overflow, zero, max)
+            fc = int(rng.choice([1, 2, 3, 4, 5, 6, 15, 16]))
+            addr = int(rng.choice([0, 1, 9, 100, 0xFFFE, 0xFFFF]))
+            cnt = int(rng.choice([0, 1, 125, 126, 2000, 2001, 0xFFFF]))
+            pdu = struct.pack(">BHH", fc, addr, cnt)
+            frames.append(struct.pack(">HHHB", 7, 0, len(pdu) + 1, 1) + pdu)
+        elif kind == 2:
+            # corrupt MBAP: wrong protocol id / absurd length field
+            proto = int(rng.choice([0, 1, 0xFFFF]))
+            length = int(rng.choice([0, 1, 2, 254, 255, 0xFFFF]))
+            frames.append(struct.pack(">HHHB", 7, proto, length, 1)
+                          + bytes(rng.integers(0, 256, 4, dtype=np.uint8)))
+        else:
+            # raw noise, not even a header
+            frames.append(bytes(rng.integers(
+                0, 256, rng.integers(1, 64), dtype=np.uint8)))
+    return frames
+
+
+def _barrage(port, frames):
+    """Fire the frames over several short-lived connections, ignoring any
+    responses/disconnects (a hostile client doesn't read)."""
+    chunk = max(1, len(frames) // 8)
+    for i in range(0, len(frames), chunk):
+        try:
+            with socket.create_connection(("127.0.0.1", port),
+                                          timeout=2) as s:
+                s.settimeout(0.2)
+                for f in frames[i:i + chunk]:
+                    s.sendall(f)
+                try:
+                    while s.recv(4096):
+                        pass
+                except (socket.timeout, OSError):
+                    pass
+        except OSError:
+            pass   # server may drop hostile connections mid-send: fine
+
+
+def _assert_alive_and_correct(slave, port):
+    slave.update_input_register("pH_inlet", 7.25)
+    with ModbusTcpClient("127.0.0.1", port) as c:
+        assert c.read_float32(0) == pytest.approx(7.25, abs=1e-5)
+        c.write_float32(0, 0.75)
+    assert slave.read_holding_register("acid_flow_rate") == \
+        pytest.approx(0.75)
+
+
+def test_python_slave_survives_fuzz():
+    rng = np.random.default_rng(1234)
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0))
+    slave.start(blocking=False)
+    try:
+        _assert_alive_and_correct(slave, slave.port)
+        _barrage(slave.port, _random_frames(rng))
+        _assert_alive_and_correct(slave, slave.port)
+        assert slave.is_running
+    finally:
+        slave.stop()
+
+
+def test_native_slave_survives_fuzz():
+    from ics_wt_physicsengine_tpu.modbus import native_slave
+
+    if not native_slave.is_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(4321)
+    slave = native_slave.NativeModbusSlave(
+        ModbusRegisterMap(), ModbusServerConfig(host="127.0.0.1", port=0))
+    slave.start(blocking=False)
+    try:
+        _assert_alive_and_correct(slave, slave.port)
+        _barrage(slave.port, _random_frames(rng))
+        _assert_alive_and_correct(slave, slave.port)
+    finally:
+        slave.stop()
+
+
+def test_fuzz_multi_unit_isolation():
+    """Garbage aimed at unit 1 never corrupts unit 2's register space."""
+    rng = np.random.default_rng(77)
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0),
+                        units=[1, 2])
+    slave.start(blocking=False)
+    try:
+        slave.update_input_register("pH_inlet", 6.66, unit=2)
+        _barrage(slave.port, _random_frames(rng))
+        with ModbusTcpClient("127.0.0.1", slave.port, unit_id=2) as c:
+            assert c.read_float32(0) == pytest.approx(6.66, abs=1e-5)
+    finally:
+        slave.stop()
