@@ -11,7 +11,10 @@ restore. Typed PRNG key arrays round-trip via key_data/wrap_key_data.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
+import tempfile
 from typing import Any, Dict, Optional
 
 import jax
@@ -46,7 +49,20 @@ def save_pytree(path: str, tree: Any, metadata: Optional[Dict] = None):
             "kinds": kinds,
             "metadata": metadata or {},
         }).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    # Atomic write: serialize to a sibling temp file, then rename over the
+    # target — a crash/SIGKILL mid-write can never leave a truncated
+    # checkpoint where a good one used to be (covers every checkpoint path:
+    # orchestrator, fleet, soak, examples).
+    directory = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(suffix=".npz.tmp", dir=directory)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
 
 
 def load_pytree(path: str, template: Any):
