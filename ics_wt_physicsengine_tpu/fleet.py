@@ -118,8 +118,11 @@ def main_fleet(args) -> None:
         logger.info("[PHASE 4] Initializing Modbus server "
                     "(units %d..%d)...", units[0], units[-1])
         try:
-            server_config = ModbusServerConfig(host=args.host,
-                                               port=args.port, unit_id=1)
+            # Fleet masters often hold one connection per unit (e.g. the
+            # controller farm example): size the cap to the fleet.
+            server_config = ModbusServerConfig(
+                host=args.host, port=args.port, unit_id=1,
+                max_connections=max(32, 2 * n + 4))
             if args.native_modbus:
                 from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
                 slave = NativeModbusSlave(ModbusRegisterMap(), server_config,

@@ -74,7 +74,10 @@ class ModbusServerConfig:
     host: str = "0.0.0.0"
     port: int = 5020
     unit_id: int = 1
-    max_connections: int = 5
+    # Live-connection cap, enforced by the Python server (excess masters
+    # are closed on connect). The C++ data plane has its own compile-time
+    # cap of 64 (native/modbus_server.cpp kMaxClients).
+    max_connections: int = 32
     timeout_seconds: float = 5.0
 
 
@@ -165,6 +168,7 @@ class ModbusSlave:
 
         self.request_count = 0
         self.error_count = 0
+        self._n_clients = 0   # live connections (event-loop thread only)
 
     # Backward-compatible single-unit block views (the primary unit's).
     @property
@@ -309,6 +313,21 @@ class ModbusSlave:
     async def _handle_client(self, reader: asyncio.StreamReader,
                              writer: asyncio.StreamWriter):
         peer = writer.get_extra_info("peername")
+        # Connection cap (config.max_connections): excess masters are
+        # closed immediately rather than queued, so a connection flood
+        # cannot accumulate server-side state. Single-threaded event loop,
+        # so a plain counter is race-free.
+        if self._n_clients >= self.config.max_connections:
+            logger.warning("Rejecting Modbus client %s: %d connections "
+                           "already active (max_connections=%d)", peer,
+                           self._n_clients, self.config.max_connections)
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except Exception:  # noqa: BLE001
+                pass
+            return
+        self._n_clients += 1
         logger.debug("Modbus client connected: %s", peer)
         try:
             while not self._shutdown_requested.is_set():
@@ -348,6 +367,7 @@ class ModbusSlave:
             self.error_count += 1
             logger.warning("Modbus client error: %s", type(exc).__name__)
         finally:
+            self._n_clients -= 1
             writer.close()
             try:
                 await writer.wait_closed()

@@ -132,3 +132,36 @@ def test_fuzz_multi_unit_isolation():
             assert c.read_float32(0) == pytest.approx(6.66, abs=1e-5)
     finally:
         slave.stop()
+
+
+def test_connection_cap_rejects_excess_masters():
+    """config.max_connections caps live connections: the (max+1)th client
+    is closed immediately, and capacity frees when a client disconnects."""
+    import time
+
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0,
+                                           max_connections=2))
+    slave.start(blocking=False)
+    try:
+        slave.update_input_register("pH_inlet", 7.0)
+        c1 = ModbusTcpClient("127.0.0.1", slave.port).connect()
+        c2 = ModbusTcpClient("127.0.0.1", slave.port).connect()
+        assert c1.read_float32(0) == pytest.approx(7.0, abs=1e-5)
+        assert c2.read_float32(0) == pytest.approx(7.0, abs=1e-5)
+
+        # third connection: accepted at TCP level but closed by the server
+        c3 = ModbusTcpClient("127.0.0.1", slave.port, timeout=2).connect()
+        with pytest.raises((OSError, IOError)):
+            c3.read_float32(0)
+        c3.close()
+
+        # capacity frees on disconnect
+        c2.close()
+        time.sleep(0.2)
+        c4 = ModbusTcpClient("127.0.0.1", slave.port).connect()
+        assert c4.read_float32(0) == pytest.approx(7.0, abs=1e-5)
+        c4.close()
+        c1.close()
+    finally:
+        slave.stop()
