@@ -1,0 +1,72 @@
+"""Smoke-run every example script end-to-end (subprocess, CPU, tiny args).
+
+The examples are the user-facing front door; without execution coverage an
+API change can silently rot them. Each runs as a real `python examples/x.py`
+subprocess (its own backend selection, sys.path bootstrap, CLI parsing) with
+parameters small enough for the 1-core host, and must exit 0 with its
+expected output marker. The persistent jax compilation cache keeps repeat
+runs fast.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script, args, timeout=420):
+    env = dict(os.environ)
+    # The examples choose their own backend (--cpu / jax.config); scrub the
+    # test session's device forcing so subprocesses start clean.
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script)] + args,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout)
+    assert out.returncode == 0, (script, out.stdout[-2000:],
+                                 out.stderr[-2000:])
+    return out.stdout
+
+
+def test_monte_carlo_uq():
+    out = _run("monte_carlo_uq.py",
+               ["--cpu", "--plants", "16", "--hours", "0.02"])
+    assert '"plants": 16' in out
+
+
+def test_monte_carlo_uq_with_sensors():
+    out = _run("monte_carlo_uq.py",
+               ["--cpu", "--plants", "8", "--hours", "0.02",
+                "--with-sensors"])
+    assert "measured-values" in out
+
+
+def test_parameter_estimation():
+    out = _run("parameter_estimation.py",
+               ["--cpu", "--steps", "60", "--iters", "25"])
+    assert "recovered" in out.lower() or "error" in out.lower()
+
+
+def test_zone_sharded_highres():
+    out = _run("zone_sharded_highres.py",
+               ["--cpu", "--zones", "64", "--steps", "20"])
+    assert "zones" in out.lower()
+
+
+def test_dosing_program_hil():
+    out = _run("dosing_program_hil.py", ["--cpu", "--hours", "0.05"])
+    assert out.strip()
+
+
+def test_pid_controller_spawn():
+    out = _run("pid_controller.py",
+               ["--spawn", "--iterations", "15", "--period", "0.1"])
+    assert "setpoint" in out.lower() or "iter" in out.lower()
+
+
+def test_fleet_farm_spawn():
+    out = _run("fleet_farm.py", ["--units", "2", "--iterations", "20"])
+    assert '"fleet_units": 2' in out
