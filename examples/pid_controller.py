@@ -93,7 +93,9 @@ def control_loop(host, port, iterations, period, cl_setpoint, ph_setpoint,
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--host", default="127.0.0.1")
-    parser.add_argument("--port", type=int, default=5020)
+    parser.add_argument("--port", type=int, default=None,
+                        help="simulator port (default 5020; --spawn picks "
+                             "a free ephemeral port unless one is given)")
     parser.add_argument("--iterations", type=int, default=120)
     parser.add_argument("--period", type=float, default=0.5,
                         help="controller period [wall seconds]")
@@ -102,6 +104,18 @@ def main():
     parser.add_argument("--spawn", action="store_true",
                         help="spawn the simulator in-process (demo mode)")
     args = parser.parse_args()
+
+    if args.port is None:
+        if args.spawn:
+            # Ephemeral port: a fixed default can collide with another
+            # simulator (or a concurrent test session) on this host.
+            import socket
+            s = socket.socket()
+            s.bind((args.host, 0))
+            args.port = s.getsockname()[1]
+            s.close()
+        else:
+            args.port = 5020
 
     sim_thread = None
     if args.spawn:

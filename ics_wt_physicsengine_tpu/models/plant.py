@@ -494,7 +494,8 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
                           boundary: R.BoundaryConditions, dt: float,
                           substeps: int, n_steps: int, record: bool = True,
                           stages=None, line_mode: str = "auto",
-                          rng_mode: str = "packed", line_taps=None):
+                          rng_mode: str = "packed", line_taps=None,
+                          schedule: R.BoundaryConditions = None):
     """Scan the batched integrated step over n_steps: measured-value
     trajectories for a whole Monte-Carlo ensemble in one jit (uncertainty
     quantification over what the instruments would actually report, not the
@@ -540,6 +541,14 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
       so chained rollout calls draw genuinely fresh streams.
     - ``"per-sensor"``: each instrument draws from its own carried key,
       bit-identical to stepping ``plant_step_batched`` manually.
+
+    ``schedule``: optional time-varying forcing — a BoundaryConditions
+    whose leaves are ``[n_steps]`` arrays (scalars broadcast), applied one
+    entry per step to EVERY plant (the batched analogue of
+    ``plant_rollout_scheduled``: measured-value UQ of a scripted dosing
+    program over the whole ensemble, on the same tap/packed fast path).
+    When given, ``boundary`` is ignored and its leaves' common length must
+    equal ``n_steps``.
     """
     if line_mode not in ("auto", "tap", "exact"):
         raise ValueError(f"unknown line_mode: {line_mode!r}")
@@ -573,6 +582,24 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
         raise ValueError("line_mode='tap' needs concrete batch-identical "
                          "line delays (none found)")
 
+    if schedule is not None:
+        lengths = {int(jnp.shape(x)[0])
+                   for x in jax.tree_util.tree_leaves(schedule)
+                   if jnp.ndim(x) >= 1}
+        if lengths and lengths != {n_steps}:
+            raise ValueError(f"schedule leaves of length {sorted(lengths)} "
+                             f"disagree with n_steps={n_steps}")
+        schedule = jax.tree_util.tree_map(
+            lambda x: (jnp.broadcast_to(jnp.asarray(x), (n_steps,))
+                       if jnp.ndim(x) == 0 else jnp.asarray(x)), schedule)
+
+        def bc_at(j):
+            return jax.tree_util.tree_map(lambda x: x[j], schedule)
+    else:
+        def bc_at(j):
+            del j
+            return boundary
+
     batch_shape = jnp.shape(plant.reactor.pH)[:-1]
     dtype = plant.reactor.pH.dtype
     packed = rng_mode == "packed"
@@ -604,7 +631,7 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
     if not taps:
         def body(p, j):
             rand = draw(j) if packed else None
-            p, readings = plant_step_batched(params, p, boundary, dt,
+            p, readings = plant_step_batched(params, p, bc_at(j), dt,
                                              substeps, stages=stages,
                                              rand=rand)
             out = ({k: v.value for k, v in readings.items()}
@@ -626,7 +653,7 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
 
     def body(carry, j):
         p, bufs = carry
-        state = R.step(params.reactor, p.reactor, boundary, dt=dt,
+        state = R.step(params.reactor, p.reactor, bc_at(j), dt=dt,
                        substeps=substeps, stages=stages)
         delayed, bufs = _tap_update(bufs, taps,
                                     _line_true_values(params, state, taps),

@@ -197,6 +197,57 @@ def test_chained_packed_rollouts_draw_fresh_streams():
                               np.asarray(traj2["temp_outlet"]))
 
 
+def test_scheduled_batched_rollout():
+    """plant_rollout_batched(schedule=...): per-step scripted forcing over
+    the whole ensemble. exact/per-sensor mode must bit-match manual
+    stepping with the same per-step boundaries; the tap fast path must
+    bit-match the exact ring under the same schedule."""
+    from dataclasses import replace as dc_replace
+
+    from ics_wt_physicsengine_tpu.models.plant import plant_step_batched
+
+    n_steps = 12
+    params, plant = make_plant_batch(R.ReactorConfiguration(n_zones=4),
+                                     n_plants=3, seed=13, dtype=jnp.float64)
+    sched = dc_replace(
+        BC,
+        acid_flow_rate=jnp.where(jnp.arange(n_steps) % 4 < 2, 0.0, 0.4),
+        inlet_chlorine=jnp.linspace(0.2, 1.0, n_steps))
+
+    # oracle: manual stepping with the per-step boundary
+    p1, vals = plant, []
+    for j in range(n_steps):
+        bc_j = jax.tree_util.tree_map(
+            lambda x: x[j] if jnp.ndim(x) >= 1 else x, sched)
+        p1, r = jax.jit(lambda s, b: plant_step_batched(
+            params, s, b, 1.0, 4))(p1, bc_j)
+        vals.append(np.asarray(r["chlorine_outlet"].value))
+
+    _, traj = jax.jit(lambda s: plant_rollout_batched(
+        params, s, None, 1.0, 4, n_steps, schedule=sched,
+        line_mode="exact", rng_mode="per-sensor"))(plant)
+    np.testing.assert_array_equal(np.asarray(traj["chlorine_outlet"]),
+                                  np.stack(vals))
+
+    # tap path under the same schedule == exact ring
+    run = lambda mode: jax.jit(lambda s: plant_rollout_batched(  # noqa: E731
+        params, s, None, 1.0, 4, n_steps, schedule=sched,
+        line_mode=mode)[1])(plant)
+    a, b = run("exact"), run("tap")
+    for name in ("pH_outlet", "temp_inlet", "chlorine_outlet"):
+        np.testing.assert_array_equal(np.asarray(a[name]),
+                                      np.asarray(b[name]), err_msg=name)
+
+    # length mismatch fails loudly
+    bad = dc_replace(BC, acid_flow_rate=jnp.zeros(n_steps + 1))
+    try:
+        plant_rollout_batched(params, plant, None, 1.0, 4, n_steps,
+                              schedule=bad)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "disagree" in str(e)
+
+
 def test_non_unit_dt_tap():
     """dt=2 s: tap = 15 steps; still matches the exact ring."""
     params, plant = make_plant_batch(R.ReactorConfiguration(n_zones=4),
