@@ -33,6 +33,11 @@ def main():
                         help="quantify uncertainty over *measured* values "
                              "(full instrument suites per plant) instead of "
                              "true state — smaller ensembles, vmapped path")
+    parser.add_argument("--dosing-program", action="store_true",
+                        help="with --with-sensors: drive the whole ensemble "
+                             "through a scripted chlorine dosing program "
+                             "(square-wave pulses) instead of constant "
+                             "forcing — plant_rollout_batched(schedule=...)")
     parser.add_argument("--integrator", choices=["rk4", "rkc-fast"],
                         default="rk4",
                         help="rkc-fast: Chebyshev-stabilized integrator, "
@@ -73,19 +78,30 @@ def main():
             inlet_flow_rate=5.0, inlet_pH=7.4, inlet_chlorine=0.2,
             chlorine_flow_rate=0.15, chlorine_concentration=50.0,
             acid_flow_rate=0.05)
+        schedule = None
+        if args.dosing_program:
+            # Scripted forcing over the ensemble: 15-min chlorine pulses
+            # every hour on top of the constant policy — measured-value UQ
+            # of an operating procedure, not just a steady state.
+            t_ax = np.arange(n_steps, dtype=np.float32) * args.dt
+            from dataclasses import replace as dc_replace
+            schedule = dc_replace(
+                bc, chlorine_flow_rate=np.where(
+                    t_ax % 3600.0 < 900.0, 0.45, 0.05).astype(np.float32))
         t0 = time.perf_counter()
         # params closed over, not traced: the O(1) sample-line tap path
         # needs Python-visible delays (models/plant.py docstring).
         fn = jax.jit(lambda s, b: plant_rollout_batched(
             params, s, b, dt=args.dt, substeps=substeps, stages=stages,
-            n_steps=n_steps))
+            n_steps=n_steps, schedule=schedule))
         plant, traj = fn(plant, bc)
         cl = np.asarray(traj["chlorine_outlet"][-1])
         np.asarray(plant.reactor.time)
         wall = time.perf_counter() - t0
         finite = cl[np.isfinite(cl)]
         print(json.dumps({
-            "mode": "measured-values",
+            "mode": ("measured-values+dosing-program"
+                     if args.dosing_program else "measured-values"),
             "plants": args.plants,
             "simulated_hours": args.hours,
             "wall_seconds_including_compile": round(wall, 2),

@@ -44,6 +44,13 @@ def test_monte_carlo_uq_with_sensors():
     assert "measured-values" in out
 
 
+def test_monte_carlo_uq_dosing_program():
+    out = _run("monte_carlo_uq.py",
+               ["--cpu", "--plants", "8", "--hours", "0.02",
+                "--with-sensors", "--dosing-program"])
+    assert "dosing-program" in out
+
+
 def test_parameter_estimation():
     out = _run("parameter_estimation.py",
                ["--cpu", "--steps", "60", "--iters", "25"])
