@@ -34,7 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ics_wt_physicsengine_tpu.modbus import ModbusTcpClient  # noqa: E402
-from examples.pid_controller import PID  # noqa: E402
+from examples.pid_controller import PID, free_port  # noqa: E402
 
 
 def farm(host, port, n_units, iterations, period=0.2, verbose=True):
@@ -105,10 +105,7 @@ def main():
     if spawn:
         import ics_wt_physicsengine_tpu.__main__ as orch
 
-        s = socket.socket()
-        s.bind((args.host, 0))
-        args.port = s.getsockname()[1]
-        s.close()
+        args.port = free_port(args.host)
         orch.running = True
         sim_thread = threading.Thread(
             target=orch.main,

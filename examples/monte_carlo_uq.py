@@ -44,6 +44,9 @@ def main():
                              "~2.7x throughput at ensemble-grade accuracy "
                              "(<=3e-6 pH vs Radau; tests/test_rkc.py)")
     args = parser.parse_args()
+    if args.dosing_program and not args.with_sensors:
+        parser.error("--dosing-program requires --with-sensors (the "
+                     "true-state fused path runs constant forcing)")
 
     import jax
     if args.cpu:

@@ -31,6 +31,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ics_wt_physicsengine_tpu.modbus import ModbusTcpClient  # noqa: E402
 
 
+def free_port(host: str = "127.0.0.1") -> int:
+    """Bind-then-release an ephemeral port (shared by the self-spawning
+    demos; a fixed default port collides with concurrent simulators)."""
+    import socket
+
+    s = socket.socket()
+    s.bind((host, 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
 class PID:
     """Discrete PID with anti-windup clamping."""
 
@@ -106,16 +118,7 @@ def main():
     args = parser.parse_args()
 
     if args.port is None:
-        if args.spawn:
-            # Ephemeral port: a fixed default can collide with another
-            # simulator (or a concurrent test session) on this host.
-            import socket
-            s = socket.socket()
-            s.bind((args.host, 0))
-            args.port = s.getsockname()[1]
-            s.close()
-        else:
-            args.port = 5020
+        args.port = free_port(args.host) if args.spawn else 5020
 
     sim_thread = None
     if args.spawn:

@@ -125,6 +125,13 @@ def main_fleet(args) -> None:
                 max_connections=max(32, 2 * n + 4))
             if args.native_modbus:
                 from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
+                if server_config.max_connections > 64:
+                    logger.warning(
+                        "--native-modbus: the C++ plane's compile-time "
+                        "connection cap is 64 (< the fleet-sized %d); "
+                        "masters holding one connection per unit will be "
+                        "refused beyond 64 concurrent connections",
+                        server_config.max_connections)
                 slave = NativeModbusSlave(ModbusRegisterMap(), server_config,
                                           units=units)
             else:

@@ -79,6 +79,11 @@ class ModbusServerConfig:
     # cap of 64 (native/modbus_server.cpp kMaxClients).
     max_connections: int = 32
     timeout_seconds: float = 5.0
+    # Idle disconnect: a connection holding a cap slot without sending a
+    # request for this long is dropped (slow-loris defense — without it,
+    # max_connections half-open sockets would lock legitimate masters out
+    # forever). Generous vs any real SCADA poll interval.
+    idle_timeout_seconds: float = 300.0
 
 
 class _DataBlock:
@@ -331,7 +336,12 @@ class ModbusSlave:
         logger.debug("Modbus client connected: %s", peer)
         try:
             while not self._shutdown_requested.is_set():
-                header = await reader.readexactly(7)
+                # Idle cap-slot holders are dropped (see config); a peer
+                # that stalls MID-frame gets a short grace period — a
+                # well-formed frame arrives in one segment.
+                header = await asyncio.wait_for(
+                    reader.readexactly(7),
+                    timeout=self.config.idle_timeout_seconds)
                 transaction_id, protocol_id, length, unit_id = struct.unpack(
                     ">HHHB", header)
                 # MBAP length counts unit id + PDU: valid range [2, 254].
@@ -342,7 +352,8 @@ class ModbusSlave:
                                    length, peer)
                     self.error_count += 1
                     break
-                pdu = await reader.readexactly(length - 1)
+                pdu = await asyncio.wait_for(
+                    reader.readexactly(length - 1), timeout=10.0)
                 self.request_count += 1
                 # A slave only answers frames addressed to a unit it serves
                 # (or the broadcast unit 0xFF conventionally used over TCP,
@@ -363,6 +374,8 @@ class ModbusSlave:
                 await writer.drain()
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
+        except asyncio.TimeoutError:
+            logger.debug("Dropping idle Modbus client: %s", peer)
         except Exception as exc:  # noqa: BLE001 — log type only, like ref
             self.error_count += 1
             logger.warning("Modbus client error: %s", type(exc).__name__)

@@ -56,8 +56,15 @@ def save_pytree(path: str, tree: Any, metadata: Optional[Dict] = None):
     directory = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(suffix=".npz.tmp", dir=directory)
     try:
+        # mkstemp creates 0600; restore umask-governed permissions so
+        # other-user readers of checkpoints keep working.
+        umask = os.umask(0)
+        os.umask(umask)
+        os.chmod(tmp, 0o666 & ~umask)
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())   # data hits disk before the rename does
         os.replace(tmp, path)
     except BaseException:
         with contextlib.suppress(OSError):

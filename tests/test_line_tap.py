@@ -214,13 +214,13 @@ def test_scheduled_batched_rollout():
         acid_flow_rate=jnp.where(jnp.arange(n_steps) % 4 < 2, 0.0, 0.4),
         inlet_chlorine=jnp.linspace(0.2, 1.0, n_steps))
 
-    # oracle: manual stepping with the per-step boundary
+    # oracle: manual stepping with the per-step boundary (one trace)
+    step = jax.jit(lambda s, b: plant_step_batched(params, s, b, 1.0, 4))
     p1, vals = plant, []
     for j in range(n_steps):
         bc_j = jax.tree_util.tree_map(
             lambda x: x[j] if jnp.ndim(x) >= 1 else x, sched)
-        p1, r = jax.jit(lambda s, b: plant_step_batched(
-            params, s, b, 1.0, 4))(p1, bc_j)
+        p1, r = step(p1, bc_j)
         vals.append(np.asarray(r["chlorine_outlet"].value))
 
     _, traj = jax.jit(lambda s: plant_rollout_batched(

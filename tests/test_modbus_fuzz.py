@@ -156,12 +156,20 @@ def test_connection_cap_rejects_excess_masters():
             c3.read_float32(0)
         c3.close()
 
-        # capacity frees on disconnect
+        # capacity frees on disconnect (poll: the event loop must
+        # process the EOF before a slot opens)
         c2.close()
-        time.sleep(0.2)
-        c4 = ModbusTcpClient("127.0.0.1", slave.port).connect()
-        assert c4.read_float32(0) == pytest.approx(7.0, abs=1e-5)
-        c4.close()
+        deadline = time.time() + 5.0
+        value = None
+        while time.time() < deadline:
+            try:
+                with ModbusTcpClient("127.0.0.1", slave.port,
+                                     timeout=1.0) as c4:
+                    value = c4.read_float32(0)
+                break
+            except (OSError, IOError):
+                time.sleep(0.1)
+        assert value == pytest.approx(7.0, abs=1e-5)
         c1.close()
     finally:
         slave.stop()
