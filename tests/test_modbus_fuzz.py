@@ -173,3 +173,38 @@ def test_connection_cap_rejects_excess_masters():
         c1.close()
     finally:
         slave.stop()
+
+
+def test_idle_connections_are_dropped():
+    """A connection that sends nothing is dropped after idle_timeout_seconds
+    (slow-loris defense), freeing its cap slot for a real master."""
+    import time
+
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0,
+                                           max_connections=1,
+                                           idle_timeout_seconds=0.5))
+    slave.start(blocking=False)
+    try:
+        slave.update_input_register("pH_inlet", 7.5)
+        idle = socket.create_connection(("127.0.0.1", slave.port))
+        # the idle holder occupies the only slot...
+        time.sleep(0.1)
+        with ModbusTcpClient("127.0.0.1", slave.port, timeout=1.0) as c:
+            with pytest.raises((OSError, IOError)):
+                c.read_float32(0)
+        # ...until the idle timeout drops it
+        deadline = time.time() + 5.0
+        value = None
+        while time.time() < deadline:
+            try:
+                with ModbusTcpClient("127.0.0.1", slave.port,
+                                     timeout=1.0) as c:
+                    value = c.read_float32(0)
+                break
+            except (OSError, IOError):
+                time.sleep(0.1)
+        assert value == pytest.approx(7.5, abs=1e-5)
+        idle.close()
+    finally:
+        slave.stop()
