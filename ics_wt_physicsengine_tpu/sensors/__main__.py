@@ -10,6 +10,18 @@ and consumable replacement.
 
 from __future__ import annotations
 
+import os
+
+import jax
+
+# Per-tick host loop (one step + seven reads per simulated second): CPU is
+# the right backend regardless of the session default — on the tunneled-TPU
+# backend every call pays ~30-100 ms of relay latency and the demo takes
+# minutes instead of seconds (same policy as core/__main__ and the
+# orchestrator's --backend default). Override with WT_DEMO_BACKEND=tpu.
+jax.config.update("jax_platforms",
+                  os.environ.get("WT_DEMO_BACKEND", "cpu"))
+
 
 def main() -> None:
     import numpy as np

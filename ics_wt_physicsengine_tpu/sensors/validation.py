@@ -160,4 +160,11 @@ def run_all_sensor_validations():
 
 
 if __name__ == "__main__":
+    import os
+
+    import jax
+
+    # Host-side oracle checks: CPU backend (same policy as core/__main__).
+    jax.config.update("jax_platforms",
+                      os.environ.get("WT_VALIDATE_BACKEND", "cpu"))
     run_all_sensor_validations()

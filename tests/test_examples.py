@@ -77,3 +77,23 @@ def test_pid_controller_spawn():
 def test_fleet_farm_spawn():
     out = _run("fleet_farm.py", ["--units", "2", "--iterations", "20"])
     assert '"fleet_units": 2' in out
+
+
+@pytest.mark.parametrize("module,marker", [
+    ("ics_wt_physicsengine_tpu.core", "ALL"),
+    ("ics_wt_physicsengine_tpu.sensors", "Demo complete."),
+    ("ics_wt_physicsengine_tpu.sensors.validation", "PASSED"),
+    ("ics_wt_physicsengine_tpu.modbus", "Demo complete."),
+])
+def test_package_demo_mains(module, marker):
+    """The runnable package demos (`python -m ...`) — the counterpart of
+    the reference's per-module __main__ blocks — must complete quickly on
+    the CPU backend regardless of the session's default device."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run([sys.executable, "-m", module], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, (module, out.stdout[-1500:],
+                                 out.stderr[-1500:])
+    assert marker in out.stdout, (module, out.stdout[-1500:])
