@@ -290,6 +290,32 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
     )
 
 
+_ACTUATOR_FIELDS = ("acid_flow_rate", "chlorine_flow_rate",
+                    "inlet_flow_rate")
+
+
+def apply_actuator_dynamics(applied: BoundaryConditions,
+                            commanded: BoundaryConditions,
+                            dt: float, tau: float) -> BoundaryConditions:
+    """First-order actuator lag: dosing pumps and the inlet valve approach
+    the commanded flow with time constant ``tau`` [s] instead of jumping
+    (an item on the reference's own roadmap — reference README.md:437
+    'Actuator dynamics (valves, pumps)' — opt-in via ``--actuator-tau``;
+    tau <= 0 keeps the reference's instant actuation).
+
+    Applied to the actuator FLOW fields only: concentrations are tank
+    properties, not actuator positions."""
+    if tau <= 0.0:
+        return commanded
+    import math
+    alpha = 1.0 - math.exp(-dt / tau)
+    from dataclasses import replace
+    updates = {f: getattr(applied, f)
+               + alpha * (getattr(commanded, f) - getattr(applied, f))
+               for f in _ACTUATOR_FIELDS}
+    return replace(commanded, **updates)
+
+
 def _readings_from_outputs(outputs, lane: Optional[int] = None
                            ) -> Dict[str, SensorReading]:
     """Convert the fused plant's SensorOutput pytrees into SensorReading
@@ -364,6 +390,12 @@ def main(argv=None):
                              "N simulated hours — the maintenance the "
                              "reference's 24 h calibration validity implies "
                              "but its loop never performs. 0 disables.")
+    parser.add_argument("--actuator-tau", type=float, default=0.0,
+                        help="First-order actuator time constant [s]: dosing "
+                             "pumps/inlet valve approach commanded flows "
+                             "exponentially instead of jumping (reference "
+                             "roadmap 'Actuator dynamics'; 0 = instant, "
+                             "reference parity)")
     parser.add_argument("--fleet", type=int, default=1,
                         help="Serve N independently controlled plants from "
                              "one Modbus endpoint: unit id u = plant lane "
@@ -645,7 +677,9 @@ def main(argv=None):
 
                 if slave:
                     commands = read_modbus_commands(slave)
-                    boundary = apply_boundary_conditions(boundary, commands)
+                    commanded = apply_boundary_conditions(boundary, commands)
+                    boundary = apply_actuator_dynamics(
+                        boundary, commanded, args.dt, args.actuator_tau)
 
                 if step_count % log_interval == 0:
                     sensors_ready = all(

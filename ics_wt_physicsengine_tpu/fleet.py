@@ -347,8 +347,11 @@ def main_fleet(args) -> None:
                 if slave:
                     for i, u in enumerate(units):
                         commands = M.read_modbus_commands(slave, unit=u)
-                        boundaries[i] = M.apply_boundary_conditions(
+                        commanded = M.apply_boundary_conditions(
                             boundaries[i], commands)
+                        boundaries[i] = M.apply_actuator_dynamics(
+                            boundaries[i], commanded, args.dt,
+                            args.actuator_tau)
 
                 log_csv_rows(host_out, t_np, run_mask)
 

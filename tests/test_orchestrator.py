@@ -231,3 +231,36 @@ def test_modbus_demo_main(capsys):
     out = capsys.readouterr().out
     assert "FC 43 device identification" in out
     assert "Demo complete." in out
+
+
+def test_actuator_dynamics_first_order_lag():
+    """apply_actuator_dynamics: flows approach the command exponentially
+    with the configured tau; tau=0 is the reference's instant actuation;
+    non-actuator fields always jump."""
+    import math
+
+    import ics_wt_physicsengine_tpu.__main__ as orch
+    from ics_wt_physicsengine_tpu.core import BoundaryConditions
+
+    applied = BoundaryConditions(acid_flow_rate=0.0, inlet_flow_rate=5.0,
+                                 acid_concentration=0.1)
+    commanded = BoundaryConditions(acid_flow_rate=1.0, inlet_flow_rate=10.0,
+                                   acid_concentration=0.5)
+
+    # tau=0: instant (reference parity)
+    out = orch.apply_actuator_dynamics(applied, commanded, dt=1.0, tau=0.0)
+    assert out.acid_flow_rate == 1.0
+
+    # one step of first-order lag: alpha = 1 - exp(-dt/tau)
+    out = orch.apply_actuator_dynamics(applied, commanded, dt=1.0, tau=10.0)
+    alpha = 1.0 - math.exp(-1.0 / 10.0)
+    assert out.acid_flow_rate == pytest.approx(alpha * 1.0)
+    assert out.inlet_flow_rate == pytest.approx(5.0 + alpha * 5.0)
+    # concentrations are tank properties, not actuator positions: jump
+    assert out.acid_concentration == 0.5
+
+    # iterating converges to the command
+    b = applied
+    for _ in range(200):
+        b = orch.apply_actuator_dynamics(b, commanded, dt=1.0, tau=10.0)
+    assert b.acid_flow_rate == pytest.approx(1.0, abs=1e-6)
