@@ -436,6 +436,38 @@ def base_read(params: SensorParams, carry: SensorCarry, true_value, t,
     return new_carry, output
 
 
+
+def inject_power_fault(carry, kind: str = "power_low"):
+    """Scripted fault injection: force the carried supply voltage outside
+    the [20, 28] VDC window so the next read takes the power-fault path
+    (NaN reading, POWER_FAULT status) and LATCHES — the voltage random
+    walk freezes while out of window (base_read; reference
+    base_sensor.py:553-574), exactly like a real supply failure. Works on
+    single carries and batched ``[n_plants]`` carries alike (scripted
+    scenario drives over ensembles). Undo with ``clear_power_fault``."""
+    if kind not in ("power_low", "power_high"):
+        raise ValueError(f"unknown fault kind: {kind!r} "
+                         "(power_low | power_high)")
+    v = VOLTAGE_LO - 2.0 if kind == "power_low" else VOLTAGE_HI + 2.0
+    dtype = jnp.asarray(carry.supply_voltage).dtype
+    return replace(carry, supply_voltage=jnp.full_like(
+        jnp.asarray(carry.supply_voltage, dtype), v))
+
+
+def clear_power_fault(carry):
+    """Restore nominal supply voltage and clear the fault/status codes —
+    the repair that ends an injected (or organic) power fault."""
+    dtype = jnp.asarray(carry.supply_voltage).dtype
+    return replace(
+        carry,
+        supply_voltage=jnp.full_like(
+            jnp.asarray(carry.supply_voltage, dtype), VOLTAGE_NOMINAL),
+        fault=jnp.full_like(jnp.asarray(carry.fault),
+                            _F[SensorFault.NONE]),
+        status=jnp.full_like(jnp.asarray(carry.status),
+                             _S[SensorStatus.NORMAL]))
+
+
 def calibrate(carry: SensorCarry, reference_value, t,
               validity_hours: float = 24.0):
     """Calibration as a pure carry transform (base_sensor.py:701-755).

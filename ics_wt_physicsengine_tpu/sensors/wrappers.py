@@ -206,6 +206,25 @@ class _SensorShell:
             "fault_rate": fault_count / len(recent),
         }
 
+    def inject_fault(self, kind: str = "power_low") -> None:
+        """Scripted fault injection (fault-scenario tooling; the
+        reference's stochastic faults cannot be scheduled): force a
+        latching supply-power fault. Reads return NaN with POWER_FAULT
+        until ``clear_faults()`` (or maintenance) repairs it."""
+        from dataclasses import replace as dc_replace
+        with self._state_lock:
+            self.carry = dc_replace(
+                self.carry,
+                base=B.inject_power_fault(self.carry.base, kind))
+
+    def clear_faults(self) -> None:
+        """Repair an injected (or organic) power fault: nominal supply
+        voltage, fault/status cleared."""
+        from dataclasses import replace as dc_replace
+        with self._state_lock:
+            self.carry = dc_replace(
+                self.carry, base=B.clear_power_fault(self.carry.base))
+
     def reset(self, seed: Optional[int] = None) -> None:
         with self._state_lock:
             self.reading_history.clear()

@@ -364,3 +364,59 @@ def test_set_water_hardness_scales_fouling():
         s_soft.read(state, 1801.0 + i * 600.0)
         s_hard.read(state, 1801.0 + i * 600.0)
     assert s_hard.membrane_fouling > s_soft.membrane_fouling * 2
+
+
+def test_scripted_fault_injection():
+    """inject_fault forces a latching power fault (NaN + POWER_FAULT across
+    consecutive reads — the voltage walk freezes out of window, reference
+    base_sensor.py:553-574); clear_faults repairs it. Batched carries work
+    through the pure helpers (scripted scenario drives over ensembles)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from ics_wt_physicsengine_tpu.core import reactor as R
+    from ics_wt_physicsengine_tpu.sensors import base as B
+    from ics_wt_physicsengine_tpu.sensors import (
+        create_realistic_sensor_suite)
+    from ics_wt_physicsengine_tpu.sensors.types import (
+        SensorFault, SensorStatus)
+
+    config = R.ReactorConfiguration(n_zones=4)
+    reactor = R.IntegratedCSTR(config)
+    suite = create_realistic_sensor_suite(config, seed=3)
+    ph = suite["pH_outlet"]
+    ph.calibrate(7.0, current_time=0.0)
+    state = reactor.step(1.0, R.BoundaryConditions())
+
+    assert ph.read(state, current_time=2000.0).fault == SensorFault.NONE
+    ph.inject_fault("power_low")
+    for t in (2001.0, 2002.0):        # latches across reads
+        r = ph.read(state, current_time=t)
+        assert r.status == SensorStatus.POWER_FAULT
+        assert r.fault == SensorFault.POWER_LOW
+        assert math.isnan(r.value)
+    ph.clear_faults()
+    r = ph.read(state, current_time=2003.0)
+    assert r.fault == SensorFault.NONE and not math.isnan(r.value)
+
+    # power_high variant + invalid kind
+    ph.inject_fault("power_high")
+    assert ph.read(state,
+                   current_time=2004.0).fault == SensorFault.POWER_HIGH
+    ph.clear_faults()
+    try:
+        ph.inject_fault("nonsense")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+    # pure helpers on a batched carry (ensemble scenario drive)
+    from ics_wt_physicsengine_tpu.models.plant import make_plant_batch
+    _, plant = make_plant_batch(config, 3, seed=5, dtype=jnp.float64)
+    injected = B.inject_power_fault(plant.ph_inlet.base)
+    assert injected.supply_voltage.shape == plant.ph_inlet.base.\
+        supply_voltage.shape
+    assert float(injected.supply_voltage[0]) < 20.0
+    cleared = B.clear_power_fault(injected)
+    assert float(cleared.supply_voltage[1]) == 24.0
