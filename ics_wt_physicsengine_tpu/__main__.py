@@ -638,6 +638,7 @@ def main(argv=None):
         logger.info("t=%.0fs | sensor maintenance/recalibration done",
                     sim_time)
 
+    commanded = boundary   # last commanded target (actuator slew endpoint)
     try:
         while running and sim_time < args.duration:
             step_start = time.monotonic()
@@ -678,8 +679,12 @@ def main(argv=None):
                 if slave:
                     commands = read_modbus_commands(slave)
                     commanded = apply_boundary_conditions(boundary, commands)
-                    boundary = apply_actuator_dynamics(
-                        boundary, commanded, args.dt, args.actuator_tau)
+                # Actuators keep slewing toward the LAST command even if the
+                # Modbus interface dies mid-transient — a physical valve
+                # completes its travel; freezing at a partial flow would be
+                # an artifact of the error budget, not the plant.
+                boundary = apply_actuator_dynamics(
+                    boundary, commanded, args.dt, args.actuator_tau)
 
                 if step_count % log_interval == 0:
                     sensors_ready = all(

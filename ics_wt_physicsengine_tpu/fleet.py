@@ -295,6 +295,7 @@ def main_fleet(args) -> None:
             logger.error("Fleet checkpoint write failed: %s",
                          type(e).__name__)
 
+    commanded_targets = list(boundaries)   # per-unit actuator slew targets
     try:
         while M.running and sim_time < args.duration:
             step_start = time.monotonic()
@@ -344,14 +345,19 @@ def main_fleet(args) -> None:
                                 "Too many Modbus errors, disabling interface")
                             slave = None
 
-                if slave:
-                    for i, u in enumerate(units):
+                for i, u in enumerate(units):
+                    if not run_mask[i]:
+                        continue   # frozen lane: no command reads, no slew
+                    if slave:
                         commands = M.read_modbus_commands(slave, unit=u)
-                        commanded = M.apply_boundary_conditions(
+                        commanded_targets[i] = M.apply_boundary_conditions(
                             boundaries[i], commands)
-                        boundaries[i] = M.apply_actuator_dynamics(
-                            boundaries[i], commanded, args.dt,
-                            args.actuator_tau)
+                    # Slew toward the last command even if Modbus died
+                    # mid-transient (see __main__: a physical valve
+                    # completes its travel).
+                    boundaries[i] = M.apply_actuator_dynamics(
+                        boundaries[i], commanded_targets[i], args.dt,
+                        args.actuator_tau)
 
                 log_csv_rows(host_out, t_np, run_mask)
 

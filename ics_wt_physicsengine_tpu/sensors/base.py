@@ -449,23 +449,18 @@ def inject_power_fault(carry, kind: str = "power_low"):
         raise ValueError(f"unknown fault kind: {kind!r} "
                          "(power_low | power_high)")
     v = VOLTAGE_LO - 2.0 if kind == "power_low" else VOLTAGE_HI + 2.0
-    dtype = jnp.asarray(carry.supply_voltage).dtype
-    return replace(carry, supply_voltage=jnp.full_like(
-        jnp.asarray(carry.supply_voltage, dtype), v))
+    return replace(carry,
+                   supply_voltage=jnp.full_like(carry.supply_voltage, v))
 
 
 def clear_power_fault(carry):
     """Restore nominal supply voltage and clear the fault/status codes —
     the repair that ends an injected (or organic) power fault."""
-    dtype = jnp.asarray(carry.supply_voltage).dtype
     return replace(
         carry,
-        supply_voltage=jnp.full_like(
-            jnp.asarray(carry.supply_voltage, dtype), VOLTAGE_NOMINAL),
-        fault=jnp.full_like(jnp.asarray(carry.fault),
-                            _F[SensorFault.NONE]),
-        status=jnp.full_like(jnp.asarray(carry.status),
-                             _S[SensorStatus.NORMAL]))
+        supply_voltage=jnp.full_like(carry.supply_voltage, VOLTAGE_NOMINAL),
+        fault=jnp.full_like(carry.fault, _F[SensorFault.NONE]),
+        status=jnp.full_like(carry.status, _S[SensorStatus.NORMAL]))
 
 
 def calibrate(carry: SensorCarry, reference_value, t,

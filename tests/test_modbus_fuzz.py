@@ -159,7 +159,7 @@ def test_connection_cap_rejects_excess_masters():
         # capacity frees on disconnect (poll: the event loop must
         # process the EOF before a slot opens)
         c2.close()
-        deadline = time.time() + 5.0
+        deadline = time.time() + 10.0
         value = None
         while time.time() < deadline:
             try:
@@ -183,7 +183,7 @@ def test_idle_connections_are_dropped():
     slave = ModbusSlave(ModbusRegisterMap(),
                         ModbusServerConfig(host="127.0.0.1", port=0,
                                            max_connections=1,
-                                           idle_timeout_seconds=0.5))
+                                           idle_timeout_seconds=2.0))
     slave.start(blocking=False)
     try:
         slave.update_input_register("pH_inlet", 7.5)
@@ -194,7 +194,7 @@ def test_idle_connections_are_dropped():
             with pytest.raises((OSError, IOError)):
                 c.read_float32(0)
         # ...until the idle timeout drops it
-        deadline = time.time() + 5.0
+        deadline = time.time() + 10.0
         value = None
         while time.time() < deadline:
             try:
