@@ -97,3 +97,10 @@ def test_package_demo_mains(module, marker):
     assert out.returncode == 0, (module, out.stdout[-1500:],
                                  out.stderr[-1500:])
     assert marker in out.stdout, (module, out.stdout[-1500:])
+
+
+def test_relay_autotune():
+    out = _run("relay_autotune.py",
+               ["--switches", "4", "--verify-iterations", "20"],
+               timeout=420)
+    assert "ultimate_gain_Ku" in out and "ziegler_nichols_PI" in out
