@@ -67,9 +67,20 @@ class PID:
 
 
 def control_loop(host, port, iterations, period, cl_setpoint, ph_setpoint,
-                 verbose=True):
+                 verbose=True, feedforward=False,
+                 chlorine_stock_mg_L=50.0):
+    """PI(D) loops; ``feedforward=True`` adds mass-balance ratio
+    compensation to the chlorine loop (the reference roadmap's
+    'feedforward compensation' item, README.md:436): the dosing needed to
+    hold ``cl_setpoint`` at the measured throughput is
+    Q_dose = setpoint * Q_in / C_stock, fed forward from the flow sensor so
+    the PI only trims decay/measurement error instead of integrating its
+    way to the whole operating point after every flow disturbance."""
     cl_pid = PID(kp=0.4, ki=0.02, kd=0.0, setpoint=cl_setpoint,
                  out_min=0.0, out_max=1.0)
+    if feedforward:
+        # the PI handles the +/- trim around the feedforward term
+        cl_pid.out_min, cl_pid.out_max = -0.5, 0.5
     ph_pid = PID(kp=-0.8, ki=-0.05, kd=0.0, setpoint=ph_setpoint,
                  out_min=0.0, out_max=2.0)
 
@@ -83,6 +94,11 @@ def control_loop(host, port, iterations, period, cl_setpoint, ph_setpoint,
             # sensors read 0.0 while warming up — hold outputs at zero
             if cl_out > 0.0:
                 cl_cmd = cl_pid.update(cl_out, period)
+                if feedforward:
+                    flow = client.read_float32(10)    # flow_rate register
+                    if flow > 0.0:
+                        cl_cmd += cl_setpoint * flow / chlorine_stock_mg_L
+                cl_cmd = min(max(cl_cmd, 0.0), 1.0)
                 client.write_float32(2, cl_cmd)   # chlorine_flow_rate
             else:
                 cl_cmd = 0.0
@@ -115,6 +131,10 @@ def main():
     parser.add_argument("--ph-setpoint", type=float, default=7.0)
     parser.add_argument("--spawn", action="store_true",
                         help="spawn the simulator in-process (demo mode)")
+    parser.add_argument("--feedforward", action="store_true",
+                        help="mass-balance ratio feedforward on the "
+                             "chlorine loop (dose = setpoint * Q / C_stock "
+                             "from the measured flow; PI trims the rest)")
     args = parser.parse_args()
 
     if args.port is None:
@@ -147,7 +167,8 @@ def main():
     try:
         history = control_loop(args.host, args.port, args.iterations,
                                args.period, args.cl_setpoint,
-                               args.ph_setpoint)
+                               args.ph_setpoint,
+                               feedforward=args.feedforward)
     except OSError as e:
         raise SystemExit(
             f"Could not reach the simulator at {args.host}:{args.port} "

@@ -104,3 +104,10 @@ def test_relay_autotune():
                ["--switches", "4", "--verify-iterations", "20"],
                timeout=420)
     assert "ultimate_gain_Ku" in out and "ziegler_nichols_PI" in out
+
+
+def test_pid_controller_feedforward():
+    out = _run("pid_controller.py",
+               ["--spawn", "--iterations", "15", "--period", "0.1",
+                "--feedforward"])
+    assert "setpoint" in out.lower() or "iter" in out.lower()
