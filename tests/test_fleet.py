@@ -296,3 +296,14 @@ def test_per_unit_pause_coil_freezes_one_lane(running_fleet):
         t3_resumed = c3.read_float32(100)
         _wait_sim_time(c1, c1.read_float32(100) + 120.0)
         assert c3.read_float32(100) > t3_resumed, "unit did not resume"
+
+
+def test_fleet_headless_with_rkc_integrator():
+    """Fleet mode composes with the RKC2-fast integrator plan (the
+    batched step uses the same _plan_for policy as single-plant mode)."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    orchestrator.running = True
+    orchestrator.main(["--no-modbus", "--fleet", "2", "--zones", "4",
+                       "--dt", "1", "--duration", "3", "--rtf", "0",
+                       "--integrator", "rkc-fast", "--seed", "8"])
