@@ -385,6 +385,11 @@ def main(argv=None):
                         help="Append per-step sensor readings + commands to "
                              "this CSV file (historical logging — listed as "
                              "future work in the reference, README.md:441)")
+    parser.add_argument("--log-parquet", type=str, default=None,
+                        help="Stream per-step history to this Parquet file "
+                             "(columnar row groups via pyarrow — the "
+                             "reference roadmap's Phase 3 'historical data "
+                             "logging (Parquet format)', README.md:443)")
     parser.add_argument("--recal-hours", type=float, default=24.0,
                         help="Recalibrate (and revive latched) sensors every "
                              "N simulated hours — the maintenance the "
@@ -596,21 +601,52 @@ def main(argv=None):
                            "temp_outlet,acid_cmd,chlorine_cmd,"
                            "inlet_flow_cmd,any_fault\n")
 
+    _HISTORY_FIELDS = ["sim_time", "pH_inlet", "pH_outlet",
+                       "chlorine_inlet", "chlorine_outlet", "flow_main",
+                       "temp_inlet", "temp_outlet", "acid_cmd",
+                       "chlorine_cmd", "inlet_flow_cmd", "any_fault"]
+    parquet_log = None
+    if args.log_parquet:
+        try:
+            from ics_wt_physicsengine_tpu.utils import ParquetHistoryLogger
+            parquet_log = ParquetHistoryLogger(
+                args.log_parquet, _HISTORY_FIELDS, int_fields=["any_fault"])
+        except Exception as e:  # noqa: BLE001
+            logger.error("Parquet logging unavailable: %s — continuing "
+                         "without it", type(e).__name__)
+
     def log_csv_row(readings):
-        if csv_file is None:
+        if csv_file is None and parquet_log is None:
             return
         def v(key):
             r = readings.get(key)
             return f"{r.value:.6g}" if r else ""
         any_fault = int(any(r.fault != SensorFault.NONE
                             for r in readings.values()))
-        csv_file.write(
-            f"{sim_time:.3f},{v('pH_inlet')},{v('pH_outlet')},"
-            f"{v('chlorine_inlet')},{v('chlorine_outlet')},"
-            f"{v('flow_main')},{v('temp_inlet')},{v('temp_outlet')},"
-            f"{boundary.acid_flow_rate:.6g},"
-            f"{boundary.chlorine_flow_rate:.6g},"
-            f"{boundary.inlet_flow_rate:.6g},{any_fault}\n")
+        if csv_file is not None:
+            csv_file.write(
+                f"{sim_time:.3f},{v('pH_inlet')},{v('pH_outlet')},"
+                f"{v('chlorine_inlet')},{v('chlorine_outlet')},"
+                f"{v('flow_main')},{v('temp_inlet')},{v('temp_outlet')},"
+                f"{boundary.acid_flow_rate:.6g},"
+                f"{boundary.chlorine_flow_rate:.6g},"
+                f"{boundary.inlet_flow_rate:.6g},{any_fault}\n")
+        if parquet_log is not None:
+            def fv(key):
+                r = readings.get(key)
+                return float(r.value) if r else float("nan")
+            parquet_log.log({
+                "sim_time": float(sim_time),
+                "pH_inlet": fv("pH_inlet"), "pH_outlet": fv("pH_outlet"),
+                "chlorine_inlet": fv("chlorine_inlet"),
+                "chlorine_outlet": fv("chlorine_outlet"),
+                "flow_main": fv("flow_main"),
+                "temp_inlet": fv("temp_inlet"),
+                "temp_outlet": fv("temp_outlet"),
+                "acid_cmd": float(boundary.acid_flow_rate),
+                "chlorine_cmd": float(boundary.chlorine_flow_rate),
+                "inlet_flow_cmd": float(boundary.inlet_flow_rate),
+                "any_fault": any_fault})
 
     def maintain_sensors():
         """Periodic maintenance: revive latched sensors and recalibrate
@@ -736,6 +772,9 @@ def main(argv=None):
         if csv_file is not None:
             with suppress(Exception):
                 csv_file.close()
+        if parquet_log is not None:
+            with suppress(Exception):
+                parquet_log.close()
         if slave:
             logger.info("Stopping Modbus server...")
             with suppress(Exception):

@@ -179,8 +179,23 @@ def main_fleet(args) -> None:
                            "temp_inlet,temp_outlet,acid_cmd,chlorine_cmd,"
                            "inlet_flow_cmd,any_fault\n")
 
+    parquet_log = None
+    if args.log_parquet:
+        try:
+            from ics_wt_physicsengine_tpu.utils import ParquetHistoryLogger
+            parquet_log = ParquetHistoryLogger(
+                args.log_parquet,
+                ["sim_time", "unit", "pH_inlet", "pH_outlet",
+                 "chlorine_inlet", "chlorine_outlet", "flow_main",
+                 "temp_inlet", "temp_outlet", "acid_cmd", "chlorine_cmd",
+                 "inlet_flow_cmd", "any_fault"],
+                int_fields=["unit", "any_fault"])
+        except Exception as e:  # noqa: BLE001
+            logger.error("Parquet logging unavailable: %s — continuing "
+                         "without it", type(e).__name__)
+
     def log_csv_rows(host_out, t_np, run_mask):
-        if csv_file is None:
+        if csv_file is None and parquet_log is None:
             return
 
         def v(name, i):
@@ -197,13 +212,30 @@ def main_fleet(args) -> None:
             any_fault = int(any(
                 FAULT_FROM_CODE[int(np.asarray(out.fault)[i])]
                 != SensorFault.NONE for out in host_out.values()))
-            csv_file.write(
-                f"{float(t_np[i]):.3f},{u},{v('pH_inlet', i)},"
-                f"{v('pH_outlet', i)},{v('chlorine_inlet', i)},"
-                f"{v('chlorine_outlet', i)},{v('flow_main', i)},"
-                f"{v('temp_inlet', i)},{v('temp_outlet', i)},"
-                f"{b.acid_flow_rate:.6g},{b.chlorine_flow_rate:.6g},"
-                f"{b.inlet_flow_rate:.6g},{any_fault}\n")
+            if csv_file is not None:
+                csv_file.write(
+                    f"{float(t_np[i]):.3f},{u},{v('pH_inlet', i)},"
+                    f"{v('pH_outlet', i)},{v('chlorine_inlet', i)},"
+                    f"{v('chlorine_outlet', i)},{v('flow_main', i)},"
+                    f"{v('temp_inlet', i)},{v('temp_outlet', i)},"
+                    f"{b.acid_flow_rate:.6g},{b.chlorine_flow_rate:.6g},"
+                    f"{b.inlet_flow_rate:.6g},{any_fault}\n")
+            if parquet_log is not None:
+                def fv(name):
+                    return float(np.asarray(host_out[name].value)[i])
+                parquet_log.log({
+                    "sim_time": float(t_np[i]), "unit": u,
+                    "pH_inlet": fv("pH_inlet"),
+                    "pH_outlet": fv("pH_outlet"),
+                    "chlorine_inlet": fv("chlorine_inlet"),
+                    "chlorine_outlet": fv("chlorine_outlet"),
+                    "flow_main": fv("flow_main"),
+                    "temp_inlet": fv("temp_inlet"),
+                    "temp_outlet": fv("temp_outlet"),
+                    "acid_cmd": float(b.acid_flow_rate),
+                    "chlorine_cmd": float(b.chlorine_flow_rate),
+                    "inlet_flow_cmd": float(b.inlet_flow_rate),
+                    "any_fault": any_fault})
 
     # Checkpoint/resume: the randomized per-lane params AND the whole
     # batched PlantState (physics + all sensor carries incl. PRNG keys) as
@@ -426,6 +458,11 @@ def main_fleet(args) -> None:
         if csv_file is not None:
             try:
                 csv_file.close()
+            except Exception:  # noqa: BLE001
+                pass
+        if parquet_log is not None:
+            try:
+                parquet_log.close()
             except Exception:  # noqa: BLE001
                 pass
         if slave:

@@ -1,4 +1,5 @@
-"""Utilities: array-namespace dispatch, checkpoint/resume, profiling."""
+"""Utilities: array-namespace dispatch, checkpoint/resume, history
+logging, profiling."""
 
 from ics_wt_physicsengine_tpu.utils.dispatch import (  # noqa: F401
     align_trailing,
@@ -10,6 +11,9 @@ from ics_wt_physicsengine_tpu.utils.checkpoint import (  # noqa: F401
     load_simulation,
     save_pytree,
     save_simulation,
+)
+from ics_wt_physicsengine_tpu.utils.history import (  # noqa: F401
+    ParquetHistoryLogger,
 )
 from ics_wt_physicsengine_tpu.utils.profiling import (  # noqa: F401
     StepTimer,

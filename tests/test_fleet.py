@@ -307,3 +307,28 @@ def test_fleet_headless_with_rkc_integrator():
     orchestrator.main(["--no-modbus", "--fleet", "2", "--zones", "4",
                        "--dt", "1", "--duration", "3", "--rtf", "0",
                        "--integrator", "rkc-fast", "--seed", "8"])
+
+
+def test_parquet_history_logging(tmp_path):
+    """--log-parquet streams valid columnar history in both serving modes
+    (the reference roadmap's 'historical data logging (Parquet format)')."""
+    pq = pytest.importorskip("pyarrow.parquet")
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    single = tmp_path / "single.parquet"
+    orchestrator.running = True
+    orchestrator.main(["--no-modbus", "--zones", "4", "--dt", "1",
+                       "--duration", "5", "--rtf", "0",
+                       "--log-parquet", str(single)])
+    t = pq.read_table(str(single))
+    assert t.num_rows == 5
+    assert "pH_outlet" in t.column_names and "any_fault" in t.column_names
+
+    fleet = tmp_path / "fleet.parquet"
+    orchestrator.running = True
+    orchestrator.main(["--no-modbus", "--fleet", "2", "--zones", "4",
+                       "--dt", "1", "--duration", "5", "--rtf", "0",
+                       "--log-parquet", str(fleet)])
+    t = pq.read_table(str(fleet))
+    assert t.num_rows == 10
+    assert sorted(set(t.column("unit").to_pylist())) == [1, 2]
