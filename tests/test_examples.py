@@ -111,3 +111,24 @@ def test_pid_controller_feedforward():
                ["--spawn", "--iterations", "15", "--period", "0.1",
                 "--feedforward"])
     assert "setpoint" in out.lower() or "iter" in out.lower()
+
+
+def test_plot_history_tool(tmp_path):
+    """tools/plot_history.py renders a trends PNG from logged history
+    (the reference roadmap's 'trending and visualization' item)."""
+    pytest.importorskip("matplotlib")
+    csv = tmp_path / "h.csv"
+    csv.write_text(
+        "sim_time,pH_inlet,pH_outlet,chlorine_inlet,chlorine_outlet,"
+        "flow_main,temp_inlet,temp_outlet,acid_cmd,chlorine_cmd,"
+        "inlet_flow_cmd,any_fault\n"
+        + "\n".join(f"{t},7.2,7.1,1.5,1.2,5.0,20.0,19.8,0.1,0.2,5.0,0"
+                    for t in range(0, 600, 60)) + "\n")
+    png = tmp_path / "h.png"
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "plot_history.py"),
+         str(csv), "-o", str(png)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=180)
+    assert out.returncode == 0, out.stderr[-1000:]
+    assert png.exists() and png.stat().st_size > 10_000
