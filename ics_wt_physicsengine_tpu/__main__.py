@@ -390,6 +390,12 @@ def main(argv=None):
                              "(columnar row groups via pyarrow — the "
                              "reference roadmap's Phase 3 'historical data "
                              "logging (Parquet format)', README.md:443)")
+    parser.add_argument("--log-parquet-rotate", type=int, default=0,
+                        help="Finalize the Parquet file every N row groups "
+                             "and continue in the next .partNNNNN file, so "
+                             "a crash loses at most the open part (0 = one "
+                             "file, valid only after clean shutdown; "
+                             "--log-csv is always crash-safe)")
     parser.add_argument("--recal-hours", type=float, default=24.0,
                         help="Recalibrate (and revive latched) sensors every "
                              "N simulated hours — the maintenance the "
@@ -610,7 +616,8 @@ def main(argv=None):
         try:
             from ics_wt_physicsengine_tpu.utils import ParquetHistoryLogger
             parquet_log = ParquetHistoryLogger(
-                args.log_parquet, _HISTORY_FIELDS, int_fields=["any_fault"])
+                args.log_parquet, _HISTORY_FIELDS, int_fields=["any_fault"],
+                rotate_groups=args.log_parquet_rotate or None)
         except Exception as e:  # noqa: BLE001
             logger.error("Parquet logging unavailable: %s — continuing "
                          "without it", type(e).__name__)

@@ -189,7 +189,8 @@ def main_fleet(args) -> None:
                  "chlorine_inlet", "chlorine_outlet", "flow_main",
                  "temp_inlet", "temp_outlet", "acid_cmd", "chlorine_cmd",
                  "inlet_flow_cmd", "any_fault"],
-                int_fields=["unit", "any_fault"])
+                int_fields=["unit", "any_fault"],
+                rotate_groups=args.log_parquet_rotate or None)
         except Exception as e:  # noqa: BLE001
             logger.error("Parquet logging unavailable: %s — continuing "
                          "without it", type(e).__name__)
@@ -277,8 +278,22 @@ def main_fleet(args) -> None:
             # The registers are the command source of truth: push the
             # restored actuator state back so the first tick's
             # read_modbus_commands doesn't clobber it with defaults.
+            # Checkpoints carry the per-unit IO snapshot (raw commanded
+            # registers + coils) so operator intent survives resume: a
+            # disabled pump's commanded rate and cleared enable coil come
+            # back as written, not as the gated-0.0 boundary value with
+            # coils forced True. Older checkpoints without "unit_io" fall
+            # back to the boundary-derived registers.
+            unit_io = meta.get("unit_io") or []
             if slave:
                 for i, u in enumerate(units):
+                    io = unit_io[i] if i < len(unit_io) else None
+                    if io:
+                        for r, v in io.get("registers", {}).items():
+                            slave.write_holding_register(r, v, unit=u)
+                        for c, v in io.get("coils", {}).items():
+                            slave.write_coil(c, v, unit=u)
+                        continue
                     b = boundaries[i]
                     slave.write_holding_register("acid_flow_rate",
                                                  b.acid_flow_rate, unit=u)
@@ -309,6 +324,27 @@ def main_fleet(args) -> None:
                 logger.error("Fleet checkpoint resume failed: %s — "
                              "starting fresh", type(e).__name__)
 
+    def snapshot_unit_io():
+        """Per-unit operator-facing IO state: the raw commanded holding
+        registers and the coils. The boundaries alone lose operator intent
+        — a disabled pump gates its flow to 0.0 in the boundary while the
+        register still holds the commanded rate, and paused/enabled coils
+        aren't in the boundary at all."""
+        if not slave:
+            return None
+        regs = ("acid_flow_rate", "chlorine_flow_rate", "inlet_flow_rate",
+                "acid_concentration", "chlorine_concentration")
+        coils = ("acid_pump_enable", "chlorine_pump_enable",
+                 "simulation_running")
+        try:
+            return [{"registers": {r: float(slave.read_holding_register(
+                                       r, unit=u)) for r in regs},
+                     "coils": {c: bool(slave.read_coil(c, unit=u))
+                               for c in coils}}
+                    for u in units]
+        except Exception:  # noqa: BLE001 — IO snapshot is best-effort
+            return None
+
     def write_checkpoint():
         if not args.checkpoint_file:
             return
@@ -321,7 +357,8 @@ def main_fleet(args) -> None:
                             "boundaries": [
                                 {k: float(v) for k, v in
                                  dataclasses.asdict(b).items()}
-                                for b in boundaries]})
+                                for b in boundaries],
+                            "unit_io": snapshot_unit_io()})
             logger.info("t=%.0fs | fleet checkpoint written", sim_time)
         except Exception as e:  # noqa: BLE001
             logger.error("Fleet checkpoint write failed: %s",

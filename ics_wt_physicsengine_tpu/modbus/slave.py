@@ -371,11 +371,20 @@ class ModbusSlave:
                     ">HHHB", transaction_id, protocol_id,
                     len(response_pdu) + 1, unit_id) + response_pdu
                 writer.write(response)
-                await writer.drain()
+                # Bounded drain: a client that sends requests but never
+                # reads responses would otherwise park this handler in
+                # drain() forever once the socket buffer fills, holding a
+                # max_connections slot and bypassing the idle-disconnect
+                # defense (the C++ plane drops slow readers via
+                # kMaxOutBuffer; this is the asyncio equivalent).
+                await asyncio.wait_for(
+                    writer.drain(),
+                    timeout=self.config.idle_timeout_seconds)
         except (asyncio.IncompleteReadError, ConnectionResetError):
             pass
         except asyncio.TimeoutError:
-            logger.debug("Dropping idle Modbus client: %s", peer)
+            logger.debug("Dropping idle/slow-reading Modbus client: %s",
+                         peer)
         except Exception as exc:  # noqa: BLE001 — log type only, like ref
             self.error_count += 1
             logger.warning("Modbus client error: %s", type(exc).__name__)

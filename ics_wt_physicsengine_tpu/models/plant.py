@@ -501,6 +501,12 @@ def plant_rollout_batched(params: PlantParams, plant: PlantState,
     quantification over what the instruments would actually report, not the
     true state).
 
+    Reproducibility: the defaults (``line_mode="auto"``,
+    ``rng_mode="packed"``) are the fast path and are *statistically* — not
+    bit- — identical to manually stepping ``plant_step_batched``; callers
+    pinning seeds against pre-round-2 trajectories should pass
+    ``line_mode="exact", rng_mode="per-sensor"`` (see CHANGELOG.md).
+
     ``line_mode`` selects the sample-line implementation:
 
     - ``"exact"``: the in-carry nearest-timestamp ring (bit-identical to

@@ -332,3 +332,73 @@ def test_parquet_history_logging(tmp_path):
     t = pq.read_table(str(fleet))
     assert t.num_rows == 10
     assert sorted(set(t.column("unit").to_pylist())) == [1, 2]
+
+
+def test_fleet_checkpoint_preserves_operator_intent(tmp_path):
+    """A fleet checkpointed with a disabled pump and a raw commanded rate
+    must resume with the coil still cleared and the commanded register
+    intact (unit_io metadata) — not coils forced True with the gated-0.0
+    flow in the register (ADVICE r2)."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    ckpt = tmp_path / "fleet_io.npz"
+    port = _free_port()
+
+    def run_fleet(duration):
+        orchestrator.running = True
+        orchestrator.main(["--port", str(port), "--host", "127.0.0.1",
+                           "--dt", "5", "--duration", str(duration),
+                           "--rtf", "0", "--seed", "3", "--fleet", "2",
+                           "--zones", "4", "--checkpoint-file", str(ckpt)])
+
+    # Phase 1: run with an operator clearing unit 2's acid pump enable
+    # while leaving a commanded rate in the register.
+    thread = threading.Thread(target=run_fleet, args=(1_000_000,),
+                              daemon=True)
+    thread.start()
+    client = None
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            client = ModbusTcpClient("127.0.0.1", port, unit_id=2,
+                                     timeout=5).connect()
+            break
+        except OSError:
+            time.sleep(0.3)
+    assert client is not None, "fleet server did not start"
+    try:
+        client.write_float32(0, 1.5)          # acid_flow_rate command
+        client.write_coil(0, False)           # acid_pump_enable off
+        time.sleep(1.0)                       # let a tick observe it
+    finally:
+        client.close()
+    orchestrator.running = False
+    thread.join(timeout=30)
+    assert ckpt.exists()
+
+    # Phase 2: resume; unit 2's intent must be back verbatim.
+    thread = threading.Thread(target=run_fleet, args=(1_000_000,),
+                              daemon=True)
+    thread.start()
+    client = None
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            client = ModbusTcpClient("127.0.0.1", port, unit_id=2,
+                                     timeout=5).connect()
+            break
+        except OSError:
+            time.sleep(0.3)
+    assert client is not None, "fleet server did not restart"
+    try:
+        assert client.read_coils(0, 1)[0] is False    # still disabled
+        assert client.read_float32(0, input_register=False) == \
+            pytest.approx(1.5, abs=1e-5)              # raw command intact
+        # unit 1 untouched: enabled as configured
+        with ModbusTcpClient("127.0.0.1", port, unit_id=1,
+                             timeout=5) as c1:
+            assert c1.read_coils(0, 1)[0] is True
+    finally:
+        client.close()
+        orchestrator.running = False
+        thread.join(timeout=30)

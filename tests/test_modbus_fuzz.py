@@ -208,3 +208,57 @@ def test_idle_connections_are_dropped():
         idle.close()
     finally:
         slave.stop()
+
+
+def test_slow_reader_is_dropped():
+    """A client that pipelines requests but never reads responses must be
+    dropped once drain() exceeds idle_timeout_seconds (write-side
+    slow-loris: the read-side idle defense never fires because requests
+    keep arriving), freeing its cap slot for a real master. Mirrors the
+    C++ plane's kMaxOutBuffer slow-reader drop."""
+    import struct
+    import time
+
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0,
+                                           max_connections=1,
+                                           idle_timeout_seconds=2.0))
+    slave.start(blocking=False)
+    try:
+        slave.update_input_register("pH_inlet", 6.25)
+        hog = socket.create_connection(("127.0.0.1", slave.port))
+        hog.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        # FC 4 read of 125 input registers -> ~260-byte responses; flood
+        # until the server's socket buffer fills and drain() blocks.
+        req = struct.pack(">HHHBBHH", 1, 0, 6, 1, 4, 0, 125)
+        hog.settimeout(0.5)
+        dropped = False
+        deadline = time.time() + 8.0
+        try:
+            while time.time() < deadline:
+                try:
+                    hog.sendall(req * 64)
+                except socket.timeout:
+                    # our own send buffer is full too: the server stopped
+                    # reading (it is parked in drain) — now wait out the
+                    # drain timeout
+                    time.sleep(0.1)
+                    continue
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            dropped = True
+        # Whether or not the send raised, the cap slot must come free.
+        deadline = time.time() + 15.0
+        value = None
+        while time.time() < deadline:
+            try:
+                with ModbusTcpClient("127.0.0.1", slave.port,
+                                     timeout=1.0) as c:
+                    value = c.read_float32(0)
+                break
+            except (OSError, IOError):
+                time.sleep(0.2)
+        assert value == pytest.approx(6.25, abs=1e-5), \
+            f"slot never freed (dropped={dropped})"
+        hog.close()
+    finally:
+        slave.stop()

@@ -36,10 +36,21 @@ PANELS = [
 
 
 def load(path):
+    import glob
+    import os
+
     import pandas as pd
 
     if path.endswith(".parquet"):
-        return pd.read_parquet(path)
+        # --log-parquet-rotate writes a .partNNNNN family next to the
+        # requested name; read whichever exist, in order.
+        root, ext = os.path.splitext(path)
+        parts = sorted(glob.glob(f"{glob.escape(root)}.part[0-9]*{ext}"))
+        paths = ([path] if os.path.exists(path) else []) + parts
+        if not paths:
+            raise FileNotFoundError(path)
+        return pd.concat([pd.read_parquet(p) for p in paths],
+                         ignore_index=True)
     return pd.read_csv(path)
 
 
