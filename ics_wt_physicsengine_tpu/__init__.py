@@ -49,3 +49,4 @@ from ics_wt_physicsengine_tpu.core import (  # noqa: F401
     rollout_scheduled,
     stack_boundary_schedule,
 )
+from ics_wt_physicsengine_tpu import control  # noqa: F401  (in-graph control)

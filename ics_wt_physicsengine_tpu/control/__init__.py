@@ -1,0 +1,59 @@
+"""
+In-graph closed-loop control (TPU-native; reference roadmap Phase 2).
+
+The reference plant contains zero control logic by design (reference
+README.md:22) and names ``wt_simulator.control.pid`` / advanced control as
+its own roadmap (reference README.md:432-439). This package delivers that
+layer the TPU way: controllers are pure scan-carried transforms that run
+*inside* the jitted rollout with the physics and instruments, so the
+framework's batch throughput applies to the closed loop — a 4096-gain PID
+sweep is one device scan, gradient tuning differentiates through the
+plant, and shooting MPC re-plans inside the same jit.
+
+Layers:
+  - ``pid``: pure PID (bit-matched to the socket controller in
+    examples/pid_controller.py).
+  - ``closed_loop``: controller+plant scan with orchestrator-parity
+    command validation; true-state or full-instrument observation.
+  - ``tuning``: batched gain sweeps and multi-start gradient tuning.
+  - ``mpc``: receding-horizon shooting MPC for dosing programs.
+
+The external HIL path (a real controller over Modbus/TCP) is unchanged —
+this package is for tuning/designing those controllers before deployment.
+"""
+
+from ics_wt_physicsengine_tpu.control.closed_loop import (
+    DualPIDCarry,
+    DualPIDGains,
+    apply_commands,
+    dual_pid_controller,
+    make_dual_pid_carry,
+    observe_true,
+    rollout_closed_loop,
+    validate_commands,
+)
+from ics_wt_physicsengine_tpu.control.mpc import mpc_plan, run_mpc
+from ics_wt_physicsengine_tpu.control.pid import (
+    PIDCarry,
+    PIDGains,
+    make_gains,
+    make_pid_carry,
+    pid_step,
+)
+from ics_wt_physicsengine_tpu.control.tuning import (
+    gain_sweep,
+    make_gain_grid,
+    n_gains,
+    tracking_scores,
+    tune_pid_gradient,
+)
+
+__all__ = [
+    "PIDCarry", "PIDGains", "make_gains", "make_pid_carry", "pid_step",
+    "DualPIDCarry", "DualPIDGains", "apply_commands",
+    "dual_pid_controller", "make_dual_pid_carry", "observe_true",
+    "rollout_closed_loop", "validate_commands",
+    "gain_sweep", "make_gain_grid", "n_gains", "tracking_scores",
+    "tune_pid_gradient",
+    "mpc_plan", "run_mpc",
+]

@@ -1,0 +1,250 @@
+"""
+Closed-loop rollout: controller + physics (+ instruments) in ONE jit.
+
+The framework's headline throughput (120M integrated plant-steps/s,
+BENCH_r02) was previously unusable for controller work because control
+existed only over the Modbus socket at host tick rates (~1 plant-step per
+host loop iteration). ``rollout_closed_loop`` closes the loop *inside the
+scan*: each tick steps the reactor, observes it (true state or the full
+seven-instrument pipeline), runs a pure controller transform, validates
+the commands exactly like the orchestrator's zero-trust boundary
+(``__main__.py::apply_boundary_conditions`` clamps), and applies them to
+the next tick's BoundaryConditions — the reference HIL loop shape
+(reference __main__.py:398-457) at device speed.
+
+The loop ordering matches the HIL serving loop tick for tick: physics
+advances under the PREVIOUS tick's commands, then sensors read, then the
+controller acts — so trajectories match an external socket controller with
+the same gains against noise-free sensors (tests/test_control.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ics_wt_physicsengine_tpu.control.pid import (PIDCarry, PIDGains,
+                                                  make_pid_carry, pid_step)
+from ics_wt_physicsengine_tpu.core import reactor as R
+
+# Orchestrator zero-trust limits (``__main__.py::read_modbus_commands``):
+# commands beyond these are clamped, non-finite commands become 0.
+_COMMAND_LIMITS = {
+    "acid_flow_rate": 2.0,
+    "chlorine_flow_rate": 1.0,
+    "inlet_flow_rate": 20.0,
+}
+
+
+def validate_commands(commands: Dict[str, jnp.ndarray]
+                      ) -> Dict[str, jnp.ndarray]:
+    """In-graph equivalent of the orchestrator's ``validate_flow_rate``
+    (reference __main__.py:57-81): non-finite -> 0, clip to [0, max]."""
+    out = {}
+    for name, value in commands.items():
+        if name not in _COMMAND_LIMITS:
+            raise ValueError(
+                f"unknown actuator command {name!r}; controllers may set "
+                f"{sorted(_COMMAND_LIMITS)}")
+        value = jnp.asarray(value)
+        value = jnp.where(jnp.isfinite(value), value, 0.0)
+        out[name] = jnp.clip(value, 0.0, _COMMAND_LIMITS[name])
+    return out
+
+
+def apply_commands(boundary: R.BoundaryConditions,
+                   commands: Dict[str, jnp.ndarray],
+                   dt: float, actuator_tau: float = 0.0
+                   ) -> R.BoundaryConditions:
+    """Validated commands -> new BoundaryConditions; ``actuator_tau`` > 0
+    applies the first-order pump/valve lag in-graph
+    (``__main__.py::apply_actuator_dynamics``)."""
+    commands = validate_commands(commands)
+    if actuator_tau > 0.0:
+        alpha = 1.0 - math.exp(-dt / actuator_tau)
+        commands = {f: getattr(boundary, f)
+                    + alpha * (v - getattr(boundary, f))
+                    for f, v in commands.items()}
+    return replace(boundary, **commands)
+
+
+# ---------------------------------------------------------------------------
+# The canonical two-loop controller (examples/pid_controller.py in-graph)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DualPIDGains:
+    """The canonical plant's two loops: chlorine residual
+    (chlorine_outlet -> chlorine_flow_rate) and pH
+    (pH_inlet -> acid_flow_rate)."""
+
+    chlorine: PIDGains
+    ph: PIDGains
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DualPIDCarry:
+    chlorine: PIDCarry
+    ph: PIDCarry
+
+
+def make_dual_pid_carry(batch_shape=(), dtype=jnp.float32) -> DualPIDCarry:
+    return DualPIDCarry(chlorine=make_pid_carry(batch_shape, dtype),
+                        ph=make_pid_carry(batch_shape, dtype))
+
+
+def dual_pid_controller(gains: DualPIDGains, carry: DualPIDCarry,
+                        obs: Dict[str, jnp.ndarray], dt: float,
+                        feedforward: bool = False,
+                        chlorine_stock_mg_L: float = 50.0,
+                        clip_mode: str = "hard"):
+    """One controller tick, semantics matching
+    ``examples/pid_controller.py::control_loop``: warm-up gating
+    (``reading > 0`` ticks the loop, else hold zero and freeze the PID),
+    optional mass-balance feedforward on the chlorine loop, and the final
+    [0, 1] chlorine-command clip. Returns ``(carry, commands)``.
+    ``clip_mode="straight-through"`` keeps forward values identical but
+    lets gradients pass saturation (see pid.st_clip; used by the tuners).
+    """
+    from ics_wt_physicsengine_tpu.control.pid import st_clip
+
+    clip = jnp.clip if clip_mode == "hard" else st_clip
+    cl_meas = obs["chlorine_outlet"]
+    ph_meas = obs["pH_inlet"]
+
+    cl_carry, cl_cmd = pid_step(gains.chlorine, carry.chlorine, cl_meas, dt,
+                                active=cl_meas > 0.0, clip_mode=clip_mode)
+    if feedforward:
+        flow = obs["flow_main"]
+        ff = jnp.where(flow > 0.0,
+                       gains.chlorine.setpoint * flow / chlorine_stock_mg_L,
+                       0.0)
+        cl_cmd = cl_cmd + jnp.where(cl_meas > 0.0, ff, 0.0)
+    cl_cmd = clip(cl_cmd, 0.0, 1.0)
+
+    ph_carry, acid_cmd = pid_step(gains.ph, carry.ph, ph_meas, dt,
+                                  active=ph_meas > 0.0, clip_mode=clip_mode)
+
+    return DualPIDCarry(chlorine=cl_carry, ph=ph_carry), {
+        "chlorine_flow_rate": cl_cmd,
+        "acid_flow_rate": acid_cmd,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Observation
+# ---------------------------------------------------------------------------
+
+def observe_true(state: R.ReactorState) -> Dict[str, jnp.ndarray]:
+    """Noise-free observations named like the sensor-suite readings: the
+    true zone values at the canonical instrument locations
+    (sensors/__init__.py — pH/Cl/temp at inlet zone 0 and outlet zone -1,
+    one flow sensor). Controllers written against the instrumented plant
+    run unchanged against the ideal one."""
+    return {
+        "pH_inlet": state.pH[..., 0],
+        "pH_outlet": state.pH[..., -1],
+        "chlorine_inlet": state.chlorine[..., 0],
+        "chlorine_outlet": state.chlorine[..., -1],
+        "temp_inlet": state.temperature[..., 0],
+        "temp_outlet": state.temperature[..., -1],
+        "flow_main": state.flow_rate,
+    }
+
+
+# ---------------------------------------------------------------------------
+# The closed-loop rollout
+# ---------------------------------------------------------------------------
+
+def rollout_closed_loop(params, state, boundary: R.BoundaryConditions,
+                        controller: Callable, gains, ctrl_carry,
+                        dt: float, substeps: int, n_steps: int,
+                        stages=None, observe: str = "true",
+                        actuator_tau: float = 0.0, batched: bool = False,
+                        record: bool = True, record_obs=None):
+    """Scan {physics -> observe -> controller -> validated commands} for
+    ``n_steps`` inside one jit.
+
+    ``controller(gains, carry, obs, dt) -> (carry, commands)`` is any pure
+    transform (``dual_pid_controller`` is the canonical one; shooting MPC
+    in control/mpc.py is another); ``commands`` maps actuator field names
+    (``acid_flow_rate``/``chlorine_flow_rate``/``inlet_flow_rate``) to
+    values, which pass through the orchestrator-parity zero-trust clamps
+    before reaching the plant.
+
+    ``observe``:
+      - ``"true"``: params/state are ``ReactorParams``/``ReactorState``;
+        the controller sees noise-free zone values (``observe_true``) —
+        the fast path for gain sweeps (physics-only, natively batched:
+        give every pytree + ``gains`` a leading ``[n]`` axis and the whole
+        sweep is one scan of batched arithmetic, no vmap).
+      - ``"sensors"``: params/state are ``PlantParams``/``PlantState``;
+        the controller sees the seven instruments' measured values
+        (delays, drift, noise, faults) — controller robustness evaluation
+        against realistic instrumentation. Set ``batched=True`` when the
+        plant pytrees carry a leading batch axis (per-lane PRNG keys need
+        the vmapped step).
+
+    Returns ``(final_state, final_ctrl_carry, final_boundary, traj)`` where
+    ``traj`` (if ``record``) holds per-step ``obs`` (under their reading
+    names), the applied ``commands``, and nothing else — select fewer obs
+    via ``record_obs=[names]`` to shrink rollout memory.
+    """
+    if observe not in ("true", "sensors"):
+        raise ValueError(f"unknown observe mode: {observe!r}")
+
+    # The carried BoundaryConditions must be shape-stable across scan
+    # iterations: with batched gains the commands carry the batch axis, so
+    # the initial boundary's leaves are broadcast up front (no-op when
+    # everything is scalar).
+    ref_pH = state.pH if observe == "true" else state.reactor.pH
+    batch_shape = jnp.shape(ref_pH)[:-1]
+    dtype = ref_pH.dtype
+    boundary = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x, dtype), batch_shape),
+        boundary)
+
+    if observe == "true":
+        def advance(st, bc):
+            new = R.step(params, st, bc, dt=dt, substeps=substeps,
+                         stages=stages)
+            return new, observe_true(new)
+    else:
+        from ics_wt_physicsengine_tpu.models.plant import (plant_step,
+                                                           plant_step_batched)
+
+        def advance(st, bc):
+            if batched:
+                new, readings = plant_step_batched(params, st, bc, dt,
+                                                   substeps, stages=stages,
+                                                   boundary_axes=0)
+            else:
+                new, readings = plant_step(params, st, bc, dt, substeps,
+                                           stages=stages)
+            return new, {k: v.value for k, v in readings.items()}
+
+    def body(carry, _):
+        st, cc, bc = carry
+        st, obs = advance(st, bc)
+        cc, commands = controller(gains, cc, obs, dt)
+        # shared scalar gains over a batched plant still yield per-lane
+        # command leaves (shape-stable carry)
+        commands = {k: jnp.broadcast_to(v, batch_shape)
+                    for k, v in commands.items()}
+        bc = apply_commands(bc, commands, dt, actuator_tau)
+        out = None
+        if record:
+            kept = obs if record_obs is None \
+                else {k: obs[k] for k in record_obs}
+            out = {**kept, **{f"cmd:{k}": v for k, v in commands.items()}}
+        return (st, cc, bc), out
+
+    (state, ctrl_carry, boundary), traj = jax.lax.scan(
+        body, (state, ctrl_carry, boundary), None, length=n_steps)
+    return state, ctrl_carry, boundary, traj

@@ -132,3 +132,11 @@ def test_plot_history_tool(tmp_path):
         cwd=REPO, env=env, capture_output=True, text=True, timeout=180)
     assert out.returncode == 0, out.stderr[-1000:]
     assert png.exists() and png.stat().st_size > 10_000
+
+
+def test_pid_tuning_sweep():
+    out = _run("pid_tuning_sweep.py",
+               ["--cpu", "--gains", "16", "--steps", "20",
+                "--refine-iters", "3"])
+    # grid sizing floors at 2*2*4*4 = 64 candidates
+    assert '"n_gains": 64' in out and '"tuned"' in out
