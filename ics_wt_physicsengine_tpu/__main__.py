@@ -414,6 +414,11 @@ def main(argv=None):
                              "batched step per tick (fleet.py). No "
                              "reference counterpart (its physics cannot "
                              "batch); 1 = classic single-plant serving.")
+    parser.add_argument("--fleet-no-shard", action="store_true",
+                        help="Keep the whole fleet on one device even when "
+                             "a multi-chip mesh is visible (default: shard "
+                             "the lane axis across devices; trajectories "
+                             "are bit-exact either way)")
     parser.add_argument("--fused-sensors", action="store_true",
                         help="Run physics + all 7 instruments as ONE jitted "
                              "step per tick (models/plant.py) instead of "

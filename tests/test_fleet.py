@@ -402,3 +402,30 @@ def test_fleet_checkpoint_preserves_operator_intent(tmp_path):
         client.close()
         orchestrator.running = False
         thread.join(timeout=30)
+
+
+def test_fleet_sharded_bitexact(tmp_path):
+    """Sharding the fleet's lane axis across the 8-device virtual mesh must
+    not change a single bit of any lane's trajectory vs single-device
+    (pure data parallelism — per-lane arithmetic untouched). Compared via
+    the full checkpoint pytree (physics + every sensor carry)."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    def run(ckpt, extra):
+        orchestrator.running = True
+        orchestrator.main(["--no-modbus", "--fleet", "4", "--zones", "4",
+                           "--dt", "1", "--duration", "12", "--rtf", "0",
+                           "--seed", "9", "--checkpoint-file", str(ckpt)]
+                          + extra)
+
+    sharded = tmp_path / "sharded.npz"
+    single = tmp_path / "single.npz"
+    run(sharded, [])                      # 8 virtual devices -> 4-way shard
+    run(single, ["--fleet-no-shard"])
+
+    a, b = np.load(sharded), np.load(single)
+    keys = [k for k in a.files if k.startswith("leaf_")]
+    assert keys and set(keys) == {k for k in b.files
+                                  if k.startswith("leaf_")}
+    for k in keys:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
