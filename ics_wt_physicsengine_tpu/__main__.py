@@ -381,6 +381,12 @@ def main(argv=None):
                              "README.md:151)")
     parser.add_argument("--checkpoint-hours", type=float, default=1.0,
                         help="Simulated hours between checkpoints")
+    parser.add_argument("--checkpoint-resize", action="store_true",
+                        help="Allow resuming a fleet checkpoint into a "
+                             "DIFFERENT --fleet size: saved lanes restore "
+                             "exactly, extra lanes start as fresh plants "
+                             "(without this flag a size mismatch aborts "
+                             "with an error)")
     parser.add_argument("--log-csv", type=str, default=None,
                         help="Append per-step sensor readings + commands to "
                              "this CSV file (historical logging — listed as "

@@ -144,13 +144,6 @@ def main_fleet(args) -> None:
                 max_connections=max(32, 2 * n + 4))
             if args.native_modbus:
                 from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
-                if server_config.max_connections > 64:
-                    logger.warning(
-                        "--native-modbus: the C++ plane's compile-time "
-                        "connection cap is 64 (< the fleet-sized %d); "
-                        "masters holding one connection per unit will be "
-                        "refused beyond 64 concurrent connections",
-                        server_config.max_connections)
                 slave = NativeModbusSlave(ModbusRegisterMap(), server_config,
                                           units=units)
             else:
@@ -278,8 +271,37 @@ def main_fleet(args) -> None:
             # Stage everything, then commit atomically: a failure anywhere
             # leaves the fresh-start state fully intact.
             meta = load_metadata(args.checkpoint_file)
-            restored = load_pytree(args.checkpoint_file,
-                                   {"params": params, "plant": plant})
+            n_saved = int(meta.get("fleet", n))
+            if n_saved != n and not getattr(args, "checkpoint_resize",
+                                            False):
+                logger.error(
+                    "Checkpoint %s holds a %d-plant fleet but --fleet is "
+                    "%d. Pass --checkpoint-resize to explicitly "
+                    "slice/grow the ensemble (lanes beyond the saved "
+                    "fleet start fresh), or match --fleet %d.",
+                    args.checkpoint_file, n_saved, n, n_saved)
+                raise SystemExit(1)
+            if n_saved != n:
+                # Explicit lane resize: load into an old-size template,
+                # then merge — saved lanes keep their exact state, extra
+                # lanes stay brand-new plants (utils.checkpoint.merge_lanes).
+                from ics_wt_physicsengine_tpu.utils.checkpoint import (
+                    merge_lanes)
+                old_params, old_plant = make_plant_batch(
+                    config, n_saved, seed=int(meta.get("seed", 0)),
+                    warmed_up=True)
+                restored = load_pytree(args.checkpoint_file,
+                                       {"params": old_params,
+                                        "plant": old_plant})
+                restored = {
+                    "params": merge_lanes(restored["params"], params),
+                    "plant": merge_lanes(restored["plant"], plant)}
+                logger.info("Fleet resized from %d to %d plants "
+                            "(%d lanes restored, %d fresh)", n_saved, n,
+                            min(n_saved, n), max(0, n - n_saved))
+            else:
+                restored = load_pytree(args.checkpoint_file,
+                                       {"params": params, "plant": plant})
             new_bounds = [BoundaryConditions(**b)
                           for b in meta.get("boundaries", [])[:n]]
             params, plant = restored["params"], restored["plant"]

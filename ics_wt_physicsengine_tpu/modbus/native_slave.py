@@ -162,6 +162,15 @@ class NativeModbusSlave:
         # The primary unit's bank is the one mb_create made; every other id
         # gets its own bank (fleet mode — gateway multiplexing).
         lib.mb_set_unit_id(self._handle, int(self._primary))
+        # Runtime connection cap (the C++ plane's historic compile-time 64
+        # is now a default): size it to config like the Python plane so
+        # 1000-client load targets work. Older prebuilt .so files lack the
+        # symbol — degrade to the built-in default.
+        if hasattr(lib, "mb_set_max_clients"):
+            lib.mb_set_max_clients.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_int]
+            lib.mb_set_max_clients(self._handle,
+                                   int(self.config.max_connections))
         for u in ids:
             if u != self._primary:
                 if lib.mb_add_unit(self._handle, int(u)) != 0:

@@ -18,18 +18,25 @@ When to use which path (measured, v5e, 20 zones, RK4):
   PRNG, models/plant.py; steady-state 512-step calls) vs 5.5M
   (``layout="zl"``) / 6.7M (``layout="pl"``) here.
 
-Two lane layouts (``layout=``, "auto" picks by batch size):
+Automatic path selection: use ``models.plant.plant_rollout_auto`` — it
+dispatches fused-vs-XLA by batch size and backend so callers cannot
+silently pick the order-of-magnitude slower path.
+
+Two lane layouts (``layout=``; "auto" == "zl"):
 - "zl" (zones on lanes): 128//Z plants per row; per-plant sensor math is
   replicated across each plant's Z lanes — ideal at single/small batch,
-  wasteful at scale.
-- "pl" (plants on lanes): one plant per lane, zones on the major axis of
-  [Z, rows, 128] state. Sensor math then uses every lane productively and
-  zone taps are free row slices, BUT each physics intermediate is Z
-  sublane-tiles tall and the zone stencil becomes major-axis shifts —
-  measured only ~1.2x over "zl" at 16k plants (the physics dominates; a
-  physics-only "pl" run caps near 5M plant-steps/s vs the standalone
-  zone-packed physics kernel's 48M). Large ensembles should stay on the
-  XLA batched path.
+  wasteful at scale (where the XLA batched path wins anyway).
+- "pl" (plants on lanes): EXPERIMENTAL, explicit opt-in only (demoted in
+  round 3, like the Pallas pH solver). One plant per lane, zones on the
+  major axis of [Z, rows, 128] state. Sensor math then uses every lane
+  productively and zone taps are free row slices, BUT each physics
+  intermediate is Z sublane-tiles tall and the zone stencil becomes
+  major-axis shifts — measured only ~1.2x over "zl" at 16k plants (the
+  physics dominates; a physics-only "pl" run caps near 5M plant-steps/s
+  vs the standalone zone-packed physics kernel's 48M; the per-zone
+  [8, 128] planes serialize VPU dispatch). Never enough of a win to
+  matter: large ensembles belong on the XLA batched path (120M
+  plant-steps/s at 65k plants), which auto-dispatch picks.
 
 Design — reuse, don't re-implement:
 - The sensor pipeline code is the *same* jnp code as the XLA path: the
@@ -48,14 +55,20 @@ Design — reuse, don't re-implement:
 
 Sample line: with a fixed step dt, the reference's nearest-timestamp ring
 lookup reduces to "the tap from round(delay/dt) steps ago" — a circular
-[delay_steps+1] history in VMEM scratch with O(1) lookup instead of an
-argmin over 100 entries. Differences vs the XLA ring (documented, noise
-level): the fused line records the true process value every step (the
-reference skips appends while warming or power-faulted, shifting post-fault
-delays by +-1 step at ~1e-4/read probability), and an incoming carry's ring
-contents are ignored (a fused rollout starts its line from the first
-in-rollout sample, exactly like a freshly powered reference SampleLine;
-the carried ring passes through untouched).
+[max_delay_steps+1] history in VMEM scratch with O(1) lookup (uniform
+delays) or a one-hot gather (per-plant heterogeneous delays) instead of
+an argmin over 100 entries. Incoming carry rings ARE consumed
+(``consume_line=True``): a host prologue resolves what the exact
+nearest-timestamp lookup would return for each of the first ``delay``
+reads and prefills the history (``_resolve_lead_in``), so a fused
+continuation of an XLA run is sample-for-sample exact
+(tests/test_fused_plant.py::test_fused_plant_consumes_incoming_ring).
+Remaining differences vs the XLA ring (documented, noise level): the
+fused line records the true process value every step (the reference skips
+appends while warming or power-faulted, shifting post-fault delays by
++-1 step at ~1e-4/read probability), exactly-equal-distance ties between
+an incoming and an in-rollout sample resolve by ring-slot order, and the
+kernel does not write its own ring back on exit.
 
 Randomness: on TPU, the on-chip PRNG (pltpu.prng_seed / prng_random_bits,
 seeded per grid block from ``seed``); uniforms take the top 24 bits,
@@ -269,13 +282,19 @@ def _seg_tap(x, k: int, n_zones: int, zone, lanes: int):
     return x
 
 
-def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits_ref,
+_LINE_ATTRS = ("ph_inlet", "ph_outlet", "temp_inlet", "temp_outlet")
+_LINE_IDX = {a: i for i, a in enumerate(_LINE_ATTRS)}
+
+
+def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref,
+                  bits_ref, dsteps_ref,
+                  lead_ph_in, lead_ph_out, lead_t_in, lead_t_out,
                   ph_ref, cl_ref, t_ref,
                   ph_out, cl_out, t_out, time_out, cout_ref, traj_ref,
                   hist_ph_in, hist_ph_out, hist_t_in, hist_t_out,
                   *, n_zones: int, dt: float, substeps: int, n_steps: int,
                   block_rows: int, stages, record_every: int, hw_rng: bool,
-                  delays, statics, scheduled: bool, chunk: int,
+                  statics, scheduled: bool, chunk: int,
                   layout: str):
     # layout "zl": zones on lanes, 128//Z plants per row (single/small
     # batch). layout "pl": one plant per lane, zones on the major axis of
@@ -324,12 +343,24 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
         else:
             pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
+    hists = {"ph_inlet": hist_ph_in, "ph_outlet": hist_ph_out,
+             "temp_inlet": hist_t_in, "temp_outlet": hist_t_out}
+    leads = {"ph_inlet": lead_ph_in, "ph_outlet": lead_ph_out,
+             "temp_inlet": lead_t_in, "temp_outlet": lead_t_out}
+
     def _init():
         cout_ref[:] = cin_ref[:]
         ph_out[:] = ph_ref[:]
         cl_out[:] = cl_ref[:]
         t_out[:] = t_ref[:]
         time_out[:] = jnp.zeros_like(time_out) + time_ref[0]
+        # Sample-line lead-in: the host resolved what each line read would
+        # return for the first d steps FROM THE INCOMING CARRY RING (exact
+        # nearest-timestamp semantics, see _resolve_lead_in); NaN slots fall
+        # back to the first in-rollout sample (fresh-line clamp).
+        for a in _LINE_ATTRS:
+            if statics[a]["d_max"] > 0:
+                hists[a][:] = leads[a][:]
 
     if scheduled:
         pl.when(t_idx == 0)(_init)
@@ -426,40 +457,48 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
         if "no_sensors" in _ABLATE:
             return
 
-        z_last = n_zones - 1
-        if "no_taps" in _ABLATE:
-            ref_plane = nph if layout == "zl" else nph[0]
-            taps = {k: ref_plane for k in ("pH0", "pHL", "cl0", "clL",
-                                           "T0", "TL")}
-        elif layout == "pl":
-            # plants-on-lanes: zone k of every plant is just row k
-            taps = {
-                "pH0": nph[0], "pHL": nph[z_last],
-                "cl0": ncl[0], "clL": ncl[z_last],
-                "T0": ntt[0], "TL": ntt[z_last],
-            }
-        else:
-            taps = {
-                "pH0": _seg_tap(nph, 0, n_zones, zone, _LANES),
-                "pHL": _seg_tap(nph, z_last, n_zones, zone, _LANES),
-                "cl0": _seg_tap(ncl, 0, n_zones, zone, _LANES),
-                "clL": _seg_tap(ncl, z_last, n_zones, zone, _LANES),
-                "T0": _seg_tap(ntt, 0, n_zones, zone, _LANES),
-                "TL": _seg_tap(ntt, z_last, n_zones, zone, _LANES),
-            }
+        # zone taps at ARBITRARY static zones (any sensor may read any
+        # zone, not just inlet/outlet), memoized per (variable, zone)
+        planes = {"pH": nph, "cl": ncl, "T": ntt}
+        _tap_cache = {}
 
-        def delayed(hist, tap, ds):
-            # circular history: append this step's tap, look up the tap
-            # from ds steps ago (clamped to the rollout's first sample —
-            # the reference ring's nearest-to-target pick for a young line)
-            if "no_hist" in _ABLATE:
+        def tap_of(var, k):
+            if "no_taps" in _ABLATE:
+                return nph if layout == "zl" else nph[0]
+            if (var, k) not in _tap_cache:
+                arr = planes[var]
+                _tap_cache[(var, k)] = arr[k] if layout == "pl" \
+                    else _seg_tap(arr, k, n_zones, zone, _LANES)
+            return _tap_cache[(var, k)]
+
+        def delayed(attr, tap):
+            """Circular sample-line history: append this step's tap, read
+            the tap from d steps ago. ``d`` may be per-plant (packed in
+            dsteps_ref); capacity is the batch max + 1. Lead-in slots were
+            prefilled from the incoming carry ring (see _init); NaN lead
+            slots fall back to the first in-rollout sample — the exact
+            ring's nearest-available pick for a young line."""
+            info = statics[attr]
+            d_stat, d_max = info["d_static"], info["d_max"]
+            if "no_hist" in _ABLATE or d_max == 0:
                 return tap
-            cap = jnp.int32(ds + 1)
+            hist = hists[attr]
+            cap = jnp.int32(d_max + 1)
             gi = jnp.int32(g)
             hist[jax.lax.rem(gi, cap)] = tap
-            idx = jax.lax.rem(jnp.maximum(gi - jnp.int32(ds),
-                                          jnp.int32(0)), cap)
-            return hist[idx]
+            if d_stat is not None:        # uniform delay: O(1) direct read
+                idx = jax.lax.rem(gi - jnp.int32(d_stat) + cap, cap)
+                v = hist[idx]
+            else:                         # per-plant delays: one-hot gather
+                dpl = dsteps_ref[:, _LINE_IDX[attr], :].astype(jnp.int32)
+                idx = jax.lax.rem(gi - dpl + cap, cap)
+                v = hist[0]
+                for k in range(1, d_max + 1):
+                    v = jnp.where(idx == k, hist[k], v)
+            # NaN marks "no usable pre-rollout sample for this read":
+            # fall back to the oldest in-rollout sample (slot 0 holds the
+            # step-0 write untouched for the whole lead-in window)
+            return jnp.where(jnp.isnan(v), hist[0], v)
 
         readings = {}
         sensors = SENSORS[:1] if "one_sensor" in _ABLATE else SENSORS
@@ -483,13 +522,11 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
                     temperature_coefficient=pparam(
                         attr, None, "temperature_coefficient"))
                 cc = overlay_carry(attr, kind, bc)
-                tap_ph = taps["pH0"] if statics[attr]["zone"] == 0 \
-                    else taps["pHL"]
-                tap_t = taps["T0"] if statics[attr]["zone"] == 0 \
-                    else taps["TL"]
+                zi = statics[attr]["zone"]
+                tap_ph = tap_of("pH", zi)
+                tap_t = tap_of("T", zi)
                 comp = SP.nernst_compensated_ph(pp, tap_ph, tap_t)
-                hist = hist_ph_in if attr == "ph_inlet" else hist_ph_out
-                dtap = delayed(hist, comp, delays[attr])
+                dtap = delayed(attr, comp)
                 nc, out = SP.ph_read(pp, cc, tap_ph, tap_t, t, rand=rand,
                                      delayed_true=dtap)
             elif kind == "cl":
@@ -501,10 +538,9 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
                     h2o2_sensitivity=pparam(attr, None, "h2o2_sensitivity"),
                     clo2_sensitivity=pparam(attr, None, "clo2_sensitivity"))
                 cc = overlay_carry(attr, kind, bc)
-                tap_cl = taps["cl0"] if statics[attr]["zone"] == 0 \
-                    else taps["clL"]
-                tap_ph = taps["pH0"] if statics[attr]["zone"] == 0 \
-                    else taps["pHL"]
+                zi = statics[attr]["zone"]
+                tap_cl = tap_of("cl", zi)
+                tap_ph = tap_of("pH", zi)
                 nc, out = SC.chlorine_read(pp, cc, tap_cl, tap_ph, t,
                                            rand=rand)
             elif kind == "flow":
@@ -528,10 +564,8 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
                     seebeck_coefficient=pparam(attr, None,
                                                "seebeck_coefficient"))
                 cc = overlay_carry(attr, kind, bc)
-                tap_t = taps["T0"] if statics[attr]["zone"] == 0 \
-                    else taps["TL"]
-                hist = hist_t_in if attr == "temp_inlet" else hist_t_out
-                dtap = delayed(hist, tap_t, delays[attr])
+                tap_t = tap_of("T", statics[attr]["zone"])
+                dtap = delayed(attr, tap_t)
                 nc, out = ST.temperature_read(pp, cc, tap_t, t, rand=rand,
                                               delayed_true=dtap)
 
@@ -570,13 +604,69 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref, bits
 # ---------------------------------------------------------------------------
 
 
-def _uniform_scalar(leaf, what):
-    arr = np.asarray(jax.device_get(leaf), np.float64).ravel()
-    if arr.size > 1 and not np.all(arr == arr[0]):
-        raise ValueError(f"{what} must be uniform across the batch for the "
-                         f"fused plant kernel; got range "
-                         f"[{arr.min()}, {arr.max()}]")
-    return float(arr[0])
+def _resolve_lead_in(base_carry, delay_s, d_arr, d_max, t0, dt, batch):
+    """Prefill ``[d_max + 1, batch]`` for a sample-line history: what the
+    exact nearest-timestamp ring lookup (sensors.base._ring_append_and_
+    lookup) would return for each of the first ``d`` in-rollout reads,
+    resolved from the INCOMING carry ring. NaN = "no usable pre-rollout
+    sample" — the kernel falls back to the first in-rollout sample (the
+    fresh-line clamp). Emulates the exact path's semantics including the
+    progressive overwrite of incoming entries by in-rollout appends and
+    jnp.argmin's storage-order tie-break (ties at exactly equal distance
+    between an incoming and an in-rollout sample resolve by ring slot
+    index)."""
+    dtype = jnp.float32
+    cap = d_max + 1
+    nanfill = jnp.full((cap, batch), jnp.nan, dtype)
+    lv = jnp.asarray(base_carry.line_values, dtype)
+    lt = jnp.asarray(base_carry.line_times, dtype)
+    if lv.ndim == 1:
+        lv, lt = lv[None, :], lt[None, :]
+    C = lv.shape[-1]
+    if d_max == 0 or C == 0:
+        return nanfill
+    lv = jnp.broadcast_to(lv, (batch, C))
+    lt = jnp.broadcast_to(lt, (batch, C))
+    count = jnp.broadcast_to(
+        jnp.asarray(base_carry.line_count, jnp.int32).reshape(-1), (batch,))
+    ptr = jnp.broadcast_to(
+        jnp.asarray(base_carry.line_ptr, jnp.int32).reshape(-1), (batch,))
+    delay_s = jnp.broadcast_to(jnp.asarray(delay_s, dtype).reshape(-1),
+                               (batch,))
+    d_arr = jnp.broadcast_to(jnp.asarray(d_arr, jnp.int32).reshape(-1),
+                             (batch,))
+    t0 = jnp.broadcast_to(jnp.asarray(t0, dtype).reshape(-1), (batch,))
+
+    g = jnp.arange(d_max, dtype=jnp.int32)[:, None]             # [d, 1]
+    target = t0[None, :] + (g.astype(dtype) + 1.0) * dt \
+        - delay_s[None, :]                                       # [d, B]
+    s = jnp.arange(C, dtype=jnp.int32)[None, :]                  # [1, C]
+    overwrite_step = jnp.mod(s - ptr[:, None], C)                # [B, C]
+    valid = s < count[:, None]                                   # [B, C]
+    surv = valid[None] & (overwrite_step[None] > g[:, :, None])  # [d, B, C]
+    dist = jnp.where(surv, jnp.abs(lt[None] - target[..., None]),
+                     jnp.inf)
+    slot_in = jnp.argmin(dist, axis=-1)                          # [d, B]
+    dist_in = jnp.min(dist, axis=-1)
+    # nearest in-rollout candidate for a read this young is always the
+    # step-0 sample (slot ptr), at |delay - g*dt|
+    dist0 = jnp.abs(delay_s[None, :] - g.astype(dtype) * dt)
+    use = (dist_in < dist0) | ((dist_in == dist0)
+                               & (slot_in < ptr[None, :]))
+    use = use & (g < d_arr[None, :])
+    vals = jnp.take_along_axis(
+        jnp.broadcast_to(lv[None], (d_max, batch, C)),
+        slot_in[..., None], axis=-1)[..., 0]
+    lead_gb = jnp.where(use, vals, jnp.nan)                      # [d, B]
+
+    # scatter into prefill slots: the read for step g < d_b hits ring slot
+    # (g - d_b + cap) % cap = g + 1 + (d_max - d_b)
+    slots = jnp.arange(cap, dtype=jnp.int32)[:, None]            # [cap, 1]
+    g_of = slots - 1 - (d_max - d_arr[None, :])                  # [cap, B]
+    ok = (g_of >= 0) & (g_of < d_arr[None, :])
+    gi = jnp.clip(g_of, 0, d_max - 1)
+    return jnp.where(ok, jnp.take_along_axis(lead_gb, gi, axis=0),
+                     jnp.nan).astype(dtype)
 
 
 def plant_rollout_fused(params, plant, boundary, *, dt: float,
@@ -584,7 +674,7 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
                         record_every: int = 1, rng: str = "hw",
                         bits=None, seed: int = 0,
                         interpret: bool | None = None,
-                        layout: str = "auto"):
+                        layout: str = "auto", consume_line: bool = True):
     """Advance the full instrumented plant ``n_steps`` inside one kernel.
 
     Returns ``(new_plant, readings)`` where readings maps each sensor name
@@ -602,9 +692,20 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
     ``[n_steps, N_WORDS, rows_padded, 128]`` — the CPU-testable path whose
     stream the XLA oracle can replay (see module docstring).
 
-    Constraints: n_zones <= 128; uniform sample-line delay and sensor
-    zone/type statics across the batch; incoming delay-ring contents are
-    not consumed (see module docstring).
+    Sample lines: per-plant delays are supported (plants may have
+    heterogeneous line delays — the kernel gathers each lane's own tap;
+    uniform-delay batches keep the O(1) fast path), sensors may tap ANY
+    zone (``zone_index`` normalized, uniform across the batch), and the
+    incoming carry rings ARE consumed (``consume_line=True``, default):
+    the first ``delay`` reads resolve against the pre-rollout ring
+    contents with the exact nearest-timestamp semantics. The kernel does
+    not write the ring back on exit — chaining fused -> XLA stepping
+    restarts the line from the fused rollout's last samples being absent
+    (chain fused -> fused, or re-enter with ``consume_line=True`` after an
+    XLA segment, which is exact).
+
+    Constraints: n_zones <= 128; sensor zone/type statics uniform across
+    the batch.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -621,20 +722,33 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
     if z > _LANES:
         raise ValueError(f"fused plant supports n_zones <= {_LANES}")
 
-    # -- static per-sensor config (types, zones, delays) — derived from
-    #    concrete params host-side, passed as hashable statics to the jit
-    statics, delays = [], []
+    # -- static per-sensor config (types, zones, delay structure) —
+    #    derived from concrete params host-side, passed as hashable statics
+    #    to the jit. Zones may be ANY zone (normalized); sample-line delays
+    #    may differ per plant (d_static=None => per-plant path in-kernel).
+    statics = []
     for _, attr, kind in SENSORS:
         sp = getattr(params, attr)
         zi = getattr(sp, "zone_index", 0)
-        if zi not in (-1, 0, z - 1):
-            raise ValueError(f"{attr}: zone_index {zi} unsupported "
-                             f"(inlet 0 / outlet -1 only)")
-        statics.append((attr, (z - 1) if zi in (-1, z - 1) else 0,
-                        getattr(sp, "sensor_type", None)))
-        delay_s = _uniform_scalar(sp.base.line_delay_s,
-                                  f"{attr}.base.line_delay_s")
-        delays.append((attr, max(0, int(round(delay_s / dt)))))
+        if not -z <= zi < z:
+            raise ValueError(f"{attr}: zone_index {zi} out of range for "
+                             f"{z} zones")
+        zi = zi % z
+        d_static, d_max = 0, 0
+        if attr in _LINE_ATTRS:
+            if sp.base.line_capacity > 0:
+                darr = np.round(np.asarray(
+                    jax.device_get(sp.base.line_delay_s),
+                    np.float64).ravel() / dt).astype(np.int64)
+                darr = np.maximum(darr, 0)
+                d_max = int(darr.max()) if darr.size else 0
+                d_static = int(darr[0]) \
+                    if darr.size and np.all(darr == darr[0]) else None
+            statics.append((attr, zi, getattr(sp, "sensor_type", None),
+                            d_static, d_max))
+        else:
+            statics.append((attr, zi, getattr(sp, "sensor_type", None),
+                            0, 0))
 
     # -- schedule handling: [n_steps]-leaf BoundaryConditions => per-step
     #    forcing streamed through SMEM (chunked sequential time grid axis)
@@ -650,11 +764,12 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
         scheduled = False
 
     if layout == "auto":
-        # measured crossover on v5e (20 zones): zone packing wins below
-        # ~8k plants; plants-on-lanes is ~1.2x faster above it
-        ph_arr = jnp.asarray(plant.reactor.pH)
-        batch = 1 if ph_arr.ndim == 1 else ph_arr.shape[0]
-        layout = "pl" if batch >= 8192 else "zl"
+        # "zl" always: the "pl" (plants-on-lanes) layout never beat it by
+        # enough to matter (~1.2x at 16k plants) and large ensembles belong
+        # on the XLA batched path anyway (see module docstring / the
+        # measured crossover in models.plant.plant_rollout_auto). "pl" is
+        # retained as an EXPERIMENTAL explicit opt-in only.
+        layout = "zl"
     if layout not in ("zl", "pl"):
         raise ValueError(f"unknown layout {layout!r} (zl, pl, or auto)")
 
@@ -664,7 +779,7 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
         params, plant, boundary, bits, dt=dt, substeps=substeps,
         n_steps=n_steps, stages=stages, record_every=record_every,
         hw_rng=rng == "hw", seed=seed, interpret=interpret,
-        statics_t=tuple(statics), delays_t=tuple(delays),
+        statics_t=tuple(statics), consume_line=consume_line,
         scheduled=scheduled, sched_chunk=_PLANT_SCHED_CHUNK,
         layout=layout, ablate=_ABLATE)
 
@@ -672,16 +787,16 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "substeps", "n_steps", "stages", "record_every",
-                     "hw_rng", "interpret", "statics_t", "delays_t",
+                     "hw_rng", "interpret", "statics_t", "consume_line",
                      "scheduled", "sched_chunk", "layout", "ablate"))
 def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
                      n_steps, stages, record_every, hw_rng, seed,
-                     interpret, statics_t, delays_t, scheduled, sched_chunk,
-                     layout, ablate):
+                     interpret, statics_t, consume_line, scheduled,
+                     sched_chunk, layout, ablate):
     del ablate  # only a cache key: _ABLATE is read at trace time
-    statics = {attr: {"zone": zone, "type": typ}
-               for attr, zone, typ in statics_t}
-    delays = dict(delays_t)
+    statics = {attr: {"zone": zone, "type": typ, "d_static": d_static,
+                      "d_max": d_max}
+               for attr, zone, typ, d_static, d_max in statics_t}
     rparams = params.reactor
     state = plant.reactor
     z = rparams.n_zones
@@ -763,6 +878,37 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         cvals[(attr, sub, field)] = leaf
     cin = pack_cols(cvals, [c[:3] for c in _CCOLS])
 
+    # -- sample-line lead-in prefill (consume the incoming carry rings) and
+    #    per-plant delay-step planes
+    t0_arr = jnp.asarray(state.time, dtype)
+    lead_planes, d_vals = {}, {}
+    for a in _LINE_ATTRS:
+        info = statics[a]
+        sp_a = getattr(params, a)
+        car_a = getattr(plant, a).base
+        cap_a = info["d_max"] + 1
+        delay_leaf = jnp.asarray(sp_a.base.line_delay_s, dtype)
+        d_arr = jnp.maximum(jnp.round(delay_leaf / dt),
+                            0.0).astype(jnp.int32)
+        d_vals[a] = jnp.broadcast_to(d_arr.reshape(-1).astype(dtype)
+                                     if d_arr.ndim else
+                                     d_arr.astype(dtype).reshape(-1),
+                                     (batch,))
+        if consume_line and info["d_max"] > 0 \
+                and getattr(sp_a.base, "line_capacity", 0) > 0:
+            lead = _resolve_lead_in(car_a, delay_leaf, d_arr,
+                                    info["d_max"], t0_arr, dt, batch)
+        else:
+            lead = jnp.full((cap_a, batch), jnp.nan, dtype)
+        if layout == "pl":
+            lead_planes[a] = jax.vmap(pack_flat)(lead)
+        else:
+            lead_planes[a] = jax.vmap(
+                lambda v: _pack_state(
+                    jnp.broadcast_to(v[:, None], (batch, z)), batch, z,
+                    plants_per_row, rows_padded, dtype))(lead)
+    dsteps = pack_cols(d_vals, list(_LINE_ATTRS))
+
     # Index maps take one grid coordinate per grid axis: (rows,) in
     # constant mode, (rows, time_chunks) when scheduled. Row-tiled blocks
     # ignore the time coordinate (constant in t = resident carry).
@@ -822,6 +968,9 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
     sp_block = bspec((block_rows, N_PCOLS, _LANES), row3)
     c_block = bspec((block_rows, N_CCOLS, _LANES), row3)
     traj_block = bspec((n_rec, len(SENSORS), block_rows, _LANES), traj_idx)
+    dsteps_block = bspec((block_rows, len(_LINE_ATTRS), _LANES), row3)
+    lead_blocks = [bspec((statics[a]["d_max"] + 1, block_rows, _LANES),
+                         traj3_idx) for a in _LINE_ATTRS]
 
     t0 = jnp.asarray(state.time, dtype).reshape(-1)[0]
 
@@ -829,13 +978,12 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         _plant_kernel, n_zones=z, dt=dt, substeps=substeps,
         n_steps=n_steps, block_rows=block_rows, stages=stages,
         record_every=record_every, hw_rng=hw_rng,
-        delays=delays,
         statics={k: dict(v) for k, v in statics.items()},
         scheduled=scheduled, chunk=chunk, layout=layout)
 
-    scratch = [pltpu.VMEM((delays[a] + 1, block_rows, _LANES), dtype)
-               for a in ("ph_inlet", "ph_outlet", "temp_inlet",
-                         "temp_outlet")]
+    scratch = [pltpu.VMEM((statics[a]["d_max"] + 1, block_rows, _LANES),
+                          dtype)
+               for a in _LINE_ATTRS]
 
     time_in = (jnp.zeros((1,), dtype) + t0)
     seed_in = jnp.zeros((1,), jnp.int32) + jnp.asarray(seed, jnp.int32)
@@ -845,8 +993,9 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM), sched_block,
-                  scal_block, sp_block, c_block, bits_block,
-                  state_block, state_block, state_block],
+                  scal_block, sp_block, c_block, bits_block, dsteps_block]
+        + lead_blocks
+        + [state_block, state_block, state_block],
         out_specs=(state_block, state_block, state_block, block, c_block,
                    traj_block),
         out_shape=(jax.ShapeDtypeStruct(state_shape, dtype),
@@ -859,8 +1008,10 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
                                          _LANES), dtype)),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(time_in, seed_in, sched, scal, sp_t, cin, bits, prep(state.pH),
-      prep(state.chlorine), prep(state.temperature))
+    )(time_in, seed_in, sched, scal, sp_t, cin, bits, dsteps,
+      lead_planes["ph_inlet"], lead_planes["ph_outlet"],
+      lead_planes["temp_inlet"], lead_planes["temp_outlet"],
+      prep(state.pH), prep(state.chlorine), prep(state.temperature))
 
     ph_f, cl_f, t_f, time_plane, cout, traj = outs
 

@@ -88,16 +88,22 @@ def sharded_plant_rollout_fused(mesh, params, *, dt: float, substeps: int,
 
     # Host-side statics (concrete params required, like plant_rollout_fused)
     z = params.reactor.n_zones
-    statics, delays = [], []
+    statics = []
     for _, attr, kind in FP.SENSORS:
         sp = getattr(params, attr)
-        zi = getattr(sp, "zone_index", 0)
-        statics.append((attr, (z - 1) if zi in (-1, z - 1) else 0,
-                        getattr(sp, "sensor_type", None)))
-        delay_s = FP._uniform_scalar(sp.base.line_delay_s,
-                                     f"{attr}.base.line_delay_s")
-        delays.append((attr, max(0, int(round(delay_s / dt)))))
-    statics_t, delays_t = tuple(statics), tuple(delays)
+        zi = getattr(sp, "zone_index", 0) % z
+        d_static, d_max = 0, 0
+        if attr in FP._LINE_ATTRS and sp.base.line_capacity > 0:
+            darr = np.round(np.asarray(
+                jax.device_get(sp.base.line_delay_s),
+                np.float64).ravel() / dt).astype(np.int64)
+            darr = np.maximum(darr, 0)
+            d_max = int(darr.max()) if darr.size else 0
+            d_static = int(darr[0]) \
+                if darr.size and np.all(darr == darr[0]) else None
+        statics.append((attr, zi, getattr(sp, "sensor_type", None),
+                        d_static, d_max))
+    statics_t = tuple(statics)
 
     interpret = mesh.devices.flat[0].platform != "tpu"
     if rng == "hw" and interpret:
@@ -121,7 +127,7 @@ def sharded_plant_rollout_fused(mesh, params, *, dt: float, substeps: int,
             p, plant, boundary, bits_arr, dt=dt, substeps=substeps,
             n_steps=n_steps, stages=stages, record_every=record_every,
             hw_rng=hw_rng, seed=dev_seed, interpret=interpret,
-            statics_t=statics_t, delays_t=delays_t,
+            statics_t=statics_t, consume_line=True,
             scheduled=scheduled, sched_chunk=FP._PLANT_SCHED_CHUNK,
             layout=layout, ablate=FP._ABLATE)
         stacked = jax.numpy.stack(

@@ -118,6 +118,39 @@ def load_metadata(path: str) -> Dict:
         return json.loads(bytes(data["__meta__"]).decode())["metadata"]
 
 
+def merge_lanes(restored: Any, fresh: Any) -> Any:
+    """Lane-resize a restored batched pytree into a differently sized one.
+
+    ``restored`` carries ``[n_old, ...]`` lane-major leaves (a loaded fleet
+    checkpoint); ``fresh`` carries ``[n_new, ...]`` leaves (a freshly built
+    ensemble of the target size). The first ``min(n_old, n_new)`` lanes of
+    every leaf come from the checkpoint; any extra lanes keep their fresh
+    state (new units start as brand-new plants — NOT copies of existing
+    lanes, which would duplicate PRNG streams). Leaves whose shapes already
+    agree pass through from the checkpoint; leaves with no lane axis (rank
+    mismatch) keep the fresh value.
+
+    Used for explicit fleet-size resharding (``--checkpoint-resize``);
+    without it a size mismatch fails fast in ``load_pytree``.
+    """
+    import jax.numpy as jnp
+
+    def m(r, f):
+        r_shape, f_shape = tuple(np.shape(r)), tuple(np.shape(f))
+        if r_shape == f_shape:
+            return r
+        if (len(r_shape) == len(f_shape) and len(r_shape) >= 1
+                and r_shape[1:] == f_shape[1:]):
+            k = min(r_shape[0], f_shape[0])
+            if k == r_shape[0] and k < f_shape[0]:      # grow
+                return jnp.concatenate([jnp.asarray(r),
+                                        jnp.asarray(f)[k:]], axis=0)
+            return jnp.asarray(r)[:f_shape[0]]          # shrink
+        return f
+
+    return jax.tree_util.tree_map(m, restored, fresh)
+
+
 # ---------------------------------------------------------------------------
 # Whole-simulation checkpoints
 # ---------------------------------------------------------------------------

@@ -40,7 +40,6 @@
 
 namespace {
 
-constexpr int kMaxClients = 64;
 constexpr size_t kMaxFrame = 300;  // MBAP(7) + max PDU (253)
 
 enum Block { COILS = 0, DISCRETE_INPUTS = 1, INPUT_REGISTERS = 2,
@@ -104,6 +103,10 @@ struct Server {
   // -1 = answer any unit id (default); otherwise answer only this unit
   // or the 0xFF "any" convention used over TCP.
   std::atomic<int> unit_id{-1};
+  // Runtime connection cap (mb_set_max_clients): defaults to the historic
+  // compile-time 64; the 1000-client load target (reference README.md:455)
+  // needs it fleet-/load-test-sized. poll()-based, so no FD_SETSIZE limit.
+  std::atomic<int> max_clients{64};
   std::vector<DeviceIdObject> device_id{
       {0x00, "ICS-WT-PhysicsEngine-TPU"},
       {0x01, "WTS-TPU"},
@@ -378,7 +381,7 @@ struct Server {
         for (;;) {
           int fd = ::accept(listen_fd, nullptr, nullptr);
           if (fd < 0) break;
-          if (conns.size() >= kMaxClients) {
+          if ((int)conns.size() >= max_clients.load()) {
             ::close(fd);
           } else {
             int one = 1;
@@ -431,6 +434,11 @@ struct Server {
 
 extern "C" {
 
+void mb_set_max_clients(void* handle, int n) {
+  auto* s = static_cast<Server*>(handle);
+  if (n > 0) s->max_clients.store(n);
+}
+
 void* mb_create(const uint32_t sizes[4]) {
   auto* s = new Server();
   for (int i = 0; i < 4; i++) s->blocks[i].assign(sizes[i], 0);
@@ -473,7 +481,7 @@ int mb_start(void* handle, const char* host, uint16_t port) {
   ::fcntl(s->listen_fd, F_SETFL, flags | O_NONBLOCK);
   if (::bind(s->listen_fd, reinterpret_cast<sockaddr*>(&addr),
              sizeof(addr)) < 0 ||
-      ::listen(s->listen_fd, 64) < 0) {
+      ::listen(s->listen_fd, 1024) < 0) {
     ::close(s->listen_fd);
     return -1;
   }

@@ -429,3 +429,88 @@ def test_fleet_sharded_bitexact(tmp_path):
                                   if k.startswith("leaf_")}
     for k in keys:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def _run_fleet(ckpt, duration, fleet, extra=()):
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    orchestrator.running = True
+    orchestrator.main(["--no-modbus", "--fleet", str(fleet), "--zones", "4",
+                       "--dt", "1", "--duration", str(duration),
+                       "--rtf", "0", "--seed", "9",
+                       "--checkpoint-file", str(ckpt)] + list(extra))
+
+
+def test_fleet_checkpoint_cross_device_resume(tmp_path):
+    """A checkpoint written by a SHARDED fleet (4-way over the virtual
+    mesh) must resume bit-exactly on a single device and vice versa —
+    checkpoints are device-topology-agnostic (saved gathered to host,
+    re-placed per the resuming process's mesh)."""
+    import shutil
+
+    straight = tmp_path / "straight.npz"
+    _run_fleet(straight, 20, 4, ["--fleet-no-shard"])
+
+    # sharded 10 -> single-device resume to 20
+    cross = tmp_path / "cross.npz"
+    _run_fleet(cross, 10, 4)                      # sharded phase
+    _run_fleet(cross, 20, 4, ["--fleet-no-shard"])  # 1-device resume
+
+    # single-device 10 -> sharded resume to 20
+    cross2 = tmp_path / "cross2.npz"
+    _run_fleet(cross2, 10, 4, ["--fleet-no-shard"])
+    _run_fleet(cross2, 20, 4)
+
+    a = np.load(straight)
+    for other in (cross, cross2):
+        b = np.load(other)
+        keys = [k for k in a.files if k.startswith("leaf_")]
+        assert keys
+        for k in keys:
+            np.testing.assert_array_equal(a[k], b[k],
+                                          err_msg=f"{other.name}:{k}")
+    del a
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_fleet_checkpoint_resize(tmp_path):
+    """Explicit fleet-size resharding (--checkpoint-resize): saved lanes
+    restore exactly into a smaller or larger fleet; extra lanes start
+    fresh; without the flag a size mismatch aborts with a clear error and
+    leaves the checkpoint untouched."""
+    import shutil
+
+    straight = tmp_path / "straight3.npz"
+    _run_fleet(straight, 20, 3)
+    base = tmp_path / "base3.npz"
+    _run_fleet(base, 10, 3)
+
+    # shrink 3 -> 2: surviving lanes must match the straight 3-fleet run
+    shrink = tmp_path / "shrink.npz"
+    shutil.copy(base, shrink)
+    _run_fleet(shrink, 20, 2, ["--checkpoint-resize"])
+    a, s = np.load(straight), np.load(shrink)
+    keys = [k for k in a.files if k.startswith("leaf_")]
+    assert keys
+    for k in keys:
+        av = a[k]
+        assert av.ndim >= 1 and av.shape[0] == 3, k
+        np.testing.assert_array_equal(av[:2], s[k], err_msg=k)
+
+    # grow 3 -> 5: saved lanes exact, new lanes fresh and finite
+    grow = tmp_path / "grow.npz"
+    shutil.copy(base, grow)
+    _run_fleet(grow, 20, 5, ["--checkpoint-resize"])
+    g = np.load(grow)
+    for k in keys:
+        np.testing.assert_array_equal(a[k], g[k][:3], err_msg=k)
+        assert g[k].shape[0] == 5, k     # two fresh lanes actually exist
+
+    # without the flag: abort, checkpoint preserved
+    import hashlib
+    abort = tmp_path / "abort.npz"
+    shutil.copy(base, abort)
+    digest = hashlib.sha256(abort.read_bytes()).hexdigest()
+    with pytest.raises(SystemExit):
+        _run_fleet(abort, 20, 2)
+    assert hashlib.sha256(abort.read_bytes()).hexdigest() == digest

@@ -375,3 +375,165 @@ def test_fused_plant_plants_on_lanes_matches_xla():
         want = np.asarray(getattr(o_plant, attr).base.current_value)
         np.testing.assert_allclose(got, want, rtol=0, atol=5e-4,
                                    err_msg=f"{attr}.current_value")
+
+
+def test_fused_plant_heterogeneous_delays_match_xla():
+    """Per-plant sample-line delays (lifted in round 3): a batch whose
+    plants have DIFFERENT line delays must bit-match the XLA exact-ring
+    oracle with the same word stream (the kernel gathers each lane's own
+    tap; delays are exact multiples of dt so nearest-timestamp rounding
+    cannot tie)."""
+    import dataclasses
+
+    n_zones = 4
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, n_steps, B = 1.0, 30, 5
+    substeps = R.default_substeps(cfg, dt)
+    params, plant = make_plant_batch(cfg, B, seed=21, dtype=jnp.float32)
+
+    def set_delays(sensor_params, delays):
+        return dataclasses.replace(
+            sensor_params, base=dataclasses.replace(
+                sensor_params.base,
+                line_delay_s=jnp.asarray(delays, jnp.float32)))
+
+    params = dataclasses.replace(
+        params,
+        ph_inlet=set_delays(params.ph_inlet, [3.0, 10.0, 0.0, 25.0, 7.0]),
+        ph_outlet=set_delays(params.ph_outlet, [12.0, 12.0, 5.0, 1.0, 0.0]),
+        temp_inlet=set_delays(params.temp_inlet, [0.0, 4.0, 9.0, 2.0, 18.0]))
+
+    plants_per_row = _LANES // n_zones
+    rng = np.random.default_rng(17)
+    bits = rng.integers(-2**31, 2**31,
+                        size=(n_steps, N_WORDS, 8, _LANES), dtype=np.int32)
+
+    _, readings = plant_rollout_fused(
+        params, plant, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        rng="bits", bits=bits, interpret=True)
+    o_plant, o_readings = _oracle_rollout(
+        params, plant, BC, jnp.asarray(bits), dt, substeps, n_steps, B,
+        n_zones)
+
+    for rname in ("pH_inlet", "pH_outlet", "temp_inlet", "temp_outlet"):
+        got = np.asarray(readings[rname])
+        want = np.asarray(o_readings[rname])
+        both_nan = np.isnan(got) & np.isnan(want)
+        np.testing.assert_allclose(np.where(both_nan, 0, got),
+                                   np.where(both_nan, 0, want),
+                                   rtol=0, atol=5e-4, err_msg=rname)
+
+
+def test_fused_plant_arbitrary_zone_taps_match_xla():
+    """Sensors may tap ANY zone (lifted in round 3: previously inlet /
+    outlet only): mid-zone pH, chlorine, and temperature sensors must
+    match the XLA oracle."""
+    import dataclasses
+
+    n_zones = 5
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, n_steps = 1.0, 12
+    substeps = R.default_substeps(cfg, dt)
+    params, plant = make_plant(cfg, seed=31, dtype=jnp.float32)
+    params = dataclasses.replace(
+        params,
+        ph_inlet=dataclasses.replace(params.ph_inlet, zone_index=2),
+        chlorine_inlet=dataclasses.replace(params.chlorine_inlet,
+                                           zone_index=3),
+        temp_outlet=dataclasses.replace(params.temp_outlet, zone_index=-4))
+
+    rng = np.random.default_rng(23)
+    bits = rng.integers(-2**31, 2**31,
+                        size=(n_steps, N_WORDS, 8, _LANES), dtype=np.int32)
+
+    _, readings = plant_rollout_fused(
+        params, plant, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        rng="bits", bits=bits, interpret=True)
+    o_plant, o_readings = _oracle_rollout(
+        params, plant, BC, jnp.asarray(bits), dt, substeps, n_steps, 1,
+        n_zones, single=True)
+
+    for rname in ("pH_inlet", "chlorine_inlet", "temp_outlet"):
+        got = np.asarray(readings[rname]).ravel()
+        want = np.asarray(o_readings[rname]).ravel()
+        both_nan = np.isnan(got) & np.isnan(want)
+        np.testing.assert_allclose(np.where(both_nan, 0, got),
+                                   np.where(both_nan, 0, want),
+                                   rtol=0, atol=5e-4, err_msg=rname)
+
+
+def test_fused_plant_consumes_incoming_ring():
+    """Ring consumption (lifted in round 3): after K XLA steps populate
+    the sample-line rings, continuing with the fused kernel must resolve
+    its first ``delay`` reads from that pre-rollout history, matching an
+    XLA continuation sample for sample (previously the kernel restarted
+    every line from scratch, losing up to ``delay`` steps of history)."""
+    n_zones = 4
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt = 1.0
+    k_pre, n_steps = 8, 20          # delay=30 > k_pre: whole run is lead-in
+    substeps = R.default_substeps(cfg, dt)
+    params, plant = make_plant(cfg, seed=41, dtype=jnp.float32)
+
+    rng = np.random.default_rng(29)
+    bits_pre = rng.integers(-2**31, 2**31,
+                            size=(k_pre, N_WORDS, 8, _LANES),
+                            dtype=np.int32)
+    bits_main = rng.integers(-2**31, 2**31,
+                             size=(n_steps, N_WORDS, 8, _LANES),
+                             dtype=np.int32)
+
+    # phase 1 (XLA): populate the rings
+    plant1, _ = _oracle_rollout(params, plant, BC, jnp.asarray(bits_pre),
+                                dt, substeps, k_pre, 1, n_zones,
+                                single=True)
+    assert int(np.asarray(plant1.ph_inlet.base.line_count)) == k_pre
+
+    # phase 2: fused continuation vs XLA continuation, same words
+    _, readings = plant_rollout_fused(
+        params, plant1, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        rng="bits", bits=bits_main, interpret=True)
+    _, o_readings = _oracle_rollout(params, plant1, BC,
+                                    jnp.asarray(bits_main), dt, substeps,
+                                    n_steps, 1, n_zones, single=True)
+
+    for rname in ("pH_inlet", "pH_outlet", "temp_inlet", "temp_outlet"):
+        got = np.asarray(readings[rname]).ravel()
+        want = np.asarray(o_readings[rname]).ravel()
+        both_nan = np.isnan(got) & np.isnan(want)
+        np.testing.assert_allclose(np.where(both_nan, 0, got),
+                                   np.where(both_nan, 0, want),
+                                   rtol=0, atol=5e-4, err_msg=rname)
+
+    # and consume_line=False restores the old fresh-line behavior
+    _, fresh = plant_rollout_fused(
+        params, plant1, BC, dt=dt, substeps=substeps, n_steps=n_steps,
+        rng="bits", bits=bits_main, interpret=True, consume_line=False)
+    assert not np.allclose(
+        np.nan_to_num(np.asarray(fresh["pH_inlet"])),
+        np.nan_to_num(np.asarray(readings["pH_inlet"])))
+
+
+def test_plant_rollout_auto_dispatch():
+    """plant_rollout_auto: on CPU it must route to the XLA paths (single
+    and batched) and return the standard (plant, readings) shape; the
+    fused kernel is TPU-only under auto dispatch."""
+    from ics_wt_physicsengine_tpu.models.plant import plant_rollout_auto
+
+    n_zones = 4
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, n_steps = 1.0, 6
+    substeps = R.default_substeps(cfg, dt)
+
+    params, plant = make_plant(cfg, seed=2, dtype=jnp.float32)
+    p2, traj = plant_rollout_auto(params, plant, BC, dt, substeps, n_steps)
+    assert np.asarray(traj["pH_inlet"]).shape == (n_steps,)
+    assert float(np.asarray(p2.reactor.time)) == pytest.approx(n_steps * dt)
+
+    bparams, bplant = make_plant_batch(cfg, 3, seed=2, dtype=jnp.float32)
+    p3, btraj = plant_rollout_auto(bparams, bplant, BC, dt, substeps,
+                                   n_steps)
+    assert np.asarray(btraj["pH_inlet"]).shape == (n_steps, 3)
+    p4, none = plant_rollout_auto(bparams, bplant, BC, dt, substeps,
+                                  n_steps, record=False)
+    assert none is None

@@ -78,6 +78,7 @@ def soak(n_steps: int):
 
     state = state0
     audits = []
+    finite_ok = True
     cl0 = None
     t0 = time.perf_counter()
     traj_points = 0
@@ -90,8 +91,9 @@ def soak(n_steps: int):
         charge = float(_get(m["charge_balance_mol"]))
         ph_tail = _get(traj["pH"])
         traj_points += ph_tail.shape[0]
-        if not np.all(np.isfinite(ph_tail)):
-            raise RuntimeError(f"non-finite trajectory in segment {i}")
+        finite_ok = finite_ok and bool(np.all(np.isfinite(ph_tail))) \
+            and bool(np.all(np.isfinite(_get(state.pH)))) \
+            and bool(np.all(np.isfinite(_get(state.temperature))))
         if cl0 is None:
             cl0 = total_cl
         audits.append({"t": float(_get(state.time)),
@@ -158,16 +160,26 @@ def soak(n_steps: int):
             jax.tree_util.tree_leaves(_keyfix(end_resumed)),
             jax.tree_util.tree_leaves(_keyfix(end_oracle))))
 
+    drift_pct = 100.0 * (audits[-1]["total_chlorine_mg"] - cl0) / cl0
+    # Self-judging bounds (the audit used to be print-only; a regression
+    # was captured but never caught): chlorine drift within 0.5% over the
+    # soak (r2 measured -0.0018%), all trajectories/states finite, both
+    # resume paths bit-exact.
+    checks = {
+        "drift_within_bounds": bool(abs(drift_pct) < 0.5),
+        "trajectories_finite": bool(finite_ok),
+        "resume_bitexact_physics": bool(resume_bitexact),
+        "resume_bitexact_instrumented": bool(inst_ok),
+    }
     return {
         "metric": "1M-step soak + checkpoint/resume e2e (20 zones, f32)",
         "soak_steps": n_steps,
         "soak_steps_per_sec": round(n_steps / elapsed, 1),
         "traj_points_recorded": traj_points,
         "conservation_audit": audits,
-        "chlorine_drift_pct_over_soak": round(
-            100.0 * (audits[-1]["total_chlorine_mg"] - cl0) / cl0, 4),
-        "resume_bitexact_physics": bool(resume_bitexact),
-        "resume_bitexact_instrumented": bool(inst_ok),
+        "chlorine_drift_pct_over_soak": round(drift_pct, 4),
+        **checks,
+        "ok": all(checks.values()),
         "backend": jax.default_backend(),
     }
 
@@ -183,6 +195,7 @@ def main():
     if args.out:
         with open(args.out, "w") as f:
             f.write(line + "\n")
+    raise SystemExit(0 if result["ok"] else 1)
     if not (result["resume_bitexact_physics"]
             and result["resume_bitexact_instrumented"]):
         sys.exit(1)
