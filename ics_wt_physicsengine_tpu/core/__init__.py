@@ -52,16 +52,25 @@ from ics_wt_physicsengine_tpu.core.reactor import (  # noqa: F401
     step,
     validate_integrated_reactor,
 )
+from ics_wt_physicsengine_tpu.core.nitrogen import (  # noqa: F401
+    NitrogenParams,
+    make_nitrogen_params,
+    total_nitrogen_mgN,
+    validate_nitrogen,
+)
 
 
 def run_all_validations() -> None:
-    """Run the five validation suites (reference core/__init__.py:266-294)."""
+    """Run the validation suites (reference core/__init__.py:266-294, plus
+    the nitrogen-chemistry extension's suite)."""
     print("Running all physics validations...")
     validate_thermodynamics()
     validate_chemistry()
     validate_transport()
     validate_spatial()
     validate_integrated_reactor()
+    if not validate_nitrogen():
+        raise RuntimeError("nitrogen chemistry validation failed")
     print("ALL PHYSICS VALIDATIONS PASSED")
 
 

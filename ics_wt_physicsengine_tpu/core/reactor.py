@@ -40,6 +40,7 @@ from ics_wt_physicsengine_tpu.core import chemistry as chem
 from ics_wt_physicsengine_tpu.core import constants as c
 from ics_wt_physicsengine_tpu.core import spatial as spatial_mod
 from ics_wt_physicsengine_tpu.core import thermodynamics as thermo
+from ics_wt_physicsengine_tpu.core import nitrogen as nitrogen_mod
 from ics_wt_physicsengine_tpu.core import transport as transport_mod
 from ics_wt_physicsengine_tpu.core.chemistry import ChemistryConstants, LN10
 from ics_wt_physicsengine_tpu.ops import integrators
@@ -85,6 +86,18 @@ class ReactorConfiguration:
     inlet_pH: float = 7.5
     inlet_chlorine: float = 0.0   # [mg/L]
     inlet_temperature: float = 20.0  # [C]
+
+    # Nitrogen / biological chemistry (core/nitrogen.py — the reference's
+    # roadmap "Advanced chemistry (nitrification/denitrification)",
+    # reference README.md:448; disabled by default for exact reference
+    # parity: when off, the state carries no nitrogen species and every
+    # code path is unchanged)
+    enable_nitrogen: bool = False
+    initial_ammonia: float = 0.0     # [mg N/L] total ammonia nitrogen
+    initial_nitrite: float = 0.0     # [mg N/L]
+    initial_nitrate: float = 0.0     # [mg N/L]
+    initial_chloramine: float = 0.0  # [mg/L as Cl2] (combined chlorine)
+    nitrogen_kinetics: Optional[dict] = None  # make_nitrogen_params overrides
 
     def validate(self) -> None:
         """Configuration consistency (reference reactor.py:91-110; the bare
@@ -165,6 +178,10 @@ class ReactorParams:
     ri_crit: jnp.ndarray = None
     supp_factor: jnp.ndarray = None
 
+    # nitrogen / biological chemistry (None = disabled; trace-time static
+    # via None-ness, so the disabled path compiles exactly as before)
+    nitrogen: Optional[nitrogen_mod.NitrogenParams] = None
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -187,6 +204,8 @@ class BoundaryConditions:
     ambient_temperature: float = 20.0  # [C]
     heat_loss_coefficient: float = 0.0  # [W/K]
 
+    inlet_ammonia: float = 0.0         # [mg N/L] (nitrogen chemistry only)
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -207,6 +226,12 @@ class ReactorState:
     H_concentration: jnp.ndarray = None
     density: jnp.ndarray = None
     chlorine_decay_rate: jnp.ndarray = None
+
+    # nitrogen species (None unless enable_nitrogen; [..., n_zones] arrays)
+    ammonia: jnp.ndarray = None      # total ammonia nitrogen [mg N/L]
+    nitrite: jnp.ndarray = None      # [mg N/L]
+    nitrate: jnp.ndarray = None      # [mg N/L]
+    chloramine: jnp.ndarray = None   # monochloramine [mg/L as Cl2]
 
     def update_derived(self) -> "ReactorState":
         """Recompute derived quantities from the primary variables
@@ -242,6 +267,10 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
     def arr(x):
         return np.asarray(x, dtype)
 
+    nitrogen = None
+    if getattr(config, "enable_nitrogen", False):
+        nitrogen = nitrogen_mod.make_nitrogen_params(
+            dtype=dtype, **(config.nitrogen_kinetics or {}))
     return ReactorParams(
         n_zones=config.n_zones,
         volume_L=arr(config.volume),
@@ -258,6 +287,7 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
         strat_enabled=arr(1.0 if config.enable_thermal_stratification else 0.0),
         ri_crit=arr(0.25),
         supp_factor=arr(0.5),
+        nitrogen=nitrogen,
     )
 
 
@@ -276,6 +306,12 @@ def make_initial_state(config: ReactorConfiguration,
         return np.broadcast_to(v[..., None], v.shape + (z,)).copy()
 
     batch = np.shape(np.asarray(config.initial_pH))
+    n_kw = {}
+    if getattr(config, "enable_nitrogen", False):
+        n_kw = dict(ammonia=full(config.initial_ammonia),
+                    nitrite=full(config.initial_nitrite),
+                    nitrate=full(config.initial_nitrate),
+                    chloramine=full(config.initial_chloramine))
     state = ReactorState(
         time=np.zeros(batch, dtype) if batch else np.asarray(0.0, dtype),
         pH=full(config.initial_pH),
@@ -284,6 +320,7 @@ def make_initial_state(config: ReactorConfiguration,
         flow_rate=np.broadcast_to(
             np.asarray(config.flow_rate, dtype), batch).copy()
         if batch else np.asarray(config.flow_rate, dtype),
+        **n_kw,
     )
     return _update_derived(state)
 
@@ -295,7 +332,7 @@ def make_initial_state(config: ReactorConfiguration,
 
 def derivatives(params: ReactorParams, pH, Cl, T,
                 boundary: BoundaryConditions,
-                inlet_mask=None, outlet_mask=None):
+                inlet_mask=None, outlet_mask=None, nitrogen=None):
     """d(pH, Cl, T)/dt for ``[..., Z]`` zone arrays. Fully vectorized —
     semantics match reference reactor.py:272-448 term by term.
 
@@ -396,7 +433,41 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     dT = dT - align_trailing(heat_rate, T) \
         * (T - align_trailing(boundary.ambient_temperature, T))
 
-    return dpH, dCl, dT
+    if nitrogen is None:
+        return dpH, dCl, dT
+
+    # --- nitrogen species dynamics (core/nitrogen.py; roadmap item,
+    #     reference README.md:448). Chloramine FORMATION is deliberately
+    #     absent here — its seconds-scale rate would set the global substep
+    #     count; step() applies it as an exact analytic operator split. ---
+    np_ = params.nitrogen
+    nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in nitrogen)
+    r1 = nitrogen_mod.nitrification_rate(nh, T, np_)      # [mg N/L/s]
+    r2 = nitrogen_mod.nitratation_rate(no2, T, np_)
+    r3 = nitrogen_mod.denitrification_rate(no3, T, np_)
+    r_cm_decay = (np_.k_cm_decay / nitrogen_mod.SECONDS_PER_DAY) * nhcl
+
+    def species(x, inlet_conc, reaction):
+        d = mix(x) + reaction
+        if inlet_mask is None:
+            return d.at[..., 0].add(q_per_v * (inlet_conc - x[..., 0]))
+        return d + align_trailing(q_per_v, x) * (inlet_conc - x) \
+            * inlet_mask
+
+    dNH = species(nh, boundary.inlet_ammonia, -r1)
+    dNO2 = species(no2, 0.0, r1 - r2)
+    dNO3 = species(no3, 0.0, r2 - r3)
+    dNHCl = species(nhcl, 0.0, -r_cm_decay)
+
+    # alkalinity coupling through the same buffering chain rule the acid
+    # dosing uses: nitrification releases 2 H+/N, denitrification consumes
+    # 1 H+/N (7.14 / 3.57 g CaCO3 per g N)
+    dH_bio = (nitrogen_mod.H_PER_N_NITRIF * r1
+              + nitrogen_mod.H_PER_N_DENIT * r3) \
+        / nitrogen_mod._N_MGL_PER_MOL                    # [mol/L/s]
+    dpH = dpH - dH_bio * inv_beta_ln10
+
+    return dpH, dCl, dT, dNH, dNO2, dNO3, dNHCl
 
 
 # ---------------------------------------------------------------------------
@@ -421,6 +492,10 @@ def _update_derived(state: ReactorState) -> ReactorState:
         density=spatial_mod.water_density(state.temperature).astype(dtype),
         chlorine_decay_rate=thermo.chlorine_decay_rate(
             state.temperature).astype(dtype),
+        ammonia=state.ammonia,
+        nitrite=state.nitrite,
+        nitrate=state.nitrate,
+        chloramine=state.chloramine,
     )
 
 
@@ -447,18 +522,45 @@ def step(params: ReactorParams, state: ReactorState,
     same stability span; accuracy-gated against the reference Radau
     trajectories in tests/test_rkc.py.
     """
+    has_n = params.nitrogen is not None and state.ammonia is not None
     if deriv_fn is None:
-        def f(y):
-            return derivatives(params, y[0], y[1], y[2], boundary)
+        if has_n:
+            def f(y):
+                return derivatives(params, y[0], y[1], y[2], boundary,
+                                   nitrogen=y[3:])
+        else:
+            def f(y):
+                return derivatives(params, y[0], y[1], y[2], boundary)
     else:
         f = deriv_fn
 
     y = (state.pH, state.chlorine, state.temperature)
+    if has_n:
+        y = y + (state.ammonia, state.nitrite, state.nitrate,
+                 state.chloramine)
     if stages is None:
-        pH, Cl, T = integrators.integrate_fixed(f, y, dt, substeps)
+        out = integrators.integrate_fixed(f, y, dt, substeps)
     else:
-        pH, Cl, T = integrators.integrate_rkc(f, y, dt, substeps, stages)
-    pH, Cl, T = _enforce_bounds(pH, Cl, T)
+        out = integrators.integrate_rkc(f, y, dt, substeps, stages)
+    pH, Cl, T = _enforce_bounds(*out[:3])
+    n_kw = {}
+    if has_n:
+        nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in out[3:])
+        # Operator split for the FAST reaction (chloramination: HOCl + NH3
+        # -> NH2Cl, pseudo-first-order ~60 1/s at 2 mg/L free chlorine):
+        # exact analytic second-order extent over dt against the stepped
+        # state, so the slow-process substep count is untouched. The H+
+        # release (1/N) shifts pH through the same buffering chain rule.
+        x_mol = nitrogen_mod.chloramination_extent(
+            Cl, nh, pH, T, params.chem.Ka_HOCl, params.nitrogen, dt)
+        Cl = jnp.maximum(Cl - x_mol * nitrogen_mod._CL2_MGL_PER_MOL, 0.0)
+        nh = jnp.maximum(nh - x_mol * nitrogen_mod._N_MGL_PER_MOL, 0.0)
+        nhcl = nhcl + x_mol * nitrogen_mod._CL2_MGL_PER_MOL
+        beta = chem.buffering_capacity(pH, params.chem)
+        pH = jnp.clip(
+            pH - nitrogen_mod.H_PER_N_CHLORAMINE * x_mol / (beta * LN10),
+            0.0, 14.0)
+        n_kw = dict(ammonia=nh, nitrite=no2, nitrate=no3, chloramine=nhcl)
 
     total_flow = (boundary.inlet_flow_rate + boundary.acid_flow_rate
                   + boundary.chlorine_flow_rate)
@@ -469,6 +571,7 @@ def step(params: ReactorParams, state: ReactorState,
         temperature=T,
         flow_rate=jnp.asarray(total_flow, dtype=pH.dtype)
         + jnp.zeros_like(state.flow_rate),
+        **n_kw,
     )
     return _update_derived(new_state)
 

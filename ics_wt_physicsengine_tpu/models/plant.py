@@ -707,7 +707,7 @@ def plant_rollout_auto(params: PlantParams, plant: PlantState,
     batch = 1 if single else int(ph.shape[0])
     z = params.reactor.n_zones
     use_fused = (jax.default_backend() == "tpu" and batch < fused_max_batch
-                 and z <= 128)
+                 and z <= 128 and params.reactor.nitrogen is None)
     if use_fused:
         from ics_wt_physicsengine_tpu.ops.fused_plant import (
             plant_rollout_fused)

@@ -140,3 +140,9 @@ def test_pid_tuning_sweep():
                 "--refine-iters", "3"])
     # grid sizing floors at 2*2*4*4 = 64 candidates
     assert '"n_gains": 64' in out and '"tuned"' in out
+
+
+def test_chloramine_curve():
+    out = _run("chloramine_curve.py",
+               ["--cpu", "--doses", "8", "--contact-min", "2"])
+    assert '"stoich_ratio_Cl2_N": 5.062' in out

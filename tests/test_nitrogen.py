@@ -1,0 +1,223 @@
+"""Nitrogen / biological chemistry (core/nitrogen.py): nitrification,
+denitrification, chloramine interaction — the reference's roadmap
+"Advanced chemistry" item (reference README.md:448; it lists "no
+biological processes" as a limitation at :304,521)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ics_wt_physicsengine_tpu.core import nitrogen as N
+from ics_wt_physicsengine_tpu.core import reactor as R
+
+F64 = jnp.float64
+
+
+def _config(**kw):
+    base = dict(n_zones=4, enable_nitrogen=True, initial_ammonia=2.0,
+                initial_chlorine=0.0, flow_rate=0.0, volume=1000.0,
+                height=2.0, diameter=0.798)
+    base.update(kw)
+    return R.ReactorConfiguration(**base)
+
+
+def _run(config, bc, n_steps, dt=1.0, substeps=None, dtype=F64):
+    params = R.make_params(config, dtype=dtype)
+    state = R.make_initial_state(config, dtype=dtype)
+    if substeps is None:
+        substeps = R.default_substeps(config, dt)
+    state, _ = R.rollout(params, state, bc, dt=dt, substeps=substeps,
+                         n_steps=n_steps, record=False)
+    return params, state
+
+
+def test_validation_suite():
+    assert N.validate_nitrogen(verbose=False)
+
+
+def test_closed_batch_nitrogen_conserved():
+    """Q=0, no chlorine, no denitrification: NH -> NO2 -> NO3 cascade
+    conserves total N to integrator accuracy."""
+    config = _config()
+    bc = R.BoundaryConditions(inlet_flow_rate=0.0)
+    params, s = _run(config, bc, n_steps=3600)   # one hour
+    tot0 = 2.0
+    tot = np.asarray(N.total_nitrogen_mgN(s.ammonia, s.nitrite, s.nitrate,
+                                          s.chloramine))
+    np.testing.assert_allclose(tot, tot0, rtol=1e-9)
+    # the cascade actually progressed
+    assert float(s.ammonia[0]) < 2.0
+    assert float(s.nitrite[0]) > 0.0
+    assert float(s.nitrate[0]) > 0.0
+
+
+def test_denitrification_removes_nitrogen():
+    config = _config(initial_ammonia=0.0, initial_nitrate=5.0,
+                     nitrogen_kinetics={"k_denit": 20.0})
+    bc = R.BoundaryConditions(inlet_flow_rate=0.0)
+    _, s = _run(config, bc, n_steps=3600)
+    tot = np.asarray(N.total_nitrogen_mgN(s.ammonia, s.nitrite, s.nitrate,
+                                          s.chloramine))
+    assert float(tot[0]) < 5.0          # N left the water as N2
+    assert float(s.nitrate[0]) < 5.0
+
+
+def test_nitrification_lowers_ph():
+    """2 H+ per N oxidized consume alkalinity: pH must fall during active
+    nitrification (a fast-kinetics config so the hour shows it)."""
+    config = _config(initial_ammonia=20.0,
+                     nitrogen_kinetics={"k_nitrif": 200.0})
+    bc = R.BoundaryConditions(inlet_flow_rate=0.0)
+    _, s = _run(config, bc, n_steps=3600)
+    assert float(s.pH[0]) < 7.0 - 0.01
+    # denitrification recovers alkalinity: same N flux through denit raises
+    config2 = _config(initial_ammonia=0.0, initial_nitrate=20.0,
+                      nitrogen_kinetics={"k_denit": 200.0})
+    _, s2 = _run(config2, bc, n_steps=3600)
+    assert float(s2.pH[0]) > 7.0 + 0.005
+
+
+def test_chloramination_stoichiometry_and_breakpoint():
+    """Free chlorine + ammonia react 5.06:1 (Cl2:N mass); with N in excess
+    the free residual is consumed and combined chlorine (monochloramine)
+    appears in its place."""
+    config = _config(initial_ammonia=2.0, initial_chlorine=2.0)
+    bc = R.BoundaryConditions(inlet_flow_rate=0.0)
+    params, s = _run(config, bc, n_steps=600)
+    cl = float(s.chlorine[0])
+    nhcl = float(s.chloramine[0])
+    nh = float(s.ammonia[0])
+    assert cl < 1e-6                          # free residual consumed
+    # combined chlorine formed ~ the 2.0 mg/L consumed (minus slow decay)
+    assert 1.9 < nhcl <= 2.0
+    # ammonia consumed = formed / 5.06 (plus nitrification's bite)
+    consumed_by_cm = nhcl * N.MW_N / N.MW_CL2
+    assert abs((2.0 - nh) - consumed_by_cm) < 0.05
+    # total N conserved up to the slow monochloramine auto-decomposition
+    # (whose N leaves as N2: ~k_cm_decay * NHCl * t ~ 3e-4 as Cl2 here)
+    tot = float(N.total_nitrogen_mgN(s.ammonia, s.nitrite, s.nitrate,
+                                     s.chloramine)[0])
+    assert 2.0 - 1e-3 < tot <= 2.0
+
+
+def test_chloramination_extent_matches_ode():
+    """The analytic second-order extent (the operator split) matches a
+    brute-force fine-substep ODE integration of dC/dt = -k_eff C N at
+    frozen speciation fractions."""
+    p = N.make_nitrogen_params(dtype=F64)
+    pH, T_C, Ka = F64(7.4), F64(18.0), F64(10 ** -7.5)
+    k_eff = float(N.chloramination_rate_constant(T_C, p)
+                  * N.hocl_fraction(pH, Ka)
+                  * N.ammonia_fraction_nh3(pH, T_C))
+    C0, N0 = 1.5 / N._CL2_MGL_PER_MOL, 0.8 / N._N_MGL_PER_MOL
+    dt, h = 1.0, 1e-4
+    c, n = C0, N0
+    for _ in range(int(dt / h)):
+        r = k_eff * c * n
+        c, n = c - h * r, n - h * r
+    x_ode = C0 - c
+    x = float(N.chloramination_extent(F64(1.5), F64(0.8), pH, T_C, Ka, p,
+                                      dt))
+    np.testing.assert_allclose(x, x_ode, rtol=1e-4)
+
+
+def test_split_vs_fine_dt_rollout():
+    """End-to-end: the dt=1 s operator-split trajectory matches a dt=0.05 s
+    reference rollout (where the split error is 20x smaller) to ~1e-3."""
+    config = _config(initial_ammonia=1.0, initial_chlorine=2.0,
+                     flow_rate=5.0)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_ammonia=1.0,
+                              inlet_chlorine=0.5)
+    _, coarse = _run(config, bc, n_steps=60, dt=1.0)
+    _, fine = _run(config, bc, n_steps=1200, dt=0.05, substeps=1)
+    for name in ("chlorine", "ammonia", "chloramine", "pH"):
+        a = np.asarray(getattr(coarse, name))
+        b = np.asarray(getattr(fine, name))
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-3, err_msg=name)
+
+
+def test_inlet_ammonia_washes_in():
+    config = _config(initial_ammonia=0.0, flow_rate=10.0,
+                     nitrogen_kinetics={"k_nitrif": 0.0})
+    bc = R.BoundaryConditions(inlet_flow_rate=10.0, inlet_ammonia=3.0)
+    _, s = _run(config, bc, n_steps=3600)
+    # filling toward the inlet concentration with the same Q/V_total
+    # inlet convention the pH/Cl/T equations use (reference
+    # reactor.py:362-368): effective tau = n_zones * V/Q, so one hour in
+    # the 4-zone tank is ~14% of the way to 3.0
+    assert 0.2 < float(s.ammonia[0]) < 1.0
+    assert float(s.ammonia[0]) > float(s.ammonia[-1])  # gradient to outlet
+
+
+def test_disabled_leaves_everything_unchanged():
+    """enable_nitrogen=False: no species leaves, identical pytree
+    structure, and the step dispatches through the original 3-species
+    path (exact reference parity preserved)."""
+    config = R.ReactorConfiguration(n_zones=4)
+    params = R.make_params(config, dtype=F64)
+    state = R.make_initial_state(config, dtype=F64)
+    assert params.nitrogen is None
+    assert state.ammonia is None and state.chloramine is None
+    s2 = R.step(params, state, R.BoundaryConditions(), dt=1.0, substeps=2)
+    assert s2.ammonia is None
+    # leaf count unchanged vs a nitrogen-carrying state
+    n_plain = len(jax.tree_util.tree_leaves(state))
+    cfg_n = R.ReactorConfiguration(n_zones=4, enable_nitrogen=True)
+    n_bio = len(jax.tree_util.tree_leaves(
+        R.make_initial_state(cfg_n, dtype=F64)))
+    assert n_bio == n_plain + 4
+
+
+def test_batched_nitrogen():
+    """The species ride the native batch axis like everything else."""
+    config = _config(initial_ammonia=1.0, initial_chlorine=1.0)
+    params = R.make_params(config, dtype=jnp.float32)
+    state = R.make_initial_state(config, dtype=jnp.float32)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state)
+    bc = R.BoundaryConditions(inlet_flow_rate=0.0)
+    out, _ = R.rollout(params, batched, bc, dt=1.0, substeps=2,
+                       n_steps=20, record=False)
+    assert out.ammonia.shape == (8, 4)
+    assert np.isfinite(np.asarray(out.chloramine)).all()
+    # lanes identical (same plant broadcast)
+    np.testing.assert_array_equal(np.asarray(out.ammonia[0]),
+                                  np.asarray(out.ammonia[5]))
+
+
+def test_instrumented_plant_with_nitrogen():
+    """The seven instruments read a nitrogen-enabled plant unchanged
+    (they observe pH/Cl/T; the chloramine bite on free chlorine shows up
+    in the chlorine sensors)."""
+    from ics_wt_physicsengine_tpu.models.plant import make_plant, plant_step
+
+    config = _config(initial_ammonia=2.0, initial_chlorine=2.0,
+                     flow_rate=5.0)
+    params, plant = make_plant(config, seed=3, dtype=jnp.float32)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_ammonia=1.0)
+    for _ in range(3):
+        plant, readings = plant_step(params, plant, bc, 1.0, 2)
+    assert np.isfinite(np.asarray(plant.reactor.chloramine)).all()
+    # free chlorine collapses under ammonia: the sensor must see it
+    assert float(readings["chlorine_outlet"].value) < 1.5
+
+
+def test_fused_paths_reject_nitrogen():
+    from ics_wt_physicsengine_tpu.models.plant import make_plant
+    from ics_wt_physicsengine_tpu.ops.fused_plant import plant_rollout_fused
+    from ics_wt_physicsengine_tpu.ops.fused_rollout import rollout_fused
+
+    config = _config()
+    params = R.make_params(config, dtype=jnp.float32)
+    state = R.make_initial_state(config, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="nitrogen"):
+        rollout_fused(params, state, R.BoundaryConditions(), dt=1.0,
+                      substeps=1, n_steps=4)
+    pparams, plant = make_plant(config, seed=0, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="nitrogen"):
+        plant_rollout_fused(pparams, plant, R.BoundaryConditions(),
+                            dt=1.0, substeps=1, n_steps=4, rng="bits",
+                            bits=np.zeros((4, 1, 8, 128), np.int32),
+                            interpret=True)
