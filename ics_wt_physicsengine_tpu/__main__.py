@@ -212,6 +212,22 @@ def update_modbus_inputs(slave: Optional[ModbusSlave],
                                     safe_value("temp_outlet"), unit=unit)
         slave.update_input_register("simulation_time", sim_time, unit=unit)
 
+        # nitrogen-chemistry extension registers (present only when the
+        # map was built with extended_nitrogen=True)
+        ammonia = getattr(state, "ammonia", None)
+        if ammonia is not None:
+            def outlet(x):
+                return float(np.asarray(x)[..., -1])
+            slave.update_input_register("ammonia_outlet", outlet(ammonia),
+                                        unit=unit)
+            slave.update_input_register("nitrite_outlet",
+                                        outlet(state.nitrite), unit=unit)
+            slave.update_input_register("nitrate_outlet",
+                                        outlet(state.nitrate), unit=unit)
+            slave.update_input_register("chloramine_outlet",
+                                        outlet(state.chloramine),
+                                        unit=unit)
+
         any_fault = any(r.fault != SensorFault.NONE
                         for r in readings.values())
         slave.update_input_register("system_status", 1 if any_fault else 0,
@@ -239,7 +255,7 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
     (reference __main__.py:227-252, extended to the full register map).
     ``unit`` selects a fleet unit's register space; None = primary."""
     if slave is None or not slave.is_running:
-        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True
+        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None
     try:
         acid_rate = validate_flow_rate(
             slave.read_holding_register("acid_flow_rate", unit=unit),
@@ -259,11 +275,17 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
         acid_enable = slave.read_coil("acid_pump_enable", unit=unit)
         cl_enable = slave.read_coil("chlorine_pump_enable", unit=unit)
         sim_running = slave.read_coil("simulation_running", unit=unit)
+        try:    # nitrogen extension register (extended maps only)
+            inlet_ammonia = validate_concentration(
+                slave.read_holding_register("inlet_ammonia", unit=unit),
+                max_value=50.0)
+        except Exception:  # noqa: BLE001 — base map: register absent
+            inlet_ammonia = None
         return (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
-                acid_enable, cl_enable, sim_running)
+                acid_enable, cl_enable, sim_running, inlet_ammonia)
     except Exception as e:  # noqa: BLE001
         logger.error("Modbus read failed: %s", type(e).__name__)
-        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True
+        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None
 
 
 def apply_boundary_conditions(boundary: BoundaryConditions, commands
@@ -273,11 +295,15 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
 
     Returns a new BoundaryConditions (the pytree is frozen)."""
     (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
-     acid_enable, cl_enable, _) = commands
+     acid_enable, cl_enable, _), extra = commands[:8], commands[8:]
+    inlet_ammonia = extra[0] if extra else None
     from dataclasses import replace
     new_inlet = boundary.inlet_flow_rate
     if inlet_rate > 0.1:
         new_inlet = validate_flow_rate(inlet_rate, max_value=20.0)
+    updates = {}
+    if inlet_ammonia is not None:   # nitrogen extension register present
+        updates["inlet_ammonia"] = inlet_ammonia
     return replace(
         boundary,
         acid_flow_rate=(validate_flow_rate(acid_rate, max_value=2.0)
@@ -287,6 +313,7 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
         acid_concentration=acid_conc,
         chlorine_concentration=cl_conc,
         inlet_flow_rate=new_inlet,
+        **updates,
     )
 
 
@@ -413,6 +440,15 @@ def main(argv=None):
                              "exponentially instead of jumping (reference "
                              "roadmap 'Actuator dynamics'; 0 = instant, "
                              "reference parity)")
+    parser.add_argument("--enable-nitrogen", action="store_true",
+                        help="Enable the nitrogen chemistry extension "
+                             "(core/nitrogen.py): ammonia/nitrite/nitrate/"
+                             "chloramine species, extended input registers "
+                             "(20-27) and the inlet_ammonia holding "
+                             "register (14)")
+    parser.add_argument("--initial-ammonia", type=float, default=1.0,
+                        help="Initial/source total ammonia nitrogen "
+                             "[mg N/L] when --enable-nitrogen is set")
     parser.add_argument("--fleet", type=int, default=1,
                         help="Serve N independently controlled plants from "
                              "one Modbus endpoint: unit id u = plant lane "
@@ -475,7 +511,10 @@ def main(argv=None):
     try:
         config = ReactorConfiguration(
             volume=1000.0, n_zones=args.zones, flow_rate=5.0,
-            initial_pH=7.2, initial_chlorine=2.0, temperature=20.0)
+            initial_pH=7.2, initial_chlorine=2.0, temperature=20.0,
+            enable_nitrogen=args.enable_nitrogen,
+            initial_ammonia=args.initial_ammonia
+            if args.enable_nitrogen else 0.0)
         reactor = IntegratedCSTR(config, integrator=args.integrator)
         _m, _s = reactor._plan_for(args.dt)
         logger.info("Physics engine initialized (%d zones, %s: substeps=%d%s)",
@@ -490,7 +529,8 @@ def main(argv=None):
     boundary = BoundaryConditions(
         inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.0,
         inlet_temperature=20.0, acid_flow_rate=0.0, acid_concentration=0.1,
-        chlorine_flow_rate=0.0)
+        chlorine_flow_rate=0.0,
+        inlet_ammonia=args.initial_ammonia if args.enable_nitrogen else 0.0)
 
     # PHASE 3: sensors
     sim_start_time = time.monotonic()
@@ -534,9 +574,15 @@ def main(argv=None):
                                                port=args.port, unit_id=1)
             if args.native_modbus:
                 from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
-                slave = NativeModbusSlave(ModbusRegisterMap(), server_config)
+                slave = NativeModbusSlave(
+                    ModbusRegisterMap(
+                        extended_nitrogen=args.enable_nitrogen),
+                    server_config)
             else:
-                slave = ModbusSlave(ModbusRegisterMap(), server_config)
+                slave = ModbusSlave(
+                    ModbusRegisterMap(
+                        extended_nitrogen=args.enable_nitrogen),
+                    server_config)
             slave.start(blocking=False)
             # Initialize writable registers/coils so reference-compatible
             # controllers see sane defaults.
@@ -544,6 +590,9 @@ def main(argv=None):
             slave.write_holding_register("acid_concentration", 0.1)
             slave.write_holding_register("chlorine_concentration", 50.0)
             slave.write_holding_register("simulation_timestep", args.dt)
+            if args.enable_nitrogen:
+                slave.write_holding_register("inlet_ammonia",
+                                             args.initial_ammonia)
             slave.write_coil("acid_pump_enable", True)
             slave.write_coil("chlorine_pump_enable", True)
             slave.write_coil("simulation_running", True)

@@ -69,7 +69,10 @@ def main_fleet(args) -> None:
     try:
         config = ReactorConfiguration(
             volume=1000.0, n_zones=args.zones, flow_rate=5.0,
-            initial_pH=7.2, initial_chlorine=2.0, temperature=20.0)
+            initial_pH=7.2, initial_chlorine=2.0, temperature=20.0,
+            enable_nitrogen=getattr(args, "enable_nitrogen", False),
+            initial_ammonia=args.initial_ammonia
+            if getattr(args, "enable_nitrogen", False) else 0.0)
         # Plan the integrator exactly like the single-plant path.
         m, s = IntegratedCSTR(
             config, integrator=args.integrator)._plan_for(args.dt)
@@ -128,7 +131,10 @@ def main_fleet(args) -> None:
     boundaries = [BoundaryConditions(
         inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.0,
         inlet_temperature=20.0, acid_flow_rate=0.0, acid_concentration=0.1,
-        chlorine_flow_rate=0.0) for _ in units]
+        chlorine_flow_rate=0.0,
+        inlet_ammonia=args.initial_ammonia
+        if getattr(args, "enable_nitrogen", False) else 0.0)
+        for _ in units]
 
     # PHASE 3: sensors are in the batched carries (nothing host-side)
     # PHASE 4: one Modbus endpoint, one unit id per plant
@@ -144,11 +150,15 @@ def main_fleet(args) -> None:
                 max_connections=max(32, 2 * n + 4))
             if args.native_modbus:
                 from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
-                slave = NativeModbusSlave(ModbusRegisterMap(), server_config,
-                                          units=units)
+                slave = NativeModbusSlave(
+                    ModbusRegisterMap(extended_nitrogen=getattr(
+                        args, "enable_nitrogen", False)),
+                    server_config, units=units)
             else:
-                slave = ModbusSlave(ModbusRegisterMap(), server_config,
-                                    units=units)
+                slave = ModbusSlave(
+                    ModbusRegisterMap(extended_nitrogen=getattr(
+                        args, "enable_nitrogen", False)),
+                    server_config, units=units)
             slave.start(blocking=False)
             for u in units:
                 slave.write_holding_register("inlet_flow_rate", 5.0, unit=u)
@@ -158,6 +168,10 @@ def main_fleet(args) -> None:
                                              unit=u)
                 slave.write_holding_register("simulation_timestep", args.dt,
                                              unit=u)
+                if getattr(args, "enable_nitrogen", False):
+                    slave.write_holding_register("inlet_ammonia",
+                                                 args.initial_ammonia,
+                                                 unit=u)
                 slave.write_coil("acid_pump_enable", True, unit=u)
                 slave.write_coil("chlorine_pump_enable", True, unit=u)
                 slave.write_coil("simulation_running", True, unit=u)
@@ -448,8 +462,20 @@ def main_fleet(args) -> None:
                         if not run_mask[i]:
                             continue   # frozen lane keeps its last registers
                         readings = M._readings_from_outputs(host_out, lane=i)
+                        st_ns = SimpleNamespace(pH=pH_np[i])
+                        if plant.reactor.ammonia is not None:
+                            st_ns = SimpleNamespace(
+                                pH=pH_np[i],
+                                ammonia=np.asarray(
+                                    plant.reactor.ammonia)[i],
+                                nitrite=np.asarray(
+                                    plant.reactor.nitrite)[i],
+                                nitrate=np.asarray(
+                                    plant.reactor.nitrate)[i],
+                                chloramine=np.asarray(
+                                    plant.reactor.chloramine)[i])
                         ok &= M.update_modbus_inputs(
-                            slave, readings, SimpleNamespace(pH=pH_np[i]),
+                            slave, readings, st_ns,
                             float(t_np[i]), unit=u)
                     if not ok:
                         modbus_error_count += 1

@@ -70,7 +70,11 @@ class ModbusRegisterMap:
     """Register layout only — no sensor/actuator/control logic
     (reference register_map.py:91-102)."""
 
-    def __init__(self):
+    def __init__(self, extended_nitrogen: bool = False):
+        """``extended_nitrogen=True`` appends the nitrogen-chemistry
+        extension's registers (core/nitrogen.py) at addresses the
+        reference map leaves free — the base map stays address-identical
+        to the reference either way."""
         # Input registers (reference register_map.py:119-244)
         self.input_registers: List[RegisterDefinition] = [
             _ir(0, "pH_inlet", "pH", "pH at inlet (zone 0)"),
@@ -89,6 +93,15 @@ class ModbusRegisterMap:
                                "System status code (0=OK, >0=fault)",
                                read_only=True),
         ]
+        if extended_nitrogen:
+            self.input_registers += [
+                _ir(20, "ammonia_outlet", "mg N/L",
+                    "Total ammonia nitrogen at outlet"),
+                _ir(22, "nitrite_outlet", "mg N/L", "Nitrite at outlet"),
+                _ir(24, "nitrate_outlet", "mg N/L", "Nitrate at outlet"),
+                _ir(26, "chloramine_outlet", "mg/L as Cl2",
+                    "Combined chlorine (monochloramine) at outlet"),
+            ]
 
         # Holding registers (reference register_map.py:246-323)
         self.holding_registers: List[RegisterDefinition] = [
@@ -104,6 +117,11 @@ class ModbusRegisterMap:
                 "Chlorine stock solution concentration"),
             _hr(100, "simulation_timestep", "s", "Simulation time step"),
         ]
+        if extended_nitrogen:
+            self.holding_registers += [
+                _hr(14, "inlet_ammonia", "mg N/L",
+                    "Source-water total ammonia nitrogen"),
+            ]
 
         # Coils (reference register_map.py:325-362)
         self.coils: List[RegisterDefinition] = [

@@ -221,3 +221,61 @@ def test_fused_paths_reject_nitrogen():
                             dt=1.0, substeps=1, n_steps=4, rng="bits",
                             bits=np.zeros((4, 1, 8, 128), np.int32),
                             interpret=True)
+
+
+def test_nitrogen_over_modbus():
+    """--enable-nitrogen serves the extension registers over a real
+    socket: ammonia/chloramine outlet input registers update and the
+    inlet_ammonia holding register feeds the boundary."""
+    import socket
+    import threading
+    import time
+
+    import ics_wt_physicsengine_tpu.__main__ as orch
+    from ics_wt_physicsengine_tpu.modbus import ModbusTcpClient
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    orch.running = True
+    thread = threading.Thread(
+        target=orch.main,
+        args=(["--port", str(port), "--host", "127.0.0.1", "--dt", "30",
+               "--duration", "1000000", "--rtf", "0", "--zones", "4",
+               "--seed", "4", "--enable-nitrogen",
+               "--initial-ammonia", "1.0"],),
+        daemon=True)
+    thread.start()
+    client = None
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            client = ModbusTcpClient("127.0.0.1", port, timeout=5).connect()
+            break
+        except OSError:
+            time.sleep(0.3)
+    assert client is not None, "server did not start"
+    try:
+        # wait for some sim time
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if client.read_float32(100) > 120.0:
+                break
+            time.sleep(0.2)
+        ammonia = client.read_float32(20)       # ammonia_outlet
+        chloramine = client.read_float32(26)    # chloramine_outlet
+        assert 0.0 < ammonia < 1.0              # chloramination bit into it
+        assert chloramine > 0.5                 # combined chlorine formed
+        # the inlet_ammonia holding register is live
+        assert client.read_float32(14, input_register=False) == \
+            pytest.approx(1.0, abs=1e-5)
+        client.write_float32(14, 5.0)
+        time.sleep(1.0)
+        assert client.read_float32(14, input_register=False) == \
+            pytest.approx(5.0, abs=1e-5)
+    finally:
+        client.close()
+        orch.running = False
+        thread.join(timeout=30)
