@@ -146,3 +146,68 @@ def test_chloramine_curve():
     out = _run("chloramine_curve.py",
                ["--cpu", "--doses", "8", "--contact-min", "2"])
     assert '"stoich_ratio_Cl2_N": 5.062' in out
+
+
+def test_web_hmi(tmp_path):
+    """tools/web_hmi.py (the reference roadmap's 'Web-based HMI' row):
+    serves the dashboard + JSON state of a live plant and writes validated
+    commands through to the holding registers."""
+    import json
+    import socket
+    import threading
+    import time
+    import urllib.request
+
+    import ics_wt_physicsengine_tpu.__main__ as orch
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import web_hmi
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    mb_port = free_port()
+    orch.running = True
+    sim = threading.Thread(
+        target=orch.main,
+        args=(["--port", str(mb_port), "--host", "127.0.0.1", "--dt", "30",
+               "--duration", "1000000", "--rtf", "0", "--zones", "4",
+               "--seed", "6"],), daemon=True)
+    sim.start()
+    deadline = time.time() + 60
+    server = None
+    while time.time() < deadline:
+        try:
+            server = web_hmi.serve("127.0.0.1", mb_port, "127.0.0.1", 0)
+            break
+        except OSError:
+            time.sleep(0.3)
+    assert server is not None, "could not attach HMI to the plant"
+    http = threading.Thread(target=server.serve_forever, daemon=True)
+    http.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    try:
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"Web HMI" in page
+        state = json.loads(urllib.request.urlopen(
+            base + "/api/state", timeout=10).read())
+        assert "pH_inlet" in state["inputs"]
+        assert state["coils"]["simulation_running"] is True
+
+        req = urllib.request.Request(
+            base + "/api/command",
+            data=json.dumps({"register": "acid_flow_rate",
+                             "value": 99.0}).encode(), method="POST")
+        resp = json.loads(urllib.request.urlopen(req, timeout=10).read())
+        assert resp["ok"] and resp["applied"] == 2.0   # HMI-side clamp
+        state = json.loads(urllib.request.urlopen(
+            base + "/api/state", timeout=10).read())
+        assert state["commands"]["acid_flow_rate"] == pytest.approx(2.0)
+    finally:
+        server.shutdown()
+        server.hmi.close()
+        orch.running = False
+        sim.join(timeout=30)
