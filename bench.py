@@ -272,10 +272,17 @@ def bench_closed_loop(n_gains=4096, n_steps=2048, reps=3):
     state = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n,) + x.shape), state)
     carry = C.make_dual_pid_carry((n,), jnp.float32)
-    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.2,
-                              inlet_chlorine=0.5)
-    params, state, gains, carry = jax.device_put(
-        (params, state, gains, carry))
+    # Pre-broadcast the boundary to per-lane leaves: the closed loop
+    # RETURNS a boundary with [n] leaves (the commands are per-lane), so a
+    # scalar-leaf input would make the chained second call a different
+    # shape signature — a recompile inside the timed region (observed:
+    # 15M "steps/s" that was mostly tunnel compile time vs the true 121M).
+    bc = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32), (n,)),
+        R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.2,
+                             inlet_chlorine=0.5))
+    params, state, gains, carry, bc = jax.device_put(
+        (params, state, gains, carry, bc))
 
     fn = jax.jit(lambda st, cc, b: C.rollout_closed_loop(
         params, st, b, C.dual_pid_controller, gains, cc, dt=DT,
