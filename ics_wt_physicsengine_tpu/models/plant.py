@@ -183,15 +183,24 @@ def _read_all(params: PlantParams, state: R.ReactorState, plant: PlantState,
         _zone(state.pH, params.ph_outlet.zone_index),
         _zone(state.temperature, params.ph_outlet.zone_index), t,
         rand=rand.get("pH_outlet"), delayed_true=delayed.get("pH_outlet"))
+    # total-chlorine sensors respond to free + combined; the combined
+    # (chloramine) species exists only under the nitrogen chemistry
+    def _combined(sensor_params):
+        if state.chloramine is None:
+            return None
+        return _zone(state.chloramine, sensor_params.zone_index)
+
     cl_in_c, cl_in = SC.chlorine_read(
         params.chlorine_inlet, plant.chlorine_inlet,
         _zone(state.chlorine, params.chlorine_inlet.zone_index),
         _zone(state.pH, params.chlorine_inlet.zone_index), t,
+        combined_zone=_combined(params.chlorine_inlet),
         rand=rand.get("chlorine_inlet"))
     cl_out_c, cl_out = SC.chlorine_read(
         params.chlorine_outlet, plant.chlorine_outlet,
         _zone(state.chlorine, params.chlorine_outlet.zone_index),
         _zone(state.pH, params.chlorine_outlet.zone_index), t,
+        combined_zone=_combined(params.chlorine_outlet),
         rand=rand.get("chlorine_outlet"))
     fl_c, fl = SF.flow_read(params.flow_main, plant.flow_main,
                             state.flow_rate, t, rand=rand.get("flow_main"))

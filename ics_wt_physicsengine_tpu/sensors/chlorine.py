@@ -35,6 +35,13 @@ CHLORINE_PKA = 7.5   # sensor-local constant (:184)
 class ChlorineSensorParams:
     zone_index: int = field(metadata=dict(static=True))
     sensor_type: str = field(metadata=dict(static=True))
+    # "free" (HOCl + OCl-) or "total" (free + combined chloramines) — the
+    # reference's ChlorineMeasurementType; "total" becomes physically
+    # meaningful with the nitrogen chemistry's chloramine species
+    # (core/nitrogen.py): pass the combined concentration to
+    # ``chlorine_read(combined_zone=...)``.
+    measurement_type: str = field(default="free",
+                                  metadata=dict(static=True))
     base: B.SensorParams = None
     # amperometric cross-sensitivities (:166-168)
     ozone_sensitivity: jnp.ndarray = None
@@ -58,6 +65,7 @@ class ChlorineSensorCarry:
 
 
 def make_chlorine_params(zone_index=0, sensor_type=AMPEROMETRIC,
+                         measurement_type="free",
                          precision=None, response_time=None,
                          drift_rate=0.02 / 24.0, sample_line=None,
                          installation=None, calibration_validity_hours=24.0,
@@ -75,8 +83,14 @@ def make_chlorine_params(zone_index=0, sensor_type=AMPEROMETRIC,
         hysteresis_magnitude=0.01, max_rate_of_change=1.0,
         installation=installation, sample_line=sample_line, dtype=dtype)
     arr = lambda x: np.asarray(x, dtype)  # noqa: E731
+    if hasattr(measurement_type, "value"):   # reference-style enum
+        measurement_type = measurement_type.value
+    if measurement_type not in ("free", "total"):
+        raise ValueError(f"measurement_type must be 'free' or 'total', "
+                         f"got {measurement_type!r}")
     return ChlorineSensorParams(
-        zone_index=zone_index, sensor_type=sensor_type, base=base,
+        zone_index=zone_index, sensor_type=sensor_type,
+        measurement_type=measurement_type, base=base,
         ozone_sensitivity=arr(1.2), h2o2_sensitivity=arr(0.3),
         clo2_sensitivity=arr(0.5))
 
@@ -108,18 +122,25 @@ N_UNIFORMS = B.BASE_UNIFORMS
 def chlorine_read(params: ChlorineSensorParams, carry: ChlorineSensorCarry,
                   chlorine_zone, pH_zone, t,
                   ozone=0.0, hydrogen_peroxide=0.0, chlorine_dioxide=0.0,
-                  rand=None):
+                  combined_zone=None, rand=None):
     """One chlorine reading: base pipeline + principle-specific overlay.
 
     ``ozone``/``hydrogen_peroxide``/``chlorine_dioxide`` are optional zone
     concentrations [mg/L] — the functional equivalent of the reference's
-    hasattr probing on the state object (:250-276)."""
+    hasattr probing on the state object (:250-276). ``combined_zone``
+    [mg/L as Cl2, e.g. monochloramine from the nitrogen chemistry]: a
+    ``measurement_type="total"`` sensor responds to free + combined (the
+    DPD total test and membrane total-chlorine probes); a "free" sensor
+    ignores it."""
     dtype = jnp.asarray(carry.base.current_value).dtype
     prev_ts = carry.base.last_timestamp
     had_prev = carry.base.has_history
 
     true_value = chlorine_true_value(jnp.asarray(chlorine_zone, dtype),
                                      jnp.asarray(pH_zone, dtype))
+    if getattr(params, "measurement_type", "free") == "total" \
+            and combined_zone is not None:
+        true_value = true_value + jnp.asarray(combined_zone, dtype)
     if rand is None:
         key, normals, uniforms = B.draw_read_rand(carry.base.key, dtype,
                                                   extra_normals=2)

@@ -52,10 +52,11 @@ def _default_dtype():
 # instance with the same structure reuses one compiled executable instead of
 # re-tracing a per-instance closure.
 _PH_READ = jax.jit(PH.ph_read)
-_CL_READ = jax.jit(lambda params, carry, cl, ph, o3, h2o2, clo2, t:
+_CL_READ = jax.jit(lambda params, carry, cl, ph, o3, h2o2, clo2, comb, t:
                    CL.chlorine_read(params, carry, cl, ph, t, ozone=o3,
                                     hydrogen_peroxide=h2o2,
-                                    chlorine_dioxide=clo2))
+                                    chlorine_dioxide=clo2,
+                                    combined_zone=comb))
 _FL_READ = jax.jit(FL.flow_read)
 _TP_READ = jax.jit(TP.temperature_read)
 
@@ -388,8 +389,11 @@ class ChlorineSensor(_SensorShell):
         self.zone_index = zone_index
         self.sensor_type = sensor_type
         self.measurement_type = measurement_type
+        if hasattr(measurement_type, "value"):
+            measurement_type = measurement_type.value
         params = CL.make_chlorine_params(
             zone_index=zone_index, sensor_type=sensor_type,
+            measurement_type=measurement_type,
             precision=precision, response_time=response_time,
             drift_rate=drift_rate, sample_line=sample_line,
             installation=installation,
@@ -416,7 +420,8 @@ class ChlorineSensor(_SensorShell):
             return 0.0
 
         return (float(cl), float(ph), optional("ozone"),
-                optional("hydrogen_peroxide"), optional("chlorine_dioxide"))
+                optional("hydrogen_peroxide"), optional("chlorine_dioxide"),
+                optional("chloramine"))
 
     @property
     def membrane_fouling(self):

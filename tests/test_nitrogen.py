@@ -279,3 +279,78 @@ def test_nitrogen_over_modbus():
         client.close()
         orch.running = False
         thread.join(timeout=30)
+
+
+def test_total_chlorine_measurement():
+    """A measurement_type='total' chlorine sensor responds to free +
+    combined chlorine (the DPD total test); 'free' sensors ignore the
+    chloramine — the reference's ChlorineMeasurementType made physically
+    meaningful by the chloramine species."""
+    from ics_wt_physicsengine_tpu.sensors import chlorine as SC
+
+    key = jax.random.key(0)
+    free_p = SC.make_chlorine_params(sensor_type=SC.DPD,
+                                     measurement_type="free",
+                                     dtype=jnp.float64)
+    total_p = SC.make_chlorine_params(sensor_type=SC.DPD,
+                                      measurement_type="total",
+                                      dtype=jnp.float64)
+
+    def read(params, combined):
+        import dataclasses
+        c = SC.make_chlorine_carry(params, key, dtype=jnp.float64)
+        c = dataclasses.replace(c, base=dataclasses.replace(
+            c.base, power_on_time=jnp.float64(-4000.0),
+            last_calibration_time=jnp.float64(0.0),
+            has_calibration=jnp.asarray(True)))
+        n = jnp.zeros((SC.N_NORMALS,), jnp.float64)
+        u = jnp.full((SC.N_UNIFORMS,), 0.5, jnp.float64)
+        _, out = SC.chlorine_read(params, c, jnp.float64(1.0),
+                                  jnp.float64(7.0), jnp.float64(10.0),
+                                  combined_zone=combined, rand=(n, u))
+        return float(out.value)
+
+    v_free = read(free_p, jnp.float64(1.5))
+    v_total = read(total_p, jnp.float64(1.5))
+    v_total0 = read(total_p, jnp.float64(0.0))
+    # free sensor ignores the combined 1.5; the total sensor's FIRST read
+    # shows it through the full pipeline: first-order lag alpha=0.5 from a
+    # 0 initial value x DPD 95% reaction completeness -> 1.5*0.475=0.712
+    assert abs(v_total - v_free - 1.5 * 0.5 * 0.95) < 0.05
+    assert abs(v_total0 - v_free) < 1e-9
+    # and None (no nitrogen chemistry) behaves like 0
+    assert abs(read(total_p, None) - v_free) < 1e-9
+
+
+def test_total_chlorine_wrapper_probes_state():
+    """The ChlorineSensor wrapper duck-probes `chloramine` off the state
+    (like the reference's hasattr cross-sensitivity probing)."""
+    from ics_wt_physicsengine_tpu.sensors import ChlorineSensor
+
+    class MockState:
+        chlorine = np.full(4, 1.0)
+        pH = np.full(4, 7.0)
+        chloramine = np.full(4, 2.0)
+
+    class MockStateFree:
+        chlorine = np.full(4, 1.0)
+        pH = np.full(4, 7.0)
+
+    import dataclasses
+
+    def fresh_sensor():
+        s = ChlorineSensor("cl_total", zone_index=0, sensor_type="dpd",
+                           measurement_type="total", seed=1)
+        s.carry = dataclasses.replace(
+            s.carry, base=dataclasses.replace(
+                s.carry.base, power_on_time=np.float64(-4000.0),
+                last_calibration_time=np.float64(0.0),
+                has_calibration=np.asarray(True)))
+        return s
+
+    # two identical fresh sensors (same seed): only the probed state
+    # differs, so the reading gap is the chloramine response
+    r_with = fresh_sensor().read(MockState(), 10.0)
+    r_without = fresh_sensor().read(MockStateFree(), 10.0)
+    # first-read lag halves the step; combined 2.0 -> ~0.95 difference
+    assert r_with.value - r_without.value > 0.6
