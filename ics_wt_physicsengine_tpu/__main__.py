@@ -122,6 +122,9 @@ def initialize_sensors(config, sim_start_time: float, verbose: bool = False,
             elif "flow" in name:
                 sensor.calibrate(config.flow_rate, sim_start_time,
                                  "system_init")
+            elif "ammonia" in name:
+                sensor.calibrate(getattr(config, "initial_ammonia", 0.0),
+                                 sim_start_time, "system_init")
             if verbose:
                 logger.info("  calibrated %s", name)
         except Exception:  # noqa: BLE001
@@ -218,7 +221,12 @@ def update_modbus_inputs(slave: Optional[ModbusSlave],
         if ammonia is not None:
             def outlet(x):
                 return float(np.asarray(x)[..., -1])
-            slave.update_input_register("ammonia_outlet", outlet(ammonia),
+            # prefer the MEASURED value when the ammonia instrument is in
+            # the suite (sensors/ammonia.py); fall back to the true state
+            am_val = (safe_value("ammonia_outlet")
+                      if "ammonia_outlet" in readings
+                      else outlet(ammonia))
+            slave.update_input_register("ammonia_outlet", am_val,
                                         unit=unit)
             slave.update_input_register("nitrite_outlet",
                                         outlet(state.nitrite), unit=unit)

@@ -14,12 +14,13 @@ Also provides the named BASELINE benchmark configurations (configs 1-5).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ics_wt_physicsengine_tpu.core import reactor as R
+from ics_wt_physicsengine_tpu.sensors import ammonia as SA
 from ics_wt_physicsengine_tpu.sensors import base as SB
 from ics_wt_physicsengine_tpu.sensors import chlorine as SC
 from ics_wt_physicsengine_tpu.sensors import flow as SF
@@ -39,6 +40,8 @@ class PlantParams:
     flow_main: SF.FlowSensorParams
     temp_inlet: ST.TemperatureSensorParams
     temp_outlet: ST.TemperatureSensorParams
+    # the nitrogen chemistry's instrument (None unless enable_nitrogen)
+    ammonia_outlet: Optional[SA.AmmoniaSensorParams] = None
 
 
 @jax.tree_util.register_dataclass
@@ -52,6 +55,7 @@ class PlantState:
     flow_main: SF.FlowSensorCarry
     temp_inlet: ST.TemperatureSensorCarry
     temp_outlet: ST.TemperatureSensorCarry
+    ammonia_outlet: Optional[SA.AmmoniaSensorCarry] = None
 
 
 def make_plant(config: R.ReactorConfiguration, seed: int = 0,
@@ -72,6 +76,10 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
     line = SampleLine(volume_mL=250, flow_rate_mL_min=500, ambient_temp=25.0)
 
     keys = jax.random.split(jax.random.key(seed), 7)
+    # the optional 8th instrument's key comes from a FOLD, not an 8-way
+    # split: splitting 8 would change all seven legacy streams and break
+    # seed-pinned reproducibility (cf. CHANGELOG round-2 note)
+    am_key = jax.random.fold_in(jax.random.key(seed), 7)
 
     ph_in_p = SP.make_ph_params(zone_index=0, sample_line=line,
                                 installation=good_installation, dtype=dtype)
@@ -98,11 +106,18 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
                                          installation=good_installation,
                                          dtype=dtype)
 
+    am_p = None
+    if getattr(config, "enable_nitrogen", False):
+        am_p = SA.make_ammonia_params(zone_index=-1,
+                                      installation=good_installation,
+                                      dtype=dtype)
+
     params = PlantParams(
         reactor=R.make_params(config, dtype=dtype),
         ph_inlet=ph_in_p, ph_outlet=ph_out_p,
         chlorine_inlet=cl_in_p, chlorine_outlet=cl_out_p,
-        flow_main=fl_p, temp_inlet=t_in_p, temp_outlet=t_out_p)
+        flow_main=fl_p, temp_inlet=t_in_p, temp_outlet=t_out_p,
+        ammonia_outlet=am_p)
 
     def backdate(carry, base_params):
         if not warmed_up:
@@ -136,7 +151,9 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
             t_in_p.base),
         temp_outlet=backdate(
             ST.make_temperature_carry(t_out_p, keys[6], dtype=dtype),
-            t_out_p.base))
+            t_out_p.base),
+        ammonia_outlet=None if am_p is None else backdate(
+            SA.make_ammonia_carry(am_p, am_key, dtype=dtype), am_p.base))
     return params, state
 
 
@@ -213,15 +230,27 @@ def _read_all(params: PlantParams, state: R.ReactorState, plant: PlantState,
         _zone(state.temperature, params.temp_outlet.zone_index), t,
         rand=rand.get("temp_outlet"), delayed_true=delayed.get("temp_outlet"))
 
+    am_c, am = plant.ammonia_outlet, None
+    if params.ammonia_outlet is not None and state.ammonia is not None:
+        ap = params.ammonia_outlet
+        am_c, am = SA.ammonia_read(
+            ap, plant.ammonia_outlet,
+            _zone(state.ammonia, ap.zone_index),
+            _zone(state.pH, ap.zone_index),
+            _zone(state.temperature, ap.zone_index), t,
+            rand=rand.get("ammonia_outlet"))
+
     new_plant = PlantState(
         reactor=state, ph_inlet=ph_in_c, ph_outlet=ph_out_c,
         chlorine_inlet=cl_in_c, chlorine_outlet=cl_out_c, flow_main=fl_c,
-        temp_inlet=t_in_c, temp_outlet=t_out_c)
+        temp_inlet=t_in_c, temp_outlet=t_out_c, ammonia_outlet=am_c)
     readings = {
         "pH_inlet": ph_in, "pH_outlet": ph_out,
         "chlorine_inlet": cl_in, "chlorine_outlet": cl_out,
         "flow_main": fl, "temp_inlet": t_in, "temp_outlet": t_out,
     }
+    if am is not None:
+        readings["ammonia_outlet"] = am
     return new_plant, readings
 
 
@@ -339,6 +368,7 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
                         axis=-1)
     base_keys = jax.random.wrap_key_data(key_data)           # [n_plants]
     keys = jax.vmap(lambda k: jax.random.split(k, 7))(base_keys)
+    am_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(base_keys)
 
     from dataclasses import replace as dc_replace
 
@@ -353,7 +383,9 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
         chlorine_outlet=with_key(state.chlorine_outlet, keys[:, 3]),
         flow_main=with_key(state.flow_main, keys[:, 4]),
         temp_inlet=with_key(state.temp_inlet, keys[:, 5]),
-        temp_outlet=with_key(state.temp_outlet, keys[:, 6]))
+        temp_outlet=with_key(state.temp_outlet, keys[:, 6]),
+        ammonia_outlet=None if state.ammonia_outlet is None
+        else with_key(state.ammonia_outlet, am_keys))
     params = dc_replace(params, reactor=reactor_params)
     return params, state
 

@@ -26,11 +26,15 @@ from ics_wt_physicsengine_tpu.sensors.base import (  # noqa: F401
     make_sensor_params,
 )
 from ics_wt_physicsengine_tpu.sensors.wrappers import (  # noqa: F401
+    AmmoniaSensor,
     BaseSensor,
     ChlorineSensor,
     FlowSensor,
     TemperatureSensor,
     pHSensor,
+)
+from ics_wt_physicsengine_tpu.sensors.ammonia import (  # noqa: F401
+    validate_ammonia_sensor,
 )
 from ics_wt_physicsengine_tpu.sensors.validation import (  # noqa: F401
     run_all_sensor_validations,
@@ -67,7 +71,7 @@ class TemperatureSensorType:
     THERMOCOUPLE_J = _temperature.THERMOCOUPLE_J
 
 
-def create_realistic_sensor_suite(reactor_config, seed: int | None = None):
+def _base_suite(reactor_config, seed: int | None = None):
     """The canonical 7-sensor plant (reference sensors/__init__.py:41-120).
 
     Deviation from the reference (deliberate, see sensors/base.py docstring):
@@ -118,3 +122,19 @@ def create_realistic_sensor_suite(reactor_config, seed: int | None = None):
             sample_line=outlet_sample_line, installation=good_installation,
             seed=sub_seed(6)),
     }
+
+
+def create_realistic_sensor_suite(reactor_config, seed: int | None = None):
+    suite = _base_suite(reactor_config, seed)
+    # nitrogen chemistry adds its instrument: an outlet ammonia ISE (the
+    # canonical 7-sensor layout is untouched when the chemistry is off)
+    if getattr(reactor_config, "enable_nitrogen", False):
+        good_installation = InstallationQuality(
+            flow_velocity=0.5, air_bubble_frequency=0.0,
+            grounding_quality=0.9, pipe_vibration_g=0.1,
+            ambient_temperature=30.0)
+        suite["ammonia_outlet"] = AmmoniaSensor(
+            name="ammonia_outlet", zone_index=-1,
+            installation=good_installation,
+            seed=None if seed is None else seed * 1000 + 7)
+    return suite

@@ -152,10 +152,15 @@ def validate_temperature_sensor():
 
 
 def run_all_sensor_validations():
+    from ics_wt_physicsengine_tpu.sensors.ammonia import (
+        validate_ammonia_sensor)
+
     validate_pH_sensor()
     validate_chlorine_sensor()
     validate_flow_sensor()
     validate_temperature_sensor()
+    if not validate_ammonia_sensor():
+        raise RuntimeError("ammonia sensor validation failed")
     print("ALL SENSOR VALIDATIONS PASSED")
 
 

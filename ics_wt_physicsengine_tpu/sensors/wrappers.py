@@ -29,6 +29,7 @@ from ics_wt_physicsengine_tpu.sensors import base as B
 from ics_wt_physicsengine_tpu.sensors import chlorine as CL
 from ics_wt_physicsengine_tpu.sensors import flow as FL
 from ics_wt_physicsengine_tpu.sensors import ph as PH
+from ics_wt_physicsengine_tpu.sensors import ammonia as AM
 from ics_wt_physicsengine_tpu.sensors import temperature as TP
 from ics_wt_physicsengine_tpu.sensors.types import (
     STATUS_FROM_CODE,
@@ -59,6 +60,7 @@ _CL_READ = jax.jit(lambda params, carry, cl, ph, o3, h2o2, clo2, comb, t:
                                     combined_zone=comb))
 _FL_READ = jax.jit(FL.flow_read)
 _TP_READ = jax.jit(TP.temperature_read)
+_AM_READ = jax.jit(AM.ammonia_read)
 
 
 def _zone(arr, idx):
@@ -526,3 +528,60 @@ class TemperatureSensor(_SensorShell):
 
     def _extract_inputs(self, reactor_state):
         return (float(_zone(reactor_state.temperature, self.zone_index)),)
+
+
+class AmmoniaSensor(_SensorShell):
+    """Total-ammonia-nitrogen sensor (ISE / gas-sensing membrane) — the
+    instrument for the nitrogen chemistry; no reference counterpart
+    (sensors/ammonia.py)."""
+
+    def __init__(self, name: str, zone_index: int = 0,
+                 sensor_type: str = AM.ISE,
+                 precision: Optional[float] = None,
+                 response_time: Optional[float] = None,
+                 drift_rate: float = 0.02 / 24.0,
+                 selectivity_potassium: float = 0.1,
+                 potassium_mgL: float = 2.0,
+                 max_history_length: int = 1000,
+                 sample_line: Optional[SampleLine] = None,
+                 installation: Optional[InstallationQuality] = None,
+                 calibration_validity_hours: float = 24.0,
+                 seed: Optional[int] = None, dtype=None):
+        dtype = dtype or _default_dtype()
+        self._dtype = dtype
+        if hasattr(sensor_type, "value"):
+            sensor_type = sensor_type.value
+        self.zone_index = zone_index
+        self.sensor_type = sensor_type
+        params = AM.make_ammonia_params(
+            zone_index=zone_index, sensor_type=sensor_type,
+            precision=precision, response_time=response_time,
+            drift_rate=drift_rate,
+            selectivity_potassium=selectivity_potassium,
+            potassium_mgL=potassium_mgL, sample_line=sample_line,
+            installation=installation,
+            calibration_validity_hours=calibration_validity_hours,
+            dtype=dtype)
+        carry = AM.make_ammonia_carry(params, _new_key(seed), dtype=dtype)
+        super().__init__(name, params, carry, _AM_READ, max_history_length,
+                         calibration_validity_hours)
+
+    def _fresh_carry(self, seed=None):
+        return AM.make_ammonia_carry(self.params, _new_key(seed),
+                                     dtype=self._dtype)
+
+    def _extract_inputs(self, reactor_state):
+        tan = _zone(reactor_state.ammonia, self.zone_index)
+        ph = (_zone(reactor_state.pH, self.zone_index)
+              if hasattr(reactor_state, "pH") else 7.0)
+        temp = (_zone(reactor_state.temperature, self.zone_index)
+                if hasattr(reactor_state, "temperature") else 20.0)
+        return (float(tan), float(ph), float(temp))
+
+    @property
+    def membrane_age_days(self):
+        return float(self.carry.membrane_age_days)
+
+    @property
+    def slope_percentage(self):
+        return float(self.carry.slope_percentage)

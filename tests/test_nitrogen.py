@@ -258,15 +258,20 @@ def test_nitrogen_over_modbus():
             time.sleep(0.3)
     assert client is not None, "server did not start"
     try:
-        # wait for some sim time
-        deadline = time.time() + 60
+        # wait past the ammonia ISE's 600 s warm-up (readings are NaN ->
+        # published 0.0 until then)
+        deadline = time.time() + 90
         while time.time() < deadline:
-            if client.read_float32(100) > 120.0:
+            if client.read_float32(100) > 700.0:
                 break
             time.sleep(0.2)
         ammonia = client.read_float32(20)       # ammonia_outlet
         chloramine = client.read_float32(26)    # chloramine_outlet
-        assert 0.0 < ammonia < 1.0              # chloramination bit into it
+        # the register carries the MEASURED value (ISE instrument):
+        # includes the faithful init-calibration-from-cold offset quirk
+        # (PARITY.md) and K+ interference on top of the chloramination
+        # bite, so bound loosely — finite, positive, plausible
+        assert 0.0 < ammonia < 2.5
         assert chloramine > 0.5                 # combined chlorine formed
         # the inlet_ammonia holding register is live
         assert client.read_float32(14, input_register=False) == \
@@ -354,3 +359,50 @@ def test_total_chlorine_wrapper_probes_state():
     r_without = fresh_sensor().read(MockStateFree(), 10.0)
     # first-read lag halves the step; combined 2.0 -> ~0.95 difference
     assert r_with.value - r_without.value > 0.6
+
+
+def test_ammonia_sensor_validation():
+    from ics_wt_physicsengine_tpu.sensors.ammonia import (
+        validate_ammonia_sensor)
+
+    assert validate_ammonia_sensor(verbose=False)
+
+
+def test_ammonia_sensor_in_suite_and_plant():
+    """enable_nitrogen grows the sensor suite to 8 (outlet ammonia ISE)
+    and the integrated plant reads it; the canonical 7-sensor layout and
+    seed streams are untouched when disabled."""
+    from ics_wt_physicsengine_tpu.models.plant import make_plant, plant_step
+    from ics_wt_physicsengine_tpu.sensors import (
+        create_realistic_sensor_suite)
+
+    cfg_n = _config(initial_ammonia=2.0, initial_chlorine=0.0,
+                    flow_rate=5.0)
+    suite = create_realistic_sensor_suite(cfg_n, seed=1)
+    assert len(suite) == 8 and "ammonia_outlet" in suite
+    base = create_realistic_sensor_suite(
+        R.ReactorConfiguration(n_zones=4), seed=1)
+    assert len(base) == 7
+
+    # seed streams of the legacy 7 are bit-identical either way
+    for name in base:
+        a = suite[name].carry.base.key
+        b = base[name].carry.base.key
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(a)),
+            np.asarray(jax.random.key_data(b)), err_msg=name)
+
+    params, plant = make_plant(cfg_n, seed=2, dtype=jnp.float32)
+    plant, readings = plant_step(params, plant,
+                                 R.BoundaryConditions(), 1.0, 2)
+    assert "ammonia_outlet" in readings
+    v = float(readings["ammonia_outlet"].value)
+    assert 0.0 <= v < 5.0 and np.isfinite(v)
+
+    # ISE pH dependence end-to-end: high-pH plant under-reads TAN
+    cfg_hi = _config(initial_ammonia=2.0, initial_chlorine=0.0,
+                     initial_pH=9.2, flow_rate=5.0)
+    p2, pl2 = make_plant(cfg_hi, seed=2, dtype=jnp.float32)
+    pl2, r2 = plant_step(p2, pl2, R.BoundaryConditions(), 1.0, 2)
+    # first reads carry the 0.5 lag from a 0 initial value: compare ratios
+    assert r2["ammonia_outlet"].value < readings["ammonia_outlet"].value
