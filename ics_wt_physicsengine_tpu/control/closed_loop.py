@@ -167,7 +167,10 @@ def rollout_closed_loop(params, state, boundary: R.BoundaryConditions,
                         dt: float, substeps: int, n_steps: int,
                         stages=None, observe: str = "true",
                         actuator_tau: float = 0.0, batched: bool = False,
-                        record: bool = True, record_obs=None):
+                        record: bool = True, record_obs=None,
+                        gains_schedule=None, disturbance=None,
+                        controller_owned=("acid_flow_rate",
+                                          "chlorine_flow_rate")):
     """Scan {physics -> observe -> controller -> validated commands} for
     ``n_steps`` inside one jit.
 
@@ -190,6 +193,20 @@ def rollout_closed_loop(params, state, boundary: R.BoundaryConditions,
         against realistic instrumentation. Set ``batched=True`` when the
         plant pytrees carry a leading batch axis (per-lane PRNG keys need
         the vmapped step).
+
+    ``gains_schedule``: optional pytree with the SAME structure as
+    ``gains`` but a leading ``[n_steps]`` axis on every leaf — per-step
+    controller parameters (e.g. a setpoint program: a dosing schedule the
+    operator is commissioning). When given, it overrides ``gains``.
+
+    ``disturbance``: optional BoundaryConditions pytree with ``[n_steps]``
+    leaves (scalars broadcast) — scripted forcing (inlet swings,
+    temperature ramps) applied each step. Fields listed in
+    ``controller_owned`` (default: the dual-PID's two dosing pumps) stay
+    under controller authority; every OTHER field is REPLACED from the
+    disturbance per step (scalars broadcast over time), so set your
+    steady operating values on fields you are not scripting. The
+    in-graph analogue of the HIL loop against a disturbance program.
 
     Returns ``(final_state, final_ctrl_carry, final_boundary, traj)`` where
     ``traj`` (if ``record``) holds per-step ``obs`` (under their reading
@@ -229,10 +246,41 @@ def rollout_closed_loop(params, state, boundary: R.BoundaryConditions,
                                            stages=stages)
             return new, {k: v.value for k, v in readings.items()}
 
-    def body(carry, _):
+    if gains_schedule is not None:
+        gains_schedule = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x), gains_schedule)
+        for leaf in jax.tree_util.tree_leaves(gains_schedule):
+            if jnp.shape(leaf)[:1] != (n_steps,):
+                raise ValueError(
+                    f"gains_schedule leaves need a leading [{n_steps}] "
+                    f"axis; got shape {jnp.shape(leaf)}")
+    if disturbance is not None:
+        disturbance = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(
+                jnp.asarray(x, dtype),
+                (n_steps,) if jnp.ndim(x) == 0
+                else (n_steps,) + jnp.shape(x)[1:]), disturbance)
+        _owned = set(controller_owned)
+        unknown = _owned - set(_COMMAND_LIMITS)
+        if unknown:
+            raise ValueError(f"controller_owned contains non-actuator "
+                             f"fields: {sorted(unknown)}")
+
+    def body(carry, j):
         st, cc, bc = carry
+        if disturbance is not None:
+            # scripted forcing; controller-owned fields keep their
+            # carried (command-driven) values
+            import dataclasses
+            dist_t = jax.tree_util.tree_map(lambda x: x[j], disturbance)
+            updates = {f: jnp.broadcast_to(getattr(dist_t, f), batch_shape)
+                       for f in dist_t.__dataclass_fields__
+                       if f not in _owned}
+            bc = dataclasses.replace(bc, **updates)
+        g = gains if gains_schedule is None else \
+            jax.tree_util.tree_map(lambda x: x[j], gains_schedule)
         st, obs = advance(st, bc)
-        cc, commands = controller(gains, cc, obs, dt)
+        cc, commands = controller(g, cc, obs, dt)
         # shared scalar gains over a batched plant still yield per-lane
         # command leaves (shape-stable carry)
         commands = {k: jnp.broadcast_to(v, batch_shape)
@@ -246,5 +294,5 @@ def rollout_closed_loop(params, state, boundary: R.BoundaryConditions,
         return (st, cc, bc), out
 
     (state, ctrl_carry, boundary), traj = jax.lax.scan(
-        body, (state, ctrl_carry, boundary), None, length=n_steps)
+        body, (state, ctrl_carry, boundary), jnp.arange(n_steps))
     return state, ctrl_carry, boundary, traj
