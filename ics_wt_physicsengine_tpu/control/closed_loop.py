@@ -147,7 +147,7 @@ def observe_true(state: R.ReactorState) -> Dict[str, jnp.ndarray]:
     (sensors/__init__.py — pH/Cl/temp at inlet zone 0 and outlet zone -1,
     one flow sensor). Controllers written against the instrumented plant
     run unchanged against the ideal one."""
-    return {
+    obs = {
         "pH_inlet": state.pH[..., 0],
         "pH_outlet": state.pH[..., -1],
         "chlorine_inlet": state.chlorine[..., 0],
@@ -156,6 +156,12 @@ def observe_true(state: R.ReactorState) -> Dict[str, jnp.ndarray]:
         "temp_outlet": state.temperature[..., -1],
         "flow_main": state.flow_rate,
     }
+    if state.chloramine is not None:   # nitrogen chemistry observables
+        obs["ammonia_outlet"] = state.ammonia[..., -1]
+        obs["chloramine_outlet"] = state.chloramine[..., -1]
+        obs["total_chlorine_outlet"] = state.chlorine[..., -1] \
+            + state.chloramine[..., -1]
+    return obs
 
 
 # ---------------------------------------------------------------------------

@@ -298,3 +298,38 @@ def test_setpoint_schedule_and_disturbance():
             params, state, R.BoundaryConditions(), C.dual_pid_controller,
             base, carry, dt=dt, substeps=substeps, n_steps=n_steps,
             gains_schedule=base)
+
+
+def test_chloramine_residual_control():
+    """Closed-loop COMBINED-chlorine (chloramine) residual control: with
+    ammonia in the source water, a PI on total_chlorine_outlet driving
+    the chlorine pump holds the combined residual — the chloramination
+    plant workflow the nitrogen chemistry enables."""
+    config = R.ReactorConfiguration(
+        n_zones=4, enable_nitrogen=True, initial_ammonia=1.0,
+        initial_chlorine=0.0, flow_rate=20.0)
+    params = R.make_params(config, dtype=jnp.float64)
+    state = R.make_initial_state(config, dtype=jnp.float64)
+    dt, n_steps = 60.0, 120
+    substeps = R.default_substeps(config, dt)
+    gains = C.make_gains(1.0, 0.05, 0.0, 2.0, 0.0, 1.0, jnp.float64)
+
+    def controller(g, carry, obs, dt):
+        carry, cmd = C.pid_step(g, carry, obs["total_chlorine_outlet"], dt,
+                                active=obs["total_chlorine_outlet"] >= 0.0)
+        return carry, {"chlorine_flow_rate": cmd}
+
+    _, _, _, traj = C.rollout_closed_loop(
+        params, state,
+        R.BoundaryConditions(inlet_flow_rate=20.0, inlet_ammonia=1.0),
+        controller, gains, C.make_pid_carry((), jnp.float64),
+        dt=dt, substeps=substeps, n_steps=n_steps,
+        record_obs=("total_chlorine_outlet", "chloramine_outlet",
+                    "chlorine_outlet"))
+    tot = np.asarray(traj["total_chlorine_outlet"])
+    assert np.isfinite(tot).all()
+    # residual reaches and holds near the 2.0 setpoint...
+    assert abs(tot[-1] - 2.0) < 0.3
+    # ...and with ammonia present it is mostly COMBINED chlorine
+    assert np.asarray(traj["chloramine_outlet"])[-1] > \
+        np.asarray(traj["chlorine_outlet"])[-1]
