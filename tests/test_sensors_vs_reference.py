@@ -129,7 +129,13 @@ def test_sample_line_delay_matches_reference():
         ref.read(state, t0_ref + i)
         ours.read(state, 31.0 + i)
     state.temperature = np.full(5, 30.0)    # step at t=+40
-    r_ref = ref.read(state, t0_ref + 40)
+    # the REFERENCE sensor's crypto-seeded RNG draws open/short faults at
+    # 1e-4/read (base_sensor.py:402-407): a faulted read returns NaN, so
+    # retry a couple of times rather than flaking ~0.4% of runs
+    for k in range(3):
+        r_ref = ref.read(state, t0_ref + 40 + 0.1 * k)
+        if np.isfinite(r_ref.raw_value):
+            break
     r_ours = ours.read(state, 71.0)
     # both still deliver the pre-step sample through the line
     assert r_ref.raw_value == pytest.approx(22.0, abs=0.01)
