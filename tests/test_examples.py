@@ -211,3 +211,9 @@ def test_web_hmi(tmp_path):
         server.hmi.close()
         orch.running = False
         sim.join(timeout=30)
+
+
+def test_mpc_dosing():
+    out = _run("mpc_dosing.py",
+               ["--cpu", "--minutes", "40", "--zones", "4"])
+    assert '"mpc_beats_pid"' in out
