@@ -103,7 +103,8 @@ def dual_pid_controller(gains: DualPIDGains, carry: DualPIDCarry,
                         obs: Dict[str, jnp.ndarray], dt: float,
                         feedforward: bool = False,
                         chlorine_stock_mg_L: float = 50.0,
-                        clip_mode: str = "hard"):
+                        clip_mode: str = "hard",
+                        warmup_gate: bool = True):
     """One controller tick, semantics matching
     ``examples/pid_controller.py::control_loop``: warm-up gating
     (``reading > 0`` ticks the loop, else hold zero and freeze the PID),
@@ -111,25 +112,33 @@ def dual_pid_controller(gains: DualPIDGains, carry: DualPIDCarry,
     [0, 1] chlorine-command clip. Returns ``(carry, commands)``.
     ``clip_mode="straight-through"`` keeps forward values identical but
     lets gradients pass saturation (see pid.st_clip; used by the tuners).
+
+    ``warmup_gate=False`` replaces the ``> 0`` gate with a finiteness
+    gate. The ``> 0`` convention exists because the HIL path publishes
+    warm-up readings as exactly 0.0; against NOISE-FREE true-state
+    observations (``observe="true"``) a plant commissioned from zero
+    residual reads exactly 0.0 forever, so the PID would freeze
+    permanently and never start dosing — the tuners pass False.
     """
     from ics_wt_physicsengine_tpu.control.pid import st_clip
 
     clip = jnp.clip if clip_mode == "hard" else st_clip
     cl_meas = obs["chlorine_outlet"]
     ph_meas = obs["pH_inlet"]
+    gate = (lambda m: m > 0.0) if warmup_gate else jnp.isfinite
 
     cl_carry, cl_cmd = pid_step(gains.chlorine, carry.chlorine, cl_meas, dt,
-                                active=cl_meas > 0.0, clip_mode=clip_mode)
+                                active=gate(cl_meas), clip_mode=clip_mode)
     if feedforward:
         flow = obs["flow_main"]
         ff = jnp.where(flow > 0.0,
                        gains.chlorine.setpoint * flow / chlorine_stock_mg_L,
                        0.0)
-        cl_cmd = cl_cmd + jnp.where(cl_meas > 0.0, ff, 0.0)
+        cl_cmd = cl_cmd + jnp.where(gate(cl_meas), ff, 0.0)
     cl_cmd = clip(cl_cmd, 0.0, 1.0)
 
     ph_carry, acid_cmd = pid_step(gains.ph, carry.ph, ph_meas, dt,
-                                  active=ph_meas > 0.0, clip_mode=clip_mode)
+                                  active=gate(ph_meas), clip_mode=clip_mode)
 
     return DualPIDCarry(chlorine=cl_carry, ph=ph_carry), {
         "chlorine_flow_rate": cl_cmd,

@@ -93,7 +93,11 @@ def _batched_plant(config: R.ReactorConfiguration, n: int, dtype):
                                    "effort_weight", "feedforward"))
 def _sweep_jit(params, state, boundary, gains, carry, dt, substeps,
                n_steps, stages, effort_weight, feedforward):
-    controller = partial(dual_pid_controller, feedforward=feedforward)
+    # warmup_gate=False: true-state sweeps have no warm-up zeros, and the
+    # > 0 gate would permanently freeze every candidate on a plant
+    # commissioned from zero residual (identical meaningless scores)
+    controller = partial(dual_pid_controller, feedforward=feedforward,
+                         warmup_gate=False)
     _, _, _, traj = rollout_closed_loop(
         params, state, boundary, controller, gains, carry,
         dt=dt, substeps=substeps, n_steps=n_steps, stages=stages,
@@ -179,7 +183,8 @@ def tune_pid_gradient(config: R.ReactorConfiguration, gains0: DualPIDGains,
     # hard-clipped controller, but gradients survive actuator saturation
     # (without this one optimizer step into a rail zeroes every gradient
     # and the tuner is stuck — see pid.st_clip)
-    controller = partial(dual_pid_controller, clip_mode="straight-through")
+    controller = partial(dual_pid_controller, clip_mode="straight-through",
+                         warmup_gate=False)
 
     def scores_of(theta):
         gains = _unpack(gains0, theta)

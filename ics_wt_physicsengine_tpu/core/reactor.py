@@ -523,6 +523,11 @@ def step(params: ReactorParams, state: ReactorState,
     trajectories in tests/test_rkc.py.
     """
     has_n = params.nitrogen is not None and state.ammonia is not None
+    if deriv_fn is not None and has_n:
+        raise ValueError(
+            "custom deriv_fn paths (e.g. the zone-sharded SPMD rollout, "
+            "parallel/spatial.py) do not support the nitrogen chemistry "
+            "extension; run nitrogen configs on the standard step/rollout")
     if deriv_fn is None:
         if has_n:
             def f(y):

@@ -392,6 +392,8 @@ def main_fleet(args) -> None:
             return None
         regs = ("acid_flow_rate", "chlorine_flow_rate", "inlet_flow_rate",
                 "acid_concentration", "chlorine_concentration")
+        if getattr(args, "enable_nitrogen", False):
+            regs = regs + ("inlet_ammonia",)   # the extension's command
         coils = ("acid_pump_enable", "chlorine_pump_enable",
                  "simulation_running")
         try:
@@ -455,6 +457,15 @@ def main_fleet(args) -> None:
                 # so its published simulation_time must hold with it (the
                 # global tick counter would jump over pauses on resume).
                 t_np = np.asarray(plant.reactor.time).reshape(-1)
+                # nitrogen observables: hoisted like pH_np — ONE
+                # device->host transfer per species per tick, not one per
+                # unit (a sharded 254-unit fleet would otherwise do ~1000
+                # cross-device gathers per tick)
+                n_np = None
+                if plant.reactor.ammonia is not None:
+                    n_np = {k: np.asarray(getattr(plant.reactor, k))
+                            for k in ("ammonia", "nitrite", "nitrate",
+                                      "chloramine")}
 
                 if slave:
                     ok = True
@@ -463,17 +474,10 @@ def main_fleet(args) -> None:
                             continue   # frozen lane keeps its last registers
                         readings = M._readings_from_outputs(host_out, lane=i)
                         st_ns = SimpleNamespace(pH=pH_np[i])
-                        if plant.reactor.ammonia is not None:
+                        if n_np is not None:
                             st_ns = SimpleNamespace(
                                 pH=pH_np[i],
-                                ammonia=np.asarray(
-                                    plant.reactor.ammonia)[i],
-                                nitrite=np.asarray(
-                                    plant.reactor.nitrite)[i],
-                                nitrate=np.asarray(
-                                    plant.reactor.nitrate)[i],
-                                chloramine=np.asarray(
-                                    plant.reactor.chloramine)[i])
+                                **{k: v[i] for k, v in n_np.items()})
                         ok &= M.update_modbus_inputs(
                             slave, readings, st_ns,
                             float(t_np[i]), unit=u)

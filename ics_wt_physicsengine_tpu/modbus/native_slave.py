@@ -171,6 +171,14 @@ class NativeModbusSlave:
                                                ctypes.c_int]
             lib.mb_set_max_clients(self._handle,
                                    int(self.config.max_connections))
+        elif self.config.max_connections > 64:
+            import logging
+            logging.getLogger(__name__).warning(
+                "native Modbus library predates mb_set_max_clients "
+                "(stale libwtmodbus.so?): the compile-time cap of 64 "
+                "connections applies, not the configured %d — masters "
+                "beyond 64 will be refused; rebuild with `make -C native`",
+                self.config.max_connections)
         for u in ids:
             if u != self._primary:
                 if lib.mb_add_unit(self._handle, int(u)) != 0:

@@ -669,6 +669,36 @@ def _resolve_lead_in(base_carry, delay_s, d_arr, d_max, t0, dt, batch):
                      jnp.nan).astype(dtype)
 
 
+def sensor_statics(params, dt: float):
+    """The hashable per-sensor statics tuple the fused-plant jit keys on:
+    (attr, normalized zone, sensor type, d_static, d_max) per sensor.
+    Shared by plant_rollout_fused and the shard_map wrapper
+    (parallel.fused.sharded_plant_rollout_fused) — the two MUST derive
+    identical tuples for the same params or their caches/kernels
+    desynchronize. Requires concrete (non-traced) params."""
+    z = params.reactor.n_zones
+    statics = []
+    for _, attr, kind in SENSORS:
+        sp = getattr(params, attr)
+        zi = getattr(sp, "zone_index", 0)
+        if not -z <= zi < z:
+            raise ValueError(f"{attr}: zone_index {zi} out of range for "
+                             f"{z} zones")
+        zi = zi % z
+        d_static, d_max = 0, 0
+        if attr in _LINE_ATTRS and sp.base.line_capacity > 0:
+            darr = np.round(np.asarray(
+                jax.device_get(sp.base.line_delay_s),
+                np.float64).ravel() / dt).astype(np.int64)
+            darr = np.maximum(darr, 0)
+            d_max = int(darr.max()) if darr.size else 0
+            d_static = int(darr[0]) \
+                if darr.size and np.all(darr == darr[0]) else None
+        statics.append((attr, zi, getattr(sp, "sensor_type", None),
+                        d_static, d_max))
+    return tuple(statics)
+
+
 def plant_rollout_fused(params, plant, boundary, *, dt: float,
                         substeps: int, n_steps: int, stages=None,
                         record_every: int = 1, rng: str = "hw",
@@ -731,29 +761,7 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
     #    derived from concrete params host-side, passed as hashable statics
     #    to the jit. Zones may be ANY zone (normalized); sample-line delays
     #    may differ per plant (d_static=None => per-plant path in-kernel).
-    statics = []
-    for _, attr, kind in SENSORS:
-        sp = getattr(params, attr)
-        zi = getattr(sp, "zone_index", 0)
-        if not -z <= zi < z:
-            raise ValueError(f"{attr}: zone_index {zi} out of range for "
-                             f"{z} zones")
-        zi = zi % z
-        d_static, d_max = 0, 0
-        if attr in _LINE_ATTRS:
-            if sp.base.line_capacity > 0:
-                darr = np.round(np.asarray(
-                    jax.device_get(sp.base.line_delay_s),
-                    np.float64).ravel() / dt).astype(np.int64)
-                darr = np.maximum(darr, 0)
-                d_max = int(darr.max()) if darr.size else 0
-                d_static = int(darr[0]) \
-                    if darr.size and np.all(darr == darr[0]) else None
-            statics.append((attr, zi, getattr(sp, "sensor_type", None),
-                            d_static, d_max))
-        else:
-            statics.append((attr, zi, getattr(sp, "sensor_type", None),
-                            0, 0))
+    statics = sensor_statics(params, dt)
 
     # -- schedule handling: [n_steps]-leaf BoundaryConditions => per-step
     #    forcing streamed through SMEM (chunked sequential time grid axis)
@@ -784,7 +792,7 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
         params, plant, boundary, bits, dt=dt, substeps=substeps,
         n_steps=n_steps, stages=stages, record_every=record_every,
         hw_rng=rng == "hw", seed=seed, interpret=interpret,
-        statics_t=tuple(statics), consume_line=consume_line,
+        statics_t=statics, consume_line=consume_line,
         scheduled=scheduled, sched_chunk=_PLANT_SCHED_CHUNK,
         layout=layout, ablate=_ABLATE)
 

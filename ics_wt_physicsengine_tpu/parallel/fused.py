@@ -86,24 +86,15 @@ def sharded_plant_rollout_fused(mesh, params, *, dt: float, substeps: int,
     """
     from ics_wt_physicsengine_tpu.ops import fused_plant as FP
 
-    # Host-side statics (concrete params required, like plant_rollout_fused)
-    z = params.reactor.n_zones
-    statics = []
-    for _, attr, kind in FP.SENSORS:
-        sp = getattr(params, attr)
-        zi = getattr(sp, "zone_index", 0) % z
-        d_static, d_max = 0, 0
-        if attr in FP._LINE_ATTRS and sp.base.line_capacity > 0:
-            darr = np.round(np.asarray(
-                jax.device_get(sp.base.line_delay_s),
-                np.float64).ravel() / dt).astype(np.int64)
-            darr = np.maximum(darr, 0)
-            d_max = int(darr.max()) if darr.size else 0
-            d_static = int(darr[0]) \
-                if darr.size and np.all(darr == darr[0]) else None
-        statics.append((attr, zi, getattr(sp, "sensor_type", None),
-                        d_static, d_max))
-    statics_t = tuple(statics)
+    if params.reactor.nitrogen is not None:
+        raise ValueError("the fused plant kernel does not support the "
+                         "nitrogen chemistry extension (sharded path "
+                         "included); use the XLA integrated-plant paths")
+
+    # Host-side statics (concrete params required): the SAME derivation
+    # plant_rollout_fused uses — shared helper so the shard_map path can
+    # never desynchronize from the single-host path.
+    statics_t = FP.sensor_statics(params, dt)
 
     interpret = mesh.devices.flat[0].platform != "tpu"
     if rng == "hw" and interpret:

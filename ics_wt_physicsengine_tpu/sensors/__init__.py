@@ -71,6 +71,19 @@ class TemperatureSensorType:
     THERMOCOUPLE_J = _temperature.THERMOCOUPLE_J
 
 
+def _suite_installation() -> InstallationQuality:
+    """The canonical good-installation profile every suite sensor shares
+    (reference sensors/__init__.py:41-120)."""
+    return InstallationQuality(
+        flow_velocity=0.5, air_bubble_frequency=0.0, grounding_quality=0.9,
+        pipe_vibration_g=0.1, ambient_temperature=30.0)
+
+
+def _suite_seed(seed, i):
+    """Per-sensor sub-seed derivation shared by the whole suite."""
+    return None if seed is None else seed * 1000 + i
+
+
 def _base_suite(reactor_config, seed: int | None = None):
     """The canonical 7-sensor plant (reference sensors/__init__.py:41-120).
 
@@ -80,9 +93,7 @@ def _base_suite(reactor_config, seed: int | None = None):
     deque so each sensor can retrieve the other's values. Here the two
     sensors share the line *configuration* but own separate delay buffers.
     """
-    good_installation = InstallationQuality(
-        flow_velocity=0.5, air_bubble_frequency=0.0, grounding_quality=0.9,
-        pipe_vibration_g=0.1, ambient_temperature=30.0)
+    good_installation = _suite_installation()
 
     inlet_sample_line = SampleLine(volume_mL=250, flow_rate_mL_min=500,
                                    ambient_temp=25.0)
@@ -90,7 +101,7 @@ def _base_suite(reactor_config, seed: int | None = None):
                                     ambient_temp=25.0)
 
     def sub_seed(i):
-        return None if seed is None else seed * 1000 + i
+        return _suite_seed(seed, i)
 
     return {
         "pH_inlet": pHSensor(
@@ -129,12 +140,8 @@ def create_realistic_sensor_suite(reactor_config, seed: int | None = None):
     # nitrogen chemistry adds its instrument: an outlet ammonia ISE (the
     # canonical 7-sensor layout is untouched when the chemistry is off)
     if getattr(reactor_config, "enable_nitrogen", False):
-        good_installation = InstallationQuality(
-            flow_velocity=0.5, air_bubble_frequency=0.0,
-            grounding_quality=0.9, pipe_vibration_g=0.1,
-            ambient_temperature=30.0)
         suite["ammonia_outlet"] = AmmoniaSensor(
             name="ammonia_outlet", zone_index=-1,
-            installation=good_installation,
-            seed=None if seed is None else seed * 1000 + 7)
+            installation=_suite_installation(),
+            seed=_suite_seed(seed, 7))
     return suite

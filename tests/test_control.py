@@ -333,3 +333,26 @@ def test_chloramine_residual_control():
     # ...and with ammonia present it is mostly COMBINED chlorine
     assert np.asarray(traj["chloramine_outlet"])[-1] > \
         np.asarray(traj["chlorine_outlet"])[-1]
+
+
+def test_sweep_from_zero_residual_tunes():
+    """Regression (round-3 review): a gain sweep on a plant commissioned
+    from ZERO chlorine must still tune — the host-parity `> 0` warm-up
+    gate would freeze every candidate forever on noise-free true-state
+    observations (all scores identical and meaningless)."""
+    config = R.ReactorConfiguration(n_zones=4, initial_chlorine=0.0,
+                                    flow_rate=20.0)
+    grid = C.make_gain_grid(kp_cl=jnp.asarray([0.1, 2.0]),
+                            ki_cl=jnp.asarray([0.0, 0.1]),
+                            kp_ph=jnp.asarray([-0.8]),
+                            ki_ph=jnp.asarray([-0.05]))
+    res = C.gain_sweep(config, grid, dt=60.0, n_steps=60,
+                       boundary=R.BoundaryConditions(inlet_flow_rate=20.0))
+    scores = np.asarray(res["scores"])
+    assert np.isfinite(scores).all()
+    # dosing actually happened and candidates differentiate
+    assert len(np.unique(np.round(scores, 6))) > 1
+    traj = C.gain_sweep(config, grid, dt=60.0, n_steps=60,
+                        boundary=R.BoundaryConditions(inlet_flow_rate=20.0),
+                        return_traj=True)["traj"]
+    assert np.asarray(traj["cmd:chlorine_flow_rate"]).max() > 0.0

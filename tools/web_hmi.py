@@ -106,19 +106,21 @@ refresh(); setInterval(refresh, 2000);
 
 
 class Hmi:
-    """Thread-safe Modbus-backed state access for the HTTP handlers."""
+    """Thread-safe Modbus-backed state access for the HTTP handlers.
 
-    def __init__(self, host: str, port: int, unit: int = 1):
+    ``nitrogen`` must be set EXPLICITLY (--nitrogen): the wire cannot
+    reveal whether the extension registers are mapped — both data planes
+    size their register blocks with headroom past the last mapped
+    address, so reading an unmapped-but-in-block register succeeds and
+    returns 0.0 (and a write to holding register 14 on a base-map plant
+    would land in dead space the orchestrator never reads)."""
+
+    def __init__(self, host: str, port: int, unit: int = 1,
+                 nitrogen: bool = False):
         self._client = ModbusTcpClient(host, port, unit_id=unit,
                                        timeout=5).connect()
         self._lock = threading.Lock()
-        # probe whether the nitrogen extension registers are served
-        self.has_nitrogen = True
-        try:
-            with self._lock:
-                self._client.read_float32(NITROGEN_INPUTS[0][1])
-        except Exception:  # noqa: BLE001
-            self.has_nitrogen = False
+        self.has_nitrogen = nitrogen
 
     def state(self) -> dict:
         with self._lock:
@@ -142,6 +144,8 @@ class Hmi:
     def write(self, register: str, value: float) -> float:
         if register not in HOLDING:
             raise KeyError(register)
+        if register == "inlet_ammonia" and not self.has_nitrogen:
+            raise KeyError(register)    # unmapped on base-map plants
         addr, vmax = HOLDING[register]
         value = float(value)
         if value != value or not -1e9 < value < 1e9:
@@ -204,9 +208,10 @@ def make_handler(hmi: Hmi):
 
 
 def serve(modbus_host: str, modbus_port: int, http_host: str,
-          http_port: int, unit: int = 1) -> ThreadingHTTPServer:
+          http_port: int, unit: int = 1,
+          nitrogen: bool = False) -> ThreadingHTTPServer:
     """Build and return the HTTP server (caller runs serve_forever)."""
-    hmi = Hmi(modbus_host, modbus_port, unit=unit)
+    hmi = Hmi(modbus_host, modbus_port, unit=unit, nitrogen=nitrogen)
     server = ThreadingHTTPServer((http_host, http_port), make_handler(hmi))
     server.hmi = hmi
     return server
@@ -220,10 +225,15 @@ def main():
                     help="Modbus unit id (fleet mode: the plant to watch)")
     ap.add_argument("--http-host", default="127.0.0.1")
     ap.add_argument("--http-port", type=int, default=8080)
+    ap.add_argument("--nitrogen", action="store_true",
+                    help="the plant was started with --enable-nitrogen: "
+                         "show the extension registers (cannot be "
+                         "auto-detected over the wire)")
     args = ap.parse_args()
 
     server = serve(args.modbus_host, args.modbus_port, args.http_host,
-                   args.http_port, unit=args.unit)
+                   args.http_port, unit=args.unit,
+                   nitrogen=args.nitrogen)
     print(f"Web HMI on http://{args.http_host}:{server.server_port} "
           f"(plant at {args.modbus_host}:{args.modbus_port}, "
           f"unit {args.unit})")
