@@ -44,6 +44,7 @@ from ics_wt_physicsengine_tpu.control.tuning import (
     gain_sweep,
     make_gain_grid,
     n_gains,
+    robust_gain_sweep,
     tracking_scores,
     tune_pid_gradient,
 )
@@ -53,7 +54,7 @@ __all__ = [
     "DualPIDCarry", "DualPIDGains", "apply_commands",
     "dual_pid_controller", "make_dual_pid_carry", "observe_true",
     "rollout_closed_loop", "validate_commands",
-    "gain_sweep", "make_gain_grid", "n_gains", "tracking_scores",
-    "tune_pid_gradient",
+    "gain_sweep", "make_gain_grid", "n_gains", "robust_gain_sweep",
+    "tracking_scores", "tune_pid_gradient",
     "mpc_plan", "run_mpc",
 ]

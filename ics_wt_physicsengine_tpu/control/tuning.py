@@ -229,3 +229,69 @@ def tune_pid_gradient(config: R.ReactorConfiguration, gains0: DualPIDGains,
                                   tuned)
     return {"gains": tuned, "best": pick, "loss_history": losses,
             "final_scores": final_scores}
+
+
+def robust_gain_sweep(config: R.ReactorConfiguration, gains: DualPIDGains,
+                      dt: float, n_steps: int, n_plants: int = 64,
+                      seed: int = 0,
+                      boundary: Optional[R.BoundaryConditions] = None,
+                      substeps: Optional[int] = None, stages=None,
+                      effort_weight: float = 0.0,
+                      worst_weight: float = 0.5,
+                      dtype=jnp.float32) -> Dict:
+    """Uncertainty-ROBUST gain selection: every candidate is evaluated in
+    closed loop against a Monte-Carlo ensemble of ``n_plants``
+    parameter-randomized plants (models/monte_carlo.py ranges — the
+    BASELINE config-4 workload), not one nominal plant. The full
+    ``[n_gains * n_plants]`` grid runs as ONE natively-batched scan.
+
+    Ranking: ``worst_weight * worst + (1 - worst_weight) * mean`` per
+    candidate — gains that only work on the nominal plant lose to gains
+    that transfer across the parameter envelope.
+
+    Returns ``{"scores_mean": [G], "scores_worst": [G], "robust": [G],
+    "best_index": int, "best": scalar-leaf DualPIDGains}``.
+    """
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+
+    G = n_gains(gains)
+    if substeps is None:
+        substeps = R.default_substeps(config, dt)
+    if boundary is None:
+        boundary = R.BoundaryConditions()
+    mc_params, mc_states = make_monte_carlo_batch(config, n_plants,
+                                                  seed=seed, dtype=dtype)
+
+    def tile_plants(x):
+        """[P, ...] -> [G*P, ...] (plants fastest, gains slowest)."""
+        x = jnp.asarray(x)
+        if x.ndim == 0:
+            return x
+        return jnp.tile(x, (G,) + (1,) * (x.ndim - 1))
+
+    params_t = jax.tree_util.tree_map(tile_plants, mc_params)
+    states_t = jax.tree_util.tree_map(tile_plants, mc_states)
+    gains_t = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(jnp.asarray(x), n_plants, axis=0), gains)
+    carry = make_dual_pid_carry((G * n_plants,), dtype)
+    controller = partial(dual_pid_controller, warmup_gate=False)
+
+    @partial(jax.jit, static_argnames=())
+    def run(params_t, states_t, gains_t, carry):
+        _, _, _, traj = rollout_closed_loop(
+            params_t, states_t, boundary, controller, gains_t, carry,
+            dt=float(dt), substeps=int(substeps), n_steps=int(n_steps),
+            stages=stages, observe="true",
+            record_obs=("chlorine_outlet", "pH_inlet"))
+        lane_scores = tracking_scores(traj, gains_t, float(dt),
+                                      effort_weight)
+        per_gain = lane_scores.reshape(G, n_plants)
+        return jnp.mean(per_gain, axis=1), jnp.max(per_gain, axis=1)
+
+    mean_s, worst_s = run(params_t, states_t, gains_t, carry)
+    robust = worst_weight * worst_s + (1.0 - worst_weight) * mean_s
+    best = int(jnp.argmin(robust))
+    pick = jax.tree_util.tree_map(lambda x: x[best], gains)
+    return {"scores_mean": mean_s, "scores_worst": worst_s,
+            "robust": robust, "best_index": best, "best": pick}

@@ -356,3 +356,27 @@ def test_sweep_from_zero_residual_tunes():
                         boundary=R.BoundaryConditions(inlet_flow_rate=20.0),
                         return_traj=True)["traj"]
     assert np.asarray(traj["cmd:chlorine_flow_rate"]).max() > 0.0
+
+
+def test_robust_gain_sweep():
+    """Uncertainty-robust tuning: every gain candidate faces a Monte-Carlo
+    plant ensemble; worst >= mean per candidate, ranking is by the
+    robust blend, and with the ensemble collapsed to identical plants the
+    mean scores equal the plain sweep's."""
+    config = R.ReactorConfiguration(n_zones=4, initial_chlorine=0.5,
+                                    flow_rate=20.0)
+    bc = R.BoundaryConditions(inlet_flow_rate=20.0)
+    grid = C.make_gain_grid(kp_cl=jnp.asarray([0.2, 1.0]),
+                            ki_cl=jnp.asarray([0.0, 0.05]),
+                            kp_ph=jnp.asarray([-0.8]),
+                            ki_ph=jnp.asarray([-0.05]))
+    res = C.robust_gain_sweep(config, grid, dt=60.0, n_steps=40,
+                              n_plants=8, seed=3, boundary=bc)
+    mean_s = np.asarray(res["scores_mean"])
+    worst_s = np.asarray(res["scores_worst"])
+    assert np.isfinite(mean_s).all() and np.isfinite(worst_s).all()
+    assert (worst_s >= mean_s - 1e-5).all()
+    assert (worst_s > mean_s).any()     # the ensemble actually varies
+    robust = np.asarray(res["robust"])
+    assert res["best_index"] == int(np.argmin(robust))
+    assert jnp.shape(res["best"].chlorine.kp) == ()
