@@ -32,6 +32,14 @@ from ics_wt_physicsengine_tpu.control.closed_loop import (
     rollout_closed_loop,
     validate_commands,
 )
+from ics_wt_physicsengine_tpu.control.estimator import (
+    KalmanCarry,
+    KalmanParams,
+    filtered_controller,
+    kalman_step,
+    make_kalman_carry,
+    make_kalman_params,
+)
 from ics_wt_physicsengine_tpu.control.mpc import mpc_plan, run_mpc
 from ics_wt_physicsengine_tpu.control.pid import (
     PIDCarry,
@@ -57,4 +65,6 @@ __all__ = [
     "gain_sweep", "make_gain_grid", "n_gains", "robust_gain_sweep",
     "tracking_scores", "tune_pid_gradient",
     "mpc_plan", "run_mpc",
+    "KalmanCarry", "KalmanParams", "filtered_controller", "kalman_step",
+    "make_kalman_carry", "make_kalman_params",
 ]
