@@ -537,3 +537,101 @@ def test_plant_rollout_auto_dispatch():
     p4, none = plant_rollout_auto(bparams, bplant, BC, dt, substeps,
                                   n_steps, record=False)
     assert none is None
+
+
+def test_fused_plant_scheduled_hetero_delays_ring_consumption():
+    """The hard corner: per-step boundary SCHEDULE (chunked SMEM
+    streaming) x heterogeneous per-plant delays x incoming-ring
+    consumption, with the lead-in window spanning a chunk boundary —
+    must still match the XLA oracle sample for sample."""
+    import dataclasses
+
+    import ics_wt_physicsengine_tpu.ops.fused_plant as FP
+
+    n_zones = 4
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, k_pre, n_steps, B = 1.0, 6, 40, 3
+    substeps = R.default_substeps(cfg, dt)
+    params, plant = make_plant_batch(cfg, B, seed=51, dtype=jnp.float32)
+
+    def set_delays(sp, delays):
+        return dataclasses.replace(sp, base=dataclasses.replace(
+            sp.base, line_delay_s=jnp.asarray(delays, jnp.float32)))
+
+    params = dataclasses.replace(
+        params,
+        ph_inlet=set_delays(params.ph_inlet, [4.0, 20.0, 11.0]),
+        temp_outlet=set_delays(params.temp_outlet, [0.0, 7.0, 25.0]))
+
+    rng = np.random.default_rng(37)
+    bits_pre = rng.integers(-2**31, 2**31,
+                            size=(k_pre, N_WORDS, 8, _LANES),
+                            dtype=np.int32)
+    bits_main = rng.integers(-2**31, 2**31,
+                             size=(n_steps, N_WORDS, 8, _LANES),
+                             dtype=np.int32)
+
+    # phase 1 (XLA, constant BC): populate the rings
+    plant1, _ = _oracle_rollout(params, plant, BC, jnp.asarray(bits_pre),
+                                dt, substeps, k_pre, B, n_zones)
+
+    # phase 2: per-step schedule; chunk shrunk so the 20/25-step lead-in
+    # windows span chunk boundaries
+    t_axis = np.arange(n_steps)
+    sched = R.BoundaryConditions(
+        inlet_flow_rate=(5.0 + 2.0 * np.sin(2 * np.pi * t_axis / 13.0)
+                         ).astype(np.float32),
+        inlet_pH=7.2,
+        inlet_chlorine=np.where(t_axis % 9 < 4, 0.5, 1.2
+                                ).astype(np.float32),
+        acid_flow_rate=np.where(t_axis % 7 < 3, 0.0, 0.2
+                                ).astype(np.float32))
+
+    old_chunk = FP._PLANT_SCHED_CHUNK
+    FP._PLANT_SCHED_CHUNK = 16
+    try:
+        _, readings = plant_rollout_fused(
+            params, plant1, sched, dt=dt, substeps=substeps,
+            n_steps=n_steps, rng="bits", bits=bits_main, interpret=True)
+    finally:
+        FP._PLANT_SCHED_CHUNK = old_chunk
+
+    # oracle: per-step BCs + same words, exact rings carried from phase 1
+    plants_per_row = _LANES // n_zones
+
+    def plant_words(plane):
+        return _unpack_state(plane, B, n_zones, plants_per_row)[:, 0]
+
+    words = jnp.stack([
+        jnp.stack([plant_words(jnp.asarray(bits_main)[i, w])
+                   for w in range(N_WORDS)])
+        for i in range(n_steps)])
+    bcs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32), (n_steps,)),
+        sched)
+
+    def body(p, xs):
+        w, bc = xs
+        rand = {}
+        for rname, attr, kind in SENSORS:
+            n_n, n_u = _RAND[kind]
+            w0 = _WORD_OFFSET[attr]
+            sw = [w[w0 + k] for k in range(words_per_sensor(kind))]
+            normals, uniforms = rand_from_words(sw, n_n, n_u)
+            rand[rname] = (jnp.stack(normals.cols, -1),
+                           jnp.stack(uniforms.cols, -1))
+        p, r = jax.vmap(
+            lambda pp, st, rd: plant_step(pp, st, bc, dt, substeps,
+                                          rand=rd))(params, p, rand)
+        return p, {k: v.value for k, v in r.items()}
+
+    _, o_readings = jax.lax.scan(body, plant1, (words, bcs))
+
+    for rname in ("pH_inlet", "pH_outlet", "temp_inlet", "temp_outlet",
+                  "chlorine_outlet"):
+        got = np.asarray(readings[rname])
+        want = np.asarray(o_readings[rname])
+        both_nan = np.isnan(got) & np.isnan(want)
+        np.testing.assert_allclose(np.where(both_nan, 0, got),
+                                   np.where(both_nan, 0, want),
+                                   rtol=0, atol=1e-3, err_msg=rname)
