@@ -63,12 +63,16 @@ nearest-timestamp lookup would return for each of the first ``delay``
 reads and prefills the history (``_resolve_lead_in``), so a fused
 continuation of an XLA run is sample-for-sample exact
 (tests/test_fused_plant.py::test_fused_plant_consumes_incoming_ring).
+On exit the circular histories are written back and the carry rings
+RECONSTRUCTED (``_rebuild_rings``), so fused -> XLA chaining is also
+exact (tests/test_fused_plant.py::test_fused_plant_writes_ring_back).
 Remaining differences vs the XLA ring (documented, noise level): the
 fused line records the true process value every step (the reference skips
 appends while warming or power-faulted, shifting post-fault delays by
 +-1 step at ~1e-4/read probability), exactly-equal-distance ties between
-an incoming and an in-rollout sample resolve by ring-slot order, and the
-kernel does not write its own ring back on exit.
+an incoming and an in-rollout sample resolve by ring-slot order, and a
+rollout SHORTER than a line's delay loses pre-rollout history beyond the
+reconstructed window.
 
 Randomness: on TPU, the on-chip PRNG (pltpu.prng_seed / prng_random_bits,
 seeded per grid block from ``seed``); uniforms take the top 24 bits,
@@ -293,6 +297,10 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref,
                   ph_out, cl_out, t_out, time_out, cout_ref, traj_ref,
                   hist_ph_in, hist_ph_out, hist_t_in, hist_t_out,
                   *, n_zones: int, dt: float, substeps: int, n_steps: int,
+                  # hist_* are OUTPUT refs (revisiting blocks), not scratch:
+                  # the final circular histories are written back so the
+                  # host can reconstruct the sample-line rings
+                  # (fused -> XLA chaining, see _rebuild_rings).
                   block_rows: int, stages, record_every: int, hw_rng: bool,
                   statics, scheduled: bool, chunk: int,
                   layout: str):
@@ -361,6 +369,8 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref,
         for a in _LINE_ATTRS:
             if statics[a]["d_max"] > 0:
                 hists[a][:] = leads[a][:]
+            else:       # unused history output: define its contents
+                hists[a][:] = jnp.zeros_like(hists[a])
 
     if scheduled:
         pl.when(t_idx == 0)(_init)
@@ -669,6 +679,41 @@ def _resolve_lead_in(base_carry, delay_s, d_arr, d_max, t0, dt, batch):
                      jnp.nan).astype(dtype)
 
 
+def _rebuild_rings(hist, old_carry, d_max: int, n_steps: int, t0, dt,
+                   batch: int, per_plant, dtype):
+    """Reconstruct a sensor's sample-line ring from the kernel's
+    written-back circular history: the last min(n_steps, d_max+1, C)
+    samples, laid out oldest->newest from slot 0 with ptr/count set so a
+    subsequent XLA (or fused) segment's nearest-timestamp lookups resolve
+    exactly as if the ring had been appended sample by sample. Samples
+    older than the reconstructed window cannot win a lookup as long as
+    the rollout was at least one delay long (n_steps >= d); shorter
+    rollouts lose pre-rollout history beyond the window (noise-level,
+    documented)."""
+    cap = d_max + 1
+    C = int(jnp.shape(old_carry.line_values)[-1])
+    k = min(n_steps, cap, C)
+    # hist slot of in-rollout step g is g % cap; take the last k steps
+    gs = list(range(n_steps - k, n_steps))
+    vals = jnp.stack([jnp.atleast_1d(per_plant(hist[g % cap]))
+                      for g in gs])                          # [k, B]
+    t0b = jnp.broadcast_to(jnp.asarray(t0, dtype).reshape(-1), (batch,))
+    times = t0b[None, :] + (jnp.asarray(gs, dtype)[:, None] + 1.0) * dt
+    ref_v = jnp.asarray(old_carry.line_values)
+    ref_t = jnp.asarray(old_carry.line_times)
+    single = ref_v.ndim == 1
+    new_v = jnp.zeros((batch, C), ref_v.dtype)
+    new_t = jnp.full((batch, C), -jnp.inf, ref_t.dtype)
+    new_v = new_v.at[:, :k].set(vals.T.astype(ref_v.dtype))
+    new_t = new_t.at[:, :k].set(times.T.astype(ref_t.dtype))
+    if single:
+        new_v, new_t = new_v[0], new_t[0]
+    count = jnp.full((() if single else (batch,)), k, jnp.int32)
+    ptr = jnp.full((() if single else (batch,)), k % C, jnp.int32)
+    return {"line_values": new_v, "line_times": new_t,
+            "line_count": count, "line_ptr": ptr}
+
+
 def sensor_statics(params, dt: float):
     """The hashable per-sensor statics tuple the fused-plant jit keys on:
     (attr, normalized zone, sensor type, d_static, d_max) per sensor.
@@ -728,11 +773,10 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
     zone (``zone_index`` normalized, uniform across the batch), and the
     incoming carry rings ARE consumed (``consume_line=True``, default):
     the first ``delay`` reads resolve against the pre-rollout ring
-    contents with the exact nearest-timestamp semantics. The kernel does
-    not write the ring back on exit — chaining fused -> XLA stepping
-    restarts the line from the fused rollout's last samples being absent
-    (chain fused -> fused, or re-enter with ``consume_line=True`` after an
-    XLA segment, which is exact).
+    contents with the exact nearest-timestamp semantics, and on exit the
+    final circular histories are written back into the carry rings
+    (``_rebuild_rings``) — chaining in EITHER direction
+    (XLA -> fused -> XLA) is sample-exact.
 
     Constraints: n_zones <= 128; sensor zone/type statics uniform across
     the batch.
@@ -994,12 +1038,16 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         statics={k: dict(v) for k, v in statics.items()},
         scheduled=scheduled, chunk=chunk, layout=layout)
 
-    scratch = [pltpu.VMEM((statics[a]["d_max"] + 1, block_rows, _LANES),
-                          dtype)
-               for a in _LINE_ATTRS]
-
     time_in = (jnp.zeros((1,), dtype) + t0)
     seed_in = jnp.zeros((1,), jnp.int32) + jnp.asarray(seed, jnp.int32)
+
+    hist_specs = tuple(
+        bspec((statics[a]["d_max"] + 1, block_rows, _LANES), traj3_idx)
+        for a in _LINE_ATTRS)
+    hist_shapes = tuple(
+        jax.ShapeDtypeStruct((statics[a]["d_max"] + 1, rows_padded,
+                              _LANES), dtype)
+        for a in _LINE_ATTRS)
 
     outs = pl.pallas_call(
         kernel,
@@ -1010,7 +1058,7 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
         + lead_blocks
         + [state_block, state_block, state_block],
         out_specs=(state_block, state_block, state_block, block, c_block,
-                   traj_block),
+                   traj_block) + hist_specs,
         out_shape=(jax.ShapeDtypeStruct(state_shape, dtype),
                    jax.ShapeDtypeStruct(state_shape, dtype),
                    jax.ShapeDtypeStruct(state_shape, dtype),
@@ -1018,15 +1066,15 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
                    jax.ShapeDtypeStruct((rows_padded, N_CCOLS, _LANES),
                                         dtype),
                    jax.ShapeDtypeStruct((n_rec, len(SENSORS), rows_padded,
-                                         _LANES), dtype)),
-        scratch_shapes=scratch,
+                                         _LANES), dtype)) + hist_shapes,
         interpret=interpret,
     )(time_in, seed_in, sched, scal, sp_t, cin, bits, dsteps,
       lead_planes["ph_inlet"], lead_planes["ph_outlet"],
       lead_planes["temp_inlet"], lead_planes["temp_outlet"],
       prep(state.pH), prep(state.chlorine), prep(state.temperature))
 
-    ph_f, cl_f, t_f, time_plane, cout, traj = outs
+    (ph_f, cl_f, t_f, time_plane, cout, traj), hist_outs = \
+        outs[:6], outs[6:]
 
     def unprep(x):
         if layout == "pl":      # [Z, rows, 128] -> [B, Z]
@@ -1059,8 +1107,21 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
     )
     new_reactor = R._update_derived(new_reactor)
 
-    # -- rebuild the PlantState: updated scalar carries, pass-through keys
-    #    and delay rings (see module docstring)
+    # -- rebuild the PlantState: updated scalar carries, pass-through keys,
+    #    and RECONSTRUCTED delay rings (from the written-back circular
+    #    histories, so a fused -> XLA continuation resolves its line
+    #    lookups exactly; see _rebuild_rings)
+    rings = {}
+    for a, hist in zip(_LINE_ATTRS, hist_outs):
+        info = statics[a]
+        if info["d_max"] <= 0:
+            continue
+        old_carry = getattr(plant, a).base
+        if old_carry.line_values is None:
+            continue
+        rings[a] = _rebuild_rings(hist, old_carry, info["d_max"], n_steps,
+                                  t0, dt, batch, per_plant, dtype)
+
     sensors_new = {}
     for _, attr, kind in SENSORS:
         old = getattr(plant, attr)
@@ -1078,6 +1139,8 @@ def _fused_plant_jit(params, plant, boundary, bits, *, dt, substeps,
             else:
                 val = val.astype(jnp.asarray(ref_leaf).dtype)
             (base_updates if sub == "base" else overlay_updates)[field] = val
+        if attr in rings:
+            base_updates.update(rings[attr])
         new_base = dc_replace(old.base, **base_updates)
         sensors_new[attr] = dc_replace(old, base=new_base,
                                        **overlay_updates)

@@ -635,3 +635,45 @@ def test_fused_plant_scheduled_hetero_delays_ring_consumption():
         np.testing.assert_allclose(np.where(both_nan, 0, got),
                                    np.where(both_nan, 0, want),
                                    rtol=0, atol=1e-3, err_msg=rname)
+
+
+def test_fused_plant_writes_ring_back():
+    """Round 3: the kernel's circular histories are written back and the
+    carry rings reconstructed, so a fused -> XLA continuation resolves
+    its sample-line lookups exactly (previously the ring left a fused
+    rollout stale and a continuation lost up to `delay` samples)."""
+    n_zones = 4
+    cfg = R.ReactorConfiguration(n_zones=n_zones)
+    dt, k1, k2 = 1.0, 35, 20       # k1 > the 30-step delay
+    substeps = R.default_substeps(cfg, dt)
+    params, plant = make_plant(cfg, seed=61, dtype=jnp.float32)
+
+    rng = np.random.default_rng(41)
+    bits1 = rng.integers(-2**31, 2**31, size=(k1, N_WORDS, 8, _LANES),
+                         dtype=np.int32)
+    bits2 = rng.integers(-2**31, 2**31, size=(k2, N_WORDS, 8, _LANES),
+                         dtype=np.int32)
+
+    # fused phase 1 -> XLA phase 2
+    plant_f, _ = plant_rollout_fused(
+        params, plant, BC, dt=dt, substeps=substeps, n_steps=k1,
+        rng="bits", bits=bits1, interpret=True)
+    assert int(np.asarray(plant_f.ph_inlet.base.line_count)) > 0
+    _, readings_fx = _oracle_rollout(params, plant_f, BC,
+                                     jnp.asarray(bits2), dt, substeps, k2,
+                                     1, n_zones, single=True)
+
+    # oracle: XLA all the way (phase-1 word streams replayed identically)
+    plant_o, _ = _oracle_rollout(params, plant, BC, jnp.asarray(bits1),
+                                 dt, substeps, k1, 1, n_zones, single=True)
+    _, readings_oo = _oracle_rollout(params, plant_o, BC,
+                                     jnp.asarray(bits2), dt, substeps, k2,
+                                     1, n_zones, single=True)
+
+    for rname in ("pH_inlet", "pH_outlet", "temp_inlet", "temp_outlet"):
+        got = np.asarray(readings_fx[rname]).ravel()
+        want = np.asarray(readings_oo[rname]).ravel()
+        both_nan = np.isnan(got) & np.isnan(want)
+        np.testing.assert_allclose(np.where(both_nan, 0, got),
+                                   np.where(both_nan, 0, want),
+                                   rtol=0, atol=2e-3, err_msg=rname)
