@@ -353,7 +353,10 @@ def bench_hw_prng_stats(n_plants=1024, n_steps=1024):
     # compounds the latched-NaN fraction and breaks the comparison with a
     # single-run oracle (observed: 95% NaN after 128 chained rounds vs
     # 7.7% single-run).
-    hw_plants, rounds, rec_every = 128, 32, 32
+    # (round-3 ring write-back added ~2M of history outputs to the
+    # kernel's VMEM footprint: 32 slots per launch OOMed, so record
+    # sparser and run more rounds for the same sample count)
+    hw_plants, rounds, rec_every = 128, 64, 64
     chunks = []
     for r in range(rounds):
         params, plant = make_plant_batch(config, hw_plants, seed=3 + r,
