@@ -10,8 +10,15 @@ tracking cost is differentiable through it (AD through rollouts proven in
 tests/test_grad.py), so each re-plan is a few Adam steps on the move
 sequence — all inside one jit, including the outer receding-horizon loop.
 
-``run_mpc`` tracks a time-varying chlorine setpoint program (the
-commissioning shape of examples/dosing_program_hil.py: step changes in
+Multi-input by construction: ``controls`` names any set of actuator
+fields (chlorine + acid dosing jointly, by default chlorine alone) and
+``track`` any set of observed variables with per-step setpoint programs
+and weights — e.g. holding BOTH a chlorine residual and a pH target with
+two coupled pumps (chlorination raises pH; the acid loop must lean
+against it).
+
+``run_mpc`` tracks a time-varying program (the
+examples/dosing_program_hil.py commissioning shape: step changes in
 target residual) and is benchmarked against the tuned PID in
 tests/test_mpc.py — same plant, same program, lower tracking error.
 """
@@ -20,57 +27,82 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from ics_wt_physicsengine_tpu.control.closed_loop import observe_true
+from ics_wt_physicsengine_tpu.control.closed_loop import (_COMMAND_LIMITS,
+                                                          observe_true)
 from ics_wt_physicsengine_tpu.control.pid import st_clip
 from ics_wt_physicsengine_tpu.core import reactor as R
 
+_DEFAULT_CONTROLS = ("chlorine_flow_rate",)
 
-def _predict_cost(params, state, boundary, moves, setpoints, dt, substeps,
-                  steps_per_move, stages, move_weight):
-    """Cost of a candidate move sequence: ISE of predicted chlorine_outlet
-    vs the setpoint program + a move-smoothness penalty. ``moves`` is
-    ``[n_moves]`` chlorine_flow_rate commands, each held for
-    ``steps_per_move`` physics steps; ``setpoints`` is ``[n_moves *
-    steps_per_move]``."""
-    # straight-through clip: candidate moves beyond the pump limits are
-    # applied clipped, but the optimizer still feels which way to move them
-    u = jnp.repeat(st_clip(moves, 0.0, 1.0), steps_per_move)
+
+def _clip_moves(moves, controls):
+    """Straight-through clip each control column to its actuator limit:
+    out-of-range candidates are applied clipped, but the optimizer still
+    feels which way to move them (see pid.st_clip)."""
+    cols = [st_clip(moves[..., i], 0.0, _COMMAND_LIMITS[f])
+            for i, f in enumerate(controls)]
+    return jnp.stack(cols, axis=-1)
+
+
+def _predict_cost(params, state, boundary, moves, setpoints, weights,
+                  controls, dt, substeps, steps_per_move, stages,
+                  move_weight):
+    """Cost of a candidate move sequence: weighted ISE of every tracked
+    observable vs its setpoint program + a move-smoothness penalty.
+    ``moves`` is ``[n_moves, n_controls]``, each row held for
+    ``steps_per_move`` physics steps; ``setpoints`` maps tracked
+    observable names (observe_true keys) to ``[n_moves * steps_per_move]``
+    programs."""
+    u = jnp.repeat(_clip_moves(moves, controls), steps_per_move, axis=0)
 
     def body(st, inp):
         u_t, sp_t = inp
-        bc = dataclasses.replace(boundary, chlorine_flow_rate=u_t)
+        bc = dataclasses.replace(
+            boundary, **{f: u_t[i] for i, f in enumerate(controls)})
         st = R.step(params, st, bc, dt=dt, substeps=substeps, stages=stages)
-        err = st.chlorine[..., -1] - sp_t
-        return st, err ** 2
+        obs = observe_true(st)
+        sq = sum(weights[k] * (obs[k] - sp_t[k]) ** 2 for k in setpoints)
+        return st, sq
 
     _, sq_err = jax.lax.scan(body, state, (u, setpoints))
-    smooth = jnp.sum((moves[1:] - moves[:-1]) ** 2) if moves.shape[0] > 1 \
-        else 0.0
+    smooth = jnp.sum((moves[1:] - moves[:-1]) ** 2) \
+        if moves.shape[0] > 1 else 0.0
     return jnp.sum(sq_err) * dt + move_weight * smooth
 
 
 @partial(jax.jit, static_argnames=("dt", "substeps", "steps_per_move",
-                                   "stages", "iters"))
+                                   "stages", "iters", "controls"))
 def mpc_plan(params, state: R.ReactorState, boundary: R.BoundaryConditions,
-             setpoints: jnp.ndarray, moves0: jnp.ndarray, dt: float,
+             setpoints, moves0: jnp.ndarray, dt: float,
              substeps: int, steps_per_move: int, stages=None,
              iters: int = 30, learning_rate: float = 0.08,
-             move_weight: float = 0.05):
-    """Optimize a chlorine-dosing move sequence over the horizon by Adam on
-    the shooting cost. ``setpoints``: per-step targets over the horizon
-    (``len(moves0) * steps_per_move``). Returns ``(moves, cost_history)``.
-    """
+             move_weight: float = 0.05,
+             controls: Sequence[str] = _DEFAULT_CONTROLS, weights=None):
+    """Optimize a move sequence over the horizon by Adam on the shooting
+    cost. ``setpoints``: a ``[horizon]`` array (legacy: tracks
+    chlorine_outlet) or a dict of observable-name -> ``[horizon]``
+    programs. ``moves0``: ``[n_moves]`` (single control) or ``[n_moves,
+    n_controls]``. Returns ``(moves, cost_history)`` with moves clipped to
+    the actuator limits, in the shape moves0 came in."""
     import optax
 
+    controls = tuple(controls)
+    single = jnp.ndim(moves0) == 1
+    moves0 = jnp.atleast_2d(moves0.T).T if single else moves0
+    if not isinstance(setpoints, dict):
+        setpoints = {"chlorine_outlet": jnp.asarray(setpoints)}
+    if weights is None:
+        weights = {k: 1.0 for k in setpoints}
+
     cost = partial(_predict_cost, params, state, boundary,
-                   setpoints=setpoints, dt=dt, substeps=substeps,
-                   steps_per_move=steps_per_move, stages=stages,
-                   move_weight=move_weight)
+                   setpoints=setpoints, weights=weights, controls=controls,
+                   dt=dt, substeps=substeps, steps_per_move=steps_per_move,
+                   stages=stages, move_weight=move_weight)
     opt = optax.chain(optax.clip_by_global_norm(10.0),
                       optax.adam(learning_rate))
 
@@ -83,30 +115,46 @@ def mpc_plan(params, state: R.ReactorState, boundary: R.BoundaryConditions,
 
     (moves, _), costs = jax.lax.scan(body, (moves0, opt.init(moves0)),
                                      None, length=iters)
-    return jnp.clip(moves, 0.0, 1.0), costs
+    lims = jnp.asarray([_COMMAND_LIMITS[f] for f in controls], moves.dtype)
+    moves = jnp.clip(moves, 0.0, lims)
+    return (moves[:, 0] if single else moves), costs
 
 
-def run_mpc(config: R.ReactorConfiguration, setpoint_program: jnp.ndarray,
+def run_mpc(config: R.ReactorConfiguration, setpoint_program,
             dt: float, horizon_moves: int = 8, steps_per_move: int = 15,
             replan_every: Optional[int] = None, iters: int = 30,
             learning_rate: float = 0.08, move_weight: float = 0.05,
             boundary: Optional[R.BoundaryConditions] = None,
             substeps: Optional[int] = None, stages=None,
+            controls: Sequence[str] = _DEFAULT_CONTROLS, weights=None,
             dtype=jnp.float32) -> Dict:
-    """Receding-horizon chlorine-residual control of the true plant.
+    """Receding-horizon control of the true plant.
 
-    ``setpoint_program``: per-step chlorine_outlet targets, length
-    ``n_steps`` (the dosing *program* being commissioned). Every
-    ``replan_every`` steps (default: one move length) the controller
-    re-plans ``horizon_moves`` moves against the setpoint program ahead
-    (the program is edge-padded past its end), applies the plan until the
-    next re-plan, and the plant advances — all inside one jitted outer
-    scan. Returns the applied commands, the realized chlorine_outlet
-    trajectory, and the tracking score (comparable to
-    ``tuning.tracking_scores`` on the chlorine loop alone).
+    ``setpoint_program``: a ``[n_steps]`` array (legacy: chlorine_outlet
+    target) or a dict of observable-name -> ``[n_steps]`` programs (the
+    dosing *programs* being commissioned — e.g. chlorine residual AND pH
+    jointly with ``controls=("chlorine_flow_rate", "acid_flow_rate")``).
+    Every ``replan_every`` steps (default: one move length) the controller
+    re-plans ``horizon_moves`` moves against the programs ahead
+    (edge-padded past their end), applies the plan until the next re-plan,
+    and the plant advances — all inside one jitted outer scan.
+
+    Returns the applied per-control commands, the realized tracked
+    trajectories, and the weighted tracking score. Legacy single-program
+    callers also get ``commands`` / ``chlorine_outlet`` keys.
     """
-    setpoint_program = jnp.asarray(setpoint_program, dtype)
-    n_steps = int(setpoint_program.shape[0])
+    controls = tuple(controls)
+    if not isinstance(setpoint_program, dict):
+        setpoint_program = {"chlorine_outlet":
+                            jnp.asarray(setpoint_program, dtype)}
+    programs = {k: jnp.asarray(v, dtype)
+                for k, v in setpoint_program.items()}
+    lengths = {int(v.shape[0]) for v in programs.values()}
+    if len(lengths) != 1:
+        raise ValueError(f"programs disagree on n_steps: {lengths}")
+    n_steps = lengths.pop()
+    if weights is None:
+        weights = {k: 1.0 for k in programs}
     if replan_every is None:
         replan_every = steps_per_move
     if n_steps % replan_every:
@@ -120,47 +168,58 @@ def run_mpc(config: R.ReactorConfiguration, setpoint_program: jnp.ndarray,
     state = R.make_initial_state(config, dtype=dtype)
 
     horizon = horizon_moves * steps_per_move
-    # program lookahead table: padded so the last horizons see a held value
-    padded = jnp.concatenate(
-        [setpoint_program,
-         jnp.full((horizon,), setpoint_program[-1], dtype)])
+    padded = {k: jnp.concatenate([v, jnp.full((horizon,), v[-1], dtype)])
+              for k, v in programs.items()}
     n_outer = n_steps // replan_every
+    n_controls = len(controls)
 
     @partial(jax.jit, static_argnames=())
     def outer(state):
         def body(carry, k):
             st, moves_prev = carry
-            sp_h = jax.lax.dynamic_slice(padded, (k * replan_every,),
-                                         (horizon,))
+            sp_h = {name: jax.lax.dynamic_slice(p, (k * replan_every,),
+                                                (horizon,))
+                    for name, p in padded.items()}
             moves, _ = mpc_plan(params, st, boundary, sp_h, moves_prev,
                                 dt=float(dt), substeps=int(substeps),
                                 steps_per_move=int(steps_per_move),
                                 stages=stages, iters=int(iters),
                                 learning_rate=learning_rate,
-                                move_weight=move_weight)
-            # apply the head of the plan for replan_every steps
-            u_applied = jnp.repeat(moves, steps_per_move)[:replan_every]
+                                move_weight=move_weight,
+                                controls=controls, weights=weights)
+            u_applied = jnp.repeat(moves, steps_per_move,
+                                   axis=0)[:replan_every]
 
             def inner(st, u_t):
-                bc = dataclasses.replace(boundary,
-                                         chlorine_flow_rate=u_t)
+                bc = dataclasses.replace(
+                    boundary,
+                    **{f: u_t[i] for i, f in enumerate(controls)})
                 st = R.step(params, st, bc, dt=float(dt),
                             substeps=int(substeps), stages=stages)
-                return st, st.chlorine[..., -1]
+                obs = observe_true(st)
+                return st, {name: obs[name] for name in programs}
 
-            st, cl_traj = jax.lax.scan(inner, st, u_applied)
-            # warm-start the next re-plan with the plan shifted one move
+            st, tracked = jax.lax.scan(inner, st, u_applied)
             shifted = jnp.concatenate([moves[1:], moves[-1:]]) \
                 if replan_every == steps_per_move else moves
-            return (st, shifted), (u_applied, cl_traj)
+            return (st, shifted), (u_applied, tracked)
 
-        moves0 = jnp.full((horizon_moves,), 0.2, dtype)
-        (st, _), (u, cl) = jax.lax.scan(body, (state, moves0),
-                                        jnp.arange(n_outer))
-        return st, u.reshape(-1), cl.reshape(-1)
+        moves0 = jnp.full((horizon_moves, n_controls), 0.2, dtype)
+        (st, _), (u, tracked) = jax.lax.scan(body, (state, moves0),
+                                             jnp.arange(n_outer))
+        return st, u.reshape(-1, n_controls), \
+            {k: v.reshape(-1) for k, v in tracked.items()}
 
-    state, u, cl = outer(state)
-    err = cl - setpoint_program
-    return {"commands": u, "chlorine_outlet": cl,
-            "score": float(jnp.sum(err ** 2) * dt),
-            "final_state": state, "observe": observe_true(state)}
+    state, u, tracked = outer(state)
+    score = sum(float(weights[k])
+                * float(jnp.sum((tracked[k] - programs[k]) ** 2) * dt)
+                for k in programs)
+    out = {"commands_by_control": {f: u[:, i]
+                                   for i, f in enumerate(controls)},
+           "tracked": tracked, "score": score,
+           "final_state": state, "observe": observe_true(state)}
+    if controls == _DEFAULT_CONTROLS:
+        out["commands"] = u[:, 0]
+    if "chlorine_outlet" in tracked:
+        out["chlorine_outlet"] = tracked["chlorine_outlet"]
+    return out

@@ -82,3 +82,29 @@ def test_mpc_plan_reduces_cost():
     assert np.isfinite(costs).all()
     assert costs[-1] < costs[0]
     assert ((np.asarray(moves) >= 0.0) & (np.asarray(moves) <= 1.0)).all()
+
+
+def test_mpc_multi_input_joint_tracking():
+    """Two coupled pumps, two targets: joint shooting MPC on
+    (chlorine_flow_rate, acid_flow_rate) tracks a chlorine residual AND a
+    pH target simultaneously — the acid loop leaning against the
+    chlorination's pH push."""
+    config = R.ReactorConfiguration(n_zones=4, initial_chlorine=0.5,
+                                    initial_pH=7.4, flow_rate=20.0)
+    bc = R.BoundaryConditions(inlet_flow_rate=20.0, inlet_pH=7.4)
+    n = 60
+    programs = {
+        "chlorine_outlet": jnp.full((n,), 2.0, jnp.float32),
+        "pH_inlet": jnp.full((n,), 7.0, jnp.float32),
+    }
+    res = C.run_mpc(config, programs, dt=60.0, horizon_moves=6,
+                    steps_per_move=10, iters=20, boundary=bc,
+                    controls=("chlorine_flow_rate", "acid_flow_rate"),
+                    weights={"chlorine_outlet": 1.0, "pH_inlet": 4.0})
+    cl = np.asarray(res["tracked"]["chlorine_outlet"])
+    ph = np.asarray(res["tracked"]["pH_inlet"])
+    assert np.isfinite(cl).all() and np.isfinite(ph).all()
+    assert abs(cl[-1] - 2.0) < 0.5        # residual reached
+    assert abs(ph[-1] - 7.0) < 0.15       # pH pulled down to target
+    acid = np.asarray(res["commands_by_control"]["acid_flow_rate"])
+    assert acid.max() > 0.01              # the second pump actually ran
