@@ -440,7 +440,10 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     #     reference README.md:448). Chloramine FORMATION is deliberately
     #     absent here — its seconds-scale rate would set the global substep
     #     count; step() applies it as an exact analytic operator split. ---
-    np_ = params.nitrogen
+    # per-plant kinetics leaves are [B] while zone arrays are [B, Z]:
+    # right-pad for broadcasting (same pattern as k_exchange[..., None])
+    np_ = jax.tree_util.tree_map(lambda x: align_trailing(x, T),
+                                 params.nitrogen)
     nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in nitrogen)
     r1 = nitrogen_mod.nitrification_rate(nh, T, np_)      # [mg N/L/s]
     r2 = nitrogen_mod.nitratation_rate(no2, T, np_)
@@ -556,8 +559,11 @@ def step(params: ReactorParams, state: ReactorState,
         # exact analytic second-order extent over dt against the stepped
         # state, so the slow-process substep count is untouched. The H+
         # release (1/N) shifts pH through the same buffering chain rule.
+        n_aligned = jax.tree_util.tree_map(
+            lambda x: align_trailing(x, pH), params.nitrogen)
         x_mol = nitrogen_mod.chloramination_extent(
-            Cl, nh, pH, T, params.chem.Ka_HOCl, params.nitrogen, dt)
+            Cl, nh, pH, T, align_trailing(params.chem.Ka_HOCl, pH),
+            n_aligned, dt)
         Cl = jnp.maximum(Cl - x_mol * nitrogen_mod._CL2_MGL_PER_MOL, 0.0)
         nh = jnp.maximum(nh - x_mol * nitrogen_mod._N_MGL_PER_MOL, 0.0)
         nhcl = nhcl + x_mol * nitrogen_mod._CL2_MGL_PER_MOL

@@ -47,6 +47,16 @@ class ParameterRanges:
     # absurd acid pH). ratio ~1 reproduces the reference default
     # (alk=100, C_T=2, chemistry.py:537).
     alkalinity_ratio: Tuple[float, float] = (0.5, 1.3)
+    # Nitrogen-chemistry kinetics (applied only when the base config has
+    # enable_nitrogen=True): plant-to-plant biological uncertainty —
+    # nitrifier activity spans a wide envelope between sites.
+    nitrogen_ranges: Dict[str, Tuple[float, float]] = field(
+        default_factory=lambda: {
+            "k_nitrif": (1.0, 4.0),        # [mg N/L/day] @ 20 C
+            "k_nitrat": (1.5, 6.0),        # [mg N/L/day]
+            "K_nh": (0.5, 2.0),            # [mg N/L]
+            "k_cm_decay": (0.01, 0.05),    # [1/day]
+        })
 
 
 def make_monte_carlo_batch(base_config: R.ReactorConfiguration,
@@ -87,6 +97,14 @@ def make_monte_carlo_batch(base_config: R.ReactorConfiguration,
             fields[name] = samples[name]
         elif isinstance(value, float):
             fields[name] = np.full(n_plants, value, np.float64)
+    if getattr(base_config, "enable_nitrogen", False):
+        # sample biological kinetics per plant; explicit user overrides in
+        # nitrogen_kinetics stay fixed across the batch
+        n_kw = dict(base_config.nitrogen_kinetics or {})
+        for name, (lo, hi) in ranges.nitrogen_ranges.items():
+            if name not in n_kw:
+                n_kw[name] = rng.uniform(lo, hi, n_plants)
+        fields["nitrogen_kinetics"] = n_kw
     config = R.ReactorConfiguration(**fields)
 
     params = R.make_params(config, dtype=dtype)

@@ -406,3 +406,41 @@ def test_ammonia_sensor_in_suite_and_plant():
     pl2, r2 = plant_step(p2, pl2, R.BoundaryConditions(), 1.0, 2)
     # first reads carry the 0.5 lag from a 0 initial value: compare ratios
     assert r2["ammonia_outlet"].value < readings["ammonia_outlet"].value
+
+
+def test_monte_carlo_nitrogen_kinetics_randomized():
+    """Monte-Carlo batches sample the biological kinetics per plant when
+    nitrogen is enabled (site-to-site nitrifier variability); explicit
+    overrides stay fixed; disabled configs are untouched."""
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+
+    cfg = _config(initial_ammonia=2.0, initial_chlorine=0.0,
+                  flow_rate=5.0)
+    params, states = make_monte_carlo_batch(cfg, 16, seed=1,
+                                            dtype=jnp.float32)
+    k = np.asarray(params.nitrogen.k_nitrif)
+    assert k.shape == (16,) and len(np.unique(k)) > 1
+    assert (k >= 1.0).all() and (k <= 4.0).all()
+    # theta not ranged: broadcast constant
+    th = np.asarray(params.nitrogen.theta_aob)
+    assert len(np.unique(th)) == 1
+
+    # explicit override pins the value across the batch
+    cfg2 = _config(initial_ammonia=2.0, initial_chlorine=0.0,
+                   nitrogen_kinetics={"k_nitrif": 2.5})
+    p2, _ = make_monte_carlo_batch(cfg2, 8, seed=1, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(p2.nitrogen.k_nitrif), 2.5)
+
+    # a batched rollout with per-plant kinetics runs and diverges by lane
+    bc = R.BoundaryConditions(inlet_flow_rate=0.0)
+    out, _ = R.rollout(params, states, bc, dt=1.0, substeps=3,
+                       n_steps=300, record=False)
+    nh = np.asarray(out.ammonia[:, 0])
+    assert np.isfinite(nh).all()
+    assert nh.std() > 1e-4      # kinetics spread shows in the trajectories
+
+    # disabled: no nitrogen params in the batch
+    p0, _ = make_monte_carlo_batch(R.ReactorConfiguration(n_zones=4), 4,
+                                   seed=1, dtype=jnp.float32)
+    assert p0.nitrogen is None
