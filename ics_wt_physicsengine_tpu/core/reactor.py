@@ -514,7 +514,8 @@ def _enforce_bounds(pH, Cl, T):
 def step(params: ReactorParams, state: ReactorState,
          boundary: BoundaryConditions, dt: float,
          substeps: int, deriv_fn=None,
-         stages: Optional[int] = None) -> ReactorState:
+         stages: Optional[int] = None,
+         deriv_fn_nitrogen: bool = False) -> ReactorState:
     """Advance the reactor by ``dt`` seconds (reference reactor.py:450-509).
 
     ``dt`` and ``substeps`` must be static (Python) values. ``deriv_fn``
@@ -526,11 +527,13 @@ def step(params: ReactorParams, state: ReactorState,
     trajectories in tests/test_rkc.py.
     """
     has_n = params.nitrogen is not None and state.ammonia is not None
-    if deriv_fn is not None and has_n:
+    if deriv_fn is not None and has_n and not deriv_fn_nitrogen:
         raise ValueError(
-            "custom deriv_fn paths (e.g. the zone-sharded SPMD rollout, "
-            "parallel/spatial.py) do not support the nitrogen chemistry "
-            "extension; run nitrogen configs on the standard step/rollout")
+            "this custom deriv_fn was not declared nitrogen-capable "
+            "(pass deriv_fn_nitrogen=True if it accepts and returns the "
+            "4 extra species); the zone-sharded SPMD paths "
+            "(parallel/spatial.py) support nitrogen via their "
+            "nitrogen=True option")
     if deriv_fn is None:
         if has_n:
             def f(y):

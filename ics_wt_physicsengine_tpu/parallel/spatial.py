@@ -57,6 +57,12 @@ def _zone_spec(ndim: int, axis_name: str) -> P:
     return P(*([None] * (ndim - 1)), axis_name)
 
 
+def _species_specs(zone, present: bool):
+    """Spec kwargs for the optional nitrogen species fields."""
+    spec = zone if present else None
+    return dict(ammonia=spec, nitrite=spec, nitrate=spec, chloramine=spec)
+
+
 def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
     zone = _zone_spec(np.ndim(state.pH), axis_name)
     rep = P()
@@ -67,6 +73,7 @@ def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
         density=None if state.density is None else zone,
         chlorine_decay_rate=(None if state.chlorine_decay_rate is None
                              else zone),
+        **_species_specs(zone, state.ammonia is not None),
     )
 
 
@@ -104,21 +111,22 @@ def _local_deriv_fn(params, boundary, dtype, local_zones: int,
     inlet_mask = ((idx == 0) & (pos == 1)).astype(dtype)
     outlet_mask = ((idx == n_shards - 1) & (pos == zp - 2)).astype(dtype)
 
+    has_n = params.nitrogen is not None
+
     def f(y):
-        pH = _halo_pad(y[0], axis_name, n_shards)
-        Cl = _halo_pad(y[1], axis_name, n_shards)
-        T = _halo_pad(y[2], axis_name, n_shards)
-        dpH, dCl, dT = R.derivatives(params, pH, Cl, T, boundary,
-                                     inlet_mask=inlet_mask,
-                                     outlet_mask=outlet_mask)
-        return dpH[..., 1:-1], dCl[..., 1:-1], dT[..., 1:-1]
+        padded = tuple(_halo_pad(v, axis_name, n_shards) for v in y)
+        d = R.derivatives(params, padded[0], padded[1], padded[2],
+                          boundary, inlet_mask=inlet_mask,
+                          outlet_mask=outlet_mask,
+                          nitrogen=padded[3:] if has_n else None)
+        return tuple(v[..., 1:-1] for v in d)
 
     return f
 
 
 def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                       state_ndim: int = 1, axis_name: str = ZONE_AXIS,
-                      stages=None):
+                      stages=None, nitrogen: bool = False):
     """Jitted single-dt step with the zone axis sharded over ``mesh``.
 
     ``n_zones`` must be divisible by the mesh size. ``state_ndim`` is the
@@ -133,13 +141,15 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
     state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
-                                chlorine_decay_rate=zone)
+                                chlorine_decay_rate=zone,
+                                **_species_specs(zone, nitrogen))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
                             axis_name, n_shards)
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
-                      deriv_fn=f, stages=stages)
+                      deriv_fn=f, stages=stages,
+                      deriv_fn_nitrogen=nitrogen)
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(P(), state_spec, P()),
@@ -169,7 +179,8 @@ def make_plant_zone_mesh(n_plant_shards: int, n_zone_shards: int,
 def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
                             substeps: int, params_example,
                             plants_axis: str = "plants",
-                            zone_axis: str = ZONE_AXIS, stages=None):
+                            zone_axis: str = ZONE_AXIS, stages=None,
+                            nitrogen: bool = False):
     """Jitted batched step over a 2-D (plants x zones) mesh: the leading
     plant axis of every ``[n_plants]``-batched params/state leaf is sharded
     over ``plants_axis``, the trailing zone axis over ``zone_axis``.
@@ -192,13 +203,15 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
     state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
-                                chlorine_decay_rate=zone)
+                                chlorine_decay_rate=zone,
+                                **_species_specs(zone, nitrogen))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
                             zone_axis, n_shards)
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
-                      deriv_fn=f, stages=stages)
+                      deriv_fn=f, stages=stages,
+                      deriv_fn_nitrogen=nitrogen)
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(param_specs, state_spec, P()),
@@ -227,7 +240,8 @@ def shard_batch_zones(tree, mesh: Mesh, plants_axis: str = "plants",
 
 def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                          n_steps: int, state_ndim: int = 1,
-                         axis_name: str = ZONE_AXIS, stages=None):
+                         axis_name: str = ZONE_AXIS, stages=None,
+                         nitrogen: bool = False):
     """Jitted n-step rollout (scan inside the shard_map, so the halo
     exchanges stay on-device for the whole trajectory)."""
     n_shards = mesh.shape[axis_name]
@@ -239,7 +253,8 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
     state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
-                                chlorine_decay_rate=zone)
+                                chlorine_decay_rate=zone,
+                                **_species_specs(zone, nitrogen))
 
     def local_rollout(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
@@ -247,7 +262,8 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
 
         def body(s, _):
             return R.step(params, s, boundary, dt=dt, substeps=substeps,
-                          deriv_fn=f, stages=stages), None
+                          deriv_fn=f, stages=stages,
+                          deriv_fn_nitrogen=nitrogen), None
 
         final, _ = jax.lax.scan(body, state, None, length=n_steps)
         return final

@@ -444,3 +444,42 @@ def test_monte_carlo_nitrogen_kinetics_randomized():
     p0, _ = make_monte_carlo_batch(R.ReactorConfiguration(n_zones=4), 4,
                                    seed=1, dtype=jnp.float32)
     assert p0.nitrogen is None
+
+
+def test_zone_sharded_nitrogen_matches_single_device():
+    """The zone-sharded SPMD path supports the nitrogen species
+    (halo-exchanged like pH/Cl/T, nitrogen=True): trajectories match the
+    single-device engine on the virtual 8-device mesh."""
+    from ics_wt_physicsengine_tpu.parallel import (
+        make_zone_mesh, shard_state_zones, zone_sharded_rollout)
+
+    n_zones = 16
+    cfg = R.ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=n_zones,
+        enable_nitrogen=True, initial_ammonia=1.5, initial_chlorine=2.0)
+    params = R.make_params(cfg, dtype=jnp.float64)
+    state = R.make_initial_state(cfg, dtype=jnp.float64)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_ammonia=1.0,
+                              inlet_chlorine=0.5, acid_flow_rate=0.1)
+    dt, substeps, n_steps = 1.0, 3, 50
+
+    ref, _ = R.rollout(params, state, bc, dt=dt, substeps=substeps,
+                       n_steps=n_steps, record=False)
+
+    mesh = make_zone_mesh(8)
+    fn = zone_sharded_rollout(mesh, n_zones=n_zones, dt=dt,
+                              substeps=substeps, n_steps=n_steps,
+                              nitrogen=True)
+    out = fn(params, shard_state_zones(state, mesh), bc)
+
+    for name in ("pH", "chlorine", "ammonia", "nitrite", "nitrate",
+                 "chloramine", "temperature"):
+        np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   rtol=0, atol=1e-9, err_msg=name)
+
+    # without nitrogen=True the clear error fires
+    fn_plain = zone_sharded_rollout(mesh, n_zones=n_zones, dt=dt,
+                                    substeps=substeps, n_steps=n_steps)
+    with pytest.raises(Exception):
+        fn_plain(params, shard_state_zones(state, mesh), bc)
