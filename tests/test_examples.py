@@ -156,6 +156,7 @@ def test_web_hmi(tmp_path):
     import socket
     import threading
     import time
+    import urllib.error
     import urllib.request
 
     import ics_wt_physicsengine_tpu.__main__ as orch
@@ -200,8 +201,25 @@ def test_web_hmi(tmp_path):
         req = urllib.request.Request(
             base + "/api/command",
             data=json.dumps({"register": "acid_flow_rate",
-                             "value": 99.0}).encode(), method="POST")
+                             "value": 99.0}).encode(), method="POST",
+            headers={"Content-Type": "application/json"})
         resp = json.loads(urllib.request.urlopen(req, timeout=10).read())
+
+        # Write-path hardening (docs/SECURITY.md): non-JSON content types
+        # (a cross-site form post) and oversized bodies are rejected.
+        for data, hdrs, want in [
+            (b"register=acid_flow_rate&value=99",
+             {"Content-Type": "application/x-www-form-urlencoded"}, 415),
+            (b"{" + b" " * 8192 + b"}",
+             {"Content-Type": "application/json"}, 413),
+        ]:
+            bad = urllib.request.Request(base + "/api/command", data=data,
+                                         method="POST", headers=hdrs)
+            try:
+                urllib.request.urlopen(bad, timeout=10)
+                raise AssertionError("hostile POST was accepted")
+            except urllib.error.HTTPError as e:
+                assert e.code == want, (e.code, want)
         assert resp["ok"] and resp["applied"] == 2.0   # HMI-side clamp
         state = json.loads(urllib.request.urlopen(
             base + "/api/state", timeout=10).read())

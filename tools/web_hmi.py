@@ -94,11 +94,13 @@ async function refresh(){
 async function send(name){
  const v = parseFloat(document.getElementById('in_'+name).value);
  const r = await fetch('/api/command',{method:'POST',
+   headers:{'Content-Type':'application/json'},
    body:JSON.stringify({register:name,value:v})});
  document.getElementById('msg').textContent = await r.text();
 }
 async function coil(name,v){
  await fetch('/api/coil',{method:'POST',
+   headers:{'Content-Type':'application/json'},
    body:JSON.stringify({coil:name,value:v})});
 }
 refresh(); setInterval(refresh, 2000);
@@ -188,9 +190,24 @@ def make_handler(hmi: Hmi):
             else:
                 self._send(404, "{}")
 
+        # Write-path hardening (docs/SECURITY.md): bound the body so a
+        # hostile Content-Length cannot balloon memory, and require the
+        # JSON content type — browsers cannot send that cross-site without
+        # a CORS preflight (which this server never grants), so a page the
+        # operator happens to have open cannot forge register writes.
+        _MAX_BODY = 4096
+
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
             try:
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if ctype.strip().lower() != "application/json":
+                    self._send(415, json.dumps(
+                        {"error": "Content-Type must be application/json"}))
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                if not 0 <= length <= self._MAX_BODY:
+                    self._send(413, json.dumps({"error": "body too large"}))
+                    return
                 req = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/api/command":
                     applied = hmi.write(req["register"], req["value"])
