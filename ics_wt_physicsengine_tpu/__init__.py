@@ -48,5 +48,12 @@ from ics_wt_physicsengine_tpu.core import (  # noqa: F401
     StratificationParameters,
     rollout_scheduled,
     stack_boundary_schedule,
+    NetworkTopology,
+    NetworkState,
+    make_network,
+    network_step,
+    rollout_network,
+    rollout_network_scheduled,
+    topology_arrays,
 )
 from ics_wt_physicsengine_tpu import control  # noqa: F401  (in-graph control)

@@ -52,6 +52,15 @@ from ics_wt_physicsengine_tpu.core.reactor import (  # noqa: F401
     step,
     validate_integrated_reactor,
 )
+from ics_wt_physicsengine_tpu.core.network import (  # noqa: F401
+    NetworkState,
+    NetworkTopology,
+    make_network,
+    network_step,
+    rollout_network,
+    rollout_network_scheduled,
+    topology_arrays,
+)
 from ics_wt_physicsengine_tpu.core.nitrogen import (  # noqa: F401
     NitrogenParams,
     make_nitrogen_params,

@@ -51,6 +51,12 @@ def test_monte_carlo_uq_dosing_program():
     assert "dosing-program" in out
 
 
+def test_treatment_train():
+    out = _run("treatment_train.py",
+               ["--cpu", "--hours", "0.25", "--doses", "4"])
+    assert "booster sweep" in out and "finished-water residual" in out
+
+
 def test_parameter_estimation():
     out = _run("parameter_estimation.py",
                ["--cpu", "--steps", "60", "--iters", "25"])
