@@ -464,6 +464,18 @@ def main(argv=None):
                              "batched step per tick (fleet.py). No "
                              "reference counterpart (its physics cannot "
                              "batch); 1 = classic single-plant serving.")
+    parser.add_argument("--network", type=str, default=None,
+                        help="Serve a CONNECTED reactor network "
+                             "(core/network.py): JSON file with 'routing' "
+                             "([P][P] flow fractions, entry [j][i] = share "
+                             "of plant i's outflow piped to plant j), "
+                             "optional 'delay_steps' ([P][P] whole-tick "
+                             "pipe delays) and 'external_inlet_flow' ([P] "
+                             "L/min initial source flows). Each stage is "
+                             "Modbus unit id stage+1; each unit's "
+                             "inlet_flow_rate register commands its "
+                             "EXTERNAL source only — routed inter-plant "
+                             "flow is added by the hydraulics solve.")
     parser.add_argument("--fleet-no-shard", action="store_true",
                         help="Keep the whole fleet on one device even when "
                              "a multi-chip mesh is visible (default: shard "
@@ -501,6 +513,18 @@ def main(argv=None):
         except RuntimeError:
             logger.warning("Backend already initialized; --backend ignored")
 
+    if args.network:
+        import json as _json
+        with open(args.network) as f:
+            spec = _json.load(f)
+        n_net = len(spec["routing"])
+        if args.fleet not in (1, n_net):
+            parser.error(f"--fleet {args.fleet} conflicts with the "
+                         f"{n_net}-plant network topology in {args.network}")
+        args.fleet = n_net
+        args.network_spec = spec
+        from ics_wt_physicsengine_tpu.fleet import main_fleet
+        return main_fleet(args)
     if args.fleet > 254:
         parser.error(f"--fleet is capped at 254 (the Modbus unit-id "
                      f"space, ids 1..254), got {args.fleet}")

@@ -80,6 +80,39 @@ def main_fleet(args) -> None:
                                          warmed_up=True)
         dtype = plant.reactor.pH.dtype
 
+        # Connected-network serving (--network): the units are STAGES of
+        # one treatment train / distribution loop (core/network.py), not
+        # independent plants. Each unit's registers command its external
+        # source + its own dosing pumps; routed inter-plant flow and
+        # blended inlet composition are computed in-graph every tick.
+        net = None
+        spec = getattr(args, "network_spec", None)
+        if spec is not None:
+            from ics_wt_physicsengine_tpu.core.network import (
+                NetworkTopology, _blended_boundary, _outlet_sample,
+                topology_arrays)
+            topo = NetworkTopology(
+                routing=np.asarray(spec["routing"], np.float64),
+                delay_steps=np.asarray(spec.get("delay_steps", 1),
+                                       np.int64))
+            if topo.n_plants != n:
+                raise ValueError(f"network topology is {topo.n_plants} "
+                                 f"plants, fleet is {n}")
+            ext_flow = [float(x) for x in spec.get(
+                "external_inlet_flow", [5.0] + [0.0] * (n - 1))]
+            if len(ext_flow) != n:
+                raise ValueError("external_inlet_flow length mismatch")
+            net = {
+                "arrays": topology_arrays(topo, dtype),
+                "blend": _blended_boundary,
+                "sample": _outlet_sample,
+                "D": topo.max_delay,
+                "ext_flow": ext_flow,
+            }
+            logger.info("Connected network: %d stages, %d live pipes, "
+                        "max delay %d ticks",
+                        n, int((topo.routing > 0).sum()), topo.max_delay)
+
         # Shard the fleet's lane axis across the device mesh when more than
         # one chip is visible (VERDICT r2 item 4): pure data parallelism —
         # each device advances its slice of the plants; per-lane arithmetic
@@ -88,7 +121,14 @@ def main_fleet(args) -> None:
         # the largest divisor of the fleet size so shards stay even.
         mesh = None
         n_dev = len(jax.devices())
-        if n_dev > 1 and not getattr(args, "fleet_no_shard", False):
+        if net is not None and n_dev > 1:
+            # Stage counts are small (a train, not an ensemble) and the
+            # routing contraction couples every lane; keep the network on
+            # one device. Large sharded networks run through the library
+            # path (tests/test_network.py::test_sharded_plants_bitexact).
+            logger.info("Network mode: lane sharding disabled "
+                        "(%d devices visible)", n_dev)
+        elif n_dev > 1 and not getattr(args, "fleet_no_shard", False):
             from ics_wt_physicsengine_tpu.parallel import (make_mesh,
                                                            shard_batch)
             d = max((k for k in range(2, min(n, n_dev) + 1) if n % k == 0),
@@ -118,7 +158,44 @@ def main_fleet(args) -> None:
 
             return jax.tree_util.tree_map(sel, new_pl, pl), outputs
 
-        step = jax.jit(_step_masked)
+        def _step_masked_network(prm, pl, bc, mask, ring, ring_idx):
+            """Network variant: blend each stage's inlet from routed,
+            delayed upstream effluent before the batched plant step, then
+            push the post-step outlet compositions into the pipe ring.
+            Frozen lanes hold their carry; their (held) outlet still feeds
+            downstream — a paused stage keeps discharging its last state,
+            like a real basin holding level."""
+            from ics_wt_physicsengine_tpu.core.network import NetworkState
+            W, Minv, delays = net["arrays"]
+            ns = NetworkState(reactor=pl.reactor, ring=ring,
+                              ring_index=ring_idx)
+            eff_bc, _ = net["blend"](W, Minv, delays, ns, bc,
+                                     pl.reactor.ammonia is not None)
+            new_pl, outputs = plant_step_batched(prm, pl, eff_bc, args.dt,
+                                                 m, stages=s,
+                                                 boundary_axes=0)
+
+            def sel(new, old):
+                mk = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
+                return jnp.where(mk, new, old)
+
+            merged = jax.tree_util.tree_map(sel, new_pl, pl)
+            sample = net["sample"](merged.reactor).astype(ring.dtype)
+            ring = jax.lax.dynamic_update_index_in_dim(
+                ring, sample, jnp.mod(ring_idx, net["D"]), axis=0)
+            return merged, outputs, ring, ring_idx + 1
+
+        net_ring = net_idx = None
+        if net is not None:
+            step = jax.jit(_step_masked_network)
+            sample0 = net["sample"](plant.reactor)
+            net_ring = jnp.broadcast_to(
+                jnp.asarray(sample0, dtype),
+                (net["D"],) + sample0.shape)
+            net_ring = jnp.array(net_ring)
+            net_idx = jnp.asarray(0, jnp.int32)
+        else:
+            step = jax.jit(_step_masked)
         logger.info("Fleet engine initialized (%d zones, %s: substeps=%d%s, "
                     "one jitted batched step/tick)", args.zones,
                     args.integrator, m, "" if s is None else f" x {s} stages")
@@ -127,14 +204,16 @@ def main_fleet(args) -> None:
                      type(e).__name__)
         raise SystemExit(1)
 
-    # PHASE 2: per-unit boundary conditions
+    # PHASE 2: per-unit boundary conditions (network mode: inlet_* fields
+    # are each stage's EXTERNAL source; routed inflow is blended in-graph)
+    ext_flows = net["ext_flow"] if net is not None else [5.0] * n
     boundaries = [BoundaryConditions(
-        inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.0,
+        inlet_flow_rate=ext_flows[i], inlet_pH=7.5, inlet_chlorine=0.0,
         inlet_temperature=20.0, acid_flow_rate=0.0, acid_concentration=0.1,
         chlorine_flow_rate=0.0,
         inlet_ammonia=args.initial_ammonia
         if getattr(args, "enable_nitrogen", False) else 0.0)
-        for _ in units]
+        for i in range(n)]
 
     # PHASE 3: sensors are in the batched carries (nothing host-side)
     # PHASE 4: one Modbus endpoint, one unit id per plant
@@ -160,8 +239,9 @@ def main_fleet(args) -> None:
                         args, "enable_nitrogen", False)),
                     server_config, units=units)
             slave.start(blocking=False)
-            for u in units:
-                slave.write_holding_register("inlet_flow_rate", 5.0, unit=u)
+            for i, u in enumerate(units):
+                slave.write_holding_register("inlet_flow_rate",
+                                             ext_flows[i], unit=u)
                 slave.write_holding_register("acid_concentration", 0.1,
                                              unit=u)
                 slave.write_holding_register("chlorine_concentration", 50.0,
@@ -286,6 +366,19 @@ def main_fleet(args) -> None:
             # leaves the fresh-start state fully intact.
             meta = load_metadata(args.checkpoint_file)
             n_saved = int(meta.get("fleet", n))
+            if bool(meta.get("network", False)) != (net is not None):
+                logger.error(
+                    "Checkpoint %s %s a connected network but this run %s "
+                    "— refusing to mix modes.", args.checkpoint_file,
+                    "holds" if meta.get("network") else "does not hold",
+                    "is one" if net is not None else "is not")
+                raise SystemExit(1)
+            if net is not None and n_saved != n:
+                logger.error(
+                    "Network checkpoints cannot be resized (%d saved "
+                    "stages vs %d): the routing couples every stage.",
+                    n_saved, n)
+                raise SystemExit(1)
             if n_saved != n and not getattr(args, "checkpoint_resize",
                                             False):
                 logger.error(
@@ -314,11 +407,17 @@ def main_fleet(args) -> None:
                             "(%d lanes restored, %d fresh)", n_saved, n,
                             min(n_saved, n), max(0, n - n_saved))
             else:
-                restored = load_pytree(args.checkpoint_file,
-                                       {"params": params, "plant": plant})
+                template = {"params": params, "plant": plant}
+                if net is not None:
+                    template["net_ring"] = net_ring
+                    template["net_index"] = net_idx
+                restored = load_pytree(args.checkpoint_file, template)
             new_bounds = [BoundaryConditions(**b)
                           for b in meta.get("boundaries", [])[:n]]
             params, plant = restored["params"], restored["plant"]
+            if net is not None:
+                net_ring = restored["net_ring"]
+                net_idx = restored["net_index"]
             if mesh is not None:
                 from ics_wt_physicsengine_tpu.parallel import shard_batch
                 params, plant = shard_batch((params, plant), mesh)
@@ -409,9 +508,13 @@ def main_fleet(args) -> None:
         if not args.checkpoint_file:
             return
         try:
-            save_pytree(args.checkpoint_file,
-                        {"params": params, "plant": plant}, metadata={
+            tree = {"params": params, "plant": plant}
+            if net is not None:
+                tree["net_ring"] = net_ring
+                tree["net_index"] = net_idx
+            save_pytree(args.checkpoint_file, tree, metadata={
                             "sim_time": sim_time, "fleet": n,
+                            "network": net is not None,
                             "zones": args.zones, "dt": args.dt,
                             "seed": args.seed or 0,
                             "boundaries": [
@@ -443,9 +546,16 @@ def main_fleet(args) -> None:
 
             if not paused:
                 try:
-                    plant, outputs = step(
-                        params, plant, _stack_boundaries(boundaries, dtype),
-                        run_mask)
+                    if net is not None:
+                        plant, outputs, net_ring, net_idx = step(
+                            params, plant,
+                            _stack_boundaries(boundaries, dtype),
+                            run_mask, net_ring, net_idx)
+                    else:
+                        plant, outputs = step(
+                            params, plant,
+                            _stack_boundaries(boundaries, dtype),
+                            run_mask)
                 except Exception as e:  # noqa: BLE001
                     logger.error("Fleet step failed: %s", type(e).__name__)
                     break

@@ -408,6 +408,15 @@ class ModbusSlave:
                 await asyncio.sleep(0.1)
         finally:
             self._server.close()
+            # wait_closed() (3.12+) also waits for in-flight client
+            # handlers, which may sit in readexactly() for up to
+            # idle_timeout_seconds — cancel them so stop()'s 3 s join
+            # succeeds and the port is released promptly for rebinds.
+            pending = [t for t in asyncio.all_tasks()
+                       if t is not asyncio.current_task()]
+            for t in pending:
+                t.cancel()
+            await asyncio.gather(*pending, return_exceptions=True)
             await self._server.wait_closed()
 
     def _run_server(self):

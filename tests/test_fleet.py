@@ -514,3 +514,119 @@ def test_fleet_checkpoint_resize(tmp_path):
     with pytest.raises(SystemExit):
         _run_fleet(abort, 20, 2)
     assert hashlib.sha256(abort.read_bytes()).hexdigest() == digest
+
+
+# ---------------------------------------------------------------------------
+# Connected-network serving (--network, core/network.py over Modbus units)
+# ---------------------------------------------------------------------------
+
+def _write_topo(tmp_path, n=3):
+    import json
+    W = [[0.0] * n for _ in range(n)]
+    for i in range(n - 1):
+        W[i + 1][i] = 1.0
+    f = tmp_path / "topo.json"
+    f.write_text(json.dumps({
+        "routing": W,
+        "external_inlet_flow": [8.0] + [0.0] * (n - 1)}))
+    return str(f)
+
+
+def test_network_serving_closed_loop(tmp_path):
+    """--network serves a connected 3-stage train as Modbus units 1..3:
+    the hydraulics solve propagates the head stage's external flow to
+    every downstream flow sensor, and a chlorine dose commanded into
+    stage 1's registers arrives (decayed) in stages 2 and 3 — over a real
+    socket, exactly as a SCADA master would drive it."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    topo = _write_topo(tmp_path)
+    port = _free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(port), "--host", "127.0.0.1", "--dt", "60",
+               "--duration", "10000000", "--rtf", "0", "--seed", "7",
+               "--zones", "4", "--network", topo],),
+        daemon=True)
+    thread.start()
+
+    deadline = time.time() + 90
+    c1 = None
+    while time.time() < deadline:
+        try:
+            c1 = ModbusTcpClient("127.0.0.1", port, unit_id=1,
+                                 timeout=5).connect()
+            break
+        except OSError:
+            time.sleep(0.3)
+    if c1 is None:
+        orchestrator.running = False
+        pytest.fail("network Modbus server did not start")
+
+    def wait_t(target, timeout=240):
+        dl = time.time() + timeout
+        while time.time() < dl:
+            if c1.read_float32(100) >= target:
+                return
+            time.sleep(0.2)
+        pytest.fail(f"network fleet did not reach t={target}")
+
+    try:
+        with ModbusTcpClient("127.0.0.1", port, unit_id=2) as c2, \
+                ModbusTcpClient("127.0.0.1", port, unit_id=3) as c3:
+            wait_t(120.0)
+            # routed hydraulics: every stage's flow sensor sees the head
+            # stage's 8 L/min external source (within sensor noise)
+            for c in (c1, c2, c3):
+                assert c.read_float32(10) == pytest.approx(8.0, abs=0.5)
+
+            # let the initial 2.0 mg/L charge decay toward the undosed
+            # steady state before taking the baseline (the inlet source
+            # carries no chlorine, so the train drains)
+            wait_t(40000.0)
+            cl2_before = c2.read_float32(6)
+            cl3_before = c3.read_float32(6)
+            c1.write_float32(2, 0.8)          # chlorine_flow_rate, stage 1
+            wait_t(c1.read_float32(100) + 40000.0)
+            cl1 = c1.read_float32(6)
+            cl2 = c2.read_float32(6)
+            cl3 = c3.read_float32(6)
+            c1.write_float32(2, 0.0)
+        # the dose loads stage 1 hard and reaches both downstream stages,
+        # monotonically attenuated by per-stage decay + residence
+        assert cl1 > 3.0, cl1
+        assert cl2 > cl2_before + 0.5, (cl2_before, cl2)
+        assert cl3 > cl3_before + 0.1, (cl3_before, cl3)
+        assert cl1 > cl2 > cl3, (cl1, cl2, cl3)
+    finally:
+        orchestrator.running = False
+        thread.join(timeout=30)
+
+
+def test_network_checkpoint_roundtrip(tmp_path):
+    """A network fleet checkpoint carries the pipe-delay ring: resuming at
+    t=20 and running to t=40 is bit-exact vs a straight t=40 run, and a
+    non-network run refuses a network checkpoint (and vice versa)."""
+    topo = _write_topo(tmp_path)
+
+    straight = tmp_path / "straight.npz"
+    _run_fleet(straight, 40, 3, ["--network", topo])
+
+    resumed = tmp_path / "resumed.npz"
+    _run_fleet(resumed, 20, 3, ["--network", topo])
+    _run_fleet(resumed, 40, 3, ["--network", topo])
+
+    a, b = np.load(straight), np.load(resumed)
+    keys = [k for k in a.files if k.startswith("leaf_")]
+    assert keys
+    for k in keys:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    # mode mixing is refused, checkpoint left intact
+    with pytest.raises(SystemExit):
+        _run_fleet(resumed, 60, 3)                       # plain fleet
+    plain = tmp_path / "plain.npz"
+    _run_fleet(plain, 10, 3)
+    with pytest.raises(SystemExit):
+        _run_fleet(plain, 20, 3, ["--network", topo])    # network resume
