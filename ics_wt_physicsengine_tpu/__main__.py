@@ -490,6 +490,15 @@ def main(argv=None):
                         help="Serve Modbus/TCP from the C++ data plane "
                              "(native/modbus_server.cpp) instead of the "
                              "Python asyncio server")
+    parser.add_argument("--opcua", type=int, default=None, metavar="PORT",
+                        help="Also serve the plant over OPC UA binary TCP "
+                             "on this port (0 = ephemeral). The OPC UA "
+                             "address space bridges onto the Modbus "
+                             "register store (opcua/server.py), so both "
+                             "protocol planes see identical values and "
+                             "writes from either land in the same "
+                             "validated holding registers/coils. Requires "
+                             "the Modbus server (not --no-modbus).")
     parser.add_argument("--integrator", type=str, default="rk4",
                         choices=["rk4", "rkc-strict", "rkc-fast"],
                         help="physics integrator (core/reactor.py): rk4 = "
@@ -505,6 +514,10 @@ def main(argv=None):
                              "rollout/batch workloads belong on TPU via the "
                              "library API (rollout_fused, sharded_rollout).")
     args = parser.parse_args(argv)
+
+    if args.opcua is not None and args.no_modbus:
+        parser.error("--opcua bridges onto the Modbus register store and "
+                     "cannot be combined with --no-modbus")
 
     if args.backend != "default":
         try:
@@ -637,6 +650,21 @@ def main(argv=None):
             slave = None
     else:
         logger.info("[PHASE 4] Skipping Modbus (--no-modbus)")
+
+    opcua_server = None
+    if args.opcua is not None and slave is not None:
+        try:
+            from ics_wt_physicsengine_tpu.opcua import OPCUAServer
+            opcua_server = OPCUAServer(slave, host=args.host,
+                                       port=args.opcua)
+            opcua_server.start(blocking=False)
+            logger.info("OPC UA server started on opc.tcp://%s:%d/plant",
+                        args.host, opcua_server.actual_port)
+        except Exception as e:  # noqa: BLE001
+            logger.error("OPC UA server startup failed: %s",
+                         type(e).__name__)
+            logger.warning("Continuing without OPC UA")
+            opcua_server = None
 
     # PHASE 5: main loop
     logger.info("[PHASE 5] Starting simulation loop...")
@@ -874,6 +902,10 @@ def main(argv=None):
         if parquet_log is not None:
             with suppress(Exception):
                 parquet_log.close()
+        if opcua_server:
+            logger.info("Stopping OPC UA server...")
+            with suppress(Exception):
+                opcua_server.stop()
         if slave:
             logger.info("Stopping Modbus server...")
             with suppress(Exception):

@@ -265,6 +265,22 @@ def main_fleet(args) -> None:
     else:
         logger.info("[PHASE 4] Skipping Modbus (--no-modbus)")
 
+    opcua_server = None
+    if getattr(args, "opcua", None) is not None and slave is not None:
+        try:
+            from ics_wt_physicsengine_tpu.opcua import OPCUAServer
+            opcua_server = OPCUAServer(slave, host=args.host,
+                                       port=args.opcua)
+            opcua_server.start(blocking=False)
+            logger.info("OPC UA server started on opc.tcp://%s:%d/plant "
+                        "(%d units)", args.host,
+                        opcua_server.actual_port, n)
+        except Exception as e:  # noqa: BLE001
+            logger.error("OPC UA server startup failed: %s",
+                         type(e).__name__)
+            logger.warning("Continuing without OPC UA")
+            opcua_server = None
+
     # PHASE 5: fleet loop
     logger.info("[PHASE 5] Starting fleet loop...")
     sim_time = 0.0
@@ -684,6 +700,12 @@ def main_fleet(args) -> None:
         if parquet_log is not None:
             try:
                 parquet_log.close()
+            except Exception:  # noqa: BLE001
+                pass
+        if opcua_server:
+            logger.info("Stopping OPC UA server...")
+            try:
+                opcua_server.stop()
             except Exception:  # noqa: BLE001
                 pass
         if slave:

@@ -292,6 +292,21 @@ class NativeModbusSlave:
         self._set_words(_BLOCK_DISCRETE, reg.address, [1 if value else 0],
                         unit=unit)
 
+    def read_input_register(self, name: str, unit=None) -> float:
+        """Name-based read-back of a published input register (used by
+        the OPC UA bridge so both planes serve one store)."""
+        reg = self._lookup(name, RegisterType.INPUT_REGISTER)
+        words = self._get_words(_BLOCK_INPUT, reg.address, reg.size_words,
+                                unit=unit)
+        if reg.data_type == "float32":
+            return ModbusDecoder.registers_to_float32(*words)
+        return float(words[0])
+
+    def read_discrete_input(self, name: str, unit=None) -> bool:
+        reg = self._lookup(name, RegisterType.DISCRETE_INPUT)
+        return bool(self._get_words(_BLOCK_DISCRETE, reg.address, 1,
+                                    unit=unit)[0])
+
     def read_holding_register(self, name: str, unit=None) -> float:
         reg = self._lookup(name, RegisterType.HOLDING_REGISTER)
         words = self._get_words(_BLOCK_HOLDING, reg.address, reg.size_words,

@@ -515,6 +515,25 @@ class ModbusSlave:
         with self._lock:
             st.di.set(reg.address, [1 if value else 0])
 
+    def read_input_register(self, name: str,
+                            unit: Optional[int] = None) -> float:
+        """Name-based read-back of a published input register (used by
+        the OPC UA bridge so both planes serve one store)."""
+        reg = self._lookup(name, RegisterType.INPUT_REGISTER)
+        st = self._store(unit)
+        with self._lock:
+            words = st.ir.get(reg.address, reg.size_words)
+        if reg.data_type == "float32":
+            return ModbusDecoder.registers_to_float32(*words)
+        return float(words[0])
+
+    def read_discrete_input(self, name: str,
+                            unit: Optional[int] = None) -> bool:
+        reg = self._lookup(name, RegisterType.DISCRETE_INPUT)
+        st = self._store(unit)
+        with self._lock:
+            return bool(st.di.get(reg.address, 1)[0])
+
     def read_holding_register(self, name: str,
                               unit: Optional[int] = None) -> float:
         reg = self._lookup(name, RegisterType.HOLDING_REGISTER)

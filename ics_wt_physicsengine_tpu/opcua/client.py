@@ -1,0 +1,295 @@
+"""
+Minimal synchronous OPC UA client (binary transport, policy None).
+
+Counterpart to :mod:`.server` — a blocking-socket client that speaks the
+same from-scratch UA Binary implementation: HEL/ACK, OpenSecureChannel
+(None), CreateSession + anonymous ActivateSession, then Read / Write /
+Browse. Used by the live tests, the load generator, and usable as a
+library surface the way ``modbus.client.ModbusTcpClient`` is::
+
+    with OPCUAClient("127.0.0.1", 4840) as c:
+        c.read_double("u1.outlet_chlorine")
+        c.write_double("u1.chlorine_flow_rate", 0.8)
+        c.browse("u1")               # -> register names
+
+Node ids are the ``ns=1;s=u<unit>.<register>`` strings the server
+publishes (see server.py docstring).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import time
+from typing import List, Optional, Tuple, Union
+
+from ics_wt_physicsengine_tpu.opcua import messages as M
+from ics_wt_physicsengine_tpu.opcua.encoding import (
+    DataValue,
+    DecodeError,
+    Decoder,
+    Encoder,
+    NodeId,
+    Variant,
+    VT_BOOLEAN,
+    VT_DOUBLE,
+    unix_to_filetime,
+)
+
+
+class OPCUAError(RuntimeError):
+    """Service or transport-level failure (carries the StatusCode)."""
+
+    def __init__(self, status: int, context: str = ""):
+        super().__init__(f"OPC UA error 0x{status:08X}"
+                         + (f" ({context})" if context else ""))
+        self.status = status
+
+
+class OPCUAClient:
+    """Blocking OPC UA client for one server endpoint."""
+
+    def __init__(self, host: str, port: int, timeout: float = 10.0):
+        self.host = host
+        self.port = port
+        self.timeout = timeout
+        self._sock: Optional[socket.socket] = None
+        self._buf = b""
+        self._seq = 0
+        self._req_id = 0
+        self._handle = 0
+        self._channel_id = 0
+        self._token_id = 0
+        self._auth_token: NodeId = NodeId(0, 0)
+
+    # ------------------------------------------------------------------
+    # Lifecycle
+    # ------------------------------------------------------------------
+
+    def connect(self) -> "OPCUAClient":
+        self._sock = socket.create_connection((self.host, self.port),
+                                              timeout=self.timeout)
+        url = f"opc.tcp://{self.host}:{self.port}/plant"
+        self._sock.sendall(M.Hello(endpoint_url=url).encode())
+        msg_type, _, body = self._recv()
+        if msg_type == "ERR":
+            raise self._decode_err(body)
+        if msg_type != "ACK":
+            raise OPCUAError(M.BAD_TCP_MESSAGE_TYPE_INVALID,
+                             f"expected ACK, got {msg_type}")
+        M.Acknowledge.decode(body)
+        self._open_channel()
+        self._create_session(url)
+        return self
+
+    def close(self) -> None:
+        if self._sock is None:
+            return
+        try:
+            req = M.CloseSessionRequest(self._request_header())
+            self._service(M.ID_CLOSE_SESSION_REQ, req,
+                          M.ID_CLOSE_SESSION_RSP,
+                          M.CloseSessionResponse.decode)
+        except (OSError, OPCUAError, DecodeError):
+            pass
+        try:
+            self._sock.sendall(M.frame("CLO", b""))
+        except OSError:
+            pass
+        self._sock.close()
+        self._sock = None
+
+    def __enter__(self) -> "OPCUAClient":
+        if self._sock is None:
+            self.connect()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ------------------------------------------------------------------
+    # Handshake
+    # ------------------------------------------------------------------
+
+    def _open_channel(self) -> None:
+        self._seq += 1
+        self._req_id += 1
+        req = M.OpenSecureChannelRequest(self._request_header())
+        e = Encoder()
+        M.AsymmetricHeader(0).encode(e)
+        M.SequenceHeader(self._seq, self._req_id).encode(e)
+        e.raw(M.encode_service(M.ID_OPEN_CHANNEL_REQ, req))
+        self._sock.sendall(M.frame("OPN", e.data()))
+        msg_type, _, body = self._recv()
+        if msg_type == "ERR":
+            raise self._decode_err(body)
+        if msg_type != "OPN":
+            raise OPCUAError(M.BAD_TCP_MESSAGE_TYPE_INVALID,
+                             f"expected OPN, got {msg_type}")
+        d = Decoder(body)
+        M.AsymmetricHeader.decode(d)
+        M.SequenceHeader.decode(d)
+        if M.decode_service_id(d) != M.ID_OPEN_CHANNEL_RSP:
+            raise OPCUAError(M.BAD_DECODING_ERROR, "bad OPN response")
+        rsp = M.OpenSecureChannelResponse.decode(d)
+        self._check(rsp.header.service_result, "OpenSecureChannel")
+        self._channel_id = rsp.token.channel_id
+        self._token_id = rsp.token.token_id
+
+    def _create_session(self, url: str) -> None:
+        req = M.CreateSessionRequest(
+            self._request_header(),
+            client_description=M.ApplicationDescription(
+                application_uri="urn:ics-wt-physicsengine-tpu:client",
+                product_uri="urn:ics-wt-physicsengine-tpu"),
+            endpoint_url=url, session_name="wt-client")
+        rsp = self._service(M.ID_CREATE_SESSION_REQ, req,
+                            M.ID_CREATE_SESSION_RSP,
+                            M.CreateSessionResponse.decode)
+        self._check(rsp.header.service_result, "CreateSession")
+        self._auth_token = rsp.auth_token
+        act = M.ActivateSessionRequest(self._request_header())
+        arsp = self._service(M.ID_ACTIVATE_SESSION_REQ, act,
+                             M.ID_ACTIVATE_SESSION_RSP,
+                             M.ActivateSessionResponse.decode)
+        self._check(arsp.header.service_result, "ActivateSession")
+
+    # ------------------------------------------------------------------
+    # Wire helpers
+    # ------------------------------------------------------------------
+
+    def _request_header(self) -> M.RequestHeader:
+        self._handle += 1
+        return M.RequestHeader(auth_token=self._auth_token,
+                               timestamp=unix_to_filetime(time.time()),
+                               request_handle=self._handle,
+                               timeout_hint=int(self.timeout * 1000))
+
+    def _recv(self) -> Tuple[str, str, bytes]:
+        deadline = time.monotonic() + self.timeout
+        while True:
+            split = M.read_exact_message(self._buf)
+            if split is not None:
+                msg_type, chunk_type, body, self._buf = split
+                return msg_type, chunk_type, body
+            if time.monotonic() > deadline:
+                raise OPCUAError(M.BAD_TIMEOUT, "receive timeout")
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise OPCUAError(M.BAD_COMMUNICATION_ERROR,
+                                 "connection closed by server")
+            self._buf += chunk
+
+    @staticmethod
+    def _decode_err(body: bytes) -> OPCUAError:
+        d = Decoder(body)
+        status = d.status_code()
+        return OPCUAError(status, d.string() or "server ERR")
+
+    @staticmethod
+    def _check(status: int, context: str) -> None:
+        if status & 0x80000000:
+            raise OPCUAError(status, context)
+
+    def _service(self, req_id: int, req, rsp_id: int, decode_rsp):
+        self._seq += 1
+        self._req_id += 1
+        e = Encoder()
+        e.uint32(self._channel_id)
+        e.uint32(self._token_id)
+        M.SequenceHeader(self._seq, self._req_id).encode(e)
+        e.raw(M.encode_service(req_id, req))
+        self._sock.sendall(M.frame("MSG", e.data()))
+        msg_type, _, body = self._recv()
+        if msg_type == "ERR":
+            raise self._decode_err(body)
+        if msg_type != "MSG":
+            raise OPCUAError(M.BAD_TCP_MESSAGE_TYPE_INVALID,
+                             f"expected MSG, got {msg_type}")
+        d = Decoder(body)
+        d.uint32()   # channel id
+        d.uint32()   # token id
+        M.SequenceHeader.decode(d)
+        got = M.decode_service_id(d)
+        if got == M.ID_SERVICE_FAULT:
+            fault = M.ServiceFault.decode(d)
+            raise OPCUAError(fault.header.service_result, "ServiceFault")
+        if got != rsp_id:
+            raise OPCUAError(M.BAD_DECODING_ERROR,
+                             f"expected service {rsp_id}, got {got}")
+        return decode_rsp(d)
+
+    @staticmethod
+    def _node(node: Union[str, NodeId]) -> NodeId:
+        return node if isinstance(node, NodeId) else NodeId(1, node)
+
+    # ------------------------------------------------------------------
+    # Attribute / view services
+    # ------------------------------------------------------------------
+
+    def read(self, nodes: List[Union[str, NodeId]],
+             attribute_id: int = M.ATTR_VALUE) -> List[DataValue]:
+        req = M.ReadRequest(
+            self._request_header(),
+            nodes=[M.ReadValueId(self._node(n), attribute_id)
+                   for n in nodes])
+        rsp = self._service(M.ID_READ_REQ, req, M.ID_READ_RSP,
+                            M.ReadResponse.decode)
+        self._check(rsp.header.service_result, "Read")
+        return rsp.results
+
+    def read_double(self, node: Union[str, NodeId]) -> float:
+        dv = self.read([node])[0]
+        if dv.status is not None and dv.status & 0x80000000:
+            raise OPCUAError(dv.status, f"Read {node}")
+        return float(dv.value.value)
+
+    def read_bool(self, node: Union[str, NodeId]) -> bool:
+        dv = self.read([node])[0]
+        if dv.status is not None and dv.status & 0x80000000:
+            raise OPCUAError(dv.status, f"Read {node}")
+        return bool(dv.value.value)
+
+    def write(self, nodes: List[Tuple[Union[str, NodeId], Variant]]
+              ) -> List[int]:
+        req = M.WriteRequest(
+            self._request_header(),
+            nodes=[M.WriteValue(self._node(n), M.ATTR_VALUE,
+                                DataValue(value=v))
+                   for n, v in nodes])
+        rsp = self._service(M.ID_WRITE_REQ, req, M.ID_WRITE_RSP,
+                            M.WriteResponse.decode)
+        self._check(rsp.header.service_result, "Write")
+        return rsp.results
+
+    def write_double(self, node: Union[str, NodeId], value: float) -> None:
+        status = self.write([(node, Variant(VT_DOUBLE, float(value)))])[0]
+        self._check(status, f"Write {node}")
+
+    def write_bool(self, node: Union[str, NodeId], value: bool) -> None:
+        status = self.write([(node, Variant(VT_BOOLEAN, bool(value)))])[0]
+        self._check(status, f"Write {node}")
+
+    def browse(self, node: Union[str, NodeId] = M.OBJECTS_FOLDER
+               ) -> List[str]:
+        """Forward hierarchical references of ``node`` -> browse names."""
+        nid = (node if isinstance(node, NodeId)
+               else self._node(node))
+        req = M.BrowseRequest(self._request_header(),
+                              nodes=[M.BrowseDescription(node_id=nid)])
+        rsp = self._service(M.ID_BROWSE_REQ, req, M.ID_BROWSE_RSP,
+                            M.BrowseResponse.decode)
+        self._check(rsp.header.service_result, "Browse")
+        result = rsp.results[0]
+        self._check(result.status, "Browse result")
+        return [r.browse_name.name or "" for r in result.references]
+
+    def get_endpoints(self) -> List[M.EndpointDescription]:
+        req = M.GetEndpointsRequest(
+            self._request_header(),
+            endpoint_url=f"opc.tcp://{self.host}:{self.port}/plant")
+        rsp = self._service(M.ID_GET_ENDPOINTS_REQ, req,
+                            M.ID_GET_ENDPOINTS_RSP,
+                            M.GetEndpointsResponse.decode)
+        self._check(rsp.header.service_result, "GetEndpoints")
+        return rsp.endpoints

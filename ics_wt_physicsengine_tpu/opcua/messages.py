@@ -1,0 +1,888 @@
+"""
+OPC UA service structs + secure-conversation framing (SecurityPolicy#None).
+
+Implements the wire layouts from OPC 10000-4 (services) and 10000-6
+(transport) for the service subset a read/write/browse server needs:
+
+- Transport: HEL/ACK/ERR connection protocol, OPN (asymmetric header,
+  policy None) and MSG/CLO (symmetric header) secure-conversation chunks.
+  Single-chunk ('F') messages only; chunked ('C'/'A') transfers are
+  rejected with Bad_TcpMessageTypeInvalid — fine for this server's small
+  payloads, and the negotiated max sizes advertise that honestly.
+- Services: OpenSecureChannel, CloseSecureChannel, GetEndpoints,
+  CreateSession, ActivateSession, CloseSession, Read, Write, Browse,
+  plus ServiceFault.
+
+Numeric ids are the standard NodeIds from the OPC UA namespace-0 nodeset
+(csv "Opc.Ua.NodeIds"): a service struct's DefaultBinary encoding node is
+its type id + 2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from ics_wt_physicsengine_tpu.opcua.encoding import (
+    DataValue,
+    DecodeError,
+    Decoder,
+    Encoder,
+    ExtensionObject,
+    LocalizedText,
+    NodeId,
+    NULL_NODE_ID,
+    QualifiedName,
+    Variant,
+)
+
+# --------------------------------------------------------------------------
+# Standard numeric ids (namespace 0)
+# --------------------------------------------------------------------------
+
+ID_SERVICE_FAULT = 397              # ServiceFault_Encoding_DefaultBinary
+ID_OPEN_CHANNEL_REQ = 446
+ID_OPEN_CHANNEL_RSP = 449
+ID_CLOSE_CHANNEL_REQ = 452
+ID_CLOSE_CHANNEL_RSP = 455
+ID_GET_ENDPOINTS_REQ = 428
+ID_GET_ENDPOINTS_RSP = 431
+ID_CREATE_SESSION_REQ = 461
+ID_CREATE_SESSION_RSP = 464
+ID_ACTIVATE_SESSION_REQ = 467
+ID_ACTIVATE_SESSION_RSP = 470
+ID_CLOSE_SESSION_REQ = 473
+ID_CLOSE_SESSION_RSP = 476
+ID_READ_REQ = 631
+ID_READ_RSP = 634
+ID_WRITE_REQ = 673
+ID_WRITE_RSP = 676
+ID_BROWSE_REQ = 527
+ID_BROWSE_RSP = 530
+ID_ANONYMOUS_IDENTITY_TOKEN = 321   # AnonymousIdentityToken binary encoding
+
+SECURITY_POLICY_NONE = "http://opcfoundation.org/UA/SecurityPolicy#None"
+TRANSPORT_PROFILE_BINARY = (
+    "http://opcfoundation.org/UA-Profile/Transport/uatcp-uasc-uabinary")
+
+# StatusCodes (OPC 10000-4 Table 177 / Part 6 Annex)
+GOOD = 0x00000000
+BAD_UNEXPECTED_ERROR = 0x80010000
+BAD_INTERNAL_ERROR = 0x80020000
+BAD_TIMEOUT = 0x800A0000
+BAD_SERVICE_UNSUPPORTED = 0x800B0000
+BAD_COMMUNICATION_ERROR = 0x80050000
+BAD_ENCODING_ERROR = 0x80060000
+BAD_DECODING_ERROR = 0x80070000
+BAD_SECURE_CHANNEL_ID_INVALID = 0x80220000
+BAD_SESSION_ID_INVALID = 0x80250000
+BAD_SESSION_NOT_ACTIVATED = 0x80270000
+BAD_NODE_ID_UNKNOWN = 0x80340000
+BAD_ATTRIBUTE_ID_INVALID = 0x80350000
+BAD_NOT_READABLE = 0x803A0000
+BAD_NOT_WRITABLE = 0x803B0000
+BAD_OUT_OF_RANGE = 0x803C0000
+BAD_TYPE_MISMATCH = 0x80740000
+BAD_SECURITY_POLICY_REJECTED = 0x80550000
+BAD_TCP_MESSAGE_TYPE_INVALID = 0x807E0000
+BAD_TCP_ENDPOINT_URL_INVALID = 0x80830000
+BAD_REQUEST_TOO_LARGE = 0x80B80000
+
+# Attribute ids (OPC 10000-3 §5.9)
+ATTR_NODE_ID = 1
+ATTR_NODE_CLASS = 2
+ATTR_BROWSE_NAME = 3
+ATTR_DISPLAY_NAME = 4
+ATTR_DESCRIPTION = 5
+ATTR_VALUE = 13
+ATTR_DATA_TYPE = 14
+ATTR_VALUE_RANK = 15
+ATTR_ACCESS_LEVEL = 17
+ATTR_USER_ACCESS_LEVEL = 18
+
+# NodeClass bits
+NODECLASS_OBJECT = 1
+NODECLASS_VARIABLE = 2
+
+# Well-known namespace-0 nodes
+OBJECTS_FOLDER = NodeId(0, 85)
+ROOT_FOLDER = NodeId(0, 84)
+TYPE_FOLDER = NodeId(0, 61)          # FolderType
+TYPE_BASE_DATA_VARIABLE = NodeId(0, 63)
+REF_ORGANIZES = NodeId(0, 35)
+REF_HAS_TYPE_DEFINITION = NodeId(0, 40)
+REF_HIERARCHICAL = NodeId(0, 33)
+DT_BOOLEAN = NodeId(0, 1)
+DT_DOUBLE = NodeId(0, 11)
+
+
+# --------------------------------------------------------------------------
+# Request / response headers
+# --------------------------------------------------------------------------
+
+@dataclass
+class RequestHeader:
+    auth_token: NodeId = field(default_factory=lambda: NULL_NODE_ID)
+    timestamp: int = 0
+    request_handle: int = 0
+    return_diagnostics: int = 0
+    audit_entry_id: Optional[str] = None
+    timeout_hint: int = 0
+
+    def encode(self, e: Encoder) -> None:
+        e.node_id(self.auth_token)
+        e.datetime(self.timestamp)
+        e.uint32(self.request_handle)
+        e.uint32(self.return_diagnostics)
+        e.string(self.audit_entry_id)
+        e.uint32(self.timeout_hint)
+        e.extension_object(ExtensionObject())   # additionalHeader: none
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "RequestHeader":
+        h = cls(auth_token=d.node_id(), timestamp=d.datetime(),
+                request_handle=d.uint32(), return_diagnostics=d.uint32(),
+                audit_entry_id=d.string(), timeout_hint=d.uint32())
+        d.extension_object()
+        return h
+
+
+@dataclass
+class ResponseHeader:
+    timestamp: int = 0
+    request_handle: int = 0
+    service_result: int = GOOD
+
+    def encode(self, e: Encoder) -> None:
+        e.datetime(self.timestamp)
+        e.uint32(self.request_handle)
+        e.status_code(self.service_result)
+        e.diagnostic_info()
+        e.array([], lambda enc, s: enc.string(s))   # stringTable
+        e.extension_object(ExtensionObject())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ResponseHeader":
+        h = cls(timestamp=d.datetime(), request_handle=d.uint32(),
+                service_result=d.status_code())
+        d.diagnostic_info()
+        d.array(lambda dec: dec.string())
+        d.extension_object()
+        return h
+
+
+# --------------------------------------------------------------------------
+# Connection protocol messages (HEL / ACK / ERR)
+# --------------------------------------------------------------------------
+
+@dataclass
+class Hello:
+    protocol_version: int = 0
+    receive_buffer_size: int = 65536
+    send_buffer_size: int = 65536
+    max_message_size: int = 16 * 1024 * 1024
+    max_chunk_count: int = 1
+    endpoint_url: str = ""
+
+    def encode(self) -> bytes:
+        e = Encoder()
+        e.uint32(self.protocol_version)
+        e.uint32(self.receive_buffer_size)
+        e.uint32(self.send_buffer_size)
+        e.uint32(self.max_message_size)
+        e.uint32(self.max_chunk_count)
+        e.string(self.endpoint_url)
+        return frame("HEL", e.data())
+
+    @classmethod
+    def decode(cls, body: bytes) -> "Hello":
+        d = Decoder(body)
+        return cls(d.uint32(), d.uint32(), d.uint32(), d.uint32(),
+                   d.uint32(), d.string() or "")
+
+
+@dataclass
+class Acknowledge:
+    protocol_version: int = 0
+    receive_buffer_size: int = 65536
+    send_buffer_size: int = 65536
+    max_message_size: int = 16 * 1024 * 1024
+    max_chunk_count: int = 1
+
+    def encode(self) -> bytes:
+        e = Encoder()
+        e.uint32(self.protocol_version)
+        e.uint32(self.receive_buffer_size)
+        e.uint32(self.send_buffer_size)
+        e.uint32(self.max_message_size)
+        e.uint32(self.max_chunk_count)
+        return frame("ACK", e.data())
+
+    @classmethod
+    def decode(cls, body: bytes) -> "Acknowledge":
+        d = Decoder(body)
+        return cls(d.uint32(), d.uint32(), d.uint32(), d.uint32(),
+                   d.uint32())
+
+
+def encode_error(status: int, reason: str) -> bytes:
+    e = Encoder()
+    e.status_code(status)
+    e.string(reason)
+    return frame("ERR", e.data())
+
+
+def frame(msg_type: str, body: bytes, chunk: str = "F") -> bytes:
+    """8-byte message header + body (OPC 10000-6 §7.1.2)."""
+    assert len(msg_type) == 3
+    header = msg_type.encode("ascii") + chunk.encode("ascii")
+    e = Encoder()
+    e.raw(header)
+    e.uint32(8 + len(body))
+    e.raw(body)
+    return e.data()
+
+
+# --------------------------------------------------------------------------
+# Secure conversation headers
+# --------------------------------------------------------------------------
+
+@dataclass
+class AsymmetricHeader:
+    """OPN security header: policy URI + null cert fields for None."""
+
+    secure_channel_id: int = 0
+    policy_uri: str = SECURITY_POLICY_NONE
+
+    def encode(self, e: Encoder) -> None:
+        e.uint32(self.secure_channel_id)
+        e.string(self.policy_uri)
+        e.bytestring(None)   # senderCertificate
+        e.bytestring(None)   # receiverCertificateThumbprint
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "AsymmetricHeader":
+        h = cls(secure_channel_id=d.uint32(), policy_uri=d.string() or "")
+        d.bytestring()
+        d.bytestring()
+        return h
+
+
+@dataclass
+class SequenceHeader:
+    sequence_number: int = 1
+    request_id: int = 1
+
+    def encode(self, e: Encoder) -> None:
+        e.uint32(self.sequence_number)
+        e.uint32(self.request_id)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "SequenceHeader":
+        return cls(d.uint32(), d.uint32())
+
+
+# --------------------------------------------------------------------------
+# Channel / session services
+# --------------------------------------------------------------------------
+
+@dataclass
+class OpenSecureChannelRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    client_protocol_version: int = 0
+    request_type: int = 0        # 0 = issue, 1 = renew
+    security_mode: int = 1       # 1 = None
+    client_nonce: Optional[bytes] = None
+    requested_lifetime_ms: int = 3600_000
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.uint32(self.client_protocol_version)
+        e.int32(self.request_type)
+        e.int32(self.security_mode)
+        e.bytestring(self.client_nonce)
+        e.uint32(self.requested_lifetime_ms)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "OpenSecureChannelRequest":
+        return cls(RequestHeader.decode(d), d.uint32(), d.int32(),
+                   d.int32(), d.bytestring(), d.uint32())
+
+
+@dataclass
+class ChannelSecurityToken:
+    channel_id: int = 0
+    token_id: int = 0
+    created_at: int = 0
+    revised_lifetime_ms: int = 3600_000
+
+    def encode(self, e: Encoder) -> None:
+        e.uint32(self.channel_id)
+        e.uint32(self.token_id)
+        e.datetime(self.created_at)
+        e.uint32(self.revised_lifetime_ms)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ChannelSecurityToken":
+        return cls(d.uint32(), d.uint32(), d.datetime(), d.uint32())
+
+
+@dataclass
+class OpenSecureChannelResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    server_protocol_version: int = 0
+    token: ChannelSecurityToken = field(
+        default_factory=ChannelSecurityToken)
+    server_nonce: Optional[bytes] = None
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.uint32(self.server_protocol_version)
+        self.token.encode(e)
+        e.bytestring(self.server_nonce)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "OpenSecureChannelResponse":
+        return cls(ResponseHeader.decode(d), d.uint32(),
+                   ChannelSecurityToken.decode(d), d.bytestring())
+
+
+@dataclass
+class ApplicationDescription:
+    application_uri: str = ""
+    product_uri: str = ""
+    application_name: LocalizedText = field(
+        default_factory=LocalizedText)
+    application_type: int = 0    # 0 = server
+    discovery_urls: List[str] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        e.string(self.application_uri)
+        e.string(self.product_uri)
+        e.localized_text(self.application_name)
+        e.int32(self.application_type)
+        e.string(None)   # gatewayServerUri
+        e.string(None)   # discoveryProfileUri
+        e.array(self.discovery_urls, lambda enc, s: enc.string(s))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ApplicationDescription":
+        a = cls(d.string() or "", d.string() or "", d.localized_text(),
+                d.int32())
+        d.string()
+        d.string()
+        a.discovery_urls = d.array(lambda dec: dec.string()) or []
+        return a
+
+
+@dataclass
+class UserTokenPolicy:
+    policy_id: str = "anonymous"
+    token_type: int = 0          # 0 = anonymous
+
+    def encode(self, e: Encoder) -> None:
+        e.string(self.policy_id)
+        e.int32(self.token_type)
+        e.string(None)   # issuedTokenType
+        e.string(None)   # issuerEndpointUrl
+        e.string(None)   # securityPolicyUri (inherit endpoint's)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "UserTokenPolicy":
+        p = cls(d.string() or "", d.int32())
+        d.string()
+        d.string()
+        d.string()
+        return p
+
+
+@dataclass
+class EndpointDescription:
+    endpoint_url: str = ""
+    server: ApplicationDescription = field(
+        default_factory=ApplicationDescription)
+    security_mode: int = 1       # MessageSecurityMode None
+    security_policy_uri: str = SECURITY_POLICY_NONE
+    user_identity_tokens: List[UserTokenPolicy] = field(
+        default_factory=lambda: [UserTokenPolicy()])
+    security_level: int = 0
+
+    def encode(self, e: Encoder) -> None:
+        e.string(self.endpoint_url)
+        self.server.encode(e)
+        e.bytestring(None)   # serverCertificate
+        e.int32(self.security_mode)
+        e.string(self.security_policy_uri)
+        e.array(self.user_identity_tokens,
+                lambda enc, t: t.encode(enc))
+        e.string(TRANSPORT_PROFILE_BINARY)
+        e.byte(self.security_level)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "EndpointDescription":
+        ep = cls(d.string() or "", ApplicationDescription.decode(d))
+        d.bytestring()
+        ep.security_mode = d.int32()
+        ep.security_policy_uri = d.string() or ""
+        ep.user_identity_tokens = d.array(UserTokenPolicy.decode) or []
+        d.string()
+        ep.security_level = d.byte()
+        return ep
+
+
+@dataclass
+class GetEndpointsRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    endpoint_url: str = ""
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.string(self.endpoint_url)
+        e.array([], lambda enc, s: enc.string(s))   # localeIds
+        e.array([], lambda enc, s: enc.string(s))   # profileUris
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "GetEndpointsRequest":
+        r = cls(RequestHeader.decode(d), d.string() or "")
+        d.array(lambda dec: dec.string())
+        d.array(lambda dec: dec.string())
+        return r
+
+
+@dataclass
+class GetEndpointsResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    endpoints: List[EndpointDescription] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.endpoints, lambda enc, ep: ep.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "GetEndpointsResponse":
+        return cls(ResponseHeader.decode(d),
+                   d.array(EndpointDescription.decode) or [])
+
+
+@dataclass
+class CreateSessionRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    client_description: ApplicationDescription = field(
+        default_factory=ApplicationDescription)
+    endpoint_url: str = ""
+    session_name: str = ""
+    client_nonce: Optional[bytes] = None
+    requested_timeout_ms: float = 3600_000.0
+    max_response_size: int = 16 * 1024 * 1024
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        self.client_description.encode(e)
+        e.string(None)   # serverUri
+        e.string(self.endpoint_url)
+        e.string(self.session_name)
+        e.bytestring(self.client_nonce)
+        e.bytestring(None)   # clientCertificate
+        e.double(self.requested_timeout_ms)
+        e.uint32(self.max_response_size)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "CreateSessionRequest":
+        h = RequestHeader.decode(d)
+        desc = ApplicationDescription.decode(d)
+        d.string()
+        r = cls(h, desc, d.string() or "", d.string() or "",
+                d.bytestring())
+        d.bytestring()
+        r.requested_timeout_ms = d.double()
+        r.max_response_size = d.uint32()
+        return r
+
+
+@dataclass
+class CreateSessionResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    session_id: NodeId = field(default_factory=lambda: NULL_NODE_ID)
+    auth_token: NodeId = field(default_factory=lambda: NULL_NODE_ID)
+    revised_timeout_ms: float = 3600_000.0
+    endpoints: List[EndpointDescription] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.node_id(self.session_id)
+        e.node_id(self.auth_token)
+        e.double(self.revised_timeout_ms)
+        e.bytestring(None)   # serverNonce
+        e.bytestring(None)   # serverCertificate
+        e.array(self.endpoints, lambda enc, ep: ep.encode(enc))
+        e.array([], lambda enc, c: None)   # serverSoftwareCertificates
+        e.string(None)       # serverSignature.algorithm
+        e.bytestring(None)   # serverSignature.signature
+        e.uint32(16 * 1024 * 1024)   # maxRequestMessageSize
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "CreateSessionResponse":
+        r = cls(ResponseHeader.decode(d), d.node_id(), d.node_id(),
+                d.double())
+        d.bytestring()
+        d.bytestring()
+        r.endpoints = d.array(EndpointDescription.decode) or []
+        d.array(lambda dec: (dec.bytestring(), dec.bytestring()))
+        d.string()
+        d.bytestring()
+        d.uint32()
+        return r
+
+
+@dataclass
+class ActivateSessionRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    identity_token: ExtensionObject = field(
+        default_factory=lambda: _anonymous_token())
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.string(None)       # clientSignature.algorithm
+        e.bytestring(None)   # clientSignature.signature
+        e.array([], lambda enc, c: None)   # clientSoftwareCertificates
+        e.array([], lambda enc, s: enc.string(s))   # localeIds
+        e.extension_object(self.identity_token)
+        e.string(None)       # userTokenSignature.algorithm
+        e.bytestring(None)   # userTokenSignature.signature
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ActivateSessionRequest":
+        h = RequestHeader.decode(d)
+        d.string()
+        d.bytestring()
+        d.array(lambda dec: (dec.bytestring(), dec.bytestring()))
+        d.array(lambda dec: dec.string())
+        tok = d.extension_object()
+        d.string()
+        d.bytestring()
+        return cls(h, tok)
+
+
+def _anonymous_token() -> ExtensionObject:
+    body = Encoder().string("anonymous").data()
+    return ExtensionObject(NodeId(0, ID_ANONYMOUS_IDENTITY_TOKEN), body)
+
+
+@dataclass
+class ActivateSessionResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.bytestring(None)   # serverNonce
+        e.array([], lambda enc, s: enc.status_code(s))
+        e.array([], lambda enc, s: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ActivateSessionResponse":
+        r = cls(ResponseHeader.decode(d))
+        d.bytestring()
+        d.array(lambda dec: dec.status_code())
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+@dataclass
+class CloseSessionRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    delete_subscriptions: bool = True
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.boolean(self.delete_subscriptions)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "CloseSessionRequest":
+        return cls(RequestHeader.decode(d), d.boolean())
+
+
+@dataclass
+class CloseSessionResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "CloseSessionResponse":
+        return cls(ResponseHeader.decode(d))
+
+
+# --------------------------------------------------------------------------
+# Attribute services
+# --------------------------------------------------------------------------
+
+@dataclass
+class ReadValueId:
+    node_id: NodeId = field(default_factory=lambda: NULL_NODE_ID)
+    attribute_id: int = ATTR_VALUE
+
+    def encode(self, e: Encoder) -> None:
+        e.node_id(self.node_id)
+        e.uint32(self.attribute_id)
+        e.string(None)                       # indexRange
+        e.qualified_name(QualifiedName())    # dataEncoding
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ReadValueId":
+        r = cls(d.node_id(), d.uint32())
+        d.string()
+        d.qualified_name()
+        return r
+
+
+@dataclass
+class ReadRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    max_age: float = 0.0
+    timestamps_to_return: int = 0    # 0 = Source
+    nodes: List[ReadValueId] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.double(self.max_age)
+        e.int32(self.timestamps_to_return)
+        e.array(self.nodes, lambda enc, n: n.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ReadRequest":
+        return cls(RequestHeader.decode(d), d.double(), d.int32(),
+                   d.array(ReadValueId.decode) or [])
+
+
+@dataclass
+class ReadResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    results: List[DataValue] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.results, lambda enc, v: enc.data_value(v))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ReadResponse":
+        r = cls(ResponseHeader.decode(d),
+                d.array(lambda dec: dec.data_value()) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+@dataclass
+class WriteValue:
+    node_id: NodeId = field(default_factory=lambda: NULL_NODE_ID)
+    attribute_id: int = ATTR_VALUE
+    value: DataValue = field(default_factory=DataValue)
+
+    def encode(self, e: Encoder) -> None:
+        e.node_id(self.node_id)
+        e.uint32(self.attribute_id)
+        e.string(None)   # indexRange
+        e.data_value(self.value)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "WriteValue":
+        w = cls(d.node_id(), d.uint32())
+        d.string()
+        w.value = d.data_value()
+        return w
+
+
+@dataclass
+class WriteRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    nodes: List[WriteValue] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.nodes, lambda enc, n: n.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "WriteRequest":
+        return cls(RequestHeader.decode(d),
+                   d.array(WriteValue.decode) or [])
+
+
+@dataclass
+class WriteResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    results: List[int] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.results, lambda enc, s: enc.status_code(s))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "WriteResponse":
+        r = cls(ResponseHeader.decode(d),
+                d.array(lambda dec: dec.status_code()) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+# --------------------------------------------------------------------------
+# View service (Browse)
+# --------------------------------------------------------------------------
+
+@dataclass
+class BrowseDescription:
+    node_id: NodeId = field(default_factory=lambda: OBJECTS_FOLDER)
+    direction: int = 0               # 0 = forward
+    reference_type: NodeId = field(
+        default_factory=lambda: REF_HIERARCHICAL)
+    include_subtypes: bool = True
+    node_class_mask: int = 0         # 0 = all
+    result_mask: int = 0x3F          # everything
+
+    def encode(self, e: Encoder) -> None:
+        e.node_id(self.node_id)
+        e.int32(self.direction)
+        e.node_id(self.reference_type)
+        e.boolean(self.include_subtypes)
+        e.uint32(self.node_class_mask)
+        e.uint32(self.result_mask)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "BrowseDescription":
+        return cls(d.node_id(), d.int32(), d.node_id(), d.boolean(),
+                   d.uint32(), d.uint32())
+
+
+@dataclass
+class ReferenceDescription:
+    reference_type: NodeId = field(
+        default_factory=lambda: REF_ORGANIZES)
+    is_forward: bool = True
+    node_id: NodeId = field(default_factory=lambda: NULL_NODE_ID)
+    browse_name: QualifiedName = field(default_factory=QualifiedName)
+    display_name: LocalizedText = field(default_factory=LocalizedText)
+    node_class: int = NODECLASS_VARIABLE
+    type_definition: NodeId = field(
+        default_factory=lambda: TYPE_BASE_DATA_VARIABLE)
+
+    def encode(self, e: Encoder) -> None:
+        e.node_id(self.reference_type)
+        e.boolean(self.is_forward)
+        e.expanded_node_id(self.node_id)
+        e.qualified_name(self.browse_name)
+        e.localized_text(self.display_name)
+        e.uint32(self.node_class)
+        e.expanded_node_id(self.type_definition)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ReferenceDescription":
+        return cls(d.node_id(), d.boolean(), d.expanded_node_id(),
+                   d.qualified_name(), d.localized_text(), d.uint32(),
+                   d.expanded_node_id())
+
+
+@dataclass
+class BrowseResult:
+    status: int = GOOD
+    references: List[ReferenceDescription] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        e.status_code(self.status)
+        e.bytestring(None)   # continuationPoint
+        e.array(self.references, lambda enc, r: r.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "BrowseResult":
+        r = cls(d.status_code())
+        d.bytestring()
+        r.references = d.array(ReferenceDescription.decode) or []
+        return r
+
+
+@dataclass
+class BrowseRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    max_references: int = 0
+    nodes: List[BrowseDescription] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.node_id(NULL_NODE_ID)   # view.viewId
+        e.datetime(0)             # view.timestamp
+        e.uint32(0)               # view.viewVersion
+        e.uint32(self.max_references)
+        e.array(self.nodes, lambda enc, n: n.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "BrowseRequest":
+        h = RequestHeader.decode(d)
+        d.node_id()
+        d.datetime()
+        d.uint32()
+        return cls(h, d.uint32(), d.array(BrowseDescription.decode) or [])
+
+
+@dataclass
+class BrowseResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    results: List[BrowseResult] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.results, lambda enc, r: r.encode(enc))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "BrowseResponse":
+        r = cls(ResponseHeader.decode(d),
+                d.array(BrowseResult.decode) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+@dataclass
+class ServiceFault:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ServiceFault":
+        return cls(ResponseHeader.decode(d))
+
+
+# --------------------------------------------------------------------------
+# Message body helpers
+# --------------------------------------------------------------------------
+
+def encode_service(type_id: int, struct_obj) -> bytes:
+    """TypeId NodeId + struct body — the payload after the sequence
+    header in OPN/MSG chunks."""
+    e = Encoder()
+    e.node_id(NodeId(0, type_id))
+    struct_obj.encode(e)
+    return e.data()
+
+
+def decode_service_id(d: Decoder) -> int:
+    n = d.node_id()
+    if n.namespace != 0 or not isinstance(n.identifier, int):
+        raise DecodeError(f"non-standard service type id {n}")
+    return n.identifier
+
+
+def read_exact_message(data: bytes) -> Optional[tuple]:
+    """Split one framed message off ``data``: returns
+    ``(msg_type, chunk_type, body, rest)`` or None if incomplete."""
+    if len(data) < 8:
+        return None
+    msg_type = data[0:3].decode("ascii", "replace")
+    chunk_type = chr(data[3])
+    size = int.from_bytes(data[4:8], "little")
+    if size < 8 or size > 64 * 1024 * 1024:
+        raise DecodeError(f"bad message size {size}")
+    if len(data) < size:
+        return None
+    return msg_type, chunk_type, data[8:size], data[size:]

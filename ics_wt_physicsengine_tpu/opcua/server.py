@@ -1,0 +1,564 @@
+"""
+OPC UA server (binary transport, SecurityPolicy#None) for the plant.
+
+Delivers the reference's last roadmap row — "OPC UA server (in addition
+to Modbus)" (/root/reference/README.md:456) — without any external OPC UA
+stack: transport, secure-channel, session and the Read/Write/Browse
+services are implemented from the spec in this package.
+
+Design: the OPC UA server does NOT own plant state. It bridges onto a
+``ModbusSlave``'s thread-safe, name-based register API, so OPC UA clients
+and Modbus masters always see the same values, writes from either plane
+land in the same holding registers/coils the orchestrator validates, and
+the simulation loop is untouched. The address space mirrors the register
+map:
+
+    Objects (i=85)
+      Unit<u>                      ns=1;s=u<u>           (one per unit id)
+        <input_register name>      ns=1;s=u<u>.<name>    Double, read-only
+        <holding_register name>    ns=1;s=u<u>.<name>    Double, writable
+        <coil name>                ns=1;s=u<u>.<name>    Boolean, writable
+        <discrete_input name>      ns=1;s=u<u>.<name>    Boolean, read-only
+
+Scope (documented, tested): anonymous auth over policy None only,
+single-chunk messages, no subscriptions (clients poll Read — the same
+cadence a Modbus master uses). Certificate security needs a crypto/PKI
+stack that is out of scope here; the Modbus planes' hardening posture
+(cluster-internal, docs/SECURITY.md) applies to this port too.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import threading
+import time
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+from ics_wt_physicsengine_tpu.modbus.register_map import RegisterType
+from ics_wt_physicsengine_tpu.opcua import messages as M
+from ics_wt_physicsengine_tpu.opcua.encoding import (
+    DataValue,
+    DecodeError,
+    Decoder,
+    Encoder,
+    LocalizedText,
+    NodeId,
+    QualifiedName,
+    Variant,
+    VT_BOOLEAN,
+    VT_DOUBLE,
+    unix_to_filetime,
+)
+
+logger = logging.getLogger(__name__)
+
+NAMESPACE = 1
+APPLICATION_URI = "urn:ics-wt-physicsengine-tpu:plant"
+PRODUCT_URI = "urn:ics-wt-physicsengine-tpu"
+
+
+@dataclass(frozen=True)
+class _Node:
+    """One variable in the mirrored address space."""
+
+    unit: int
+    register: str
+    kind: RegisterType
+    writable: bool
+    units: str
+    description: str
+
+    @property
+    def is_boolean(self) -> bool:
+        return self.kind in (RegisterType.COIL,
+                             RegisterType.DISCRETE_INPUT)
+
+
+class OPCUAServer:
+    """Serve the plant over OPC UA TCP, bridged onto a ModbusSlave.
+
+    Same lifecycle pattern as the Modbus slave: asyncio loop in a daemon
+    thread, Event-gated start/stop."""
+
+    def __init__(self, slave, host: str = "0.0.0.0", port: int = 4840):
+        self.slave = slave
+        self.host = host
+        self.port = port
+        self._endpoint_url = f"opc.tcp://{host}:{port}/plant"
+
+        # Address space: unit folders + one node per register
+        self._nodes: Dict[str, _Node] = {}
+        self._children: Dict[str, list] = {}   # folder sid -> child sids
+        rm = slave.register_map
+        for u in slave.units:
+            folder = f"u{u}"
+            self._children[folder] = []
+            for reg in (list(rm.input_registers)
+                        + list(rm.holding_registers) + list(rm.coils)
+                        + list(rm.discrete_inputs)):
+                writable = reg.register_type in (
+                    RegisterType.HOLDING_REGISTER, RegisterType.COIL)
+                sid = f"{folder}.{reg.name}"
+                self._nodes[sid] = _Node(u, reg.name, reg.register_type,
+                                         writable, reg.units,
+                                         reg.description)
+                self._children[folder].append(sid)
+
+        self._server_ready = threading.Event()
+        self._shutdown = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._actual_port: Optional[int] = None
+        self._next_channel = 1
+        self._next_session = 1
+        self._lock = threading.Lock()
+        self.request_count = 0
+
+    # ------------------------------------------------------------------
+    # Lifecycle (mirrors ModbusSlave.start/stop)
+    # ------------------------------------------------------------------
+
+    def start(self, blocking: bool = False) -> None:
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="opcua-server")
+        self._thread.start()
+        if not self._server_ready.wait(timeout=10.0):
+            raise RuntimeError("OPC UA server failed to start within 10 s")
+        logger.info("OPC UA server listening on %s", self._endpoint_url)
+        if blocking:
+            self._thread.join()
+
+    def stop(self) -> None:
+        self._shutdown.set()
+        if self._thread is not None:
+            self._thread.join(timeout=3.0)
+
+    @property
+    def actual_port(self) -> Optional[int]:
+        return self._actual_port
+
+    def _run(self) -> None:
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+        try:
+            self._loop.run_until_complete(self._serve())
+        finally:
+            self._loop.close()
+
+    async def _serve(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle_client, self.host, self.port)
+        self._actual_port = self._server.sockets[0].getsockname()[1]
+        self._endpoint_url = (
+            f"opc.tcp://{self.host}:{self._actual_port}/plant")
+        self._server_ready.set()
+        try:
+            while not self._shutdown.is_set():
+                await asyncio.sleep(0.1)
+        finally:
+            self._server.close()
+            pending = [t for t in asyncio.all_tasks()
+                       if t is not asyncio.current_task()]
+            for t in pending:
+                t.cancel()
+            await asyncio.gather(*pending, return_exceptions=True)
+            await self._server.wait_closed()
+
+    # ------------------------------------------------------------------
+    # Connection handling
+    # ------------------------------------------------------------------
+
+    async def _handle_client(self, reader: asyncio.StreamReader,
+                             writer: asyncio.StreamWriter) -> None:
+        peer = writer.get_extra_info("peername")
+        state = _ClientState()
+        buf = b""
+        try:
+            while True:
+                chunk = await asyncio.wait_for(reader.read(65536),
+                                               timeout=300.0)
+                if not chunk:
+                    break
+                buf += chunk
+                if len(buf) > 64 * 1024 * 1024:
+                    raise DecodeError("client buffer overrun")
+                while True:
+                    split = M.read_exact_message(buf)
+                    if split is None:
+                        break
+                    msg_type, chunk_type, body, buf = split
+                    reply = self._dispatch(msg_type, chunk_type, body,
+                                           state)
+                    if reply:
+                        writer.write(reply)
+                        await asyncio.wait_for(writer.drain(),
+                                               timeout=10.0)
+                    if state.closed:
+                        return
+        except (asyncio.TimeoutError, asyncio.IncompleteReadError,
+                ConnectionError):
+            pass
+        except DecodeError as e:
+            logger.debug("OPC UA decode error from %s: %s", peer, e)
+            try:
+                writer.write(M.encode_error(M.BAD_DECODING_ERROR, str(e)))
+                await asyncio.wait_for(writer.drain(), timeout=5.0)
+            except (ConnectionError, asyncio.TimeoutError):
+                pass
+        except asyncio.CancelledError:
+            raise
+        except Exception:   # noqa: BLE001 — never kill the server thread
+            logger.exception("OPC UA handler error from %s", peer)
+        finally:
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except (ConnectionError, OSError):
+                pass
+
+    # ------------------------------------------------------------------
+    # Message dispatch
+    # ------------------------------------------------------------------
+
+    def _dispatch(self, msg_type: str, chunk_type: str, body: bytes,
+                  state: "_ClientState") -> bytes:
+        self.request_count += 1
+        if chunk_type != "F":
+            return M.encode_error(M.BAD_TCP_MESSAGE_TYPE_INVALID,
+                                  "multi-chunk messages not supported")
+        if msg_type == "HEL":
+            hello = M.Hello.decode(body)
+            state.said_hello = True
+            return M.Acknowledge(
+                protocol_version=0,
+                receive_buffer_size=min(hello.receive_buffer_size, 65536),
+                send_buffer_size=min(hello.send_buffer_size, 65536),
+                max_message_size=16 * 1024 * 1024,
+                max_chunk_count=1).encode()
+        if not state.said_hello:
+            return M.encode_error(M.BAD_TCP_MESSAGE_TYPE_INVALID,
+                                  "expected HEL first")
+        if msg_type == "OPN":
+            return self._handle_open(body, state)
+        if msg_type == "CLO":
+            state.closed = True
+            return b""
+        if msg_type == "MSG":
+            return self._handle_msg(body, state)
+        return M.encode_error(M.BAD_TCP_MESSAGE_TYPE_INVALID,
+                              f"unknown message type {msg_type!r}")
+
+    def _handle_open(self, body: bytes, state: "_ClientState") -> bytes:
+        d = Decoder(body)
+        asym = M.AsymmetricHeader.decode(d)
+        if asym.policy_uri != M.SECURITY_POLICY_NONE:
+            return M.encode_error(
+                M.BAD_SECURITY_POLICY_REJECTED,
+                f"only {M.SECURITY_POLICY_NONE} is supported")
+        seq = M.SequenceHeader.decode(d)
+        service_id = M.decode_service_id(d)
+        if service_id != M.ID_OPEN_CHANNEL_REQ:
+            return M.encode_error(M.BAD_DECODING_ERROR,
+                                  "OPN must carry OpenSecureChannelRequest")
+        req = M.OpenSecureChannelRequest.decode(d)
+        with self._lock:
+            if state.channel_id == 0:
+                state.channel_id = self._next_channel
+                self._next_channel += 1
+            state.token_id += 1
+        now = unix_to_filetime(time.time())
+        rsp = M.OpenSecureChannelResponse(
+            header=M.ResponseHeader(
+                timestamp=now,
+                request_handle=req.header.request_handle),
+            token=M.ChannelSecurityToken(
+                channel_id=state.channel_id, token_id=state.token_id,
+                created_at=now,
+                revised_lifetime_ms=req.requested_lifetime_ms or 3600_000))
+        e = Encoder()
+        M.AsymmetricHeader(state.channel_id).encode(e)
+        M.SequenceHeader(seq.sequence_number, seq.request_id).encode(e)
+        e.raw(M.encode_service(M.ID_OPEN_CHANNEL_RSP, rsp))
+        return M.frame("OPN", e.data())
+
+    def _handle_msg(self, body: bytes, state: "_ClientState") -> bytes:
+        d = Decoder(body)
+        channel_id = d.uint32()
+        token_id = d.uint32()
+        if (channel_id != state.channel_id
+                or token_id not in (state.token_id, 0)):
+            return M.encode_error(M.BAD_SECURE_CHANNEL_ID_INVALID,
+                                  "no such secure channel")
+        seq = M.SequenceHeader.decode(d)
+        service_id = M.decode_service_id(d)
+        rsp_id, rsp = self._handle_service(service_id, d, state)
+        e = Encoder()
+        e.uint32(state.channel_id)
+        e.uint32(state.token_id)
+        M.SequenceHeader(seq.sequence_number, seq.request_id).encode(e)
+        e.raw(M.encode_service(rsp_id, rsp))
+        return M.frame("MSG", e.data())
+
+    # ------------------------------------------------------------------
+    # Services
+    # ------------------------------------------------------------------
+
+    def _endpoints(self) -> list:
+        app = M.ApplicationDescription(
+            application_uri=APPLICATION_URI, product_uri=PRODUCT_URI,
+            application_name=LocalizedText(
+                "Water Treatment Simulator (TPU)", "en"),
+            discovery_urls=[self._endpoint_url])
+        return [M.EndpointDescription(endpoint_url=self._endpoint_url,
+                                      server=app)]
+
+    def _fault(self, req_header: M.RequestHeader, status: int):
+        return M.ID_SERVICE_FAULT, M.ServiceFault(
+            M.ResponseHeader(timestamp=unix_to_filetime(time.time()),
+                             request_handle=req_header.request_handle,
+                             service_result=status))
+
+    def _handle_service(self, service_id: int, d: Decoder,
+                        state: "_ClientState"):
+        now = unix_to_filetime(time.time())
+
+        if service_id == M.ID_GET_ENDPOINTS_REQ:
+            req = M.GetEndpointsRequest.decode(d)
+            return M.ID_GET_ENDPOINTS_RSP, M.GetEndpointsResponse(
+                M.ResponseHeader(now, req.header.request_handle),
+                self._endpoints())
+
+        if service_id == M.ID_CREATE_SESSION_REQ:
+            req = M.CreateSessionRequest.decode(d)
+            with self._lock:
+                sid = self._next_session
+                self._next_session += 1
+            state.session_id = NodeId(NAMESPACE, f"session-{sid}")
+            state.auth_token = NodeId(NAMESPACE, f"token-{sid}")
+            state.activated = False
+            return M.ID_CREATE_SESSION_RSP, M.CreateSessionResponse(
+                M.ResponseHeader(now, req.header.request_handle),
+                session_id=state.session_id,
+                auth_token=state.auth_token,
+                revised_timeout_ms=req.requested_timeout_ms or 3600_000.0,
+                endpoints=self._endpoints())
+
+        if service_id == M.ID_ACTIVATE_SESSION_REQ:
+            req = M.ActivateSessionRequest.decode(d)
+            if req.header.auth_token != state.auth_token:
+                return self._fault(req.header, M.BAD_SESSION_ID_INVALID)
+            state.activated = True
+            return M.ID_ACTIVATE_SESSION_RSP, M.ActivateSessionResponse(
+                M.ResponseHeader(now, req.header.request_handle))
+
+        if service_id == M.ID_CLOSE_SESSION_REQ:
+            req = M.CloseSessionRequest.decode(d)
+            state.activated = False
+            state.session_id = None
+            return M.ID_CLOSE_SESSION_RSP, M.CloseSessionResponse(
+                M.ResponseHeader(now, req.header.request_handle))
+
+        if service_id == M.ID_READ_REQ:
+            req = M.ReadRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            results = [self._read_attribute(n, now) for n in req.nodes]
+            return M.ID_READ_RSP, M.ReadResponse(
+                M.ResponseHeader(now, req.header.request_handle), results)
+
+        if service_id == M.ID_WRITE_REQ:
+            req = M.WriteRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            results = [self._write_attribute(n) for n in req.nodes]
+            return M.ID_WRITE_RSP, M.WriteResponse(
+                M.ResponseHeader(now, req.header.request_handle), results)
+
+        if service_id == M.ID_BROWSE_REQ:
+            req = M.BrowseRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            results = [self._browse_node(b, req.max_references)
+                       for b in req.nodes]
+            return M.ID_BROWSE_RSP, M.BrowseResponse(
+                M.ResponseHeader(now, req.header.request_handle), results)
+
+        hdr = M.RequestHeader.decode(d)
+        return self._fault(hdr, M.BAD_SERVICE_UNSUPPORTED)
+
+    def _session_ok(self, header: M.RequestHeader,
+                    state: "_ClientState") -> bool:
+        return state.activated and header.auth_token == state.auth_token
+
+    # ------------------------------------------------------------------
+    # Address space
+    # ------------------------------------------------------------------
+
+    def _lookup(self, node_id: NodeId) -> Optional[_Node]:
+        if node_id.namespace != NAMESPACE or not isinstance(
+                node_id.identifier, str):
+            return None
+        return self._nodes.get(node_id.identifier)
+
+    def _read_value(self, node: _Node, now: int) -> DataValue:
+        try:
+            if node.kind == RegisterType.INPUT_REGISTER:
+                v = self.slave.read_input_register(node.register,
+                                                   unit=node.unit)
+                var = Variant(VT_DOUBLE, float(v))
+            elif node.kind == RegisterType.HOLDING_REGISTER:
+                v = self.slave.read_holding_register(node.register,
+                                                     unit=node.unit)
+                var = Variant(VT_DOUBLE, float(v))
+            elif node.kind == RegisterType.COIL:
+                var = Variant(VT_BOOLEAN, bool(
+                    self.slave.read_coil(node.register, unit=node.unit)))
+            else:
+                var = Variant(VT_BOOLEAN, bool(
+                    self.slave.read_discrete_input(node.register,
+                                                   unit=node.unit)))
+        except Exception:   # noqa: BLE001 — map store errors to a status
+            return DataValue(status=M.BAD_INTERNAL_ERROR,
+                             source_timestamp=now)
+        return DataValue(value=var, source_timestamp=now,
+                         server_timestamp=now)
+
+    def _read_attribute(self, rv: M.ReadValueId, now: int) -> DataValue:
+        nid = rv.node_id
+        # Folder nodes: Objects folder and unit folders
+        if nid == M.OBJECTS_FOLDER or (
+                nid.namespace == NAMESPACE
+                and isinstance(nid.identifier, str)
+                and nid.identifier in self._children):
+            return self._read_folder_attribute(nid, rv.attribute_id, now)
+        node = self._lookup(nid)
+        if node is None:
+            return DataValue(status=M.BAD_NODE_ID_UNKNOWN)
+        a = rv.attribute_id
+        if a == M.ATTR_VALUE:
+            return self._read_value(node, now)
+        if a == M.ATTR_NODE_ID:
+            var = Variant(17, nid)
+        elif a == M.ATTR_NODE_CLASS:
+            var = Variant(6, M.NODECLASS_VARIABLE)
+        elif a == M.ATTR_BROWSE_NAME:
+            var = Variant(20, QualifiedName(NAMESPACE, node.register))
+        elif a == M.ATTR_DISPLAY_NAME:
+            var = Variant(21, LocalizedText(node.register, "en"))
+        elif a == M.ATTR_DESCRIPTION:
+            text = node.description
+            if node.units:
+                text += f" [{node.units}]"
+            var = Variant(21, LocalizedText(text, "en"))
+        elif a == M.ATTR_DATA_TYPE:
+            var = Variant(17, M.DT_BOOLEAN if node.is_boolean
+                          else M.DT_DOUBLE)
+        elif a == M.ATTR_VALUE_RANK:
+            var = Variant(6, -1)   # scalar
+        elif a in (M.ATTR_ACCESS_LEVEL, M.ATTR_USER_ACCESS_LEVEL):
+            var = Variant(3, 0x03 if node.writable else 0x01)
+        else:
+            return DataValue(status=M.BAD_ATTRIBUTE_ID_INVALID)
+        return DataValue(value=var, source_timestamp=now)
+
+    def _read_folder_attribute(self, nid: NodeId, attr: int,
+                               now: int) -> DataValue:
+        name = ("Objects" if nid == M.OBJECTS_FOLDER
+                else f"Unit{nid.identifier[1:]}")
+        if attr == M.ATTR_NODE_ID:
+            var = Variant(17, nid)
+        elif attr == M.ATTR_NODE_CLASS:
+            var = Variant(6, M.NODECLASS_OBJECT)
+        elif attr == M.ATTR_BROWSE_NAME:
+            ns = 0 if nid == M.OBJECTS_FOLDER else NAMESPACE
+            var = Variant(20, QualifiedName(ns, name))
+        elif attr == M.ATTR_DISPLAY_NAME:
+            var = Variant(21, LocalizedText(name, "en"))
+        else:
+            return DataValue(status=M.BAD_ATTRIBUTE_ID_INVALID)
+        return DataValue(value=var, source_timestamp=now)
+
+    def _write_attribute(self, wv: M.WriteValue) -> int:
+        if wv.attribute_id != M.ATTR_VALUE:
+            return M.BAD_ATTRIBUTE_ID_INVALID
+        node = self._lookup(wv.node_id)
+        if node is None:
+            return M.BAD_NODE_ID_UNKNOWN
+        if not node.writable:
+            return M.BAD_NOT_WRITABLE
+        var = wv.value.value
+        if var is None:
+            return M.BAD_TYPE_MISMATCH
+        try:
+            if node.kind == RegisterType.COIL:
+                if var.type_id != VT_BOOLEAN:
+                    return M.BAD_TYPE_MISMATCH
+                self.slave.write_coil(node.register, bool(var.value),
+                                      unit=node.unit)
+            else:
+                if var.type_id not in (VT_DOUBLE, 10, 6, 7):
+                    return M.BAD_TYPE_MISMATCH
+                self.slave.write_holding_register(
+                    node.register, float(var.value), unit=node.unit)
+        except ValueError:
+            return M.BAD_OUT_OF_RANGE
+        except Exception:   # noqa: BLE001
+            return M.BAD_INTERNAL_ERROR
+        return M.GOOD
+
+    def _browse_node(self, b: M.BrowseDescription,
+                     max_references: int = 0) -> M.BrowseResult:
+        refs = []
+        if b.node_id == M.ROOT_FOLDER:
+            refs.append(M.ReferenceDescription(
+                node_id=M.OBJECTS_FOLDER,
+                browse_name=QualifiedName(0, "Objects"),
+                display_name=LocalizedText("Objects", "en"),
+                node_class=M.NODECLASS_OBJECT,
+                type_definition=M.TYPE_FOLDER))
+        elif b.node_id == M.OBJECTS_FOLDER:
+            for folder in self._children:
+                refs.append(M.ReferenceDescription(
+                    node_id=NodeId(NAMESPACE, folder),
+                    browse_name=QualifiedName(
+                        NAMESPACE, f"Unit{folder[1:]}"),
+                    display_name=LocalizedText(f"Unit{folder[1:]}", "en"),
+                    node_class=M.NODECLASS_OBJECT,
+                    type_definition=M.TYPE_FOLDER))
+        elif (b.node_id.namespace == NAMESPACE
+              and isinstance(b.node_id.identifier, str)
+              and b.node_id.identifier in self._children):
+            for sid in self._children[b.node_id.identifier]:
+                node = self._nodes[sid]
+                refs.append(M.ReferenceDescription(
+                    node_id=NodeId(NAMESPACE, sid),
+                    browse_name=QualifiedName(NAMESPACE, node.register),
+                    display_name=LocalizedText(node.register, "en"),
+                    node_class=M.NODECLASS_VARIABLE,
+                    type_definition=M.TYPE_BASE_DATA_VARIABLE))
+        elif self._lookup(b.node_id) is not None:
+            pass   # variables have no forward hierarchical references
+        else:
+            return M.BrowseResult(status=M.BAD_NODE_ID_UNKNOWN)
+        if max_references:
+            refs = refs[:max_references]
+        return M.BrowseResult(references=refs)
+
+
+class _ClientState:
+    """Per-connection transport/session state."""
+
+    def __init__(self) -> None:
+        self.said_hello = False
+        self.closed = False
+        self.channel_id = 0
+        self.token_id = 0
+        self.session_id: Optional[NodeId] = None
+        self.auth_token: Optional[NodeId] = None
+        self.activated = False

@@ -1,0 +1,440 @@
+"""
+OPC UA plane tests: wire-format golden bytes, encode/decode round-trips,
+and a live client <-> server session bridged onto a ModbusSlave.
+
+The golden byte strings pin the UA Binary layouts (OPC 10000-6 §5.1-5.2)
+independently of our own round-trip consistency: String length prefixes,
+NodeId encoding bytes, Variant masks, DataValue masks, and the 8-byte
+transport header.
+"""
+
+import threading
+import time
+import uuid
+
+import pytest
+
+from ics_wt_physicsengine_tpu.modbus.register_map import (
+    ModbusRegisterMap,
+)
+from ics_wt_physicsengine_tpu.modbus.slave import (
+    ModbusServerConfig,
+    ModbusSlave,
+)
+from ics_wt_physicsengine_tpu.opcua import messages as M
+from ics_wt_physicsengine_tpu.opcua.client import OPCUAClient, OPCUAError
+from ics_wt_physicsengine_tpu.opcua.encoding import (
+    DataValue,
+    Decoder,
+    Encoder,
+    LocalizedText,
+    NodeId,
+    QualifiedName,
+    Variant,
+    VT_BOOLEAN,
+    VT_DOUBLE,
+    VT_INT32,
+    VT_STRING,
+    filetime_to_unix,
+    unix_to_filetime,
+)
+from ics_wt_physicsengine_tpu.opcua.server import OPCUAServer
+
+
+# ---------------------------------------------------------------------------
+# Golden wire bytes (hand-computed from OPC 10000-6)
+# ---------------------------------------------------------------------------
+
+def test_golden_string():
+    # Int32 LE length + UTF-8; null string is length -1
+    assert Encoder().string("ab").data() == b"\x02\x00\x00\x00ab"
+    assert Encoder().string(None).data() == b"\xff\xff\xff\xff"
+    assert Encoder().string("").data() == b"\x00\x00\x00\x00"
+
+
+def test_golden_node_id():
+    # TwoByte: 0x00 + id byte
+    assert Encoder().node_id(NodeId(0, 85)).data() == b"\x00\x55"
+    # FourByte: 0x01 + ns byte + uint16 LE id
+    assert Encoder().node_id(NodeId(1, 631)).data() == \
+        b"\x01\x01\x77\x02"
+    # Numeric: 0x02 + uint16 ns + uint32 id
+    assert Encoder().node_id(NodeId(300, 70000)).data() == \
+        b"\x02\x2c\x01\x70\x11\x01\x00"
+    # String: 0x03 + uint16 ns + String
+    assert Encoder().node_id(NodeId(1, "u1.pH")).data() == \
+        b"\x03\x01\x00\x05\x00\x00\x00u1.pH"
+
+
+def test_golden_variant_and_datavalue():
+    # Scalar Double: mask 0x0B + 8-byte LE double (1.0 = 0x3FF0...)
+    assert Encoder().variant(Variant(VT_DOUBLE, 1.0)).data() == \
+        b"\x0b\x00\x00\x00\x00\x00\x00\xf0\x3f"
+    # Boolean array [T, F]: mask 0x81 + Int32 len + bytes
+    assert Encoder().variant(
+        Variant(VT_BOOLEAN, [True, False], is_array=True)).data() == \
+        b"\x81\x02\x00\x00\x00\x01\x00"
+    # DataValue with value only: mask 0x01 then variant
+    assert Encoder().data_value(
+        DataValue(value=Variant(VT_BOOLEAN, True))).data() == \
+        b"\x01\x01\x01"
+    # Null variant
+    assert Encoder().variant(Variant()).data() == b"\x00"
+
+
+def test_golden_transport_header():
+    # "HEL" + "F" + uint32 LE total size (8 header + 4 body)
+    framed = M.frame("HEL", b"\x01\x02\x03\x04")
+    assert framed == b"HELF\x0c\x00\x00\x00\x01\x02\x03\x04"
+    parsed = M.read_exact_message(framed + b"rest")
+    assert parsed == ("HEL", "F", b"\x01\x02\x03\x04", b"rest")
+    assert M.read_exact_message(framed[:7]) is None    # incomplete
+
+
+def test_golden_datetime_epoch():
+    # 1970-01-01 in FILETIME ticks
+    assert unix_to_filetime(0.0) == 116444736000000000
+    assert filetime_to_unix(116444736000000000) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Round-trips
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("node", [
+    NodeId(0, 0), NodeId(0, 255), NodeId(5, 1000), NodeId(300, 70000),
+    NodeId(1, "u3.pH_outlet"), NodeId(2, b"\x00\x01"),
+    NodeId(4, uuid.uuid4()),
+])
+def test_node_id_roundtrip(node):
+    data = Encoder().node_id(node).data()
+    assert Decoder(data).node_id() == node
+
+
+@pytest.mark.parametrize("variant", [
+    Variant(VT_DOUBLE, 3.14159), Variant(VT_BOOLEAN, False),
+    Variant(VT_INT32, -42), Variant(VT_STRING, "héllo"),
+    Variant(VT_DOUBLE, [1.0, 2.0, 3.0], is_array=True),
+    Variant(VT_STRING, ["a", None, "c"], is_array=True),
+    Variant(0, None),
+])
+def test_variant_roundtrip(variant):
+    data = Encoder().variant(variant).data()
+    out = Decoder(data).variant()
+    assert out == variant
+
+
+def test_data_value_roundtrip():
+    dv = DataValue(value=Variant(VT_DOUBLE, 7.25), status=None,
+                   source_timestamp=unix_to_filetime(1e9),
+                   server_timestamp=unix_to_filetime(1e9 + 1))
+    data = Encoder().data_value(dv).data()
+    out = Decoder(data).data_value()
+    assert out.value == dv.value
+    assert out.source_timestamp == dv.source_timestamp
+    assert out.server_timestamp == dv.server_timestamp
+
+
+def test_localized_text_qualified_name_roundtrip():
+    lt = LocalizedText("Water", "en")
+    qn = QualifiedName(1, "inlet_flow_rate")
+    data = Encoder().localized_text(lt).qualified_name(qn).data()
+    d = Decoder(data)
+    assert d.localized_text() == lt
+    assert d.qualified_name() == qn
+
+
+@pytest.mark.parametrize("cls,kwargs", [
+    (M.ReadRequest, dict(nodes=[M.ReadValueId(NodeId(1, "u1.pH"), 13)])),
+    (M.WriteRequest, dict(nodes=[M.WriteValue(
+        NodeId(1, "u1.x"), 13, DataValue(value=Variant(VT_DOUBLE, 2.0)))])),
+    (M.BrowseRequest, dict(max_references=10,
+                           nodes=[M.BrowseDescription()])),
+    (M.CreateSessionRequest, dict(endpoint_url="opc.tcp://x:1/plant",
+                                  session_name="s")),
+    (M.ActivateSessionRequest, {}),
+    (M.GetEndpointsRequest, dict(endpoint_url="opc.tcp://x:1/plant")),
+    (M.OpenSecureChannelRequest, dict(requested_lifetime_ms=60000)),
+    (M.CloseSessionRequest, {}),
+])
+def test_service_struct_roundtrip(cls, kwargs):
+    req = cls(M.RequestHeader(request_handle=9), **kwargs)
+    e = Encoder()
+    req.encode(e)
+    out = cls.decode(Decoder(e.data()))
+    assert out.header.request_handle == 9
+    e2 = Encoder()
+    out.encode(e2)
+    assert e2.data() == e.data()   # stable re-encode
+
+
+def test_response_struct_roundtrip():
+    rsp = M.ReadResponse(
+        M.ResponseHeader(request_handle=4, service_result=M.GOOD),
+        results=[DataValue(value=Variant(VT_DOUBLE, 6.5)),
+                 DataValue(status=M.BAD_NODE_ID_UNKNOWN)])
+    e = Encoder()
+    rsp.encode(e)
+    out = M.ReadResponse.decode(Decoder(e.data()))
+    assert out.header.request_handle == 4
+    assert out.results[0].value.value == 6.5
+    assert out.results[1].status == M.BAD_NODE_ID_UNKNOWN
+
+
+# ---------------------------------------------------------------------------
+# Live client <-> server over a real socket
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def plant_server():
+    """OPC UA server bridged onto a two-unit ModbusSlave (no Modbus
+    listener needed — the OPC UA plane reads the shared store)."""
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0),
+                        units=[1, 2])
+    slave.update_input_register("pH_outlet", 7.2, unit=1)
+    slave.update_input_register("pH_outlet", 6.9, unit=2)
+    slave.update_input_register("chlorine_outlet", 0.85, unit=1)
+    slave.write_holding_register("chlorine_flow_rate", 0.0, unit=1)
+    slave.write_coil("acid_pump_enable", True, unit=1)
+    slave.update_discrete_input("sensor_fault_pH_outlet", False, unit=1)
+    server = OPCUAServer(slave, host="127.0.0.1", port=0)
+    server.start()
+    yield server, slave
+    server.stop()
+
+
+def test_session_read_write_browse(plant_server):
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        # Reads see the values the orchestrator pushed into the store
+        assert c.read_double("u1.pH_outlet") == pytest.approx(7.2, 1e-5)
+        assert c.read_double("u2.pH_outlet") == pytest.approx(6.9, 1e-5)
+        assert c.read_double("u1.chlorine_outlet") == pytest.approx(
+            0.85, 1e-5)
+        assert c.read_bool("u1.acid_pump_enable") is True
+        assert c.read_bool("u1.sensor_fault_pH_outlet") is False
+
+        # Writes land in the SAME store a Modbus master would read
+        c.write_double("u1.chlorine_flow_rate", 0.75)
+        assert slave.read_holding_register(
+            "chlorine_flow_rate", unit=1) == pytest.approx(0.75, 1e-5)
+        c.write_bool("u2.acid_pump_enable", True)
+        assert slave.read_coil("acid_pump_enable", unit=2) is True
+
+        # And Modbus-side writes are visible over OPC UA
+        slave.write_holding_register("inlet_flow_rate", 9.5, unit=2)
+        assert c.read_double("u2.inlet_flow_rate") == pytest.approx(
+            9.5, 1e-5)
+
+        # Browse: Objects -> units -> registers
+        units = c.browse(M.OBJECTS_FOLDER)
+        assert units == ["Unit1", "Unit2"]
+        names = c.browse("u1")
+        assert "pH_outlet" in names
+        assert "chlorine_flow_rate" in names
+        assert "acid_pump_enable" in names
+
+        # Non-Value attributes: units ride in the Description
+        dv = c.read(["u1.chlorine_outlet"], M.ATTR_DESCRIPTION)[0]
+        assert "[mg/L]" in dv.value.value.text
+
+
+def test_error_statuses(plant_server):
+    server, _ = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        # Unknown node
+        dv = c.read(["u1.no_such_register"])[0]
+        assert dv.status == M.BAD_NODE_ID_UNKNOWN
+        with pytest.raises(OPCUAError):
+            c.read_double("u9.pH_outlet")       # unit not served
+        # Read-only: input registers and discrete inputs reject writes
+        status = c.write([("u1.pH_outlet",
+                           Variant(VT_DOUBLE, 5.0))])[0]
+        assert status == M.BAD_NOT_WRITABLE
+        # Type mismatch: boolean into a float register
+        status = c.write([("u1.chlorine_flow_rate",
+                           Variant(VT_BOOLEAN, True))])[0]
+        assert status == M.BAD_TYPE_MISMATCH
+        # Range: the +-1e9 register validation surfaces as OutOfRange
+        status = c.write([("u1.chlorine_flow_rate",
+                           Variant(VT_DOUBLE, 1e12))])[0]
+        assert status == M.BAD_OUT_OF_RANGE
+
+
+def test_get_endpoints_and_policy(plant_server):
+    server, _ = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        eps = c.get_endpoints()
+        assert len(eps) == 1
+        assert eps[0].security_policy_uri == M.SECURITY_POLICY_NONE
+        assert eps[0].security_mode == 1
+        tokens = eps[0].user_identity_tokens
+        assert any(t.token_type == 0 for t in tokens)   # anonymous
+
+
+def test_read_requires_activated_session(plant_server):
+    """A Read sent before ActivateSession must fault, not answer."""
+    import socket as socket_mod
+    from ics_wt_physicsengine_tpu.opcua.encoding import (
+        Decoder as Dec, Encoder as Enc)
+
+    server, _ = plant_server
+    c = OPCUAClient("127.0.0.1", server.actual_port)
+    c._sock = socket_mod.create_connection(
+        ("127.0.0.1", server.actual_port), timeout=5)
+    c._sock.sendall(M.Hello(endpoint_url="opc.tcp://x/plant").encode())
+    msg_type, _, _ = c._recv()
+    assert msg_type == "ACK"
+    c._open_channel()
+    with pytest.raises(OPCUAError) as err:
+        c.read(["u1.pH_outlet"])
+    assert err.value.status == M.BAD_SESSION_NOT_ACTIVATED
+    c._sock.close()
+
+
+def test_concurrent_clients(plant_server):
+    """16 concurrent sessions reading + writing distinct registers."""
+    server, slave = plant_server
+    errors = []
+
+    def worker(i):
+        try:
+            with OPCUAClient("127.0.0.1", server.actual_port) as c:
+                for _ in range(5):
+                    c.write_double("u1.acid_flow_rate", 7.0 + i * 0.01)
+                    c.read_double("u1.pH_outlet")
+                    c.browse("u1")
+        except Exception as e:   # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors
+    # last write from some worker is in range
+    v = slave.read_holding_register("acid_flow_rate", unit=1)
+    assert 7.0 <= v <= 7.16
+
+
+def test_malformed_frames_do_not_kill_server(plant_server):
+    """Garbage, truncated frames and bogus types get ERR or a drop — and
+    the server keeps serving well-formed clients afterwards."""
+    import socket as socket_mod
+
+    server, _ = plant_server
+    for payload in (b"\x00" * 16,
+                    b"HELF\xff\xff\xff\xff",         # absurd size
+                    b"XXXF\x0c\x00\x00\x00\x00\x00\x00\x00",
+                    M.frame("MSG", b"\x01\x02")):    # MSG before HEL
+        s = socket_mod.create_connection(
+            ("127.0.0.1", server.actual_port), timeout=5)
+        try:
+            s.sendall(payload)
+            s.settimeout(2.0)
+            try:
+                s.recv(4096)
+            except (TimeoutError, ConnectionError, OSError):
+                pass
+        finally:
+            s.close()
+    time.sleep(0.2)
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        assert c.read_double("u1.pH_outlet") == pytest.approx(7.2, 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Bridge over the C++ Modbus data plane
+# ---------------------------------------------------------------------------
+
+def test_bridge_over_native_slave():
+    """The OPC UA plane serves the C++ store too — both data planes expose
+    one set of registers (gated on the built native library)."""
+    from ics_wt_physicsengine_tpu.modbus.native_slave import (
+        NativeModbusSlave, is_available)
+    if not is_available():
+        pytest.skip("native Modbus library not built")
+    slave = NativeModbusSlave(ModbusRegisterMap(),
+                              ModbusServerConfig(host="127.0.0.1", port=0))
+    slave.update_input_register("pH_outlet", 7.33)
+    slave.update_discrete_input("sensor_fault_pH_outlet", True)
+    server = OPCUAServer(slave, host="127.0.0.1", port=0)
+    server.start()
+    try:
+        with OPCUAClient("127.0.0.1", server.actual_port) as c:
+            assert c.read_double("u1.pH_outlet") == pytest.approx(7.33, 1e-5)
+            assert c.read_bool("u1.sensor_fault_pH_outlet") is True
+            c.write_double("u1.acid_flow_rate", 3.25)
+        assert slave.read_holding_register("acid_flow_rate") == \
+            pytest.approx(3.25, 1e-5)
+    finally:
+        server.stop()
+        slave.stop()
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator CLI end-to-end (--opcua)
+# ---------------------------------------------------------------------------
+
+def test_orchestrator_serves_opcua():
+    """`--opcua PORT` serves the live plant: published measurements are
+    readable, and an OPC UA dosing write lands in the same validated
+    holding registers the control loop consumes."""
+    import contextlib
+    import socket as socket_mod
+
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    def free_port():
+        s = socket_mod.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    mb_port, ua_port = free_port(), free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(mb_port), "--host", "127.0.0.1", "--dt", "30",
+               "--duration", "100000", "--rtf", "0", "--seed", "11",
+               "--opcua", str(ua_port)],),
+        daemon=True)
+    thread.start()
+    try:
+        deadline = time.time() + 60
+        client = None
+        while time.time() < deadline:
+            try:
+                client = OPCUAClient("127.0.0.1", ua_port).connect()
+                break
+            except OSError:
+                time.sleep(0.3)
+        assert client is not None, "OPC UA server did not start"
+        with contextlib.closing(client) as c:
+            # Simulation time advances (plant is live behind the bridge)
+            deadline = time.time() + 120
+            t0 = c.read_double("u1.simulation_time")
+            while time.time() < deadline:
+                t1 = c.read_double("u1.simulation_time")
+                if t1 > t0 + 30.0:
+                    break
+                time.sleep(0.2)
+            assert t1 > t0 + 30.0
+            # Plant measurements become plausible once sensors warm up
+            deadline = time.time() + 120
+            ph = c.read_double("u1.pH_outlet")
+            while time.time() < deadline and not 6.0 < ph < 9.0:
+                time.sleep(0.2)
+                ph = c.read_double("u1.pH_outlet")
+            assert 6.0 < ph < 9.0
+            # A write lands in the orchestrator's validated command path
+            c.write_double("u1.chlorine_flow_rate", 2.5)
+            assert c.read_double("u1.chlorine_flow_rate") == \
+                pytest.approx(2.5, 1e-5)
+    finally:
+        orchestrator.running = False
+        thread.join(timeout=30)
