@@ -881,7 +881,9 @@ def read_exact_message(data: bytes) -> Optional[tuple]:
     msg_type = data[0:3].decode("ascii", "replace")
     chunk_type = chr(data[3])
     size = int.from_bytes(data[4:8], "little")
-    if size < 8 or size > 64 * 1024 * 1024:
+    # 16 MiB = the max_message_size the server advertises in ACK; a
+    # larger declared size is rejected before any buffering happens.
+    if size < 8 or size > 16 * 1024 * 1024:
         raise DecodeError(f"bad message size {size}")
     if len(data) < size:
         return None

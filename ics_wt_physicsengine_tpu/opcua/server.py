@@ -82,10 +82,19 @@ class OPCUAServer:
     Same lifecycle pattern as the Modbus slave: asyncio loop in a daemon
     thread, Event-gated start/stop."""
 
-    def __init__(self, slave, host: str = "0.0.0.0", port: int = 4840):
+    def __init__(self, slave, host: str = "0.0.0.0", port: int = 4840,
+                 max_connections: int = 32,
+                 idle_timeout_seconds: float = 300.0):
         self.slave = slave
         self.host = host
         self.port = port
+        # Same abuse posture as the Modbus planes (modbus/slave.py:80-86):
+        # excess clients are closed immediately (no queued server-side
+        # state), idle cap-slot holders are dropped, and response drains
+        # are bounded so a never-reading peer cannot pin a slot.
+        self.max_connections = max_connections
+        self.idle_timeout_seconds = idle_timeout_seconds
+        self._n_clients = 0
         self._endpoint_url = f"opc.tcp://{host}:{port}/plant"
 
         # Address space: unit folders + one node per register
@@ -174,16 +183,28 @@ class OPCUAServer:
     async def _handle_client(self, reader: asyncio.StreamReader,
                              writer: asyncio.StreamWriter) -> None:
         peer = writer.get_extra_info("peername")
+        # Single-threaded event loop, so a plain counter is race-free.
+        if self._n_clients >= self.max_connections:
+            logger.warning("Rejecting OPC UA client %s: %d connections "
+                           "already active (max_connections=%d)", peer,
+                           self._n_clients, self.max_connections)
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except (ConnectionError, OSError):
+                pass
+            return
+        self._n_clients += 1
         state = _ClientState()
         buf = b""
         try:
             while True:
-                chunk = await asyncio.wait_for(reader.read(65536),
-                                               timeout=300.0)
+                chunk = await asyncio.wait_for(
+                    reader.read(65536), timeout=self.idle_timeout_seconds)
                 if not chunk:
                     break
                 buf += chunk
-                if len(buf) > 64 * 1024 * 1024:
+                if len(buf) > 32 * 1024 * 1024:
                     raise DecodeError("client buffer overrun")
                 while True:
                     split = M.read_exact_message(buf)
@@ -213,6 +234,7 @@ class OPCUAServer:
         except Exception:   # noqa: BLE001 — never kill the server thread
             logger.exception("OPC UA handler error from %s", peer)
         finally:
+            self._n_clients -= 1
             writer.close()
             try:
                 await writer.wait_closed()

@@ -346,6 +346,50 @@ def test_malformed_frames_do_not_kill_server(plant_server):
         assert c.read_double("u1.pH_outlet") == pytest.approx(7.2, 1e-5)
 
 
+def test_connection_cap_and_idle_drop():
+    """Abuse posture matches the Modbus planes: excess connections are
+    refused immediately, and idle cap-slot holders are dropped."""
+    import socket as socket_mod
+
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0))
+    server = OPCUAServer(slave, host="127.0.0.1", port=0,
+                         max_connections=2, idle_timeout_seconds=0.5)
+    server.start()
+    try:
+        held = [socket_mod.create_connection(
+            ("127.0.0.1", server.actual_port), timeout=5)
+            for _ in range(2)]
+        time.sleep(0.1)
+        # Third connection: accepted at the TCP level but closed by the
+        # handler without serving anything.
+        s3 = socket_mod.create_connection(
+            ("127.0.0.1", server.actual_port), timeout=5)
+        s3.settimeout(3.0)
+        assert s3.recv(4096) == b""
+        s3.close()
+        # The held (idle) connections get dropped after the idle timeout,
+        # freeing their slots for a real client.
+        for s in held:
+            s.settimeout(3.0)
+            assert s.recv(4096) == b""
+            s.close()
+        with OPCUAClient("127.0.0.1", server.actual_port) as c:
+            assert c.browse(M.OBJECTS_FOLDER) == ["Unit1"]
+    finally:
+        server.stop()
+
+
+def test_oversized_frame_rejected_before_buffering():
+    """A declared frame size beyond the advertised max_message_size is
+    refused at the header, not buffered toward it."""
+    from ics_wt_physicsengine_tpu.opcua.messages import (
+        DecodeError as DE, read_exact_message)
+    hdr = b"MSGF" + (17 * 1024 * 1024).to_bytes(4, "little")
+    with pytest.raises(DE):
+        read_exact_message(hdr + b"\x00" * 16)
+
+
 # ---------------------------------------------------------------------------
 # Bridge over the C++ Modbus data plane
 # ---------------------------------------------------------------------------
