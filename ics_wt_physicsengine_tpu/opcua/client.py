@@ -165,16 +165,22 @@ class OPCUAClient:
                                request_handle=self._handle,
                                timeout_hint=int(self.timeout * 1000))
 
-    def _recv(self) -> Tuple[str, str, bytes]:
-        deadline = time.monotonic() + self.timeout
+    def _recv(self, timeout: Optional[float] = None
+              ) -> Tuple[str, str, bytes]:
+        deadline = time.monotonic() + (timeout or self.timeout)
         while True:
             split = M.read_exact_message(self._buf)
             if split is not None:
                 msg_type, chunk_type, body, self._buf = split
                 return msg_type, chunk_type, body
-            if time.monotonic() > deadline:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
                 raise OPCUAError(M.BAD_TIMEOUT, "receive timeout")
-            chunk = self._sock.recv(65536)
+            self._sock.settimeout(min(remaining, self.timeout))
+            try:
+                chunk = self._sock.recv(65536)
+            except (TimeoutError, socket.timeout):
+                continue    # re-check the deadline
             if not chunk:
                 raise OPCUAError(M.BAD_COMMUNICATION_ERROR,
                                  "connection closed by server")
@@ -191,7 +197,8 @@ class OPCUAClient:
         if status & 0x80000000:
             raise OPCUAError(status, context)
 
-    def _service(self, req_id: int, req, rsp_id: int, decode_rsp):
+    def _service(self, req_id: int, req, rsp_id: int, decode_rsp,
+                 timeout: Optional[float] = None):
         self._seq += 1
         self._req_id += 1
         e = Encoder()
@@ -200,7 +207,7 @@ class OPCUAClient:
         M.SequenceHeader(self._seq, self._req_id).encode(e)
         e.raw(M.encode_service(req_id, req))
         self._sock.sendall(M.frame("MSG", e.data()))
-        msg_type, _, body = self._recv()
+        msg_type, _, body = self._recv(timeout)
         if msg_type == "ERR":
             raise self._decode_err(body)
         if msg_type != "MSG":
@@ -293,3 +300,123 @@ class OPCUAClient:
                             M.GetEndpointsResponse.decode)
         self._check(rsp.header.service_result, "GetEndpoints")
         return rsp.endpoints
+
+    # ------------------------------------------------------------------
+    # Subscription services
+    # ------------------------------------------------------------------
+
+    def create_subscription(self, publishing_interval: float = 0.5,
+                            lifetime_count: int = 60,
+                            max_keepalive_count: int = 5,
+                            max_notifications: int = 0,
+                            publishing_enabled: bool = True
+                            ) -> Tuple[int, float]:
+        """Create a subscription; returns (subscription_id,
+        revised_publishing_interval_s)."""
+        req = M.CreateSubscriptionRequest(
+            self._request_header(),
+            requested_publishing_interval_ms=publishing_interval * 1000.0,
+            requested_lifetime_count=lifetime_count,
+            requested_max_keepalive_count=max_keepalive_count,
+            max_notifications_per_publish=max_notifications,
+            publishing_enabled=publishing_enabled)
+        rsp = self._service(M.ID_CREATE_SUBSCRIPTION_REQ, req,
+                            M.ID_CREATE_SUBSCRIPTION_RSP,
+                            M.CreateSubscriptionResponse.decode)
+        self._check(rsp.header.service_result, "CreateSubscription")
+        return (rsp.subscription_id,
+                rsp.revised_publishing_interval_ms / 1000.0)
+
+    def create_monitored_items(self, subscription_id: int,
+                               nodes: List[Union[str, NodeId]],
+                               client_handles: Optional[List[int]] = None,
+                               queue_size: int = 1,
+                               mode: int = 2
+                               ) -> List[M.MonitoredItemCreateResult]:
+        """Monitor the Value attribute of ``nodes``. ``client_handles``
+        default to the node's index in the list."""
+        handles = client_handles or list(range(len(nodes)))
+        req = M.CreateMonitoredItemsRequest(
+            self._request_header(), subscription_id=subscription_id,
+            items=[M.MonitoredItemCreateRequest(
+                item_to_monitor=M.ReadValueId(self._node(n)),
+                monitoring_mode=mode,
+                requested_parameters=M.MonitoringParameters(
+                    client_handle=h, queue_size=queue_size))
+                for n, h in zip(nodes, handles)])
+        rsp = self._service(M.ID_CREATE_MONITORED_ITEMS_REQ, req,
+                            M.ID_CREATE_MONITORED_ITEMS_RSP,
+                            M.CreateMonitoredItemsResponse.decode)
+        self._check(rsp.header.service_result, "CreateMonitoredItems")
+        return rsp.results
+
+    def publish(self,
+                acks: Optional[List[Tuple[int, int]]] = None,
+                timeout: Optional[float] = None) -> M.PublishResponse:
+        """Send one PublishRequest and block until the server answers
+        (data change or keepalive). ``acks`` is a list of
+        (subscription_id, sequence_number) pairs from prior responses.
+        Keepalives arrive after max_keepalive_count publishing
+        intervals — size ``timeout`` accordingly."""
+        req = M.PublishRequest(
+            self._request_header(),
+            acknowledgements=[M.SubscriptionAcknowledgement(s, q)
+                              for s, q in (acks or [])])
+        rsp = self._service(M.ID_PUBLISH_REQ, req, M.ID_PUBLISH_RSP,
+                            M.PublishResponse.decode, timeout=timeout)
+        self._check(rsp.header.service_result, "Publish")
+        return rsp
+
+    @staticmethod
+    def data_changes(rsp: M.PublishResponse
+                     ) -> List[Tuple[int, DataValue]]:
+        """Flatten a PublishResponse into (client_handle, DataValue)
+        pairs (empty for keepalives)."""
+        out = []
+        for obj in rsp.notification_message.notification_data:
+            dcn = M.DataChangeNotification.from_extension_object(obj)
+            out.extend((m.client_handle, m.value)
+                       for m in dcn.monitored_items)
+        return out
+
+    def republish(self, subscription_id: int,
+                  sequence_number: int) -> M.NotificationMessage:
+        req = M.RepublishRequest(
+            self._request_header(), subscription_id=subscription_id,
+            retransmit_sequence_number=sequence_number)
+        rsp = self._service(M.ID_REPUBLISH_REQ, req, M.ID_REPUBLISH_RSP,
+                            M.RepublishResponse.decode)
+        self._check(rsp.header.service_result, "Republish")
+        return rsp.notification_message
+
+    def set_publishing_mode(self, enabled: bool,
+                            subscription_ids: List[int]) -> List[int]:
+        req = M.SetPublishingModeRequest(
+            self._request_header(), publishing_enabled=enabled,
+            subscription_ids=subscription_ids)
+        rsp = self._service(M.ID_SET_PUBLISHING_MODE_REQ, req,
+                            M.ID_SET_PUBLISHING_MODE_RSP,
+                            M.SetPublishingModeResponse.decode)
+        self._check(rsp.header.service_result, "SetPublishingMode")
+        return rsp.results
+
+    def delete_monitored_items(self, subscription_id: int,
+                               item_ids: List[int]) -> List[int]:
+        req = M.DeleteMonitoredItemsRequest(
+            self._request_header(), subscription_id=subscription_id,
+            monitored_item_ids=item_ids)
+        rsp = self._service(M.ID_DELETE_MONITORED_ITEMS_REQ, req,
+                            M.ID_DELETE_MONITORED_ITEMS_RSP,
+                            M.DeleteMonitoredItemsResponse.decode)
+        self._check(rsp.header.service_result, "DeleteMonitoredItems")
+        return rsp.results
+
+    def delete_subscriptions(self,
+                             subscription_ids: List[int]) -> List[int]:
+        req = M.DeleteSubscriptionsRequest(
+            self._request_header(), subscription_ids=subscription_ids)
+        rsp = self._service(M.ID_DELETE_SUBSCRIPTIONS_REQ, req,
+                            M.ID_DELETE_SUBSCRIPTIONS_RSP,
+                            M.DeleteSubscriptionsResponse.decode)
+        self._check(rsp.header.service_result, "DeleteSubscriptions")
+        return rsp.results

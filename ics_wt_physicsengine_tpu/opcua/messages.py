@@ -60,6 +60,21 @@ ID_WRITE_RSP = 676
 ID_BROWSE_REQ = 527
 ID_BROWSE_RSP = 530
 ID_ANONYMOUS_IDENTITY_TOKEN = 321   # AnonymousIdentityToken binary encoding
+ID_CREATE_MONITORED_ITEMS_REQ = 751
+ID_CREATE_MONITORED_ITEMS_RSP = 754
+ID_DELETE_MONITORED_ITEMS_REQ = 781
+ID_DELETE_MONITORED_ITEMS_RSP = 784
+ID_CREATE_SUBSCRIPTION_REQ = 787
+ID_CREATE_SUBSCRIPTION_RSP = 790
+ID_SET_PUBLISHING_MODE_REQ = 799
+ID_SET_PUBLISHING_MODE_RSP = 802
+ID_DATA_CHANGE_NOTIFICATION = 811   # DataChangeNotification encoding node
+ID_PUBLISH_REQ = 826
+ID_PUBLISH_RSP = 829
+ID_REPUBLISH_REQ = 832
+ID_REPUBLISH_RSP = 835
+ID_DELETE_SUBSCRIPTIONS_REQ = 847
+ID_DELETE_SUBSCRIPTIONS_RSP = 850
 
 SECURITY_POLICY_NONE = "http://opcfoundation.org/UA/SecurityPolicy#None"
 TRANSPORT_PROFILE_BINARY = (
@@ -87,6 +102,15 @@ BAD_SECURITY_POLICY_REJECTED = 0x80550000
 BAD_TCP_MESSAGE_TYPE_INVALID = 0x807E0000
 BAD_TCP_ENDPOINT_URL_INVALID = 0x80830000
 BAD_REQUEST_TOO_LARGE = 0x80B80000
+BAD_NOTHING_TO_DO = 0x800F0000
+BAD_SUBSCRIPTION_ID_INVALID = 0x80280000
+BAD_MONITORED_ITEM_ID_INVALID = 0x80420000
+BAD_TOO_MANY_SUBSCRIPTIONS = 0x80770000
+BAD_TOO_MANY_PUBLISH_REQUESTS = 0x80780000
+BAD_NO_SUBSCRIPTION = 0x80790000
+BAD_SEQUENCE_NUMBER_UNKNOWN = 0x807A0000
+BAD_MESSAGE_NOT_AVAILABLE = 0x807B0000
+BAD_TOO_MANY_MONITORED_ITEMS = 0x80DB0000
 
 # Attribute ids (OPC 10000-3 §5.9)
 ATTR_NODE_ID = 1
@@ -851,6 +875,408 @@ class ServiceFault:
     @classmethod
     def decode(cls, d: Decoder) -> "ServiceFault":
         return cls(ResponseHeader.decode(d))
+
+
+# --------------------------------------------------------------------------
+# Subscription services (OPC 10000-4 §5.13 / §5.12)
+# --------------------------------------------------------------------------
+
+@dataclass
+class CreateSubscriptionRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    requested_publishing_interval_ms: float = 1000.0
+    requested_lifetime_count: int = 60
+    requested_max_keepalive_count: int = 10
+    max_notifications_per_publish: int = 0   # 0 = unlimited
+    publishing_enabled: bool = True
+    priority: int = 0
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.double(self.requested_publishing_interval_ms)
+        e.uint32(self.requested_lifetime_count)
+        e.uint32(self.requested_max_keepalive_count)
+        e.uint32(self.max_notifications_per_publish)
+        e.boolean(self.publishing_enabled)
+        e.byte(self.priority)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "CreateSubscriptionRequest":
+        return cls(RequestHeader.decode(d), d.double(), d.uint32(),
+                   d.uint32(), d.uint32(), d.boolean(), d.byte())
+
+
+@dataclass
+class CreateSubscriptionResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    subscription_id: int = 0
+    revised_publishing_interval_ms: float = 1000.0
+    revised_lifetime_count: int = 60
+    revised_max_keepalive_count: int = 10
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.uint32(self.subscription_id)
+        e.double(self.revised_publishing_interval_ms)
+        e.uint32(self.revised_lifetime_count)
+        e.uint32(self.revised_max_keepalive_count)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "CreateSubscriptionResponse":
+        return cls(ResponseHeader.decode(d), d.uint32(), d.double(),
+                   d.uint32(), d.uint32())
+
+
+@dataclass
+class MonitoringParameters:
+    client_handle: int = 0
+    sampling_interval_ms: float = -1.0   # -1 = use publishing interval
+    filter: ExtensionObject = field(default_factory=ExtensionObject)
+    queue_size: int = 1
+    discard_oldest: bool = True
+
+    def encode(self, e: Encoder) -> None:
+        e.uint32(self.client_handle)
+        e.double(self.sampling_interval_ms)
+        e.extension_object(self.filter)
+        e.uint32(self.queue_size)
+        e.boolean(self.discard_oldest)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "MonitoringParameters":
+        return cls(d.uint32(), d.double(), d.extension_object(),
+                   d.uint32(), d.boolean())
+
+
+@dataclass
+class MonitoredItemCreateRequest:
+    item_to_monitor: ReadValueId = field(default_factory=ReadValueId)
+    monitoring_mode: int = 2    # 0 disabled / 1 sampling / 2 reporting
+    requested_parameters: MonitoringParameters = field(
+        default_factory=MonitoringParameters)
+
+    def encode(self, e: Encoder) -> None:
+        self.item_to_monitor.encode(e)
+        e.int32(self.monitoring_mode)
+        self.requested_parameters.encode(e)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "MonitoredItemCreateRequest":
+        return cls(ReadValueId.decode(d), d.int32(),
+                   MonitoringParameters.decode(d))
+
+
+@dataclass
+class MonitoredItemCreateResult:
+    status: int = GOOD
+    monitored_item_id: int = 0
+    revised_sampling_interval_ms: float = 0.0
+    revised_queue_size: int = 1
+    filter_result: ExtensionObject = field(
+        default_factory=ExtensionObject)
+
+    def encode(self, e: Encoder) -> None:
+        e.status_code(self.status)
+        e.uint32(self.monitored_item_id)
+        e.double(self.revised_sampling_interval_ms)
+        e.uint32(self.revised_queue_size)
+        e.extension_object(self.filter_result)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "MonitoredItemCreateResult":
+        return cls(d.status_code(), d.uint32(), d.double(), d.uint32(),
+                   d.extension_object())
+
+
+@dataclass
+class CreateMonitoredItemsRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    subscription_id: int = 0
+    timestamps_to_return: int = 0
+    items: List[MonitoredItemCreateRequest] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.uint32(self.subscription_id)
+        e.int32(self.timestamps_to_return)
+        e.array(self.items, lambda enc, i: i.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "CreateMonitoredItemsRequest":
+        return cls(RequestHeader.decode(d), d.uint32(), d.int32(),
+                   d.array(MonitoredItemCreateRequest.decode) or [])
+
+
+@dataclass
+class CreateMonitoredItemsResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    results: List[MonitoredItemCreateResult] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.results, lambda enc, r: r.encode(enc))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "CreateMonitoredItemsResponse":
+        r = cls(ResponseHeader.decode(d),
+                d.array(MonitoredItemCreateResult.decode) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+@dataclass
+class DeleteMonitoredItemsRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    subscription_id: int = 0
+    monitored_item_ids: List[int] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.uint32(self.subscription_id)
+        e.array(self.monitored_item_ids, lambda enc, i: enc.uint32(i))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "DeleteMonitoredItemsRequest":
+        return cls(RequestHeader.decode(d), d.uint32(),
+                   d.array(lambda dec: dec.uint32()) or [])
+
+
+@dataclass
+class DeleteMonitoredItemsResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    results: List[int] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.results, lambda enc, s: enc.status_code(s))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "DeleteMonitoredItemsResponse":
+        r = cls(ResponseHeader.decode(d),
+                d.array(lambda dec: dec.status_code()) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+@dataclass
+class SetPublishingModeRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    publishing_enabled: bool = True
+    subscription_ids: List[int] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.boolean(self.publishing_enabled)
+        e.array(self.subscription_ids, lambda enc, i: enc.uint32(i))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "SetPublishingModeRequest":
+        return cls(RequestHeader.decode(d), d.boolean(),
+                   d.array(lambda dec: dec.uint32()) or [])
+
+
+@dataclass
+class SetPublishingModeResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    results: List[int] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.results, lambda enc, s: enc.status_code(s))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "SetPublishingModeResponse":
+        r = cls(ResponseHeader.decode(d),
+                d.array(lambda dec: dec.status_code()) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+@dataclass
+class SubscriptionAcknowledgement:
+    subscription_id: int = 0
+    sequence_number: int = 0
+
+    def encode(self, e: Encoder) -> None:
+        e.uint32(self.subscription_id)
+        e.uint32(self.sequence_number)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "SubscriptionAcknowledgement":
+        return cls(d.uint32(), d.uint32())
+
+
+@dataclass
+class PublishRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    acknowledgements: List[SubscriptionAcknowledgement] = field(
+        default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.acknowledgements, lambda enc, a: a.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "PublishRequest":
+        return cls(RequestHeader.decode(d),
+                   d.array(SubscriptionAcknowledgement.decode) or [])
+
+
+@dataclass
+class MonitoredItemNotification:
+    client_handle: int = 0
+    value: DataValue = field(default_factory=DataValue)
+
+    def encode(self, e: Encoder) -> None:
+        e.uint32(self.client_handle)
+        e.data_value(self.value)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "MonitoredItemNotification":
+        return cls(d.uint32(), d.data_value())
+
+
+@dataclass
+class DataChangeNotification:
+    """Carried inside NotificationMessage as an ExtensionObject
+    (type id 811, DataChangeNotification_Encoding_DefaultBinary)."""
+
+    monitored_items: List[MonitoredItemNotification] = field(
+        default_factory=list)
+
+    def to_extension_object(self) -> ExtensionObject:
+        e = Encoder()
+        e.array(self.monitored_items, lambda enc, m: m.encode(enc))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+        return ExtensionObject(NodeId(0, ID_DATA_CHANGE_NOTIFICATION),
+                               e.data())
+
+    @classmethod
+    def from_extension_object(
+            cls, obj: ExtensionObject) -> "DataChangeNotification":
+        if obj.type_id != NodeId(0, ID_DATA_CHANGE_NOTIFICATION):
+            raise DecodeError(
+                f"not a DataChangeNotification: {obj.type_id}")
+        d = Decoder(obj.body or b"")
+        out = cls(d.array(MonitoredItemNotification.decode) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return out
+
+
+@dataclass
+class NotificationMessage:
+    sequence_number: int = 1
+    publish_time: int = 0
+    notification_data: List[ExtensionObject] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        e.uint32(self.sequence_number)
+        e.datetime(self.publish_time)
+        e.array(self.notification_data,
+                lambda enc, o: enc.extension_object(o))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "NotificationMessage":
+        return cls(d.uint32(), d.datetime(),
+                   d.array(lambda dec: dec.extension_object()) or [])
+
+
+@dataclass
+class PublishResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    subscription_id: int = 0
+    available_sequence_numbers: List[int] = field(default_factory=list)
+    more_notifications: bool = False
+    notification_message: NotificationMessage = field(
+        default_factory=NotificationMessage)
+    results: List[int] = field(default_factory=list)   # ack statuses
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.uint32(self.subscription_id)
+        e.array(self.available_sequence_numbers,
+                lambda enc, s: enc.uint32(s))
+        e.boolean(self.more_notifications)
+        self.notification_message.encode(e)
+        e.array(self.results, lambda enc, s: enc.status_code(s))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "PublishResponse":
+        r = cls(ResponseHeader.decode(d), d.uint32(),
+                d.array(lambda dec: dec.uint32()) or [], d.boolean(),
+                NotificationMessage.decode(d),
+                d.array(lambda dec: dec.status_code()) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+@dataclass
+class RepublishRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    subscription_id: int = 0
+    retransmit_sequence_number: int = 0
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.uint32(self.subscription_id)
+        e.uint32(self.retransmit_sequence_number)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "RepublishRequest":
+        return cls(RequestHeader.decode(d), d.uint32(), d.uint32())
+
+
+@dataclass
+class RepublishResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    notification_message: NotificationMessage = field(
+        default_factory=NotificationMessage)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        self.notification_message.encode(e)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "RepublishResponse":
+        return cls(ResponseHeader.decode(d),
+                   NotificationMessage.decode(d))
+
+
+@dataclass
+class DeleteSubscriptionsRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    subscription_ids: List[int] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.subscription_ids, lambda enc, i: enc.uint32(i))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "DeleteSubscriptionsRequest":
+        return cls(RequestHeader.decode(d),
+                   d.array(lambda dec: dec.uint32()) or [])
+
+
+@dataclass
+class DeleteSubscriptionsResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    results: List[int] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.results, lambda enc, s: enc.status_code(s))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "DeleteSubscriptionsResponse":
+        r = cls(ResponseHeader.decode(d),
+                d.array(lambda dec: dec.status_code()) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
 
 
 # --------------------------------------------------------------------------

@@ -20,11 +20,19 @@ map:
         <coil name>                ns=1;s=u<u>.<name>    Boolean, writable
         <discrete_input name>      ns=1;s=u<u>.<name>    Boolean, read-only
 
-Scope (documented, tested): anonymous auth over policy None only,
-single-chunk messages, no subscriptions (clients poll Read — the same
-cadence a Modbus master uses). Certificate security needs a crypto/PKI
-stack that is out of scope here; the Modbus planes' hardening posture
-(cluster-internal, docs/SECURITY.md) applies to this port too.
+Subscriptions (OPC 10000-4 §5.12/§5.13) are supported: CreateSubscription
+/ CreateMonitoredItems / Publish / Republish / SetPublishingMode /
+DeleteMonitoredItems / DeleteSubscriptions, with data-change sampling at
+the (revised) publishing interval, per-item queues, keepalives,
+sequence-numbered retransmission buffers and acknowledgement handling —
+the push path real SCADA clients use instead of polling Read. Scope
+(documented, tested): anonymous auth over policy None only, single-chunk
+messages, items sample at the publishing cadence (samplingInterval is
+revised up to it), DataChangeFilter/deadband and event notifications are
+not implemented (filters are revised to none). Certificate security
+needs a crypto/PKI stack that is out of scope here; the Modbus planes'
+hardening posture (cluster-internal, docs/SECURITY.md) applies to this
+port too.
 """
 
 from __future__ import annotations
@@ -33,8 +41,9 @@ import asyncio
 import logging
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 from ics_wt_physicsengine_tpu.modbus.register_map import RegisterType
 from ics_wt_physicsengine_tpu.opcua import messages as M
@@ -123,6 +132,7 @@ class OPCUAServer:
         self._actual_port: Optional[int] = None
         self._next_channel = 1
         self._next_session = 1
+        self._next_subscription = 1
         self._lock = threading.Lock()
         self.request_count = 0
 
@@ -196,6 +206,8 @@ class OPCUAServer:
             return
         self._n_clients += 1
         state = _ClientState()
+        state.writer = writer
+        state.wlock = asyncio.Lock()
         buf = b""
         try:
             while True:
@@ -214,9 +226,12 @@ class OPCUAServer:
                     reply = self._dispatch(msg_type, chunk_type, body,
                                            state)
                     if reply:
-                        writer.write(reply)
-                        await asyncio.wait_for(writer.drain(),
-                                               timeout=10.0)
+                        # The sampler task writes PublishResponses on
+                        # the same stream; serialize with it.
+                        async with state.wlock:
+                            writer.write(reply)
+                            await asyncio.wait_for(writer.drain(),
+                                                   timeout=10.0)
                     if state.closed:
                         return
         except (asyncio.TimeoutError, asyncio.IncompleteReadError,
@@ -235,6 +250,8 @@ class OPCUAServer:
             logger.exception("OPC UA handler error from %s", peer)
         finally:
             self._n_clients -= 1
+            if state.publisher_task is not None:
+                state.publisher_task.cancel()
             writer.close()
             try:
                 await writer.wait_closed()
@@ -316,7 +333,14 @@ class OPCUAServer:
                                   "no such secure channel")
         seq = M.SequenceHeader.decode(d)
         service_id = M.decode_service_id(d)
-        rsp_id, rsp = self._handle_service(service_id, d, state)
+        rsp_id, rsp = self._handle_service(service_id, d, state, seq)
+        if rsp_id is None:
+            return b""   # deferred (queued PublishRequest)
+        return self._frame_response(state, seq, rsp_id, rsp)
+
+    def _frame_response(self, state: "_ClientState",
+                        seq: "M.SequenceHeader", rsp_id: int,
+                        rsp) -> bytes:
         e = Encoder()
         e.uint32(state.channel_id)
         e.uint32(state.token_id)
@@ -344,7 +368,8 @@ class OPCUAServer:
                              service_result=status))
 
     def _handle_service(self, service_id: int, d: Decoder,
-                        state: "_ClientState"):
+                        state: "_ClientState",
+                        seq: Optional["M.SequenceHeader"] = None):
         now = unix_to_filetime(time.time())
 
         if service_id == M.ID_GET_ENDPOINTS_REQ:
@@ -380,6 +405,8 @@ class OPCUAServer:
             req = M.CloseSessionRequest.decode(d)
             state.activated = False
             state.session_id = None
+            if req.delete_subscriptions:
+                state.subscriptions.clear()
             return M.ID_CLOSE_SESSION_RSP, M.CloseSessionResponse(
                 M.ResponseHeader(now, req.header.request_handle))
 
@@ -411,12 +438,319 @@ class OPCUAServer:
             return M.ID_BROWSE_RSP, M.BrowseResponse(
                 M.ResponseHeader(now, req.header.request_handle), results)
 
+        if service_id == M.ID_CREATE_SUBSCRIPTION_REQ:
+            req = M.CreateSubscriptionRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            return self._create_subscription(req, now, state)
+
+        if service_id == M.ID_CREATE_MONITORED_ITEMS_REQ:
+            req = M.CreateMonitoredItemsRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            return self._create_monitored_items(req, now, state)
+
+        if service_id == M.ID_DELETE_MONITORED_ITEMS_REQ:
+            req = M.DeleteMonitoredItemsRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            sub = state.subscriptions.get(req.subscription_id)
+            if sub is None:
+                return self._fault(req.header,
+                                   M.BAD_SUBSCRIPTION_ID_INVALID)
+            if not req.monitored_item_ids:
+                return self._fault(req.header, M.BAD_NOTHING_TO_DO)
+            results = []
+            for i in req.monitored_item_ids:
+                if i in sub.items:
+                    del sub.items[i]
+                    results.append(M.GOOD)
+                else:
+                    results.append(M.BAD_MONITORED_ITEM_ID_INVALID)
+            return (M.ID_DELETE_MONITORED_ITEMS_RSP,
+                    M.DeleteMonitoredItemsResponse(
+                        M.ResponseHeader(now, req.header.request_handle),
+                        results))
+
+        if service_id == M.ID_SET_PUBLISHING_MODE_REQ:
+            req = M.SetPublishingModeRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            if not req.subscription_ids:
+                return self._fault(req.header, M.BAD_NOTHING_TO_DO)
+            results = []
+            for sid in req.subscription_ids:
+                sub = state.subscriptions.get(sid)
+                if sub is None:
+                    results.append(M.BAD_SUBSCRIPTION_ID_INVALID)
+                else:
+                    sub.enabled = req.publishing_enabled
+                    results.append(M.GOOD)
+            return (M.ID_SET_PUBLISHING_MODE_RSP,
+                    M.SetPublishingModeResponse(
+                        M.ResponseHeader(now, req.header.request_handle),
+                        results))
+
+        if service_id == M.ID_PUBLISH_REQ:
+            req = M.PublishRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            if not state.subscriptions:
+                return self._fault(req.header, M.BAD_NO_SUBSCRIPTION)
+            if len(state.publish_queue) >= state.MAX_PUBLISH_QUEUE:
+                return self._fault(req.header,
+                                   M.BAD_TOO_MANY_PUBLISH_REQUESTS)
+            ack_results = []
+            for a in req.acknowledgements:
+                sub = state.subscriptions.get(a.subscription_id)
+                if sub is None:
+                    ack_results.append(M.BAD_SUBSCRIPTION_ID_INVALID)
+                elif sub.retransmit.pop(a.sequence_number, None) is None:
+                    ack_results.append(M.BAD_SEQUENCE_NUMBER_UNKNOWN)
+                else:
+                    ack_results.append(M.GOOD)
+            # A Publish resets every subscription's lifetime countdown
+            for sub in state.subscriptions.values():
+                sub.lifetime_elapsed = 0
+            state.publish_queue.append(
+                (seq, req.header.request_handle, ack_results))
+            return None, None   # answered by the sampler task
+
+        if service_id == M.ID_REPUBLISH_REQ:
+            req = M.RepublishRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            sub = state.subscriptions.get(req.subscription_id)
+            if sub is None:
+                return self._fault(req.header,
+                                   M.BAD_SUBSCRIPTION_ID_INVALID)
+            msg = sub.retransmit.get(req.retransmit_sequence_number)
+            if msg is None:
+                return self._fault(req.header,
+                                   M.BAD_MESSAGE_NOT_AVAILABLE)
+            return M.ID_REPUBLISH_RSP, M.RepublishResponse(
+                M.ResponseHeader(now, req.header.request_handle), msg)
+
+        if service_id == M.ID_DELETE_SUBSCRIPTIONS_REQ:
+            req = M.DeleteSubscriptionsRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            if not req.subscription_ids:
+                return self._fault(req.header, M.BAD_NOTHING_TO_DO)
+            results = []
+            for sid in req.subscription_ids:
+                if sid in state.subscriptions:
+                    del state.subscriptions[sid]
+                    results.append(M.GOOD)
+                else:
+                    results.append(M.BAD_SUBSCRIPTION_ID_INVALID)
+            return (M.ID_DELETE_SUBSCRIPTIONS_RSP,
+                    M.DeleteSubscriptionsResponse(
+                        M.ResponseHeader(now, req.header.request_handle),
+                        results))
+
         hdr = M.RequestHeader.decode(d)
         return self._fault(hdr, M.BAD_SERVICE_UNSUPPORTED)
 
     def _session_ok(self, header: M.RequestHeader,
                     state: "_ClientState") -> bool:
         return state.activated and header.auth_token == state.auth_token
+
+    # ------------------------------------------------------------------
+    # Subscriptions
+    # ------------------------------------------------------------------
+
+    MIN_PUBLISHING_INTERVAL_S = 0.05
+
+    def _create_subscription(self, req: "M.CreateSubscriptionRequest",
+                             now: int, state: "_ClientState"):
+        if len(state.subscriptions) >= state.MAX_SUBSCRIPTIONS:
+            return self._fault(req.header, M.BAD_TOO_MANY_SUBSCRIPTIONS)
+        interval_s = max(self.MIN_PUBLISHING_INTERVAL_S,
+                         (req.requested_publishing_interval_ms or 1000.0)
+                         / 1000.0)
+        keepalive = min(max(req.requested_max_keepalive_count, 1), 1000)
+        lifetime = min(max(req.requested_lifetime_count, 3 * keepalive),
+                       100_000)
+        with self._lock:
+            sub_id = self._next_subscription
+            self._next_subscription += 1
+        sub = _Subscription(sub_id, interval_s, lifetime, keepalive,
+                            req.max_notifications_per_publish,
+                            req.publishing_enabled, req.priority)
+        sub.next_sample = time.monotonic() + interval_s
+        state.subscriptions[sub_id] = sub
+        if state.publisher_task is None:
+            state.publisher_task = asyncio.get_running_loop().create_task(
+                self._publisher(state))
+        return M.ID_CREATE_SUBSCRIPTION_RSP, M.CreateSubscriptionResponse(
+            M.ResponseHeader(now, req.header.request_handle),
+            subscription_id=sub_id,
+            revised_publishing_interval_ms=interval_s * 1000.0,
+            revised_lifetime_count=lifetime,
+            revised_max_keepalive_count=keepalive)
+
+    def _create_monitored_items(self,
+                                req: "M.CreateMonitoredItemsRequest",
+                                now: int, state: "_ClientState"):
+        sub = state.subscriptions.get(req.subscription_id)
+        if sub is None:
+            return self._fault(req.header, M.BAD_SUBSCRIPTION_ID_INVALID)
+        if not req.items:
+            return self._fault(req.header, M.BAD_NOTHING_TO_DO)
+        results = []
+        for item in req.items:
+            rv = item.item_to_monitor
+            known = (self._lookup(rv.node_id) is not None
+                     or rv.node_id == M.OBJECTS_FOLDER
+                     or (rv.node_id.namespace == NAMESPACE
+                         and isinstance(rv.node_id.identifier, str)
+                         and rv.node_id.identifier in self._children))
+            if not known:
+                results.append(M.MonitoredItemCreateResult(
+                    status=M.BAD_NODE_ID_UNKNOWN))
+                continue
+            if len(sub.items) >= state.MAX_ITEMS_PER_SUBSCRIPTION:
+                results.append(M.MonitoredItemCreateResult(
+                    status=M.BAD_TOO_MANY_MONITORED_ITEMS))
+                continue
+            queue_size = min(max(item.requested_parameters.queue_size, 1),
+                             100)
+            mi = _MonitoredItem(
+                sub.new_item_id(), rv,
+                item.requested_parameters.client_handle,
+                item.monitoring_mode, queue_size,
+                item.requested_parameters.discard_oldest)
+            sub.items[mi.id] = mi
+            # Items sample at the publishing cadence; filters are
+            # revised away (no deadband support) — both reported
+            # honestly in the revised parameters.
+            results.append(M.MonitoredItemCreateResult(
+                status=M.GOOD, monitored_item_id=mi.id,
+                revised_sampling_interval_ms=sub.interval_s * 1000.0,
+                revised_queue_size=queue_size))
+        return (M.ID_CREATE_MONITORED_ITEMS_RSP,
+                M.CreateMonitoredItemsResponse(
+                    M.ResponseHeader(now, req.header.request_handle),
+                    results))
+
+    def _sample_subscription(self, sub: "_Subscription",
+                             now: int) -> None:
+        """Read every reporting item; queue a notification on change.
+        The first sample after creation always notifies (initial
+        value), per Part 4 §5.12.1.2."""
+        for item in sub.items.values():
+            if item.mode != 2:      # disabled / sampling-only
+                continue
+            dv = self._read_attribute(item.rv, now)
+            key = (None if dv.value is None
+                   else (dv.value.type_id, repr(dv.value.value)),
+                   dv.status)
+            if key == item.last:
+                continue
+            item.last = key
+            item.queue.append(M.MonitoredItemNotification(
+                item.client_handle, dv))
+            if len(item.queue) > item.queue_size:
+                if item.discard_oldest:
+                    item.queue.pop(0)
+                else:
+                    item.queue.pop(-2)   # keep newest, drop previous
+    # NOTE on overflow semantics: Part 4 asks for an Overflow bit in
+    # the InfoBits of the replaced value's status; queue overflow is
+    # rare at publish-cadence sampling (the queue drains every
+    # interval) so the bit is omitted — documented scope cut.
+
+    def _build_publish(self, sub: "_Subscription", state: "_ClientState",
+                       now: int):
+        """Drain pending notifications into one PublishResponse (a
+        keepalive when publishing is disabled or nothing is queued —
+        disabled subscriptions keep queueing, not delivering)."""
+        seq_hdr, request_handle, ack_results = state.publish_queue.popleft()
+        notifications: List[M.MonitoredItemNotification] = []
+        budget = sub.max_notifications or (1 << 30)
+        if sub.enabled:
+            for item in sub.items.values():
+                while item.queue and len(notifications) < budget:
+                    notifications.append(item.queue.pop(0))
+        more = sub.enabled and sub.has_pending()
+        if notifications:
+            msg = M.NotificationMessage(
+                sequence_number=sub.next_seq, publish_time=now,
+                notification_data=[M.DataChangeNotification(
+                    notifications).to_extension_object()])
+            sub.retransmit[sub.next_seq] = msg
+            sub.next_seq += 1
+            while len(sub.retransmit) > sub.MAX_RETRANSMIT:
+                del sub.retransmit[min(sub.retransmit)]
+        else:
+            # keepalive: next expected sequence number, no payload
+            msg = M.NotificationMessage(sequence_number=sub.next_seq,
+                                        publish_time=now)
+        sub.keepalive_elapsed = 0
+        rsp = M.PublishResponse(
+            M.ResponseHeader(now, request_handle),
+            subscription_id=sub.id,
+            available_sequence_numbers=sorted(sub.retransmit),
+            more_notifications=more,
+            notification_message=msg,
+            results=ack_results)
+        return self._frame_response(state, seq_hdr, M.ID_PUBLISH_RSP, rsp)
+
+    async def _publisher(self, state: "_ClientState") -> None:
+        """Per-connection sampler/publisher task: samples due
+        subscriptions at their publishing interval and answers queued
+        PublishRequests with data changes or keepalives."""
+        try:
+            while True:
+                await asyncio.sleep(self.MIN_PUBLISHING_INTERVAL_S / 2)
+                now_mono = time.monotonic()
+                now = unix_to_filetime(time.time())
+                replies = []
+                for sub in list(state.subscriptions.values()):
+                    if now_mono < sub.next_sample:
+                        continue
+                    sub.next_sample = now_mono + sub.interval_s
+                    self._sample_subscription(sub, now)
+                    has_data = sub.enabled and sub.has_pending()
+                    sub.keepalive_elapsed += 1
+                    if not state.publish_queue:
+                        sub.lifetime_elapsed += 1
+                        if sub.lifetime_elapsed > sub.lifetime_count:
+                            # expired: no Publish requests for the whole
+                            # lifetime — drop the subscription
+                            logger.info("OPC UA subscription %d expired",
+                                        sub.id)
+                            del state.subscriptions[sub.id]
+                        continue
+                    if has_data or (sub.keepalive_elapsed
+                                    >= sub.keepalive_count):
+                        replies.append(self._build_publish(sub, state,
+                                                           now))
+                    # drain backlog: keep answering while data remains
+                    while (sub.enabled and sub.has_pending()
+                           and state.publish_queue):
+                        replies.append(self._build_publish(sub, state,
+                                                           now))
+                if replies and state.writer is not None:
+                    async with state.wlock:
+                        for r in replies:
+                            state.writer.write(r)
+                        await asyncio.wait_for(state.writer.drain(),
+                                               timeout=10.0)
+        except asyncio.CancelledError:
+            raise
+        except (ConnectionError, OSError, asyncio.TimeoutError):
+            pass
+        except Exception:   # noqa: BLE001 — never kill the loop silently
+            logger.exception("OPC UA publisher task error")
 
     # ------------------------------------------------------------------
     # Address space
@@ -573,8 +907,59 @@ class OPCUAServer:
         return M.BrowseResult(references=refs)
 
 
+class _MonitoredItem:
+    """One sampled attribute inside a subscription."""
+
+    def __init__(self, item_id: int, rv, client_handle: int, mode: int,
+                 queue_size: int, discard_oldest: bool) -> None:
+        self.id = item_id
+        self.rv = rv                     # M.ReadValueId
+        self.client_handle = client_handle
+        self.mode = mode                 # 0 disabled / 1 sampling / 2 reporting
+        self.queue_size = queue_size
+        self.discard_oldest = discard_oldest
+        self.last: Optional[tuple] = None   # change-detection key
+        self.queue: List[M.MonitoredItemNotification] = []
+
+
+class _Subscription:
+    """Server-side subscription: items, sequencing, retransmission."""
+
+    MAX_RETRANSMIT = 8
+
+    def __init__(self, sub_id: int, interval_s: float, lifetime: int,
+                 keepalive: int, max_notifications: int, enabled: bool,
+                 priority: int) -> None:
+        self.id = sub_id
+        self.interval_s = interval_s
+        self.lifetime_count = lifetime
+        self.keepalive_count = keepalive
+        self.max_notifications = max_notifications   # 0 = unlimited
+        self.enabled = enabled
+        self.priority = priority
+        self.items: Dict[int, _MonitoredItem] = {}
+        self._next_item = 1
+        self.next_seq = 1
+        self.retransmit: Dict[int, M.NotificationMessage] = {}
+        self.next_sample = 0.0        # monotonic deadline
+        self.keepalive_elapsed = 0    # intervals since last send
+        self.lifetime_elapsed = 0     # intervals without a Publish queued
+
+    def new_item_id(self) -> int:
+        i = self._next_item
+        self._next_item += 1
+        return i
+
+    def has_pending(self) -> bool:
+        return any(i.queue for i in self.items.values())
+
+
 class _ClientState:
     """Per-connection transport/session state."""
+
+    MAX_SUBSCRIPTIONS = 16
+    MAX_PUBLISH_QUEUE = 10
+    MAX_ITEMS_PER_SUBSCRIPTION = 512
 
     def __init__(self) -> None:
         self.said_hello = False
@@ -584,3 +969,12 @@ class _ClientState:
         self.session_id: Optional[NodeId] = None
         self.auth_token: Optional[NodeId] = None
         self.activated = False
+        # Subscription machinery (one sampler task per connection,
+        # started lazily on the first CreateSubscription)
+        self.subscriptions: Dict[int, _Subscription] = {}
+        # queued PublishRequests: (SequenceHeader, request_handle,
+        # ack_statuses)
+        self.publish_queue: deque = deque()
+        self.writer: Optional[asyncio.StreamWriter] = None
+        self.wlock: Optional[asyncio.Lock] = None
+        self.publisher_task: Optional[asyncio.Task] = None

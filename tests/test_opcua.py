@@ -391,6 +391,179 @@ def test_oversized_frame_rejected_before_buffering():
 
 
 # ---------------------------------------------------------------------------
+# Subscriptions (Publish / MonitoredItems push path)
+# ---------------------------------------------------------------------------
+
+def test_subscription_struct_roundtrips():
+    from ics_wt_physicsengine_tpu.opcua.encoding import (
+        Encoder as Enc, Decoder as Dec)
+
+    req = M.CreateSubscriptionRequest(
+        requested_publishing_interval_ms=250.0,
+        requested_lifetime_count=30,
+        requested_max_keepalive_count=7,
+        max_notifications_per_publish=5,
+        publishing_enabled=False, priority=3)
+    e = Enc()
+    req.encode(e)
+    out = M.CreateSubscriptionRequest.decode(Dec(e.data()))
+    assert out.requested_publishing_interval_ms == 250.0
+    assert out.requested_max_keepalive_count == 7
+    assert out.publishing_enabled is False
+    assert out.priority == 3
+
+    items = M.CreateMonitoredItemsRequest(
+        subscription_id=9,
+        items=[M.MonitoredItemCreateRequest(
+            item_to_monitor=M.ReadValueId(NodeId(1, "u1.pH_outlet")),
+            monitoring_mode=2,
+            requested_parameters=M.MonitoringParameters(
+                client_handle=42, queue_size=4, discard_oldest=False))])
+    e = Enc()
+    items.encode(e)
+    out = M.CreateMonitoredItemsRequest.decode(Dec(e.data()))
+    assert out.subscription_id == 9
+    assert out.items[0].requested_parameters.client_handle == 42
+    assert out.items[0].requested_parameters.discard_oldest is False
+
+    dcn = M.DataChangeNotification([M.MonitoredItemNotification(
+        7, DataValue(value=Variant(VT_DOUBLE, 7.25), status=0))])
+    rsp = M.PublishResponse(
+        subscription_id=3, available_sequence_numbers=[1, 2],
+        more_notifications=True,
+        notification_message=M.NotificationMessage(
+            sequence_number=2, publish_time=5,
+            notification_data=[dcn.to_extension_object()]),
+        results=[M.GOOD, M.BAD_SEQUENCE_NUMBER_UNKNOWN])
+    e = Enc()
+    rsp.encode(e)
+    out = M.PublishResponse.decode(Dec(e.data()))
+    assert out.subscription_id == 3
+    assert out.available_sequence_numbers == [1, 2]
+    assert out.more_notifications is True
+    assert out.results[1] == M.BAD_SEQUENCE_NUMBER_UNKNOWN
+    got = M.DataChangeNotification.from_extension_object(
+        out.notification_message.notification_data[0])
+    assert got.monitored_items[0].client_handle == 7
+    assert got.monitored_items[0].value.value.value == 7.25
+
+
+def test_subscription_data_change_push(plant_server):
+    """The full SCADA push path: initial values arrive on the first
+    Publish, only changes arrive afterwards, acks trim the
+    retransmission queue, and Republish replays unacked messages."""
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        sub_id, interval = c.create_subscription(
+            publishing_interval=0.1, max_keepalive_count=50)
+        assert interval >= 0.05
+        results = c.create_monitored_items(
+            sub_id, ["u1.pH_outlet", "u1.chlorine_outlet"],
+            client_handles=[10, 11])
+        assert [r.status for r in results] == [M.GOOD, M.GOOD]
+        assert results[0].revised_sampling_interval_ms == \
+            pytest.approx(interval * 1000.0)
+
+        # First publish: initial values for both items
+        rsp = c.publish(timeout=5.0)
+        changes = dict(OPCUAClient.data_changes(rsp))
+        assert changes[10].value.value == pytest.approx(7.2, 1e-5)
+        assert changes[11].value.value == pytest.approx(0.85, 1e-5)
+        seq1 = rsp.notification_message.sequence_number
+
+        # Change ONE value server-side; only that item is notified
+        slave.update_input_register("pH_outlet", 7.5, unit=1)
+        rsp = c.publish(acks=[(sub_id, seq1)], timeout=5.0)
+        changes = OPCUAClient.data_changes(rsp)
+        assert len(changes) == 1
+        assert changes[0][0] == 10
+        assert changes[0][1].value.value == pytest.approx(7.5, 1e-5)
+        seq2 = rsp.notification_message.sequence_number
+        assert seq2 == seq1 + 1
+        # seq1 was acked; only seq2 remains available
+        assert rsp.results == [M.GOOD]
+        assert rsp.available_sequence_numbers == [seq2]
+
+        # Republish replays the unacked message
+        msg = c.republish(sub_id, seq2)
+        replay = M.DataChangeNotification.from_extension_object(
+            msg.notification_data[0])
+        assert replay.monitored_items[0].value.value.value == \
+            pytest.approx(7.5, 1e-5)
+        # Acking it makes it unavailable
+        slave.update_input_register("pH_outlet", 7.6, unit=1)
+        rsp = c.publish(acks=[(sub_id, seq2)], timeout=5.0)
+        assert rsp.results == [M.GOOD]
+        with pytest.raises(OPCUAError) as err:
+            c.republish(sub_id, seq2)
+        assert err.value.status == M.BAD_MESSAGE_NOT_AVAILABLE
+        # Unknown ack sequence is reported per-ack, not as a fault
+        slave.update_input_register("pH_outlet", 7.7, unit=1)
+        rsp = c.publish(acks=[(sub_id, 999)], timeout=5.0)
+        assert rsp.results == [M.BAD_SEQUENCE_NUMBER_UNKNOWN]
+
+        c.delete_subscriptions([sub_id])
+
+
+def test_subscription_keepalive_and_publishing_mode(plant_server):
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        sub_id, _ = c.create_subscription(publishing_interval=0.1,
+                                          max_keepalive_count=2)
+        c.create_monitored_items(sub_id, ["u2.pH_outlet"],
+                                 client_handles=[1])
+        rsp = c.publish(timeout=5.0)   # initial value
+        assert OPCUAClient.data_changes(rsp)
+        # Nothing changes: the next response is a keepalive after
+        # ~max_keepalive_count intervals, with no payload and the NEXT
+        # (unconsumed) sequence number.
+        next_seq = rsp.notification_message.sequence_number + 1
+        rsp = c.publish(timeout=5.0)
+        assert OPCUAClient.data_changes(rsp) == []
+        assert rsp.notification_message.sequence_number == next_seq
+
+        # Publishing disabled: data changes queue but only keepalives
+        # are delivered; re-enabling delivers the queued change.
+        assert c.set_publishing_mode(False, [sub_id]) == [M.GOOD]
+        slave.update_input_register("pH_outlet", 6.5, unit=2)
+        rsp = c.publish(timeout=5.0)
+        assert OPCUAClient.data_changes(rsp) == []
+        assert c.set_publishing_mode(True, [sub_id]) == [M.GOOD]
+        rsp = c.publish(timeout=5.0)
+        changes = OPCUAClient.data_changes(rsp)
+        assert len(changes) == 1
+        assert changes[0][1].value.value == pytest.approx(6.5, 1e-5)
+
+
+def test_subscription_error_paths(plant_server):
+    server, _ = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        # Publish with no subscription at all
+        with pytest.raises(OPCUAError) as err:
+            c.publish(timeout=3.0)
+        assert err.value.status == M.BAD_NO_SUBSCRIPTION
+        # Monitored items against a bad subscription id
+        with pytest.raises(OPCUAError) as err:
+            c.create_monitored_items(777, ["u1.pH_outlet"])
+        assert err.value.status == M.BAD_SUBSCRIPTION_ID_INVALID
+        sub_id, _ = c.create_subscription(publishing_interval=0.1)
+        # Unknown node: per-item status, not a fault
+        res = c.create_monitored_items(sub_id, ["u1.nope"])
+        assert res[0].status == M.BAD_NODE_ID_UNKNOWN
+        # Empty delete: Bad_NothingToDo
+        with pytest.raises(OPCUAError) as err:
+            c.delete_monitored_items(sub_id, [])
+        assert err.value.status == M.BAD_NOTHING_TO_DO
+        # Delete a real item
+        res = c.create_monitored_items(sub_id, ["u1.pH_outlet"])
+        ok = c.delete_monitored_items(
+            sub_id, [res[0].monitored_item_id, 999])
+        assert ok == [M.GOOD, M.BAD_MONITORED_ITEM_ID_INVALID]
+        assert c.delete_subscriptions([sub_id, sub_id]) == \
+            [M.GOOD, M.BAD_SUBSCRIPTION_ID_INVALID]
+
+
+# ---------------------------------------------------------------------------
 # Bridge over the C++ Modbus data plane
 # ---------------------------------------------------------------------------
 
