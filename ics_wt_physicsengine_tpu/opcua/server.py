@@ -710,7 +710,15 @@ class OPCUAServer:
         PublishRequests with data changes or keepalives."""
         try:
             while True:
-                await asyncio.sleep(self.MIN_PUBLISHING_INTERVAL_S / 2)
+                # Adaptive tick: sleep until the earliest due sample so a
+                # fleet of slow subscriptions costs no idle churn, with a
+                # floor for responsiveness to newly created ones.
+                now_mono = time.monotonic()
+                due = min((s.next_sample
+                           for s in state.subscriptions.values()),
+                          default=now_mono + 0.1)
+                await asyncio.sleep(
+                    min(max(due - now_mono, 0.005), 0.25))
                 now_mono = time.monotonic()
                 now = unix_to_filetime(time.time())
                 replies = []
