@@ -85,6 +85,13 @@ def test_fleet_farm_spawn():
     assert '"fleet_units": 2' in out
 
 
+def test_opcua_scada_spawn():
+    out = _run("opcua_scada.py",
+               ["--spawn", "--publishes", "20", "--interval", "0.15"])
+    assert "subscribed:" in out
+    assert "pushed data changes" in out
+
+
 @pytest.mark.parametrize("module,marker", [
     ("ics_wt_physicsengine_tpu.core", "ALL"),
     ("ics_wt_physicsengine_tpu.sensors", "Demo complete."),
