@@ -535,6 +535,22 @@ def test_subscription_keepalive_and_publishing_mode(plant_server):
         assert changes[0][1].value.value == pytest.approx(6.5, 1e-5)
 
 
+def test_subscription_expires_without_publishes(plant_server):
+    """A client that stops sending PublishRequests cannot pin server
+    state: the subscription expires after its (clamped) lifetime."""
+    server, _ = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        sub_id, interval = c.create_subscription(
+            publishing_interval=0.1, lifetime_count=1,
+            max_keepalive_count=1)
+        # lifetime is clamped to >= 3 x keepalive intervals
+        c.create_monitored_items(sub_id, ["u1.pH_outlet"])
+        time.sleep(interval * 8)
+        with pytest.raises(OPCUAError) as err:
+            c.publish(timeout=3.0)
+        assert err.value.status == M.BAD_NO_SUBSCRIPTION
+
+
 def test_subscription_error_paths(plant_server):
     server, _ = plant_server
     with OPCUAClient("127.0.0.1", server.actual_port) as c:
