@@ -6,8 +6,8 @@
 # built in-image so --native-modbus works out of the box.
 #
 #   docker build -t wt-sim-tpu .
-#   docker run -p 5020:5020 wt-sim-tpu                     # the plant
-#   docker run -p 5020:5020 wt-sim-tpu --fleet 8           # a fleet
+#   docker run -p 5020:5020 -p 4840:4840 wt-sim-tpu        # the plant
+#   docker run -p 5020:5020 -p 4840:4840 wt-sim-tpu --fleet 8   # a fleet
 #   docker run --network host wt-sim-tpu-hmi               # see compose file
 
 FROM python:3.12-slim
@@ -26,7 +26,8 @@ COPY pyproject.toml README.md ./
 # build the C++ Modbus data plane
 RUN make -C native
 
-EXPOSE 5020
+# Modbus/TCP + OPC UA (both planes serve one register store)
+EXPOSE 5020 4840
 ENTRYPOINT ["python", "-m", "ics_wt_physicsengine_tpu", \
-            "--host", "0.0.0.0", "--port", "5020"]
+            "--host", "0.0.0.0", "--port", "5020", "--opcua", "4840"]
 CMD ["--rtf", "1", "--duration", "1000000000"]
