@@ -237,6 +237,14 @@ def test_web_hmi(tmp_path):
         state = json.loads(urllib.request.urlopen(
             base + "/api/state", timeout=10).read())
         assert state["commands"]["acid_flow_rate"] == pytest.approx(2.0)
+
+        # Prometheus scrape endpoint (trending/Grafana roadmap row)
+        metrics = urllib.request.urlopen(
+            base + "/metrics", timeout=10).read().decode()
+        assert "# TYPE wt_sim_measurement gauge" in metrics
+        assert 'wt_sim_command{register="acid_flow_rate"} 2.0' in metrics
+        assert 'wt_sim_coil{coil="simulation_running"} 1' in metrics
+        assert 'wt_sim_sensor_fault{sensor=' in metrics
     finally:
         server.shutdown()
         server.hmi.close()

@@ -8,6 +8,8 @@ serves:
 
   GET  /            single-page dashboard (fetch-polling, no build step)
   GET  /api/state   all input registers + fault bits + commands as JSON
+  GET  /metrics     Prometheus text exposition of the same state (point a
+                    Prometheus/Grafana stack at it for trending)
   POST /api/command {"register": name, "value": v} -> validated holding-
                     register write (same zero-trust clamps the orchestrator
                     applies on its side; the plant re-validates anyway)
@@ -165,6 +167,41 @@ class Hmi:
         self._client.close()
 
 
+def prometheus_metrics(state: dict) -> str:
+    """Prometheus text exposition (v0.0.4) of the plant state, so a
+    Grafana/Prometheus stack can scrape the HMI directly — the
+    reference roadmap's 'Trending and visualization (Plotly/Grafana)'
+    row (reference README.md:446) without adding any dependency."""
+    out = [
+        "# HELP wt_sim_measurement Published input-register value",
+        "# TYPE wt_sim_measurement gauge",
+    ]
+    for name, v in state["inputs"].items():
+        if v == v:   # NaN (warming up / faulted) has no sample
+            out.append(f'wt_sim_measurement{{register="{name}"}} {v}')
+    out += [
+        "# HELP wt_sim_command Commanded holding-register value",
+        "# TYPE wt_sim_command gauge",
+    ]
+    for name, v in state["commands"].items():
+        if v == v:
+            out.append(f'wt_sim_command{{register="{name}"}} {v}')
+    out += [
+        "# HELP wt_sim_coil Coil state (1 = on)",
+        "# TYPE wt_sim_coil gauge",
+    ]
+    for name, v in state["coils"].items():
+        out.append(f'wt_sim_coil{{coil="{name}"}} {int(bool(v))}')
+    out += [
+        "# HELP wt_sim_sensor_fault Sensor fault discrete input (1 = faulted)",
+        "# TYPE wt_sim_sensor_fault gauge",
+    ]
+    for name, v in state["faults"].items():
+        out.append(f'wt_sim_sensor_fault{{sensor="{name}"}} '
+                   f'{int(bool(v))}')
+    return "\n".join(out) + "\n"
+
+
 def make_handler(hmi: Hmi):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -184,6 +221,13 @@ def make_handler(hmi: Hmi):
             elif self.path == "/api/state":
                 try:
                     self._send(200, json.dumps(hmi.state()))
+                except Exception as e:  # noqa: BLE001
+                    self._send(502, json.dumps(
+                        {"error": type(e).__name__}))
+            elif self.path == "/metrics":
+                try:
+                    self._send(200, prometheus_metrics(hmi.state()),
+                               "text/plain; version=0.0.4")
                 except Exception as e:  # noqa: BLE001
                     self._send(502, json.dumps(
                         {"error": type(e).__name__}))
