@@ -608,6 +608,62 @@ def test_bridge_over_native_slave():
         slave.stop()
 
 
+def test_fleet_serves_opcua_per_unit():
+    """`--fleet N --opcua` serves every unit as its own folder on one
+    OPC UA endpoint, with per-unit writes landing in the right lane."""
+    import socket as socket_mod
+
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    def free_port():
+        s = socket_mod.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    mb_port, ua_port = free_port(), free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(mb_port), "--host", "127.0.0.1", "--dt",
+               "30", "--duration", "1000000", "--rtf", "0", "--seed",
+               "13", "--fleet", "2", "--zones", "4",
+               "--opcua", str(ua_port)],),
+        daemon=True)
+    thread.start()
+    try:
+        deadline = time.time() + 60
+        client = None
+        while time.time() < deadline:
+            try:
+                client = OPCUAClient("127.0.0.1", ua_port).connect()
+                break
+            except OSError:
+                time.sleep(0.3)
+        assert client is not None, "fleet OPC UA server did not start"
+        with client as c:
+            assert c.browse(M.OBJECTS_FOLDER) == ["Unit1", "Unit2"]
+            # both lanes advance
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                t1 = c.read_double("u1.simulation_time")
+                t2 = c.read_double("u2.simulation_time")
+                if t1 > 60.0 and t2 > 60.0:
+                    break
+                time.sleep(0.2)
+            assert t1 > 60.0 and t2 > 60.0
+            # a write to unit 2 does not leak into unit 1
+            c.write_double("u2.chlorine_flow_rate", 0.42)
+            assert c.read_double("u2.chlorine_flow_rate") == \
+                pytest.approx(0.42, 1e-5)
+            assert c.read_double("u1.chlorine_flow_rate") != \
+                pytest.approx(0.42, 1e-5)
+    finally:
+        orchestrator.running = False
+        thread.join(timeout=30)
+
+
 # ---------------------------------------------------------------------------
 # Orchestrator CLI end-to-end (--opcua)
 # ---------------------------------------------------------------------------
