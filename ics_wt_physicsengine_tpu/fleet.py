@@ -238,7 +238,10 @@ def main_fleet(args) -> None:
                     ModbusRegisterMap(extended_nitrogen=getattr(
                         args, "enable_nitrogen", False)),
                     server_config, units=units)
-            slave.start(blocking=False)
+            # The listener starts AFTER checkpoint restore (below): both
+            # planes' register stores accept writes pre-start, and
+            # serving before the restored operator intent is in place
+            # would let an early master read default coils/registers.
             for i, u in enumerate(units):
                 slave.write_holding_register("inlet_flow_rate",
                                              ext_flows[i], unit=u)
@@ -255,8 +258,7 @@ def main_fleet(args) -> None:
                 slave.write_coil("acid_pump_enable", True, unit=u)
                 slave.write_coil("chlorine_pump_enable", True, unit=u)
                 slave.write_coil("simulation_running", True, unit=u)
-            logger.info("Modbus server started on %s:%d (%d units)",
-                        args.host, slave.port, n)
+            logger.info("Modbus register store initialized (%d units)", n)
         except Exception as e:  # noqa: BLE001
             logger.error("Modbus server startup failed: %s",
                          type(e).__name__)
@@ -264,22 +266,6 @@ def main_fleet(args) -> None:
             slave = None
     else:
         logger.info("[PHASE 4] Skipping Modbus (--no-modbus)")
-
-    opcua_server = None
-    if getattr(args, "opcua", None) is not None and slave is not None:
-        try:
-            from ics_wt_physicsengine_tpu.opcua import OPCUAServer
-            opcua_server = OPCUAServer(slave, host=args.host,
-                                       port=args.opcua)
-            opcua_server.start(blocking=False)
-            logger.info("OPC UA server started on opc.tcp://%s:%d/plant "
-                        "(%d units)", args.host,
-                        opcua_server.actual_port, n)
-        except Exception as e:  # noqa: BLE001
-            logger.error("OPC UA server startup failed: %s",
-                         type(e).__name__)
-            logger.warning("Continuing without OPC UA")
-            opcua_server = None
 
     # PHASE 5: fleet loop
     logger.info("[PHASE 5] Starting fleet loop...")
@@ -496,6 +482,35 @@ def main_fleet(args) -> None:
             except OSError:
                 logger.error("Fleet checkpoint resume failed: %s — "
                              "starting fresh", type(e).__name__)
+
+    # Start serving only now: the register stores carry the restored
+    # (or default) operator intent, so the first master to connect can
+    # never observe pre-restore defaults.
+    opcua_server = None
+    if slave is not None:
+        try:
+            slave.start(blocking=False)
+            logger.info("Modbus server started on %s:%d (%d units)",
+                        args.host, slave.port, n)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Modbus server startup failed: %s",
+                         type(e).__name__)
+            logger.warning("Continuing in no-Modbus mode")
+            slave = None
+    if getattr(args, "opcua", None) is not None and slave is not None:
+        try:
+            from ics_wt_physicsengine_tpu.opcua import OPCUAServer
+            opcua_server = OPCUAServer(slave, host=args.host,
+                                       port=args.opcua)
+            opcua_server.start(blocking=False)
+            logger.info("OPC UA server started on opc.tcp://%s:%d/plant "
+                        "(%d units)", args.host,
+                        opcua_server.actual_port, n)
+        except Exception as e:  # noqa: BLE001
+            logger.error("OPC UA server startup failed: %s",
+                         type(e).__name__)
+            logger.warning("Continuing without OPC UA")
+            opcua_server = None
 
     def snapshot_unit_io():
         """Per-unit operator-facing IO state: the raw commanded holding
