@@ -576,8 +576,16 @@ def test_network_serving_closed_loop(tmp_path):
         with ModbusTcpClient("127.0.0.1", port, unit_id=2) as c2, \
                 ModbusTcpClient("127.0.0.1", port, unit_id=3) as c3:
             wait_t(120.0)
-            # routed hydraulics: every stage's flow sensor sees the head
-            # stage's 8 L/min external source (within sensor noise)
+            # routed hydraulics: every stage's flow sensor converges to
+            # the head stage's 8 L/min external source (within sensor
+            # noise). The sensor carries a first-order lag from its
+            # warmed-up 5 L/min state, so poll until it settles instead
+            # of asserting a fixed tick count.
+            dl = time.time() + 120
+            while time.time() < dl and not all(
+                    abs(c.read_float32(10) - 8.0) <= 0.5
+                    for c in (c1, c2, c3)):
+                time.sleep(0.3)
             for c in (c1, c2, c3):
                 assert c.read_float32(10) == pytest.approx(8.0, abs=0.5)
 
