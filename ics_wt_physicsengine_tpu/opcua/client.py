@@ -67,6 +67,16 @@ class OPCUAClient:
     # ------------------------------------------------------------------
 
     def connect(self) -> "OPCUAClient":
+        # Reset per-connection state so a client instance can be
+        # reconnected after close() without stale buffer bytes or
+        # channel/session ids leaking into the new connection.
+        self._buf = b""
+        self._seq = 0
+        self._req_id = 0
+        self._handle = 0
+        self._channel_id = 0
+        self._token_id = 0
+        self._auth_token = NodeId(0, 0)
         self._sock = socket.create_connection((self.host, self.port),
                                               timeout=self.timeout)
         url = f"opc.tcp://{self.host}:{self.port}/plant"
@@ -207,24 +217,31 @@ class OPCUAClient:
         M.SequenceHeader(self._seq, self._req_id).encode(e)
         e.raw(M.encode_service(req_id, req))
         self._sock.sendall(M.frame("MSG", e.data()))
-        msg_type, _, body = self._recv(timeout)
-        if msg_type == "ERR":
-            raise self._decode_err(body)
-        if msg_type != "MSG":
-            raise OPCUAError(M.BAD_TCP_MESSAGE_TYPE_INVALID,
-                             f"expected MSG, got {msg_type}")
-        d = Decoder(body)
-        d.uint32()   # channel id
-        d.uint32()   # token id
-        M.SequenceHeader.decode(d)
-        got = M.decode_service_id(d)
-        if got == M.ID_SERVICE_FAULT:
-            fault = M.ServiceFault.decode(d)
-            raise OPCUAError(fault.header.service_result, "ServiceFault")
-        if got != rsp_id:
-            raise OPCUAError(M.BAD_DECODING_ERROR,
-                             f"expected service {rsp_id}, got {got}")
-        return decode_rsp(d)
+        while True:
+            msg_type, _, body = self._recv(timeout)
+            if msg_type == "ERR":
+                raise self._decode_err(body)
+            if msg_type != "MSG":
+                raise OPCUAError(M.BAD_TCP_MESSAGE_TYPE_INVALID,
+                                 f"expected MSG, got {msg_type}")
+            d = Decoder(body)
+            d.uint32()   # channel id
+            d.uint32()   # token id
+            seq = M.SequenceHeader.decode(d)
+            if seq.request_id != self._req_id:
+                # Late answer to an earlier request (e.g. a Publish
+                # whose wait we timed out on): discard and keep reading
+                # — correlation keeps the stream in sync.
+                continue
+            got = M.decode_service_id(d)
+            if got == M.ID_SERVICE_FAULT:
+                fault = M.ServiceFault.decode(d)
+                raise OPCUAError(fault.header.service_result,
+                                 "ServiceFault")
+            if got != rsp_id:
+                raise OPCUAError(M.BAD_DECODING_ERROR,
+                                 f"expected service {rsp_id}, got {got}")
+            return decode_rsp(d)
 
     @staticmethod
     def _node(node: Union[str, NodeId]) -> NodeId:

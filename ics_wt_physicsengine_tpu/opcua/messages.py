@@ -102,6 +102,7 @@ BAD_SECURITY_POLICY_REJECTED = 0x80550000
 BAD_TCP_MESSAGE_TYPE_INVALID = 0x807E0000
 BAD_TCP_ENDPOINT_URL_INVALID = 0x80830000
 BAD_REQUEST_TOO_LARGE = 0x80B80000
+BAD_RESPONSE_TOO_LARGE = 0x80B90000
 BAD_NOTHING_TO_DO = 0x800F0000
 BAD_SUBSCRIPTION_ID_INVALID = 0x80280000
 BAD_MONITORED_ITEM_ID_INVALID = 0x80420000
@@ -201,9 +202,14 @@ class ResponseHeader:
 
 @dataclass
 class Hello:
+    """With max_chunk_count=1, a whole message must fit one chunk, so
+    the buffer sizes ARE the message-size cap (Part 6 §7.1.2) — they
+    default to max_message_size rather than a 64 KiB transport buffer
+    a single-chunk stack would immediately violate."""
+
     protocol_version: int = 0
-    receive_buffer_size: int = 65536
-    send_buffer_size: int = 65536
+    receive_buffer_size: int = 16 * 1024 * 1024
+    send_buffer_size: int = 16 * 1024 * 1024
     max_message_size: int = 16 * 1024 * 1024
     max_chunk_count: int = 1
     endpoint_url: str = ""
@@ -228,8 +234,8 @@ class Hello:
 @dataclass
 class Acknowledge:
     protocol_version: int = 0
-    receive_buffer_size: int = 65536
-    send_buffer_size: int = 65536
+    receive_buffer_size: int = 16 * 1024 * 1024
+    send_buffer_size: int = 16 * 1024 * 1024
     max_message_size: int = 16 * 1024 * 1024
     max_chunk_count: int = 1
 

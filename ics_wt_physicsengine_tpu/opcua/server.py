@@ -104,9 +104,18 @@ class OPCUAServer:
         self.max_connections = max_connections
         self.idle_timeout_seconds = idle_timeout_seconds
         self._n_clients = 0
-        self._endpoint_url = f"opc.tcp://{host}:{port}/plant"
+        # Discovery-driven clients dial the advertised endpointUrl, so a
+        # wildcard bind address must not leak into it (0.0.0.0 is not
+        # connectable); advertise the machine's hostname instead.
+        import socket as _socket
+        self._adv_host = (host if host not in ("0.0.0.0", "::", "")
+                          else _socket.gethostname())
+        self._endpoint_url = f"opc.tcp://{self._adv_host}:{port}/plant"
 
-        # Address space: unit folders + one node per register
+        # Address space: unit folders + one node per register. Node ids
+        # are u<unit>.<name>, so names must be unique across all four
+        # register types — fail fast rather than silently aliasing two
+        # registers onto one node.
         self._nodes: Dict[str, _Node] = {}
         self._children: Dict[str, list] = {}   # folder sid -> child sids
         rm = slave.register_map
@@ -119,6 +128,11 @@ class OPCUAServer:
                 writable = reg.register_type in (
                     RegisterType.HOLDING_REGISTER, RegisterType.COIL)
                 sid = f"{folder}.{reg.name}"
+                if sid in self._nodes:
+                    raise ValueError(
+                        f"register name {reg.name!r} appears in more "
+                        f"than one register type; OPC UA node ids "
+                        f"require unique names")
                 self._nodes[sid] = _Node(u, reg.name, reg.register_type,
                                          writable, reg.units,
                                          reg.description)
@@ -141,10 +155,20 @@ class OPCUAServer:
     # ------------------------------------------------------------------
 
     def start(self, blocking: bool = False) -> None:
+        self._start_error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="opcua-server")
         self._thread.start()
-        if not self._server_ready.wait(timeout=10.0):
+        deadline = time.monotonic() + 10.0
+        while (not self._server_ready.wait(timeout=0.05)
+               and self._thread.is_alive()
+               and time.monotonic() < deadline):
+            pass
+        if not self._server_ready.is_set():
+            if self._start_error is not None:     # e.g. EADDRINUSE
+                raise RuntimeError(
+                    f"OPC UA server failed to start: "
+                    f"{self._start_error!r}") from self._start_error
             raise RuntimeError("OPC UA server failed to start within 10 s")
         logger.info("OPC UA server listening on %s", self._endpoint_url)
         if blocking:
@@ -164,6 +188,10 @@ class OPCUAServer:
         asyncio.set_event_loop(self._loop)
         try:
             self._loop.run_until_complete(self._serve())
+        except BaseException as e:   # noqa: BLE001 — surface via start()
+            self._start_error = e
+            if self._server_ready.is_set():
+                raise
         finally:
             self._loop.close()
 
@@ -172,7 +200,7 @@ class OPCUAServer:
             self._handle_client, self.host, self.port)
         self._actual_port = self._server.sockets[0].getsockname()[1]
         self._endpoint_url = (
-            f"opc.tcp://{self.host}:{self._actual_port}/plant")
+            f"opc.tcp://{self._adv_host}:{self._actual_port}/plant")
         self._server_ready.set()
         try:
             while not self._shutdown.is_set():
@@ -271,11 +299,17 @@ class OPCUAServer:
         if msg_type == "HEL":
             hello = M.Hello.decode(body)
             state.said_hello = True
+            cap = 16 * 1024 * 1024
+            # Single-chunk transport: never send a frame larger than the
+            # peer's declared receive buffer (enforced in
+            # _frame_response via Bad_ResponseTooLarge).
+            state.max_out_frame = min(hello.receive_buffer_size or cap,
+                                      cap)
             return M.Acknowledge(
                 protocol_version=0,
-                receive_buffer_size=min(hello.receive_buffer_size, 65536),
-                send_buffer_size=min(hello.send_buffer_size, 65536),
-                max_message_size=16 * 1024 * 1024,
+                receive_buffer_size=cap,
+                send_buffer_size=state.max_out_frame,
+                max_message_size=cap,
                 max_chunk_count=1).encode()
         if not state.said_hello:
             return M.encode_error(M.BAD_TCP_MESSAGE_TYPE_INVALID,
@@ -317,9 +351,10 @@ class OPCUAServer:
                 channel_id=state.channel_id, token_id=state.token_id,
                 created_at=now,
                 revised_lifetime_ms=req.requested_lifetime_ms or 3600_000))
+        state.out_seq += 1
         e = Encoder()
         M.AsymmetricHeader(state.channel_id).encode(e)
-        M.SequenceHeader(seq.sequence_number, seq.request_id).encode(e)
+        M.SequenceHeader(state.out_seq, seq.request_id).encode(e)
         e.raw(M.encode_service(M.ID_OPEN_CHANNEL_RSP, rsp))
         return M.frame("OPN", e.data())
 
@@ -341,11 +376,29 @@ class OPCUAServer:
     def _frame_response(self, state: "_ClientState",
                         seq: "M.SequenceHeader", rsp_id: int,
                         rsp) -> bytes:
+        payload = M.encode_service(rsp_id, rsp)
+        # Single-chunk transport: a response that would exceed the
+        # peer's declared receive buffer becomes a ServiceFault the
+        # client can react to (split the Read/Browse) instead of an
+        # oversized chunk a conformant stack must treat as fatal.
+        if (rsp_id != M.ID_SERVICE_FAULT
+                and len(payload) + 24 > state.max_out_frame):
+            hdr = getattr(rsp, "header", None)
+            fault = M.ServiceFault(M.ResponseHeader(
+                hdr.timestamp if hdr else 0,
+                hdr.request_handle if hdr else 0,
+                M.BAD_RESPONSE_TOO_LARGE))
+            payload = M.encode_service(M.ID_SERVICE_FAULT, fault)
+        # Outgoing sequence numbers are the server's own monotonic
+        # counter (Part 6 §6.7.2) — deferred PublishResponses would
+        # otherwise interleave stale echoed numbers after later
+        # replies. The requestId is the correlation echo.
+        state.out_seq += 1
         e = Encoder()
         e.uint32(state.channel_id)
         e.uint32(state.token_id)
-        M.SequenceHeader(seq.sequence_number, seq.request_id).encode(e)
-        e.raw(M.encode_service(rsp_id, rsp))
+        M.SequenceHeader(state.out_seq, seq.request_id).encode(e)
+        e.raw(payload)
         return M.frame("MSG", e.data())
 
     # ------------------------------------------------------------------
@@ -707,7 +760,10 @@ class OPCUAServer:
     async def _publisher(self, state: "_ClientState") -> None:
         """Per-connection sampler/publisher task: samples due
         subscriptions at their publishing interval and answers queued
-        PublishRequests with data changes or keepalives."""
+        PublishRequests with data changes or keepalives. A write
+        failure (slow reader, dead peer) closes the connection rather
+        than leaving a zombie session whose subscriptions silently
+        stopped publishing."""
         try:
             while True:
                 # Adaptive tick: sleep until the earliest due sample so a
@@ -722,6 +778,16 @@ class OPCUAServer:
                 now_mono = time.monotonic()
                 now = unix_to_filetime(time.time())
                 replies = []
+                # PublishRequests queued before the last subscription was
+                # deleted would otherwise hang the client forever.
+                if not state.subscriptions:
+                    while state.publish_queue:
+                        seq_hdr, handle, _acks = \
+                            state.publish_queue.popleft()
+                        replies.append(self._frame_response(
+                            state, seq_hdr, M.ID_SERVICE_FAULT,
+                            M.ServiceFault(M.ResponseHeader(
+                                now, handle, M.BAD_NO_SUBSCRIPTION))))
                 for sub in list(state.subscriptions.values()):
                     if now_mono < sub.next_sample:
                         continue
@@ -748,17 +814,22 @@ class OPCUAServer:
                         replies.append(self._build_publish(sub, state,
                                                            now))
                 if replies and state.writer is not None:
-                    async with state.wlock:
-                        for r in replies:
-                            state.writer.write(r)
-                        await asyncio.wait_for(state.writer.drain(),
-                                               timeout=10.0)
+                    try:
+                        async with state.wlock:
+                            for r in replies:
+                                state.writer.write(r)
+                            await asyncio.wait_for(state.writer.drain(),
+                                                   timeout=10.0)
+                    except (ConnectionError, OSError,
+                            asyncio.TimeoutError):
+                        state.writer.close()
+                        return
         except asyncio.CancelledError:
             raise
-        except (ConnectionError, OSError, asyncio.TimeoutError):
-            pass
         except Exception:   # noqa: BLE001 — never kill the loop silently
             logger.exception("OPC UA publisher task error")
+            if state.writer is not None:
+                state.writer.close()
 
     # ------------------------------------------------------------------
     # Address space
@@ -857,8 +928,8 @@ class OPCUAServer:
         if not node.writable:
             return M.BAD_NOT_WRITABLE
         var = wv.value.value
-        if var is None:
-            return M.BAD_TYPE_MISMATCH
+        if var is None or var.is_array:
+            return M.BAD_TYPE_MISMATCH   # scalar-only address space
         try:
             if node.kind == RegisterType.COIL:
                 if var.type_id != VT_BOOLEAN:
@@ -986,3 +1057,5 @@ class _ClientState:
         self.writer: Optional[asyncio.StreamWriter] = None
         self.wlock: Optional[asyncio.Lock] = None
         self.publisher_task: Optional[asyncio.Task] = None
+        self.out_seq = 0                       # server->client sequence
+        self.max_out_frame = 16 * 1024 * 1024  # peer receive buffer

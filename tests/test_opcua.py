@@ -16,6 +16,7 @@ import pytest
 
 from ics_wt_physicsengine_tpu.modbus.register_map import (
     ModbusRegisterMap,
+    RegisterType,
 )
 from ics_wt_physicsengine_tpu.modbus.slave import (
     ModbusServerConfig,
@@ -606,6 +607,191 @@ def test_bridge_over_native_slave():
     finally:
         server.stop()
         slave.stop()
+
+
+# ---------------------------------------------------------------------------
+# Protocol-flow regressions (code-review findings)
+# ---------------------------------------------------------------------------
+
+def test_late_publish_response_does_not_desync_client(plant_server):
+    """A Publish whose wait times out client-side leaves the request
+    outstanding server-side; when its response eventually arrives, the
+    request-id correlation discards it instead of corrupting the next
+    service call."""
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        sub_id, _ = c.create_subscription(publishing_interval=0.1,
+                                          max_keepalive_count=500)
+        c.create_monitored_items(sub_id, ["u1.pH_outlet"])
+        c.publish(timeout=5.0)                      # initial value
+        # no data changes now: the next publish has nothing to answer
+        # with for 500 intervals — time out the wait client-side
+        with pytest.raises(OPCUAError) as err:
+            c.publish(timeout=0.5)
+        assert err.value.status == M.BAD_TIMEOUT
+        # the queued publish answers as soon as data changes — while we
+        # are awaiting a READ response. Correlation must skip it.
+        slave.update_input_register("pH_outlet", 7.9, unit=1)
+        time.sleep(0.3)
+        for _ in range(5):
+            assert c.read_double("u1.pH_outlet") == \
+                pytest.approx(7.9, 1e-5)
+        c.delete_subscriptions([sub_id])
+
+
+def test_orphaned_publish_faults_after_delete_subscriptions(plant_server):
+    """A PublishRequest queued when the last subscription is deleted is
+    answered with Bad_NoSubscription, not stranded forever."""
+    from ics_wt_physicsengine_tpu.opcua.encoding import (
+        Decoder as Dec, Encoder as Enc)
+
+    server, _ = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        sub_id, _ = c.create_subscription(publishing_interval=0.1,
+                                          max_keepalive_count=500)
+        c.create_monitored_items(sub_id, ["u1.pH_outlet"])
+        c.publish(timeout=5.0)                      # initial value
+        # hand-roll a Publish we do NOT wait for (a pipelined request)
+        c._seq += 1
+        c._req_id += 1
+        publish_req_id = c._req_id
+        e = Enc()
+        e.uint32(c._channel_id)
+        e.uint32(c._token_id)
+        M.SequenceHeader(c._seq, c._req_id).encode(e)
+        e.raw(M.encode_service(M.ID_PUBLISH_REQ,
+                               M.PublishRequest(c._request_header())))
+        c._sock.sendall(M.frame("MSG", e.data()))
+        # deleting the only subscription must fault that queued publish
+        assert c.delete_subscriptions([sub_id]) == [M.GOOD]
+        deadline = time.time() + 5
+        fault = None
+        while time.time() < deadline and fault is None:
+            msg_type, _, body = c._recv(timeout=5.0)
+            assert msg_type == "MSG"
+            d = Dec(body)
+            d.uint32()
+            d.uint32()
+            seq = M.SequenceHeader.decode(d)
+            if seq.request_id != publish_req_id:
+                continue
+            assert M.decode_service_id(d) == M.ID_SERVICE_FAULT
+            fault = M.ServiceFault.decode(d)
+        assert fault is not None
+        assert fault.header.service_result == M.BAD_NO_SUBSCRIPTION
+
+
+def test_array_variant_writes_rejected(plant_server):
+    """Array variants must not be coerced onto the scalar address space
+    (bool([False, False]) is True!) — they are a type mismatch."""
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        before = slave.read_coil("acid_pump_enable", unit=1)
+        status = c.write([("u1.acid_pump_enable",
+                           Variant(VT_BOOLEAN, [False, False],
+                                   is_array=True))])[0]
+        assert status == M.BAD_TYPE_MISMATCH
+        assert slave.read_coil("acid_pump_enable", unit=1) is before
+        status = c.write([("u1.chlorine_flow_rate",
+                           Variant(VT_DOUBLE, [1.0], is_array=True))])[0]
+        assert status == M.BAD_TYPE_MISMATCH
+
+
+def test_oversized_response_faults_not_oversized_chunk(plant_server):
+    """A client with a small declared receive buffer gets a
+    Bad_ResponseTooLarge fault, never a chunk beyond its buffer."""
+    import socket as socket_mod
+
+    server, _ = plant_server
+    c = OPCUAClient("127.0.0.1", server.actual_port)
+    c._sock = socket_mod.create_connection(
+        ("127.0.0.1", server.actual_port), timeout=5)
+    c._sock.sendall(M.Hello(receive_buffer_size=4096,
+                            endpoint_url="opc.tcp://x/plant").encode())
+    msg_type, _, body = c._recv()
+    assert msg_type == "ACK"
+    ack = M.Acknowledge.decode(body)
+    assert ack.send_buffer_size == 4096    # server honors our buffer
+    c._open_channel()
+    c._create_session("opc.tcp://x/plant")
+    # small responses still work
+    assert c.read_double("u1.pH_outlet") == pytest.approx(7.2, 1e-5)
+    # a read large enough to overflow 4096 bytes faults cleanly
+    with pytest.raises(OPCUAError) as err:
+        c.read(["u1.pH_outlet"] * 200)
+    assert err.value.status == M.BAD_RESPONSE_TOO_LARGE
+    # and the channel is still usable afterwards
+    assert c.read_double("u1.pH_outlet") == pytest.approx(7.2, 1e-5)
+    c._sock.close()
+
+
+def test_client_reconnect_after_close(plant_server):
+    """One client object can connect/close/connect again: per-connection
+    state (buffer, ids, tokens) resets on connect()."""
+    server, _ = plant_server
+    c = OPCUAClient("127.0.0.1", server.actual_port)
+    with c:
+        sub_id, _ = c.create_subscription(publishing_interval=0.1)
+        c.create_monitored_items(sub_id, ["u1.pH_outlet"])
+        c.publish(timeout=5.0)
+    with c:   # reconnect the SAME object
+        assert c.read_double("u1.pH_outlet") == pytest.approx(7.2, 1e-5)
+
+
+def test_start_error_reports_cause():
+    """A bind failure surfaces the underlying OSError, not a generic
+    10-second timeout."""
+    import socket as socket_mod
+
+    blocker = socket_mod.socket()
+    blocker.bind(("127.0.0.1", 0))
+    blocker.listen(1)
+    port = blocker.getsockname()[1]
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0))
+    server = OPCUAServer(slave, host="127.0.0.1", port=port)
+    try:
+        t0 = time.time()
+        with pytest.raises(RuntimeError) as err:
+            server.start()
+        assert time.time() - t0 < 5.0          # no 10 s hang
+        assert "failed to start:" in str(err.value)
+    finally:
+        blocker.close()
+
+
+def test_wildcard_bind_advertises_connectable_endpoint():
+    """host=0.0.0.0 must not leak into the advertised endpointUrl —
+    discovery-driven clients dial what GetEndpoints returns."""
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0))
+    server = OPCUAServer(slave, host="0.0.0.0", port=0)
+    server.start()
+    try:
+        with OPCUAClient("127.0.0.1", server.actual_port) as c:
+            url = c.get_endpoints()[0].endpoint_url
+        assert "0.0.0.0" not in url
+    finally:
+        server.stop()
+
+
+def test_duplicate_register_names_fail_fast():
+    """A register map whose names collide across register types would
+    silently alias two registers onto one node — refuse at startup."""
+    from types import SimpleNamespace
+
+    reg = SimpleNamespace(name="pump", register_type=RegisterType.COIL,
+                          units="", description="")
+    reg2 = SimpleNamespace(name="pump",
+                           register_type=RegisterType.HOLDING_REGISTER,
+                           units="", description="")
+    fake_slave = SimpleNamespace(
+        units=[1],
+        register_map=SimpleNamespace(
+            input_registers=[], holding_registers=[reg2],
+            coils=[reg], discrete_inputs=[]))
+    with pytest.raises(ValueError, match="unique"):
+        OPCUAServer(fake_slave, host="127.0.0.1", port=0)
 
 
 def test_fleet_serves_opcua_per_unit():
