@@ -318,6 +318,26 @@ class OPCUAClient:
         self._check(rsp.header.service_result, "GetEndpoints")
         return rsp.endpoints
 
+    def translate_path(self, *names: str,
+                       namespace: int = 1) -> NodeId:
+        """Resolve a browse path from the Objects folder, e.g.
+        ``translate_path("Unit1", "pH_outlet")`` -> the node id."""
+        from ics_wt_physicsengine_tpu.opcua.encoding import QualifiedName
+        req = M.TranslateBrowsePathsRequest(
+            self._request_header(),
+            paths=[M.BrowsePath(
+                starting_node=M.OBJECTS_FOLDER,
+                elements=[M.RelativePathElement(
+                    target_name=QualifiedName(namespace, n))
+                    for n in names])])
+        rsp = self._service(M.ID_TRANSLATE_BROWSE_PATHS_REQ, req,
+                            M.ID_TRANSLATE_BROWSE_PATHS_RSP,
+                            M.TranslateBrowsePathsResponse.decode)
+        self._check(rsp.header.service_result, "TranslateBrowsePaths")
+        result = rsp.results[0]
+        self._check(result.status, "TranslateBrowsePaths result")
+        return result.targets[0].target_id
+
     # ------------------------------------------------------------------
     # Subscription services
     # ------------------------------------------------------------------
@@ -415,6 +435,18 @@ class OPCUAClient:
                             M.ID_SET_PUBLISHING_MODE_RSP,
                             M.SetPublishingModeResponse.decode)
         self._check(rsp.header.service_result, "SetPublishingMode")
+        return rsp.results
+
+    def set_monitoring_mode(self, subscription_id: int, mode: int,
+                            item_ids: List[int]) -> List[int]:
+        """0 = disabled, 1 = sampling (no reporting), 2 = reporting."""
+        req = M.SetMonitoringModeRequest(
+            self._request_header(), subscription_id=subscription_id,
+            monitoring_mode=mode, monitored_item_ids=item_ids)
+        rsp = self._service(M.ID_SET_MONITORING_MODE_REQ, req,
+                            M.ID_SET_MONITORING_MODE_RSP,
+                            M.SetMonitoringModeResponse.decode)
+        self._check(rsp.header.service_result, "SetMonitoringMode")
         return rsp.results
 
     def delete_monitored_items(self, subscription_id: int,

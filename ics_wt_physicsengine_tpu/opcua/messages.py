@@ -60,8 +60,12 @@ ID_WRITE_RSP = 676
 ID_BROWSE_REQ = 527
 ID_BROWSE_RSP = 530
 ID_ANONYMOUS_IDENTITY_TOKEN = 321   # AnonymousIdentityToken binary encoding
+ID_TRANSLATE_BROWSE_PATHS_REQ = 552
+ID_TRANSLATE_BROWSE_PATHS_RSP = 555
 ID_CREATE_MONITORED_ITEMS_REQ = 751
 ID_CREATE_MONITORED_ITEMS_RSP = 754
+ID_SET_MONITORING_MODE_REQ = 767
+ID_SET_MONITORING_MODE_RSP = 770
 ID_DELETE_MONITORED_ITEMS_REQ = 781
 ID_DELETE_MONITORED_ITEMS_RSP = 784
 ID_CREATE_SUBSCRIPTION_REQ = 787
@@ -104,6 +108,7 @@ BAD_TCP_ENDPOINT_URL_INVALID = 0x80830000
 BAD_REQUEST_TOO_LARGE = 0x80B80000
 BAD_RESPONSE_TOO_LARGE = 0x80B90000
 BAD_NOTHING_TO_DO = 0x800F0000
+BAD_NO_MATCH = 0x806F0000
 BAD_SUBSCRIPTION_ID_INVALID = 0x80280000
 BAD_MONITORED_ITEM_ID_INVALID = 0x80420000
 BAD_TOO_MANY_SUBSCRIPTIONS = 0x80770000
@@ -884,6 +889,107 @@ class ServiceFault:
 
 
 # --------------------------------------------------------------------------
+# View service: TranslateBrowsePathsToNodeIds (OPC 10000-4 §5.8.4)
+# --------------------------------------------------------------------------
+
+@dataclass
+class RelativePathElement:
+    reference_type: NodeId = field(
+        default_factory=lambda: REF_HIERARCHICAL)
+    is_inverse: bool = False
+    include_subtypes: bool = True
+    target_name: QualifiedName = field(default_factory=QualifiedName)
+
+    def encode(self, e: Encoder) -> None:
+        e.node_id(self.reference_type)
+        e.boolean(self.is_inverse)
+        e.boolean(self.include_subtypes)
+        e.qualified_name(self.target_name)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "RelativePathElement":
+        return cls(d.node_id(), d.boolean(), d.boolean(),
+                   d.qualified_name())
+
+
+@dataclass
+class BrowsePath:
+    starting_node: NodeId = field(default_factory=lambda: ROOT_FOLDER)
+    elements: List[RelativePathElement] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        e.node_id(self.starting_node)
+        e.array(self.elements, lambda enc, el: el.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "BrowsePath":
+        return cls(d.node_id(),
+                   d.array(RelativePathElement.decode) or [])
+
+
+@dataclass
+class BrowsePathTarget:
+    target_id: NodeId = field(default_factory=lambda: NULL_NODE_ID)
+    remaining_path_index: int = 0xFFFFFFFF   # max = whole path matched
+
+    def encode(self, e: Encoder) -> None:
+        e.expanded_node_id(self.target_id)
+        e.uint32(self.remaining_path_index)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "BrowsePathTarget":
+        return cls(d.expanded_node_id(), d.uint32())
+
+
+@dataclass
+class BrowsePathResult:
+    status: int = GOOD
+    targets: List[BrowsePathTarget] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        e.status_code(self.status)
+        e.array(self.targets, lambda enc, t: t.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "BrowsePathResult":
+        return cls(d.status_code(),
+                   d.array(BrowsePathTarget.decode) or [])
+
+
+@dataclass
+class TranslateBrowsePathsRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    paths: List[BrowsePath] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.paths, lambda enc, p: p.encode(enc))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "TranslateBrowsePathsRequest":
+        return cls(RequestHeader.decode(d),
+                   d.array(BrowsePath.decode) or [])
+
+
+@dataclass
+class TranslateBrowsePathsResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    results: List[BrowsePathResult] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.results, lambda enc, r: r.encode(enc))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "TranslateBrowsePathsResponse":
+        r = cls(ResponseHeader.decode(d),
+                d.array(BrowsePathResult.decode) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+# --------------------------------------------------------------------------
 # Subscription services (OPC 10000-4 §5.13 / §5.12)
 # --------------------------------------------------------------------------
 
@@ -1095,6 +1201,43 @@ class SetPublishingModeResponse:
 
     @classmethod
     def decode(cls, d: Decoder) -> "SetPublishingModeResponse":
+        r = cls(ResponseHeader.decode(d),
+                d.array(lambda dec: dec.status_code()) or [])
+        d.array(lambda dec: dec.diagnostic_info())
+        return r
+
+
+@dataclass
+class SetMonitoringModeRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    subscription_id: int = 0
+    monitoring_mode: int = 2
+    monitored_item_ids: List[int] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.uint32(self.subscription_id)
+        e.int32(self.monitoring_mode)
+        e.array(self.monitored_item_ids, lambda enc, i: enc.uint32(i))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "SetMonitoringModeRequest":
+        return cls(RequestHeader.decode(d), d.uint32(), d.int32(),
+                   d.array(lambda dec: dec.uint32()) or [])
+
+
+@dataclass
+class SetMonitoringModeResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    results: List[int] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.results, lambda enc, s: enc.status_code(s))
+        e.array([], lambda enc, x: enc.diagnostic_info())
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "SetMonitoringModeResponse":
         r = cls(ResponseHeader.decode(d),
                 d.array(lambda dec: dec.status_code()) or [])
         d.array(lambda dec: dec.diagnostic_info())

@@ -20,8 +20,11 @@ map:
         <coil name>                ns=1;s=u<u>.<name>    Boolean, writable
         <discrete_input name>      ns=1;s=u<u>.<name>    Boolean, read-only
 
-Subscriptions (OPC 10000-4 §5.12/§5.13) are supported: CreateSubscription
+TranslateBrowsePathsToNodeIds resolves Objects/Unit<u>/<register> paths
+the way discovery-driven stacks expect. Subscriptions (OPC 10000-4
+§5.12/§5.13) are supported: CreateSubscription
 / CreateMonitoredItems / Publish / Republish / SetPublishingMode /
+SetMonitoringMode /
 DeleteMonitoredItems / DeleteSubscriptions, with data-change sampling at
 the (revised) publishing interval, per-item queues, keepalives,
 sequence-numbered retransmission buffers and acknowledgement handling —
@@ -491,6 +494,48 @@ class OPCUAServer:
             return M.ID_BROWSE_RSP, M.BrowseResponse(
                 M.ResponseHeader(now, req.header.request_handle), results)
 
+        if service_id == M.ID_TRANSLATE_BROWSE_PATHS_REQ:
+            req = M.TranslateBrowsePathsRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            if not req.paths:
+                return self._fault(req.header, M.BAD_NOTHING_TO_DO)
+            results = [self._translate_path(p) for p in req.paths]
+            return (M.ID_TRANSLATE_BROWSE_PATHS_RSP,
+                    M.TranslateBrowsePathsResponse(
+                        M.ResponseHeader(now, req.header.request_handle),
+                        results))
+
+        if service_id == M.ID_SET_MONITORING_MODE_REQ:
+            req = M.SetMonitoringModeRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            sub = state.subscriptions.get(req.subscription_id)
+            if sub is None:
+                return self._fault(req.header,
+                                   M.BAD_SUBSCRIPTION_ID_INVALID)
+            if not req.monitored_item_ids:
+                return self._fault(req.header, M.BAD_NOTHING_TO_DO)
+            results = []
+            for i in req.monitored_item_ids:
+                item = sub.items.get(i)
+                if item is None:
+                    results.append(M.BAD_MONITORED_ITEM_ID_INVALID)
+                else:
+                    item.mode = req.monitoring_mode
+                    if req.monitoring_mode != 2:
+                        # non-reporting items deliver nothing; drop the
+                        # queue so a later re-enable starts fresh
+                        item.queue.clear()
+                        item.last = None
+                    results.append(M.GOOD)
+            return (M.ID_SET_MONITORING_MODE_RSP,
+                    M.SetMonitoringModeResponse(
+                        M.ResponseHeader(now, req.header.request_handle),
+                        results))
+
         if service_id == M.ID_CREATE_SUBSCRIPTION_REQ:
             req = M.CreateSubscriptionRequest.decode(d)
             if not self._session_ok(req.header, state):
@@ -946,6 +991,40 @@ class OPCUAServer:
         except Exception:   # noqa: BLE001
             return M.BAD_INTERNAL_ERROR
         return M.GOOD
+
+    def _translate_path(self, path: "M.BrowsePath") -> "M.BrowsePathResult":
+        """Walk hierarchical forward references by browse name —
+        discovery stacks resolve 'Objects/Unit1/pH_outlet' to a node id
+        this way instead of browsing level by level."""
+        if not path.elements:
+            return M.BrowsePathResult(status=M.BAD_NOTHING_TO_DO)
+        current = path.starting_node
+        for el in path.elements:
+            if el.is_inverse or el.target_name.name is None:
+                return M.BrowsePathResult(status=M.BAD_NO_MATCH)
+            name = el.target_name.name
+            nxt: Optional[NodeId] = None
+            if current == M.ROOT_FOLDER:
+                if el.target_name.namespace == 0 and name == "Objects":
+                    nxt = M.OBJECTS_FOLDER
+            elif current == M.OBJECTS_FOLDER:
+                for folder in self._children:
+                    if (el.target_name.namespace == NAMESPACE
+                            and name == f"Unit{folder[1:]}"):
+                        nxt = NodeId(NAMESPACE, folder)
+                        break
+            elif (current.namespace == NAMESPACE
+                  and isinstance(current.identifier, str)
+                  and current.identifier in self._children):
+                sid = f"{current.identifier}.{name}"
+                if (el.target_name.namespace == NAMESPACE
+                        and sid in self._nodes):
+                    nxt = NodeId(NAMESPACE, sid)
+            if nxt is None:
+                return M.BrowsePathResult(status=M.BAD_NO_MATCH)
+            current = nxt
+        return M.BrowsePathResult(
+            targets=[M.BrowsePathTarget(target_id=current)])
 
     def _browse_node(self, b: M.BrowseDescription,
                      max_references: int = 0) -> M.BrowseResult:

@@ -609,6 +609,52 @@ def test_bridge_over_native_slave():
         slave.stop()
 
 
+def test_translate_browse_paths(plant_server):
+    """Discovery stacks resolve Objects/UnitN/<register> paths to node
+    ids with TranslateBrowsePathsToNodeIds instead of browsing."""
+    server, _ = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        nid = c.translate_path("Unit1", "pH_outlet")
+        assert nid == NodeId(1, "u1.pH_outlet")
+        # the resolved id reads directly
+        dv = c.read([nid])[0]
+        assert dv.value.value == pytest.approx(7.2, 1e-5)
+        nid = c.translate_path("Unit2")
+        assert nid == NodeId(1, "u2")
+        with pytest.raises(OPCUAError) as err:
+            c.translate_path("Unit1", "no_such_register")
+        assert err.value.status == M.BAD_NO_MATCH
+        with pytest.raises(OPCUAError) as err:
+            c.translate_path("Unit9")
+        assert err.value.status == M.BAD_NO_MATCH
+
+
+def test_set_monitoring_mode(plant_server):
+    """Disabled items stop reporting (their queue is dropped);
+    re-enabling reports the current value again."""
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        sub_id, _ = c.create_subscription(publishing_interval=0.1,
+                                          max_keepalive_count=2)
+        res = c.create_monitored_items(sub_id, ["u1.pH_outlet"],
+                                       client_handles=[5])
+        item_id = res[0].monitored_item_id
+        assert OPCUAClient.data_changes(c.publish(timeout=5.0))
+        # disable: a change must NOT be reported (keepalives only)
+        assert c.set_monitoring_mode(sub_id, 0, [item_id]) == [M.GOOD]
+        slave.update_input_register("pH_outlet", 8.1, unit=1)
+        rsp = c.publish(timeout=5.0)
+        assert OPCUAClient.data_changes(rsp) == []
+        # re-enable: the current value is reported as a fresh initial
+        assert c.set_monitoring_mode(sub_id, 2, [item_id]) == [M.GOOD]
+        rsp = c.publish(timeout=5.0)
+        changes = OPCUAClient.data_changes(rsp)
+        assert len(changes) == 1
+        assert changes[0][1].value.value == pytest.approx(8.1, 1e-5)
+        assert c.set_monitoring_mode(sub_id, 0, [999]) == \
+            [M.BAD_MONITORED_ITEM_ID_INVALID]
+
+
 # ---------------------------------------------------------------------------
 # Protocol-flow regressions (code-review findings)
 # ---------------------------------------------------------------------------
