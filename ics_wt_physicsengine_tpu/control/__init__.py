@@ -17,6 +17,11 @@ Layers:
     command validation; true-state or full-instrument observation.
   - ``tuning``: batched gain sweeps and multi-start gradient tuning.
   - ``mpc``: receding-horizon shooting MPC for dosing programs.
+  - ``estimator``: per-channel scalar Kalman filters for real
+    instruments (NaN-robust).
+  - ``ekf``: full-state extended Kalman filter — reconstructs every
+    zone (measured or not) from the boundary taps, with the plant's own
+    ``jax.jacfwd`` Jacobian as the process model.
 
 The external HIL path (a real controller over Modbus/TCP) is unchanged —
 this package is for tuning/designing those controllers before deployment.
@@ -31,6 +36,14 @@ from ics_wt_physicsengine_tpu.control.closed_loop import (
     observe_true,
     rollout_closed_loop,
     validate_commands,
+)
+from ics_wt_physicsengine_tpu.control.ekf import (
+    EKFCarry,
+    flatten_state,
+    make_ekf,
+    make_ekf_carry,
+    tap_index,
+    unflatten_state,
 )
 from ics_wt_physicsengine_tpu.control.estimator import (
     KalmanCarry,
@@ -67,4 +80,6 @@ __all__ = [
     "mpc_plan", "run_mpc",
     "KalmanCarry", "KalmanParams", "filtered_controller", "kalman_step",
     "make_kalman_carry", "make_kalman_params",
+    "EKFCarry", "flatten_state", "make_ekf", "make_ekf_carry",
+    "tap_index", "unflatten_state",
 ]

@@ -1,0 +1,161 @@
+"""
+Extended Kalman filter over the FULL plant state, in-graph.
+
+The scalar filters in :mod:`.estimator` smooth individual measurement
+channels; this module reconstructs the whole reactor state — every
+zone's pH, chlorine and temperature, including the zones no instrument
+touches — from the handful of noisy boundary-zone measurements a real
+plant has. The physics model doubles as the process model: the
+transition Jacobian is ``jax.jacfwd`` of the same
+``core.reactor.step`` the simulator integrates, so the filter is exact
+to the discretization (no hand-linearized model to drift out of sync
+with the plant), and the whole predict/update is jit/vmap-compatible —
+a Monte-Carlo ensemble of filters runs as one batched program.
+
+No reference counterpart (the reference has no estimator); this is the
+state-estimation leg of its "advanced control methods" roadmap
+direction (reference README.md:432-439).
+
+Design notes (TPU):
+- State dimension is 3*n_zones (15 for the default plant): the [n,n]
+  covariance algebra is negligible next to the plant step itself.
+- Measurement updates run sequentially per channel in scalar form
+  (exactly equivalent to the joint update for diagonal R), which makes
+  per-channel NaN masking trivial: a dropped-out instrument skips its
+  update and the covariance simply stays wider — same convention as
+  ``estimator.kalman_step``.
+- The covariance is re-symmetrized after each predict/update to keep
+  float32 round-off from accumulating asymmetry over long scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ics_wt_physicsengine_tpu.core import reactor as R
+
+# Measurable fields, in state-vector order
+_FIELDS = ("pH", "chlorine", "temperature")
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EKFCarry:
+    x: jnp.ndarray   # [..., 3*n_zones] state estimate
+    P: jnp.ndarray   # [..., 3*n_zones, 3*n_zones] covariance
+
+
+def flatten_state(state: R.ReactorState) -> jnp.ndarray:
+    """ReactorState -> flat [..., 3*n_zones] vector (pH | Cl | T)."""
+    return jnp.concatenate(
+        [state.pH, state.chlorine, state.temperature], axis=-1)
+
+
+def unflatten_state(x: jnp.ndarray, n_zones: int,
+                    time=0.0, flow_rate=0.0) -> R.ReactorState:
+    """Flat vector -> ReactorState (derived fields recomputed)."""
+    pH = x[..., :n_zones]
+    Cl = x[..., n_zones:2 * n_zones]
+    T = x[..., 2 * n_zones:3 * n_zones]
+    st = R.ReactorState(
+        time=jnp.asarray(time, x.dtype),
+        pH=pH, chlorine=Cl, temperature=T,
+        flow_rate=jnp.asarray(flow_rate, x.dtype))
+    return st.update_derived()
+
+
+def tap_index(field: str, zone: int, n_zones: int) -> int:
+    """State-vector index of ``field`` at ``zone`` (negative zones ok)."""
+    if field not in _FIELDS:
+        raise ValueError(f"field must be one of {_FIELDS}, got {field!r}")
+    if not -n_zones <= zone < n_zones:
+        raise ValueError(f"zone {zone} outside [{-n_zones}, {n_zones})")
+    return _FIELDS.index(field) * n_zones + (zone % n_zones)
+
+
+def make_ekf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
+                   n_zones: int) -> EKFCarry:
+    """Initial carry from a (possibly wrong) state guess.
+
+    ``p0`` is the initial variance — a scalar, or one value per field
+    (pH, chlorine, temperature) broadcast across that field's zones."""
+    x0 = flatten_state(state0)
+    p0_arr = jnp.asarray(p0, x0.dtype)
+    if p0_arr.ndim == 0:
+        diag = jnp.full(3 * n_zones, p0_arr, x0.dtype)
+    else:
+        diag = jnp.repeat(p0_arr.astype(x0.dtype), n_zones)
+    P0 = jnp.zeros(x0.shape + (3 * n_zones,), x0.dtype) \
+        + jnp.diag(diag)
+    return EKFCarry(x=x0, P=P0)
+
+
+def make_ekf(params: R.ReactorParams, n_zones: int,
+             taps: Sequence[Tuple[str, int]], dt: float, substeps: int,
+             process_noise: Sequence[float] = (1e-6, 1e-5, 1e-5),
+             measurement_noise: Sequence[float] | float = 0.01,
+             stages=None):
+    """Build the EKF step function for a plant and a set of instrument
+    taps.
+
+    ``taps`` lists the measured channels as ``(field, zone)`` pairs,
+    e.g. ``[("pH", 0), ("pH", -1), ("chlorine", -1),
+    ("temperature", -1)]`` — the canonical suite's boundary-zone
+    instruments. ``process_noise`` is the per-field PSD
+    (unit²/s, broadcast over zones); ``measurement_noise`` the
+    per-channel variance (scalar or one per tap — instrument
+    ``precision²`` is the natural value).
+
+    Returns ``ekf_step(carry, z, boundary) -> (carry', x_hat)`` where
+    ``z`` is the ``[..., len(taps)]`` measurement vector (NaN = dropped
+    sample; that channel's update is skipped) and ``x_hat`` the
+    posterior flat state. Wrap in ``jax.vmap`` for filter ensembles
+    (nitrogen-enabled plants are not supported — the EKF state covers
+    the pH/Cl/T core)."""
+    if params.nitrogen is not None:
+        raise ValueError("make_ekf supports the pH/Cl/T core state; "
+                         "disable nitrogen for estimation")
+    idxs = tuple(tap_index(f, z, n_zones) for f, z in taps)
+    q_field = jnp.asarray(process_noise, jnp.float32)
+    if q_field.shape != (3,):
+        raise ValueError("process_noise is one PSD per field "
+                         "(pH, chlorine, temperature)")
+    q_diag = jnp.repeat(q_field, n_zones) * dt
+    r = jnp.broadcast_to(jnp.asarray(measurement_noise, jnp.float32),
+                         (len(idxs),))
+
+    def f_flat(x, boundary):
+        st = unflatten_state(x, n_zones)
+        st2 = R.step(params, st, boundary, dt, substeps, stages=stages)
+        return flatten_state(st2)
+
+    def ekf_step(carry: EKFCarry, z, boundary) -> Tuple[EKFCarry,
+                                                        jnp.ndarray]:
+        # -- predict: nonlinear step + Jacobian at the prior mean
+        x_pred, = (f_flat(carry.x, boundary),)
+        F = jax.jacfwd(lambda x: f_flat(x, boundary))(carry.x)
+        P = F @ carry.P @ F.T + jnp.diag(q_diag).astype(carry.P.dtype)
+        P = 0.5 * (P + P.T)
+        # -- update: sequential scalar updates (diagonal R), NaN-masked
+        x, Pu = x_pred, P
+        z = jnp.asarray(z)
+        for k, idx in enumerate(idxs):
+            zk = z[..., k]
+            finite = jnp.isfinite(zk)
+            zs = jnp.where(finite, zk, 0.0)
+            p_row = Pu[..., idx, :]               # P @ h (h = e_idx)
+            s = p_row[..., idx] + r[k]            # innovation variance
+            gain = p_row / s[..., None]           # K = P h / s
+            innov = zs - x[..., idx]
+            x_upd = x + gain * innov[..., None]
+            Pu_upd = Pu - gain[..., :, None] * p_row[..., None, :]
+            Pu_upd = 0.5 * (Pu_upd + Pu_upd.T)
+            x = jnp.where(finite[..., None], x_upd, x)
+            Pu = jnp.where(finite[..., None, None], Pu_upd, Pu)
+        return EKFCarry(x=x, P=Pu), x
+
+    return ekf_step

@@ -1,0 +1,191 @@
+"""
+Extended Kalman filter over the full plant state (control/ekf.py).
+
+The EKF must reconstruct UNMEASURED interior zones from the noisy
+boundary-zone taps a real plant has — strictly faster and tighter than
+open-loop model rollout from the same wrong initial guess — and keep
+working through NaN dropouts and under vmap.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ics_wt_physicsengine_tpu.control import (
+    flatten_state,
+    make_ekf,
+    make_ekf_carry,
+    tap_index,
+    unflatten_state,
+)
+from ics_wt_physicsengine_tpu.core import reactor as R
+
+Z = 6
+DT = 30.0
+TAPS = [("pH", 0), ("pH", -1), ("chlorine", -1), ("temperature", -1)]
+SIGMA = np.array([0.02, 0.02, 0.02, 0.05])   # per-tap noise std
+
+
+def _plant():
+    config = R.ReactorConfiguration(
+        volume=1000.0, n_zones=Z, flow_rate=5.0, initial_pH=7.2,
+        initial_chlorine=2.0, temperature=20.0)
+    params = R.make_params(config, dtype=jnp.float64)
+    substeps = R.default_substeps(config, DT)
+    boundary = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.5,
+        inlet_temperature=18.0, acid_flow_rate=0.1,
+        acid_concentration=0.1, chlorine_flow_rate=0.2)
+    return config, params, substeps, boundary
+
+
+def _truth_state(config):
+    """A structured transient the wrong guess does not know about."""
+    st = R.make_initial_state(config, dtype=jnp.float64)
+    st = R.ReactorState(
+        time=st.time,
+        pH=jnp.linspace(6.8, 7.6, Z).astype(st.pH.dtype),
+        chlorine=jnp.linspace(3.0, 1.2, Z).astype(st.pH.dtype),
+        temperature=jnp.linspace(22.0, 19.0, Z).astype(st.pH.dtype),
+        flow_rate=st.flow_rate)
+    return st.update_derived()
+
+
+def _wrong_guess(config):
+    st = R.make_initial_state(config, dtype=jnp.float64)
+    st = R.ReactorState(
+        time=st.time,
+        pH=jnp.full(Z, 7.0, st.pH.dtype),
+        chlorine=jnp.full(Z, 0.5, st.pH.dtype),
+        temperature=jnp.full(Z, 17.0, st.pH.dtype),
+        flow_rate=st.flow_rate)
+    return st.update_derived()
+
+
+def _measure(truth, rng, nan_mask=None):
+    z = np.array([float(flatten_state(truth)[tap_index(f, zz, Z)])
+                  for f, zz in TAPS])
+    z = z + rng.normal(0.0, SIGMA)
+    if nan_mask is not None:
+        z = np.where(nan_mask, np.nan, z)
+    return jnp.asarray(z)
+
+
+def _mid_cl_error(x, truth):
+    mid = Z // 2
+    i = tap_index("chlorine", mid, Z)
+    return abs(float(x[i]) - float(truth.chlorine[mid]))
+
+
+def test_flatten_roundtrip():
+    config, *_ = _plant()
+    st = _truth_state(config)
+    x = flatten_state(st)
+    assert x.shape == (3 * Z,)
+    back = unflatten_state(x, Z)
+    np.testing.assert_allclose(back.pH, st.pH)
+    np.testing.assert_allclose(back.chlorine, st.chlorine)
+    np.testing.assert_allclose(back.temperature, st.temperature)
+    assert tap_index("chlorine", -1, Z) == 2 * Z - 1
+
+
+def test_ekf_reconstructs_unmeasured_zone():
+    """Middle-zone chlorine (no instrument) is recovered from the
+    boundary taps — much faster than open-loop model rollout from the
+    same wrong initial state."""
+    config, params, substeps, boundary = _plant()
+    truth = _truth_state(config)
+    guess = _wrong_guess(config)
+    ekf_step = jax.jit(make_ekf(
+        params, Z, TAPS, DT, substeps,
+        measurement_noise=(SIGMA ** 2).tolist()))
+    step = jax.jit(lambda s: R.step(params, s, boundary, DT, substeps))
+
+    carry = make_ekf_carry(guess, p0=(0.05, 1.0, 4.0), n_zones=Z)
+    open_loop = guess
+    rng = np.random.default_rng(0)
+    err0 = _mid_cl_error(flatten_state(guess), truth)
+    n_steps = 40
+    for _ in range(n_steps):
+        truth = step(truth)
+        open_loop = step(open_loop)
+        carry, x_hat = ekf_step(carry, _measure(truth, rng), boundary)
+
+    ekf_err = _mid_cl_error(x_hat, truth)
+    ol_err = _mid_cl_error(flatten_state(open_loop), truth)
+    # open loop decays on the residence-time scale (~200 min); after
+    # 20 min it still carries most of the initial error
+    assert ol_err > 0.4 * err0, (ol_err, err0)
+    assert ekf_err < 0.3 * ol_err, (ekf_err, ol_err)
+    assert ekf_err < 0.15, ekf_err
+    # covariance stays finite and positive on the diagonal
+    assert bool(jnp.all(jnp.isfinite(carry.P)))
+    assert bool(jnp.all(jnp.diagonal(carry.P) > 0))
+
+
+def test_ekf_survives_nan_dropouts():
+    """NaN measurements (air bubbles, open/short faults) skip that
+    channel's update; the filter stays finite and still converges."""
+    config, params, substeps, boundary = _plant()
+    truth = _truth_state(config)
+    guess = _wrong_guess(config)
+    ekf_step = jax.jit(make_ekf(
+        params, Z, TAPS, DT, substeps,
+        measurement_noise=(SIGMA ** 2).tolist()))
+    step = jax.jit(lambda s: R.step(params, s, boundary, DT, substeps))
+
+    carry = make_ekf_carry(guess, p0=(0.05, 1.0, 4.0), n_zones=Z)
+    rng = np.random.default_rng(1)
+    for i in range(40):
+        truth = step(truth)
+        # drop a rotating channel every step; an all-NaN tick every 10
+        mask = np.zeros(len(TAPS), bool)
+        mask[i % len(TAPS)] = True
+        if i % 10 == 5:
+            mask[:] = True
+        carry, x_hat = ekf_step(carry, _measure(truth, rng, mask),
+                                boundary)
+    assert bool(jnp.all(jnp.isfinite(x_hat)))
+    assert _mid_cl_error(x_hat, truth) < 0.25
+
+
+def test_ekf_vmap_matches_single():
+    """A vmapped filter ensemble is the same program per lane."""
+    config, params, substeps, boundary = _plant()
+    truth = _truth_state(config)
+    guess = _wrong_guess(config)
+    ekf_step = make_ekf(params, Z, TAPS, DT, substeps,
+                        measurement_noise=(SIGMA ** 2).tolist())
+    batched = jax.jit(jax.vmap(ekf_step, in_axes=(0, 0, None)))
+    single = jax.jit(ekf_step)
+    step = jax.jit(lambda s: R.step(params, s, boundary, DT, substeps))
+
+    carry1 = make_ekf_carry(guess, p0=1.0, n_zones=Z)
+    carryB = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a, a, a]), carry1)
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        truth = step(truth)
+        z = _measure(truth, rng)
+        carry1, x1 = single(carry1, z, boundary)
+        carryB, xB = batched(carryB, jnp.stack([z, z, z]), boundary)
+    np.testing.assert_allclose(np.asarray(xB[0]), np.asarray(x1),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(xB[2]), np.asarray(x1),
+                               rtol=1e-12)
+
+
+def test_ekf_rejects_nitrogen_and_bad_taps():
+    config, params, substeps, _ = _plant()
+    with pytest.raises(ValueError, match="field"):
+        tap_index("ammonia", 0, Z)
+    with pytest.raises(ValueError, match="zone"):
+        tap_index("pH", Z, Z)
+    n_config = R.ReactorConfiguration(
+        volume=1000.0, n_zones=Z, flow_rate=5.0, initial_pH=7.2,
+        initial_chlorine=2.0, temperature=20.0, enable_nitrogen=True,
+        initial_ammonia=1.0)
+    n_params = R.make_params(n_config, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="nitrogen"):
+        make_ekf(n_params, Z, TAPS, DT, substeps)
