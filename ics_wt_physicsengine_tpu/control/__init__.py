@@ -39,6 +39,7 @@ from ics_wt_physicsengine_tpu.control.closed_loop import (
 )
 from ics_wt_physicsengine_tpu.control.ekf import (
     EKFCarry,
+    ekf_observer,
     flatten_state,
     make_ekf,
     make_ekf_carry,
@@ -80,6 +81,6 @@ __all__ = [
     "mpc_plan", "run_mpc",
     "KalmanCarry", "KalmanParams", "filtered_controller", "kalman_step",
     "make_kalman_carry", "make_kalman_params",
-    "EKFCarry", "flatten_state", "make_ekf", "make_ekf_carry",
-    "tap_index", "unflatten_state",
+    "EKFCarry", "ekf_observer", "flatten_state", "make_ekf",
+    "make_ekf_carry", "tap_index", "unflatten_state",
 ]

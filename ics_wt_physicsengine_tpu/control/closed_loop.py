@@ -295,7 +295,12 @@ def rollout_closed_loop(params, state, boundary: R.BoundaryConditions,
         g = gains if gains_schedule is None else \
             jax.tree_util.tree_map(lambda x: x[j], gains_schedule)
         st, obs = advance(st, bc)
-        cc, commands = controller(g, cc, obs, dt)
+        if getattr(controller, "wants_boundary", False):
+            # observer-based controllers (control/ekf.ekf_observer) need
+            # the boundary that drove this transition for their predict
+            cc, commands = controller(g, cc, obs, dt, bc)
+        else:
+            cc, commands = controller(g, cc, obs, dt)
         # shared scalar gains over a batched plant still yield per-lane
         # command leaves (shape-stable carry)
         commands = {k: jnp.broadcast_to(v, batch_shape)

@@ -133,10 +133,15 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
         st2 = R.step(params, st, boundary, dt, substeps, stages=stages)
         return flatten_state(st2)
 
+    ekf_step = _build_ekf_step(f_flat, idxs, q_diag, r)
+    return ekf_step
+
+
+def _build_ekf_step(f_flat, idxs, q_diag, r):
     def ekf_step(carry: EKFCarry, z, boundary) -> Tuple[EKFCarry,
                                                         jnp.ndarray]:
         # -- predict: nonlinear step + Jacobian at the prior mean
-        x_pred, = (f_flat(carry.x, boundary),)
+        x_pred = f_flat(carry.x, boundary)
         F = jax.jacfwd(lambda x: f_flat(x, boundary))(carry.x)
         P = F @ carry.P @ F.T + jnp.diag(q_diag).astype(carry.P.dtype)
         P = 0.5 * (P + P.T)
@@ -159,3 +164,45 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
         return EKFCarry(x=x, P=Pu), x
 
     return ekf_step
+
+
+def ekf_observer(controller, ekf_step, n_zones: int,
+                 measured: Sequence[str],
+                 estimates: dict,
+                 batched: bool = False):
+    """Wrap a controller so it acts on EKF state ESTIMATES instead of
+    raw instrument readings — observer-based output feedback, in-graph.
+
+    ``ekf_step`` comes from :func:`make_ekf` built with taps matching
+    ``measured``: the observation names (e.g. ``"pH_inlet"``,
+    ``"chlorine_outlet"``) whose readings form the measurement vector,
+    in tap order. ``estimates`` maps observation names to ``(field,
+    zone)`` — each is written into the controller's observation dict
+    from the EKF posterior, REPLACING the raw reading (so the PID acts
+    on the filtered state) or ADDING channels no instrument measures
+    (e.g. ``{"chlorine_middle": ("chlorine", 2)}``).
+
+    The wrapped carry is ``(ctrl_carry, EKFCarry)``. The wrapper
+    declares ``wants_boundary`` so ``rollout_closed_loop`` passes the
+    boundary that drove the tick — the EKF's predict must see the same
+    forcing the plant integrated. The EKF's dt is baked into
+    ``ekf_step`` (from ``make_ekf``); it must equal the rollout's dt.
+    ``batched=True`` vmaps the filter over a leading lane axis (use
+    with ``rollout_closed_loop(batched=True)``)."""
+    idx_of = {name: tap_index(f, z, n_zones)
+              for name, (f, z) in estimates.items()}
+    step_fn = (jax.vmap(ekf_step, in_axes=(0, 0, 0)) if batched
+               else ekf_step)
+
+    def step(gains, carry, obs, dt, boundary):
+        ctrl_carry, ekf_carry = carry
+        z = jnp.stack([obs[name] for name in measured], axis=-1)
+        ekf_carry, x = step_fn(ekf_carry, z, boundary)
+        est_obs = dict(obs)
+        for name, idx in idx_of.items():
+            est_obs[name] = x[..., idx]
+        ctrl_carry, commands = controller(gains, ctrl_carry, est_obs, dt)
+        return (ctrl_carry, ekf_carry), commands
+
+    step.wants_boundary = True
+    return step

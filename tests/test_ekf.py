@@ -176,6 +176,62 @@ def test_ekf_vmap_matches_single():
                                rtol=1e-12)
 
 
+def test_ekf_observer_closed_loop_on_real_instruments():
+    """Observer-based output feedback: the dual PID acts on the EKF's
+    state estimates instead of raw instrument readings, inside one
+    jitted closed-loop scan over the full sensor suite. The loop must
+    track the setpoint AND the filter must pin the unmeasured middle
+    zone against the true (hidden) reactor state."""
+    import ics_wt_physicsengine_tpu.control as C
+    from ics_wt_physicsengine_tpu.models.plant import make_plant
+
+    zones, dt = 5, 30.0
+    config = R.ReactorConfiguration(n_zones=zones, initial_chlorine=2.0,
+                                    flow_rate=20.0)
+    pparams, plant = make_plant(config, seed=3, dtype=jnp.float32)
+    substeps = R.default_substeps(config, dt)
+    taps = [("pH", 0), ("pH", -1), ("chlorine", -1),
+            ("temperature", -1)]
+    measured = ["pH_inlet", "pH_outlet", "chlorine_outlet",
+                "temp_outlet"]
+    ekf_step = make_ekf(pparams.reactor, zones, taps, dt, substeps,
+                        measurement_noise=(4e-4, 4e-4, 2.5e-3, 1e-2))
+    # the PID consumes the POSTERIOR estimates of its two inputs
+    wrapped = C.ekf_observer(
+        C.dual_pid_controller, ekf_step, zones, measured,
+        estimates={"chlorine_outlet": ("chlorine", -1),
+                   "pH_inlet": ("pH", 0)})
+    gains = C.DualPIDGains(
+        chlorine=C.make_gains(1.5, 0.05, 0.0, 2.0, 0.0, 1.0),
+        ph=C.make_gains(-0.8, -0.05, 0.0, 7.0, 0.0, 2.0))
+    guess = R.make_initial_state(config, dtype=jnp.float32)
+    carry = (C.make_dual_pid_carry((), jnp.float32),
+             make_ekf_carry(guess, p0=(0.05, 1.0, 4.0),
+                            n_zones=zones))
+    bc = R.BoundaryConditions(inlet_flow_rate=20.0)
+
+    final, (_, ekf_final), _, traj = C.rollout_closed_loop(
+        pparams, plant, bc, wrapped, gains, carry, dt=dt,
+        substeps=substeps, n_steps=60, observe="sensors",
+        record_obs=("chlorine_outlet",))
+
+    # tracking on the real instruments
+    track = float(np.asarray(traj["chlorine_outlet"])[-10:].mean())
+    assert abs(track - 2.0) < 0.5, track
+    # The estimate equals truth up to the outlet sensor's calibration
+    # bias (an unobservable common-mode offset — the filter can only be
+    # as accurate as its instruments): the interior PROFILE SHAPE must
+    # match truth tightly, the absolute level within the bias budget.
+    mid = zones // 2
+    est = np.asarray(ekf_final.x[zones:2 * zones])
+    true_cl = np.asarray(final.reactor.chlorine)
+    est_grad = est[mid] - est[-1]
+    true_grad = true_cl[mid] - true_cl[-1]
+    assert abs(est_grad - true_grad) < 0.1, (est_grad, true_grad)
+    assert abs(est[mid] - true_cl[mid]) < 0.7   # |bias| budget
+    assert bool(jnp.all(jnp.isfinite(ekf_final.P)))
+
+
 def test_ekf_rejects_nitrogen_and_bad_taps():
     config, params, substeps, _ = _plant()
     with pytest.raises(ValueError, match="field"):
