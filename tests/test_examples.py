@@ -92,6 +92,12 @@ def test_opcua_scada_spawn():
     assert "pushed data changes" in out
 
 
+def test_ekf_soft_sensor_spawn():
+    out = _run("ekf_soft_sensor.py", ["--spawn", "--ticks", "8"])
+    assert "estimated Cl profile" in out
+    assert "soft sensor assimilated 8 ticks" in out
+
+
 @pytest.mark.parametrize("module,marker", [
     ("ics_wt_physicsengine_tpu.core", "ALL"),
     ("ics_wt_physicsengine_tpu.sensors", "Demo complete."),
