@@ -41,6 +41,8 @@ from ics_wt_physicsengine_tpu.control.ekf import (
     EKFCarry,
     ekf_observer,
     flatten_state,
+    make_augmented_carry,
+    make_augmented_ekf,
     make_ekf,
     make_ekf_carry,
     tap_index,
@@ -81,6 +83,7 @@ __all__ = [
     "mpc_plan", "run_mpc",
     "KalmanCarry", "KalmanParams", "filtered_controller", "kalman_step",
     "make_kalman_carry", "make_kalman_params",
-    "EKFCarry", "ekf_observer", "flatten_state", "make_ekf",
-    "make_ekf_carry", "tap_index", "unflatten_state",
+    "EKFCarry", "ekf_observer", "flatten_state", "make_augmented_carry",
+    "make_augmented_ekf", "make_ekf", "make_ekf_carry", "tap_index",
+    "unflatten_state",
 ]

@@ -166,6 +166,90 @@ def _build_ekf_step(f_flat, idxs, q_diag, r):
     return ekf_step
 
 
+def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
+                       taps: Sequence[Tuple[str, int]], dt: float,
+                       substeps: int,
+                       augment: Sequence[str] = ("inlet_chlorine",),
+                       augment_noise: Sequence[float] | float = 1e-6,
+                       process_noise: Sequence[float] = (1e-6, 1e-5,
+                                                         1e-5),
+                       measurement_noise: Sequence[float] | float = 0.01,
+                       stages=None):
+    """EKF with ONLINE PARAMETER ESTIMATION: unknown boundary fields
+    ride the state vector as random-walk states.
+
+    ``augment`` names ``BoundaryConditions`` fields the filter treats
+    as unknown (e.g. ``inlet_chlorine`` — an upstream disturbance no
+    instrument measures); the corresponding entries of the provided
+    boundary are IGNORED and replaced by the estimates, which evolve as
+    random walks with PSD ``augment_noise`` (unit²/s each; size it to
+    how fast the disturbance genuinely drifts). The state vector is
+    ``[3*n_zones core | len(augment) parameters]`` — use
+    ``3*n_zones + i`` to read parameter ``i`` from the posterior.
+
+    Returns ``ekf_step(carry, z, boundary) -> (carry', x_hat)`` with
+    the same conventions as :func:`make_ekf`. Build the carry with
+    :func:`make_augmented_carry`. Identifiability is the caller's
+    responsibility: an augmented parameter must actually move the
+    measured channels (inlet_chlorine moves every zone's chlorine, so
+    the outlet tap identifies it)."""
+    if params.nitrogen is not None:
+        raise ValueError("make_augmented_ekf supports the pH/Cl/T core "
+                         "state; disable nitrogen for estimation")
+    import dataclasses
+
+    bc_fields = {f.name for f in
+                 dataclasses.fields(R.BoundaryConditions)}
+    for name in augment:
+        if name not in bc_fields:
+            raise ValueError(f"{name!r} is not a BoundaryConditions "
+                             f"field")
+    n_aug = len(augment)
+    n_core = 3 * n_zones
+    idxs = tuple(tap_index(f, z, n_zones) for f, z in taps)
+    q_field = jnp.asarray(process_noise, jnp.float32)
+    if q_field.shape != (3,):
+        raise ValueError("process_noise is one PSD per field "
+                         "(pH, chlorine, temperature)")
+    q_aug = jnp.broadcast_to(
+        jnp.asarray(augment_noise, jnp.float32), (n_aug,))
+    q_diag = jnp.concatenate(
+        [jnp.repeat(q_field, n_zones), q_aug]) * dt
+    r = jnp.broadcast_to(jnp.asarray(measurement_noise, jnp.float32),
+                         (len(idxs),))
+
+    def f_flat(x, boundary):
+        theta = x[..., n_core:]
+        bc = dataclasses.replace(
+            boundary, **{name: theta[..., i]
+                         for i, name in enumerate(augment)})
+        st = unflatten_state(x[..., :n_core], n_zones)
+        st2 = R.step(params, st, bc, dt, substeps, stages=stages)
+        return jnp.concatenate([flatten_state(st2), theta], axis=-1)
+
+    return _build_ekf_step(f_flat, idxs, q_diag, r)
+
+
+def make_augmented_carry(state0: R.ReactorState,
+                         theta0: Sequence[float],
+                         p0: Sequence[float] | float,
+                         p0_theta: Sequence[float] | float,
+                         n_zones: int) -> EKFCarry:
+    """Carry for :func:`make_augmented_ekf`: core guess + parameter
+    guesses ``theta0`` with their initial variances ``p0_theta``."""
+    core = make_ekf_carry(state0, p0, n_zones)
+    theta0 = jnp.asarray(theta0, core.x.dtype)
+    n_aug = theta0.shape[-1]
+    p0_t = jnp.broadcast_to(
+        jnp.asarray(p0_theta, core.x.dtype), (n_aug,))
+    n = 3 * n_zones + n_aug
+    P = jnp.zeros((n, n), core.x.dtype)
+    P = P.at[:3 * n_zones, :3 * n_zones].set(core.P)
+    P = P.at[jnp.arange(3 * n_zones, n),
+             jnp.arange(3 * n_zones, n)].set(p0_t)
+    return EKFCarry(x=jnp.concatenate([core.x, theta0]), P=P)
+
+
 def ekf_observer(controller, ekf_step, n_zones: int,
                  measured: Sequence[str],
                  estimates: dict,

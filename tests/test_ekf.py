@@ -232,6 +232,53 @@ def test_ekf_observer_closed_loop_on_real_instruments():
     assert bool(jnp.all(jnp.isfinite(ekf_final.P)))
 
 
+def test_augmented_ekf_identifies_unknown_inlet_chlorine():
+    """Online parameter estimation: an unmeasured upstream disturbance
+    (inlet chlorine at 0.8 mg/L; the filter starts believing 0) is
+    identified from the boundary taps while the state stays pinned."""
+    from ics_wt_physicsengine_tpu.control import (make_augmented_carry,
+                                                  make_augmented_ekf)
+
+    config, params, substeps, boundary = _plant()
+    # truth runs with a HIGHER inlet chlorine than the filter's boundary
+    import dataclasses
+    true_bc = dataclasses.replace(boundary, inlet_chlorine=0.8)
+    truth = _truth_state(config)
+    guess = _wrong_guess(config)
+    # include the suite's INLET chlorine instrument: the first zone
+    # reflects the inlet within its own residence time, so the
+    # parameter identifies much faster than via the outlet alone
+    taps = TAPS + [("chlorine", 0)]
+    sigma = np.append(SIGMA, 0.02)
+    # augment_noise trades adaptation speed against steady noise: the
+    # disturbance here is a step, so a fairly lively random walk
+    # (sigma_theta ~ sqrt(1e-3*30) ~ 0.17 mg/L per tick) is right
+    ekf_step = jax.jit(make_augmented_ekf(
+        params, Z, taps, DT, substeps, augment=("inlet_chlorine",),
+        augment_noise=1e-3, measurement_noise=(sigma ** 2).tolist()))
+    step = jax.jit(lambda s: R.step(params, s, true_bc, DT, substeps))
+
+    def measure(tr, rng):
+        z = np.array([float(flatten_state(tr)[tap_index(f, zz, Z)])
+                      for f, zz in taps])
+        return jnp.asarray(z + rng.normal(0.0, sigma))
+
+    carry = make_augmented_carry(guess, theta0=[0.0],
+                                 p0=(0.05, 1.0, 4.0), p0_theta=1.0,
+                                 n_zones=Z)
+    rng = np.random.default_rng(3)
+    for _ in range(120):
+        truth = step(truth)
+        # the filter is handed the WRONG boundary (inlet_chlorine=0.5);
+        # its augmented state must discover the true 0.8
+        carry, x_hat = ekf_step(carry, measure(truth, rng), boundary)
+
+    theta = float(x_hat[3 * Z])
+    assert abs(theta - 0.8) < 0.1, theta
+    assert _mid_cl_error(x_hat, truth) < 0.15
+    assert bool(jnp.all(jnp.isfinite(carry.P)))
+
+
 def test_ekf_rejects_nitrogen_and_bad_taps():
     config, params, substeps, _ = _plant()
     with pytest.raises(ValueError, match="field"):
