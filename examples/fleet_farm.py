@@ -115,7 +115,7 @@ def main():
                    "--seed", "4", "--recal-hours", "2"],),
             daemon=True)
         sim_thread.start()
-        deadline = time.time() + 60
+        deadline = time.time() + 120   # 1-core host: startup JIT under load
         while time.time() < deadline:
             try:
                 socket.create_connection((args.host, args.port),

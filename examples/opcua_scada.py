@@ -171,7 +171,7 @@ def main():
                    "--rtf", "300", "--seed", "1", "--recal-hours", "6"],),
             daemon=True)
         sim_thread.start()
-        deadline = time.time() + 60
+        deadline = time.time() + 120   # 1-core host: startup JIT under load
         while time.time() < deadline:
             try:
                 OPCUAClient(args.host, args.port, timeout=5).connect() \

@@ -155,7 +155,7 @@ def main():
                    "--recal-hours", "6"],),
             daemon=True)
         sim_thread.start()
-        deadline = time.time() + 60
+        deadline = time.time() + 120   # 1-core host: startup JIT under load
         while time.time() < deadline:
             try:
                 ModbusTcpClient(args.host, args.port, timeout=2) \

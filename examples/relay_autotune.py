@@ -104,7 +104,7 @@ def main():
 
     try:
         client = None
-        deadline = time.time() + 60
+        deadline = time.time() + 120   # 1-core host: startup JIT under load
         while time.time() < deadline:
             try:
                 client = ModbusTcpClient(args.host, args.port,
