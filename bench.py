@@ -317,6 +317,58 @@ def bench_closed_loop(n_gains=4096, n_steps=2048, reps=3):
     return n * n_steps / elapsed, n
 
 
+def bench_ekf(n_filters=1024, n_steps=256, reps=3):
+    """Batched state estimation: a vmapped ensemble of full-state EKFs
+    (control/ekf.py — 18-dim state on a 6-zone plant, jacfwd of the
+    plant step as the transition Jacobian, 4 measurement channels)
+    scanned on-device. One filter-step = 1 nonlinear predict + an
+    18-column Jacobian + 4 sequential scalar updates."""
+    import numpy as np
+
+    from ics_wt_physicsengine_tpu import control as C
+
+    zones = 6
+    config = R.ReactorConfiguration(volume=1000, height=2.0,
+                                    diameter=0.798, n_zones=zones)
+    substeps = R.default_substeps(config, DT)
+    params = R.make_params(config, dtype=jnp.float32)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.2,
+                              inlet_chlorine=0.5)
+    taps = [("pH", 0), ("pH", -1), ("chlorine", -1),
+            ("temperature", -1)]
+    ekf_step = C.make_ekf(params, zones, taps, DT, substeps,
+                          measurement_noise=4e-4)
+    batched = jax.vmap(ekf_step, in_axes=(0, 0, None))
+    carry1 = C.make_ekf_carry(
+        R.make_initial_state(config, dtype=jnp.float32),
+        p0=(0.05, 1.0, 4.0), n_zones=zones)
+    carry = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n_filters,) + a.shape).copy(),
+        carry1)
+    base = jnp.asarray([7.2, 7.2, 2.0, 20.0], jnp.float32)
+    zs = base + 0.02 * jax.random.normal(
+        jax.random.PRNGKey(0), (n_steps, n_filters, len(taps)),
+        jnp.float32)
+
+    def roll(c, z_seq):
+        def body(cc, z):
+            cc, _ = batched(cc, z, bc)
+            return cc, None
+        c, _ = jax.lax.scan(body, c, z_seq)
+        return c
+
+    fn = jax.jit(roll)
+    carry, zs = jax.device_put((carry, zs))
+    c = fn(carry, zs)
+    np.asarray(c.x)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c = fn(c, zs)   # chained: carries feed forward (no result cache)
+    np.asarray(c.x)
+    elapsed = (time.perf_counter() - t0) / reps
+    return n_filters * n_steps / elapsed
+
+
 def bench_hw_prng_stats(n_plants=1024, n_steps=1024):
     """Statistical validation of the PRODUCTION TPU PRNG path (VERDICT r2
     item 6): the fused plant kernel's in-kernel randomness (``rng='hw'``:
@@ -415,6 +467,7 @@ def main():
      integrated_single_rkc) = bench_integrated_single()
     scheduled = bench_scheduled()
     closed_loop, n_cl_gains = bench_closed_loop()
+    ekf_rate = bench_ekf()
     hw_prng = bench_hw_prng_stats()
     print(json.dumps({
         "metric": "single-plant steps/sec (20 zones, dt=1s; == real-time factor)",
@@ -439,6 +492,9 @@ def main():
             "scheduled_forcing_steps_per_sec": round(scheduled, 1),
             "closed_loop_plant_steps_per_sec": round(closed_loop, 1),
             "closed_loop_n_gains": n_cl_gains,
+            "ekf_filter_steps_per_sec": round(ekf_rate, 1),
+            "ekf_n_filters": 1024,
+            "ekf_state_dim": 18,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             **(hw_prng or {}),
