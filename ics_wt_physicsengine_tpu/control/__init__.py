@@ -45,6 +45,7 @@ from ics_wt_physicsengine_tpu.control.ekf import (
     make_augmented_ekf,
     make_ekf,
     make_ekf_carry,
+    nis_fault_monitor,
     tap_index,
     unflatten_state,
 )
@@ -84,6 +85,6 @@ __all__ = [
     "KalmanCarry", "KalmanParams", "filtered_controller", "kalman_step",
     "make_kalman_carry", "make_kalman_params",
     "EKFCarry", "ekf_observer", "flatten_state", "make_augmented_carry",
-    "make_augmented_ekf", "make_ekf", "make_ekf_carry", "tap_index",
-    "unflatten_state",
+    "make_augmented_ekf", "make_ekf", "make_ekf_carry",
+    "nis_fault_monitor", "tap_index", "unflatten_state",
 ]

@@ -98,7 +98,7 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
              taps: Sequence[Tuple[str, int]], dt: float, substeps: int,
              process_noise: Sequence[float] = (1e-6, 1e-5, 1e-5),
              measurement_noise: Sequence[float] | float = 0.01,
-             stages=None):
+             stages=None, diagnostics: bool = False):
     """Build the EKF step function for a plant and a set of instrument
     taps.
 
@@ -113,9 +113,13 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
     Returns ``ekf_step(carry, z, boundary) -> (carry', x_hat)`` where
     ``z`` is the ``[..., len(taps)]`` measurement vector (NaN = dropped
     sample; that channel's update is skipped) and ``x_hat`` the
-    posterior flat state. Wrap in ``jax.vmap`` for filter ensembles
-    (nitrogen-enabled plants are not supported — the EKF state covers
-    the pH/Cl/T core)."""
+    posterior flat state. With ``diagnostics=True`` the step returns a
+    third element: ``{"innovation", "innovation_variance", "nis"}`` per
+    channel — the NIS (normalized innovation squared) is ~chi-square(1)
+    for a healthy channel, the basis for instrument fault detection
+    (:func:`nis_fault_monitor`). Wrap in ``jax.vmap`` for filter
+    ensembles (nitrogen-enabled plants are not supported — the EKF
+    state covers the pH/Cl/T core)."""
     if params.nitrogen is not None:
         raise ValueError("make_ekf supports the pH/Cl/T core state; "
                          "disable nitrogen for estimation")
@@ -133,11 +137,12 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
         st2 = R.step(params, st, boundary, dt, substeps, stages=stages)
         return flatten_state(st2)
 
-    ekf_step = _build_ekf_step(f_flat, idxs, q_diag, r)
+    ekf_step = _build_ekf_step(f_flat, idxs, q_diag, r,
+                               diagnostics=diagnostics)
     return ekf_step
 
 
-def _build_ekf_step(f_flat, idxs, q_diag, r):
+def _build_ekf_step(f_flat, idxs, q_diag, r, diagnostics: bool = False):
     def ekf_step(carry: EKFCarry, z, boundary) -> Tuple[EKFCarry,
                                                         jnp.ndarray]:
         # -- predict: nonlinear step + Jacobian at the prior mean
@@ -148,6 +153,7 @@ def _build_ekf_step(f_flat, idxs, q_diag, r):
         # -- update: sequential scalar updates (diagonal R), NaN-masked
         x, Pu = x_pred, P
         z = jnp.asarray(z)
+        innovations, variances = [], []
         for k, idx in enumerate(idxs):
             zk = z[..., k]
             finite = jnp.isfinite(zk)
@@ -156,14 +162,54 @@ def _build_ekf_step(f_flat, idxs, q_diag, r):
             s = p_row[..., idx] + r[k]            # innovation variance
             gain = p_row / s[..., None]           # K = P h / s
             innov = zs - x[..., idx]
+            innovations.append(jnp.where(finite, innov, jnp.nan))
+            variances.append(s)
             x_upd = x + gain * innov[..., None]
             Pu_upd = Pu - gain[..., :, None] * p_row[..., None, :]
             Pu_upd = 0.5 * (Pu_upd + Pu_upd.T)
             x = jnp.where(finite[..., None], x_upd, x)
             Pu = jnp.where(finite[..., None, None], Pu_upd, Pu)
-        return EKFCarry(x=x, P=Pu), x
+        new = EKFCarry(x=x, P=Pu)
+        if diagnostics:
+            nu = jnp.stack(innovations, axis=-1)
+            s_all = jnp.stack(variances, axis=-1)
+            # per-channel normalized innovation squared — ~chi²(1) when
+            # the channel is healthy and the filter consistent
+            return new, x, {"innovation": nu,
+                            "innovation_variance": s_all,
+                            "nis": nu * nu / s_all}
+        return new, x
 
     return ekf_step
+
+
+def nis_fault_monitor(n_channels: int, alpha: float = 0.1,
+                      threshold: float = 4.0, dtype=jnp.float32):
+    """Innovation-based instrument fault detection on top of an EKF
+    built with ``diagnostics=True``.
+
+    A healthy channel's NIS averages ~1 (chi-square(1)); a biased,
+    stuck, or drifting instrument pushes its innovations outside the
+    filter's predicted variance and the NIS average rises. This keeps
+    an exponential moving average per channel and flags it once the
+    average exceeds ``threshold`` (4.0 ~= sustained 2-sigma
+    inconsistency — far beyond noise for an EMA with
+    ``alpha=0.1``). NaN NIS entries (dropouts) leave the average
+    untouched: a dropout is detected by the sensor's own fault bits,
+    not by innovation statistics.
+
+    Returns ``(ema0, update)`` where
+    ``update(ema, diag) -> (ema', flags)`` consumes the diagnostics
+    dict from the EKF step; pure and scan/vmap-compatible."""
+    ema0 = jnp.ones((n_channels,), dtype)   # start at the healthy mean
+
+    def update(ema, diag):
+        nis = diag["nis"]
+        fresh = jnp.isfinite(nis)
+        ema = jnp.where(fresh, (1.0 - alpha) * ema + alpha * nis, ema)
+        return ema, ema > threshold
+
+    return ema0, update
 
 
 def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
@@ -174,7 +220,7 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
                        process_noise: Sequence[float] = (1e-6, 1e-5,
                                                          1e-5),
                        measurement_noise: Sequence[float] | float = 0.01,
-                       stages=None):
+                       stages=None, diagnostics: bool = False):
     """EKF with ONLINE PARAMETER ESTIMATION: unknown boundary fields
     ride the state vector as random-walk states.
 
@@ -227,7 +273,8 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
         st2 = R.step(params, st, bc, dt, substeps, stages=stages)
         return jnp.concatenate([flatten_state(st2), theta], axis=-1)
 
-    return _build_ekf_step(f_flat, idxs, q_diag, r)
+    return _build_ekf_step(f_flat, idxs, q_diag, r,
+                           diagnostics=diagnostics)
 
 
 def make_augmented_carry(state0: R.ReactorState,

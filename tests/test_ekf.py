@@ -232,6 +232,56 @@ def test_ekf_observer_closed_loop_on_real_instruments():
     assert bool(jnp.all(jnp.isfinite(ekf_final.P)))
 
 
+def test_nis_fault_monitor_flags_biased_instrument():
+    """Innovation-based fault detection: after the filter converges, a
+    +0.5 mg/L bias in the outlet chlorine instrument drives the NIS
+    average over threshold within a few ticks. Detection needs
+    cross-constraint (a second chlorine tap): a single-tap bias is
+    nearly unobservable — the filter absorbs it into the state — and
+    the monitor honestly isolates the fault to the CONFLICTING
+    instrument pair, not the single culprit, while the pH and
+    temperature channels stay clean."""
+    from ics_wt_physicsengine_tpu.control import nis_fault_monitor
+
+    config, params, substeps, boundary = _plant()
+    truth = _truth_state(config)
+    guess = _wrong_guess(config)
+    taps = TAPS + [("chlorine", 0)]     # the suite's inlet instrument
+    sigma = np.append(SIGMA, 0.02)
+    ekf_step = jax.jit(make_ekf(
+        params, Z, taps, DT, substeps,
+        measurement_noise=(sigma ** 2).tolist(), diagnostics=True))
+    step = jax.jit(lambda s: R.step(params, s, boundary, DT, substeps))
+    ema, update = nis_fault_monitor(len(taps))
+
+    rng = np.random.default_rng(4)
+    carry = make_ekf_carry(guess, p0=(0.05, 1.0, 4.0), n_zones=Z)
+    cl_out = taps.index(("chlorine", -1))
+
+    def measure(tr, rng):
+        zv = np.array([float(flatten_state(tr)[tap_index(f, zz, Z)])
+                       for f, zz in taps]) + rng.normal(0.0, sigma)
+        return zv
+
+    for i in range(100):
+        truth = step(truth)
+        zv = measure(truth, rng)
+        if i >= 60:          # instrument develops a calibration fault
+            zv[cl_out] += 0.5
+        carry, x_hat, diag = ekf_step(carry, jnp.asarray(zv), boundary)
+        ema, flags = update(ema, diag)
+        if i == 55:          # converged, pre-fault: everything healthy
+            assert not bool(jnp.any(flags)), np.asarray(ema)
+        if i == 70:          # flagged within 10 ticks of the fault
+            assert bool(flags[cl_out]), np.asarray(ema)
+    flags = np.asarray(flags)
+    assert flags[cl_out], np.asarray(ema)
+    # pH and temperature channels stay clean (fault isolated to the
+    # chlorine instrument pair)
+    assert not flags[0] and not flags[1] and not flags[3], \
+        np.asarray(ema)
+
+
 def test_augmented_ekf_identifies_unknown_inlet_chlorine():
     """Online parameter estimation: an unmeasured upstream disturbance
     (inlet chlorine at 0.8 mg/L; the filter starts believing 0) is
