@@ -609,6 +609,57 @@ def test_bridge_over_native_slave():
         slave.stop()
 
 
+def test_bridge_over_native_slave_multi_unit():
+    """Fleet shape on the C++ plane: per-unit folders, per-unit banks,
+    subscription push from one unit's bank only."""
+    from ics_wt_physicsengine_tpu.modbus.native_slave import (
+        NativeModbusSlave, is_available)
+    if not is_available():
+        pytest.skip("native Modbus library not built")
+    slave = NativeModbusSlave(ModbusRegisterMap(),
+                              ModbusServerConfig(host="127.0.0.1",
+                                                 port=0),
+                              units=[1, 2, 3])
+    for u, v in ((1, 7.1), (2, 7.2), (3, 7.3)):
+        slave.update_input_register("pH_outlet", v, unit=u)
+    server = OPCUAServer(slave, host="127.0.0.1", port=0)
+    server.start()
+    try:
+        with OPCUAClient("127.0.0.1", server.actual_port) as c:
+            assert c.browse(M.OBJECTS_FOLDER) == \
+                ["Unit1", "Unit2", "Unit3"]
+            for u, v in ((1, 7.1), (2, 7.2), (3, 7.3)):
+                assert c.read_double(f"u{u}.pH_outlet") == \
+                    pytest.approx(v, 1e-5)
+            # write isolation across C++ banks
+            c.write_double("u2.acid_flow_rate", 1.5)
+            assert slave.read_holding_register(
+                "acid_flow_rate", unit=2) == pytest.approx(1.5, 1e-5)
+            assert slave.read_holding_register(
+                "acid_flow_rate", unit=1) == pytest.approx(0.0, abs=1e-6)
+            # subscription on unit 3 sees only unit 3's changes
+            sub_id, _ = c.create_subscription(publishing_interval=0.1,
+                                              max_keepalive_count=50)
+            c.create_monitored_items(sub_id, ["u3.pH_outlet"],
+                                     client_handles=[33])
+            rsp = c.publish(timeout=5.0)
+            changes = dict(OPCUAClient.data_changes(rsp))
+            assert changes[33].value.value == pytest.approx(7.3, 1e-5)
+            slave.update_input_register("pH_outlet", 9.9, unit=1)
+            slave.update_input_register("pH_outlet", 7.35, unit=3)
+            rsp = c.publish(
+                acks=[(sub_id,
+                       rsp.notification_message.sequence_number)],
+                timeout=5.0)
+            changes = OPCUAClient.data_changes(rsp)
+            assert len(changes) == 1
+            assert changes[0][1].value.value == pytest.approx(7.35, 1e-5)
+            c.delete_subscriptions([sub_id])
+    finally:
+        server.stop()
+        slave.stop()
+
+
 def test_translate_browse_paths(plant_server):
     """Discovery stacks resolve Objects/UnitN/<register> paths to node
     ids with TranslateBrowsePathsToNodeIds instead of browsing."""
