@@ -329,6 +329,37 @@ def test_augmented_ekf_identifies_unknown_inlet_chlorine():
     assert bool(jnp.all(jnp.isfinite(carry.P)))
 
 
+def test_ekf_statistical_consistency():
+    """Filter consistency: over a long healthy run the per-channel NIS
+    must average ~1 (chi-square(1)) — an overconfident filter (NIS >> 1)
+    or an undertuned one (NIS << 1) both fail. This pins the Q/R
+    defaults as statistically honest, not just convergent."""
+    config, params, substeps, boundary = _plant()
+    truth = _truth_state(config)
+    guess = _wrong_guess(config)
+    ekf_step = jax.jit(make_ekf(
+        params, Z, TAPS, DT, substeps,
+        measurement_noise=(SIGMA ** 2).tolist(), diagnostics=True))
+    step = jax.jit(lambda s: R.step(params, s, boundary, DT, substeps))
+
+    rng = np.random.default_rng(5)
+    carry = make_ekf_carry(guess, p0=(0.05, 1.0, 4.0), n_zones=Z)
+    nis = []
+    for i in range(260):
+        truth = step(truth)
+        carry, x_hat, diag = ekf_step(carry, _measure(truth, rng),
+                                      boundary)
+        if i >= 60:          # post-convergence steady state
+            nis.append(np.asarray(diag["nis"]))
+    mean_nis = np.mean(np.stack(nis), axis=0)
+    # 200 samples of chi-square(1): the mean lies in a generous
+    # confidence band; channels are correlated through the state so
+    # exact bounds are loose, but order-of-magnitude miscalibration
+    # (overconfident Q/R) is excluded
+    assert np.all(mean_nis > 0.2), mean_nis
+    assert np.all(mean_nis < 2.5), mean_nis
+
+
 def test_ekf_rejects_nitrogen_and_bad_taps():
     config, params, substeps, _ = _plant()
     with pytest.raises(ValueError, match="field"):
