@@ -38,43 +38,58 @@ import jax.numpy as jnp
 
 from ics_wt_physicsengine_tpu.core import reactor as R
 
-# Measurable fields, in state-vector order
+# Measurable fields, in state-vector order; nitrogen species follow the
+# core when the plant runs the nitrogen chemistry (core/nitrogen.py)
 _FIELDS = ("pH", "chlorine", "temperature")
+_N_FIELDS = ("ammonia", "nitrite", "nitrate", "chloramine")
+
+
+def state_fields(nitrogen: bool = False) -> tuple:
+    return _FIELDS + (_N_FIELDS if nitrogen else ())
 
 
 @jax.tree_util.register_dataclass
 @dataclass
 class EKFCarry:
-    x: jnp.ndarray   # [..., 3*n_zones] state estimate
-    P: jnp.ndarray   # [..., 3*n_zones, 3*n_zones] covariance
+    x: jnp.ndarray   # [..., n_fields*n_zones] state estimate
+    P: jnp.ndarray   # [..., n, n] covariance
 
 
 def flatten_state(state: R.ReactorState) -> jnp.ndarray:
-    """ReactorState -> flat [..., 3*n_zones] vector (pH | Cl | T)."""
-    return jnp.concatenate(
-        [state.pH, state.chlorine, state.temperature], axis=-1)
+    """ReactorState -> flat vector (pH | Cl | T [| NH3 | NO2 | NO3 |
+    NH2Cl] — species included when the state carries them)."""
+    arrs = [state.pH, state.chlorine, state.temperature]
+    if state.ammonia is not None:
+        arrs += [state.ammonia, state.nitrite, state.nitrate,
+                 state.chloramine]
+    return jnp.concatenate(arrs, axis=-1)
 
 
 def unflatten_state(x: jnp.ndarray, n_zones: int,
-                    time=0.0, flow_rate=0.0) -> R.ReactorState:
+                    time=0.0, flow_rate=0.0,
+                    nitrogen: bool = False) -> R.ReactorState:
     """Flat vector -> ReactorState (derived fields recomputed)."""
-    pH = x[..., :n_zones]
-    Cl = x[..., n_zones:2 * n_zones]
-    T = x[..., 2 * n_zones:3 * n_zones]
+    fields = state_fields(nitrogen)
+    parts = {f: x[..., i * n_zones:(i + 1) * n_zones]
+             for i, f in enumerate(fields)}
     st = R.ReactorState(
         time=jnp.asarray(time, x.dtype),
-        pH=pH, chlorine=Cl, temperature=T,
-        flow_rate=jnp.asarray(flow_rate, x.dtype))
+        pH=parts["pH"], chlorine=parts["chlorine"],
+        temperature=parts["temperature"],
+        flow_rate=jnp.asarray(flow_rate, x.dtype),
+        **({k: parts[k] for k in _N_FIELDS} if nitrogen else {}))
     return st.update_derived()
 
 
-def tap_index(field: str, zone: int, n_zones: int) -> int:
+def tap_index(field: str, zone: int, n_zones: int,
+              nitrogen: bool = False) -> int:
     """State-vector index of ``field`` at ``zone`` (negative zones ok)."""
-    if field not in _FIELDS:
-        raise ValueError(f"field must be one of {_FIELDS}, got {field!r}")
+    fields = state_fields(nitrogen)
+    if field not in fields:
+        raise ValueError(f"field must be one of {fields}, got {field!r}")
     if not -n_zones <= zone < n_zones:
         raise ValueError(f"zone {zone} outside [{-n_zones}, {n_zones})")
-    return _FIELDS.index(field) * n_zones + (zone % n_zones)
+    return fields.index(field) * n_zones + (zone % n_zones)
 
 
 def make_ekf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
@@ -82,14 +97,20 @@ def make_ekf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
     """Initial carry from a (possibly wrong) state guess.
 
     ``p0`` is the initial variance — a scalar, or one value per field
-    (pH, chlorine, temperature) broadcast across that field's zones."""
+    (pH, chlorine, temperature[, ammonia, nitrite, nitrate,
+    chloramine]) broadcast across that field's zones."""
+    nitrogen = state0.ammonia is not None
+    n_fields = len(state_fields(nitrogen))
     x0 = flatten_state(state0)
     p0_arr = jnp.asarray(p0, x0.dtype)
     if p0_arr.ndim == 0:
-        diag = jnp.full(3 * n_zones, p0_arr, x0.dtype)
+        diag = jnp.full(n_fields * n_zones, p0_arr, x0.dtype)
     else:
+        if p0_arr.shape != (n_fields,):
+            raise ValueError(f"p0 needs {n_fields} per-field entries "
+                             f"(or a scalar), got {p0_arr.shape}")
         diag = jnp.repeat(p0_arr.astype(x0.dtype), n_zones)
-    P0 = jnp.zeros(x0.shape + (3 * n_zones,), x0.dtype) \
+    P0 = jnp.zeros(x0.shape + (n_fields * n_zones,), x0.dtype) \
         + jnp.diag(diag)
     return EKFCarry(x=x0, P=P0)
 
@@ -118,22 +139,29 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
     channel — the NIS (normalized innovation squared) is ~chi-square(1)
     for a healthy channel, the basis for instrument fault detection
     (:func:`nis_fault_monitor`). Wrap in ``jax.vmap`` for filter
-    ensembles (nitrogen-enabled plants are not supported — the EKF
-    state covers the pH/Cl/T core)."""
-    if params.nitrogen is not None:
-        raise ValueError("make_ekf supports the pH/Cl/T core state; "
-                         "disable nitrogen for estimation")
-    idxs = tuple(tap_index(f, z, n_zones) for f, z in taps)
+    ensembles.
+
+    Nitrogen plants (``params.nitrogen`` set) extend the state to 7
+    fields per zone (pH, Cl, T, NH3, NO2, NO3, NH2Cl); taps may then
+    include the species (e.g. ``("ammonia", -1)`` — the suite's ISE
+    instrument), and ``process_noise`` takes 7 per-field PSDs (a
+    3-entry core value is extended with 1e-6 for each species)."""
+    nitrogen = params.nitrogen is not None
+    n_fields = len(state_fields(nitrogen))
+    idxs = tuple(tap_index(f, z, n_zones, nitrogen) for f, z in taps)
     q_field = jnp.asarray(process_noise, jnp.float32)
-    if q_field.shape != (3,):
-        raise ValueError("process_noise is one PSD per field "
-                         "(pH, chlorine, temperature)")
+    if nitrogen and q_field.shape == (3,):
+        q_field = jnp.concatenate(
+            [q_field, jnp.full(4, 1e-6, jnp.float32)])
+    if q_field.shape != (n_fields,):
+        raise ValueError(f"process_noise is one PSD per field "
+                         f"{state_fields(nitrogen)}")
     q_diag = jnp.repeat(q_field, n_zones) * dt
     r = jnp.broadcast_to(jnp.asarray(measurement_noise, jnp.float32),
                          (len(idxs),))
 
     def f_flat(x, boundary):
-        st = unflatten_state(x, n_zones)
+        st = unflatten_state(x, n_zones, nitrogen=nitrogen)
         st2 = R.step(params, st, boundary, dt, substeps, stages=stages)
         return flatten_state(st2)
 
@@ -239,11 +267,10 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
     responsibility: an augmented parameter must actually move the
     measured channels (inlet_chlorine moves every zone's chlorine, so
     the outlet tap identifies it)."""
-    if params.nitrogen is not None:
-        raise ValueError("make_augmented_ekf supports the pH/Cl/T core "
-                         "state; disable nitrogen for estimation")
     import dataclasses
 
+    nitrogen = params.nitrogen is not None
+    n_fields = len(state_fields(nitrogen))
     bc_fields = {f.name for f in
                  dataclasses.fields(R.BoundaryConditions)}
     for name in augment:
@@ -251,12 +278,15 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
             raise ValueError(f"{name!r} is not a BoundaryConditions "
                              f"field")
     n_aug = len(augment)
-    n_core = 3 * n_zones
-    idxs = tuple(tap_index(f, z, n_zones) for f, z in taps)
+    n_core = n_fields * n_zones
+    idxs = tuple(tap_index(f, z, n_zones, nitrogen) for f, z in taps)
     q_field = jnp.asarray(process_noise, jnp.float32)
-    if q_field.shape != (3,):
-        raise ValueError("process_noise is one PSD per field "
-                         "(pH, chlorine, temperature)")
+    if nitrogen and q_field.shape == (3,):
+        q_field = jnp.concatenate(
+            [q_field, jnp.full(4, 1e-6, jnp.float32)])
+    if q_field.shape != (n_fields,):
+        raise ValueError(f"process_noise is one PSD per field "
+                         f"{state_fields(nitrogen)}")
     q_aug = jnp.broadcast_to(
         jnp.asarray(augment_noise, jnp.float32), (n_aug,))
     q_diag = jnp.concatenate(
@@ -269,7 +299,8 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
         bc = dataclasses.replace(
             boundary, **{name: theta[..., i]
                          for i, name in enumerate(augment)})
-        st = unflatten_state(x[..., :n_core], n_zones)
+        st = unflatten_state(x[..., :n_core], n_zones,
+                             nitrogen=nitrogen)
         st2 = R.step(params, st, bc, dt, substeps, stages=stages)
         return jnp.concatenate([flatten_state(st2), theta], axis=-1)
 
@@ -287,20 +318,22 @@ def make_augmented_carry(state0: R.ReactorState,
     core = make_ekf_carry(state0, p0, n_zones)
     theta0 = jnp.asarray(theta0, core.x.dtype)
     n_aug = theta0.shape[-1]
+    n_core = core.x.shape[-1]
     p0_t = jnp.broadcast_to(
         jnp.asarray(p0_theta, core.x.dtype), (n_aug,))
-    n = 3 * n_zones + n_aug
+    n = n_core + n_aug
     P = jnp.zeros((n, n), core.x.dtype)
-    P = P.at[:3 * n_zones, :3 * n_zones].set(core.P)
-    P = P.at[jnp.arange(3 * n_zones, n),
-             jnp.arange(3 * n_zones, n)].set(p0_t)
+    P = P.at[:n_core, :n_core].set(core.P)
+    P = P.at[jnp.arange(n_core, n),
+             jnp.arange(n_core, n)].set(p0_t)
     return EKFCarry(x=jnp.concatenate([core.x, theta0]), P=P)
 
 
 def ekf_observer(controller, ekf_step, n_zones: int,
                  measured: Sequence[str],
                  estimates: dict,
-                 batched: bool = False):
+                 batched: bool = False,
+                 nitrogen: bool = False):
     """Wrap a controller so it acts on EKF state ESTIMATES instead of
     raw instrument readings — observer-based output feedback, in-graph.
 
@@ -320,7 +353,7 @@ def ekf_observer(controller, ekf_step, n_zones: int,
     ``ekf_step`` (from ``make_ekf``); it must equal the rollout's dt.
     ``batched=True`` vmaps the filter over a leading lane axis (use
     with ``rollout_closed_loop(batched=True)``)."""
-    idx_of = {name: tap_index(f, z, n_zones)
+    idx_of = {name: tap_index(f, z, n_zones, nitrogen)
               for name, (f, z) in estimates.items()}
     step_fn = (jax.vmap(ekf_step, in_axes=(0, 0, 0)) if batched
                else ekf_step)

@@ -360,16 +360,62 @@ def test_ekf_statistical_consistency():
     assert np.all(mean_nis < 2.5), mean_nis
 
 
-def test_ekf_rejects_nitrogen_and_bad_taps():
-    config, params, substeps, _ = _plant()
+def test_ekf_validates_taps():
     with pytest.raises(ValueError, match="field"):
-        tap_index("ammonia", 0, Z)
+        tap_index("ammonia", 0, Z)            # core state: no species
+    assert tap_index("ammonia", 0, Z, nitrogen=True) == 3 * Z
     with pytest.raises(ValueError, match="zone"):
         tap_index("pH", Z, Z)
+
+
+def test_nitrogen_ekf_reconstructs_species():
+    """Nitrogen plants extend the EKF state to 7 fields per zone: the
+    ISE ammonia instrument plus the core taps reconstruct the
+    unmeasured interior ammonia profile through the nitrification
+    kinetics."""
     n_config = R.ReactorConfiguration(
         volume=1000.0, n_zones=Z, flow_rate=5.0, initial_pH=7.2,
-        initial_chlorine=2.0, temperature=20.0, enable_nitrogen=True,
+        initial_chlorine=0.2, temperature=20.0, enable_nitrogen=True,
         initial_ammonia=1.0)
-    n_params = R.make_params(n_config, dtype=jnp.float64)
-    with pytest.raises(ValueError, match="nitrogen"):
-        make_ekf(n_params, Z, TAPS, DT, substeps)
+    params = R.make_params(n_config, dtype=jnp.float64)
+    substeps = R.default_substeps(n_config, DT)
+    boundary = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.4, inlet_chlorine=0.0,
+        inlet_temperature=20.0, inlet_ammonia=1.2)
+    taps = TAPS + [("ammonia", -1)]
+    sigma = np.append(SIGMA, 0.05)
+    ekf_step = jax.jit(make_ekf(
+        params, Z, taps, DT, substeps,
+        measurement_noise=(sigma ** 2).tolist()))
+    step = jax.jit(lambda s: R.step(params, s, boundary, DT, substeps))
+
+    truth = R.make_initial_state(n_config, dtype=jnp.float64)
+    truth = R.ReactorState(
+        time=truth.time, pH=truth.pH, chlorine=truth.chlorine,
+        temperature=truth.temperature, flow_rate=truth.flow_rate,
+        ammonia=jnp.linspace(1.5, 0.8, Z).astype(truth.pH.dtype),
+        nitrite=truth.nitrite, nitrate=truth.nitrate,
+        chloramine=truth.chloramine).update_derived()
+    guess = R.make_initial_state(n_config, dtype=jnp.float64)
+
+    carry = make_ekf_carry(
+        guess, p0=(0.05, 1.0, 4.0, 1.0, 0.1, 0.1, 0.1), n_zones=Z)
+    assert carry.x.shape == (7 * Z,)
+    rng = np.random.default_rng(6)
+    open_loop = guess
+    for _ in range(40):
+        truth = step(truth)
+        open_loop = step(open_loop)
+        z = np.array([float(flatten_state(truth)[
+            tap_index(f, zz, Z, nitrogen=True)]) for f, zz in taps])
+        carry, x_hat = ekf_step(carry,
+                                jnp.asarray(z + rng.normal(0, sigma)),
+                                boundary)
+    mid = Z // 2
+    i_nh = tap_index("ammonia", mid, Z, nitrogen=True)
+    ekf_err = abs(float(x_hat[i_nh]) - float(truth.ammonia[mid]))
+    ol_err = abs(float(open_loop.ammonia[mid])
+                 - float(truth.ammonia[mid]))
+    assert ekf_err < 0.5 * ol_err, (ekf_err, ol_err)
+    assert ekf_err < 0.15, ekf_err
+    assert bool(jnp.all(jnp.isfinite(carry.P)))
