@@ -57,7 +57,11 @@ from ics_wt_physicsengine_tpu.control.estimator import (
     make_kalman_carry,
     make_kalman_params,
 )
-from ics_wt_physicsengine_tpu.control.mpc import mpc_plan, run_mpc
+from ics_wt_physicsengine_tpu.control.mpc import (
+    mpc_plan,
+    run_mpc,
+    run_mpc_output_feedback,
+)
 from ics_wt_physicsengine_tpu.control.pid import (
     PIDCarry,
     PIDGains,
@@ -81,7 +85,7 @@ __all__ = [
     "rollout_closed_loop", "validate_commands",
     "gain_sweep", "make_gain_grid", "n_gains", "robust_gain_sweep",
     "tracking_scores", "tune_pid_gradient",
-    "mpc_plan", "run_mpc",
+    "mpc_plan", "run_mpc", "run_mpc_output_feedback",
     "KalmanCarry", "KalmanParams", "filtered_controller", "kalman_step",
     "make_kalman_carry", "make_kalman_params",
     "EKFCarry", "ekf_observer", "flatten_state", "make_augmented_carry",

@@ -223,3 +223,134 @@ def run_mpc(config: R.ReactorConfiguration, setpoint_program,
     if "chlorine_outlet" in tracked:
         out["chlorine_outlet"] = tracked["chlorine_outlet"]
     return out
+
+
+def run_mpc_output_feedback(
+        config: R.ReactorConfiguration, setpoint_program, dt: float,
+        taps: Sequence, measured: Sequence[str],
+        horizon_moves: int = 8, steps_per_move: int = 15,
+        replan_every: Optional[int] = None, iters: int = 30,
+        learning_rate: float = 0.08, move_weight: float = 0.05,
+        boundary: Optional[R.BoundaryConditions] = None,
+        substeps: Optional[int] = None, stages=None,
+        controls: Sequence[str] = _DEFAULT_CONTROLS, weights=None,
+        measurement_noise=0.01, process_noise=(1e-6, 1e-5, 1e-5),
+        p0=(0.05, 1.0, 4.0), seed: int = 0,
+        dtype=jnp.float32) -> Dict:
+    """Output-feedback (LQG-style) receding-horizon control: the MPC
+    never sees the true state — it shoots from the EKF's estimate,
+    which assimilates the REAL instrument suite's readings every tick.
+
+    ``taps`` are the EKF's ``(field, zone)`` measurement channels
+    (control/ekf.py) and ``measured`` the matching reading names from
+    the instrumented plant (``"pH_inlet"``, ``"chlorine_outlet"``, ...).
+    Everything — plant + 7 instruments, filter predict/update with the
+    jacfwd transition Jacobian, and each re-plan's Adam iterations —
+    runs inside one jitted outer scan.
+
+    Returns the applied commands, the realized TRUE tracked
+    trajectories (for honest scoring), the measured readings, and the
+    final estimate. The practical deployment shape: this is the
+    controller you commission before pointing the same MPC at a real
+    plant over Modbus/OPC UA, where the true state never exists."""
+    from ics_wt_physicsengine_tpu.control.ekf import (make_ekf,
+                                                      make_ekf_carry,
+                                                      unflatten_state)
+    from ics_wt_physicsengine_tpu.models.plant import make_plant, plant_step
+
+    controls = tuple(controls)
+    if not isinstance(setpoint_program, dict):
+        setpoint_program = {"chlorine_outlet":
+                            jnp.asarray(setpoint_program, dtype)}
+    programs = {k: jnp.asarray(v, dtype)
+                for k, v in setpoint_program.items()}
+    n_steps = {int(v.shape[0]) for v in programs.values()}.pop()
+    if weights is None:
+        weights = {k: 1.0 for k in programs}
+    if replan_every is None:
+        replan_every = steps_per_move
+    if n_steps % replan_every:
+        raise ValueError(f"n_steps={n_steps} must be a multiple of "
+                         f"replan_every={replan_every}")
+    if substeps is None:
+        substeps = R.default_substeps(config, dt)
+    if boundary is None:
+        boundary = R.BoundaryConditions()
+    zones = config.n_zones
+    pparams, plant = make_plant(config, seed=seed, dtype=dtype,
+                                warmed_up=True)
+    rparams = pparams.reactor
+    ekf_step = make_ekf(rparams, zones, taps, dt, substeps,
+                        process_noise=process_noise,
+                        measurement_noise=measurement_noise,
+                        stages=stages)
+    ekf_carry = make_ekf_carry(
+        R.make_initial_state(config, dtype=dtype), p0=p0,
+        n_zones=zones)
+
+    horizon = horizon_moves * steps_per_move
+    padded = {k: jnp.concatenate([v, jnp.full((horizon,), v[-1], dtype)])
+              for k, v in programs.items()}
+    n_outer = n_steps // replan_every
+    n_controls = len(controls)
+
+    @partial(jax.jit, static_argnames=())
+    def outer(plant0, ekf0):
+        def body(carry, k):
+            pl, ekf_c, moves_prev = carry
+            sp_h = {name: jax.lax.dynamic_slice(p, (k * replan_every,),
+                                                (horizon,))
+                    for name, p in padded.items()}
+            # Plan from the ESTIMATE — the only state the controller has
+            est_state = unflatten_state(ekf_c.x, zones)
+            moves, _ = mpc_plan(rparams, est_state, boundary, sp_h,
+                                moves_prev, dt=float(dt),
+                                substeps=int(substeps),
+                                steps_per_move=int(steps_per_move),
+                                stages=stages, iters=int(iters),
+                                learning_rate=learning_rate,
+                                move_weight=move_weight,
+                                controls=controls, weights=weights)
+            u_applied = jnp.repeat(moves, steps_per_move,
+                                   axis=0)[:replan_every]
+
+            def inner(c, u_t):
+                pl, ekf_c = c
+                bc = dataclasses.replace(
+                    boundary,
+                    **{f: u_t[i] for i, f in enumerate(controls)})
+                pl, readings = plant_step(pparams, pl, bc, dt,
+                                          int(substeps), stages=stages)
+                z = jnp.stack([readings[n].value for n in measured])
+                ekf_c, _ = ekf_step(ekf_c, z, bc)
+                obs_true = observe_true(pl.reactor)
+                return (pl, ekf_c), (
+                    {name: obs_true[name] for name in programs},
+                    {n: readings[n].value for n in measured})
+
+            (pl, ekf_c), (tracked, meas) = jax.lax.scan(
+                inner, (pl, ekf_c), u_applied)
+            shifted = jnp.concatenate([moves[1:], moves[-1:]]) \
+                if replan_every == steps_per_move else moves
+            return (pl, ekf_c, shifted), (u_applied, tracked, meas)
+
+        moves0 = jnp.full((horizon_moves, n_controls), 0.2, dtype)
+        (pl, ekf_c, _), (u, tracked, meas) = jax.lax.scan(
+            body, (plant0, ekf0, moves0), jnp.arange(n_outer))
+        return pl, ekf_c, u.reshape(-1, n_controls), \
+            {k: v.reshape(-1) for k, v in tracked.items()}, \
+            {k: v.reshape(-1) for k, v in meas.items()}
+
+    plant, ekf_carry, u, tracked, meas = outer(plant, ekf_carry)
+    score = sum(float(weights[k])
+                * float(jnp.sum((tracked[k] - programs[k]) ** 2) * dt)
+                for k in programs)
+    out = {"commands_by_control": {f: u[:, i]
+                                   for i, f in enumerate(controls)},
+           "tracked": tracked, "measured": meas, "score": score,
+           "final_plant": plant, "final_estimate": ekf_carry}
+    if controls == _DEFAULT_CONTROLS:
+        out["commands"] = u[:, 0]
+    if "chlorine_outlet" in tracked:
+        out["chlorine_outlet"] = tracked["chlorine_outlet"]
+    return out

@@ -45,6 +45,36 @@ def _pid_score(gains: C.DualPIDGains) -> float:
     return score
 
 
+def test_output_feedback_mpc_tracks_through_instruments():
+    """LQG-style loop: the MPC shoots from the EKF estimate, which
+    assimilates the REAL instrument suite — no true state anywhere in
+    the control path. It must still track the dosing program (scored
+    against the hidden truth, within the instruments' bias budget)."""
+    program = jnp.concatenate([jnp.full((45,), 2.0, jnp.float32),
+                               jnp.full((45,), 1.0, jnp.float32)])
+    res = C.run_mpc_output_feedback(
+        _CONFIG, program, dt=_DT,
+        taps=[("pH", 0), ("chlorine", -1), ("temperature", -1)],
+        measured=["pH_inlet", "chlorine_outlet", "temp_outlet"],
+        horizon_moves=5, steps_per_move=9, iters=15, boundary=_BC,
+        measurement_noise=(4e-4, 2.5e-3, 1e-2), seed=11)
+    cl_true = np.asarray(res["chlorine_outlet"])     # hidden truth
+    assert np.isfinite(cl_true).all()
+    # tracks both program levels by each segment's end; tolerance
+    # covers the outlet instrument's calibration bias (the controller
+    # steers the MEASURED value to the setpoint)
+    assert abs(cl_true[40] - 2.0) < 0.6, cl_true[40]
+    assert abs(cl_true[-1] - 1.0) < 0.6, cl_true[-1]
+    # and the measured value it actually regulates sits tighter
+    cl_meas = np.asarray(res["measured"]["chlorine_outlet"])
+    assert abs(cl_meas[-1] - 1.0) < 0.25, cl_meas[-1]
+    # the estimate agrees with the measured outlet at the end
+    from ics_wt_physicsengine_tpu.control import tap_index
+    est_out = float(res["final_estimate"].x[
+        tap_index("chlorine", -1, _CONFIG.n_zones)])
+    assert abs(est_out - cl_meas[-1]) < 0.2, (est_out, cl_meas[-1])
+
+
 def test_mpc_tracks_and_beats_tuned_pid():
     res = C.run_mpc(_CONFIG, _PROGRAM, dt=_DT, horizon_moves=6,
                     steps_per_move=10, iters=20, boundary=_BC)
