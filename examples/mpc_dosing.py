@@ -35,6 +35,11 @@ def main():
                     help="program length (one step change at half time)")
     ap.add_argument("--zones", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--output-feedback", action="store_true",
+                    help="also run the LQG-style loop: MPC planning "
+                         "from the EKF estimate over the real "
+                         "instrument suite (control/mpc.py "
+                         "run_mpc_output_feedback)")
     args = ap.parse_args()
 
     import jax
@@ -97,7 +102,7 @@ def main():
                     steps_per_move=10, iters=20, boundary=bc)
     t_mpc = time.time() - t0
 
-    print(json.dumps({
+    out = {
         "program": {"levels": [2.0, 1.0], "minutes": n_steps},
         "pid": {"score_ISE": round(pid_score, 2),
                 "kp": round(float(best.chlorine.kp), 3),
@@ -106,7 +111,28 @@ def main():
         "mpc": {"score_ISE": round(res["score"], 2),
                 "seconds": round(t_mpc, 2)},
         "mpc_beats_pid": bool(res["score"] < pid_score),
-    }))
+    }
+
+    if args.output_feedback:
+        # --- the deployment shape: MPC shoots from the EKF estimate,
+        #     which assimilates the REAL instrument suite (no true
+        #     state anywhere in the control path)
+        t0 = time.time()
+        of = C.run_mpc_output_feedback(
+            config, program, dt=dt,
+            taps=[("pH", 0), ("chlorine", -1), ("temperature", -1)],
+            measured=["pH_inlet", "chlorine_outlet", "temp_outlet"],
+            horizon_moves=6, steps_per_move=10, iters=20, boundary=bc,
+            measurement_noise=(4e-4, 2.5e-3, 1e-2), seed=11)
+        out["mpc_output_feedback"] = {
+            "score_ISE_vs_truth": round(of["score"], 2),
+            "final_measured_Cl": round(
+                float(np.asarray(of["measured"]["chlorine_outlet"])[-1]),
+                3),
+            "seconds": round(time.time() - t0, 2),
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -260,5 +260,7 @@ def test_web_hmi(tmp_path):
 
 def test_mpc_dosing():
     out = _run("mpc_dosing.py",
-               ["--cpu", "--minutes", "40", "--zones", "4"])
+               ["--cpu", "--minutes", "40", "--zones", "4",
+                "--output-feedback"])
     assert '"mpc_beats_pid"' in out
+    assert '"score_ISE_vs_truth"' in out
