@@ -11,6 +11,8 @@ on one CPU core (BASELINE.md).
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -19,9 +21,15 @@ import jax.numpy as jnp
 from ics_wt_physicsengine_tpu.core import reactor as R
 from ics_wt_physicsengine_tpu.models.monte_carlo import make_monte_carlo_batch
 from ics_wt_physicsengine_tpu.ops.fused_rollout import rollout_fused
+from ics_wt_physicsengine_tpu.utils.backend_select import (
+    enable_compile_cache, ensure_default_backend)
 
 BASELINE_STEPS_PER_S = 31.0   # measured reference, 20 zones, 1 CPU core
 DT = 1.0
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def _timed_chained(fn, params, state, bc, reps):
@@ -460,20 +468,51 @@ def bench_hw_prng_stats(n_plants=1024, n_steps=1024):
 
 
 def main():
+    # Hang-proof, parseable-even-on-failure (VERDICT r3 item 2): probe the
+    # default backend in a deadline-bounded subprocess BEFORE the first
+    # device_put — a wedged TPU tunnel hangs jax.devices() forever
+    # (MULTICHIP_r03) or crashes it outright (BENCH_r03 rc=1). On an
+    # unusable accelerator, emit one parseable JSON line and exit 0 rather
+    # than a traceback; benching the 20-zone rollouts on this host's single
+    # CPU core would itself exceed any driver timeout.
+    platform, reason = ensure_default_backend(
+        min_devices=1, probe_deadline=60.0, retries=3, log=_log)
+    if platform == "cpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        why = (f"accelerator backend unusable: {reason}"
+               if reason != "ok" else
+               "default backend is cpu (single core); set BENCH_ALLOW_CPU=1"
+               " to force")
+        print(json.dumps({
+            "metric": ("single-plant steps/sec (20 zones, dt=1s; "
+                       "== real-time factor)"),
+            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+            "ok": False, "reason": why}))
+        return
+    enable_compile_cache(log=_log)
+    _log(f"backend: {platform}; starting single-plant")
     single, single_rkc = bench_single_plant()
+    _log(f"single={single:.0f} rkc={single_rkc:.0f}; starting batched")
     batched, batched_rkc = bench_batched()
+    _log(f"batched={batched:.3g} rkc={batched_rkc:.3g}; starting integrated")
     integrated = bench_integrated()
+    _log(f"integrated={integrated:.3g}; starting integrated-single")
     (integrated_single, integrated_single_hil,
      integrated_single_rkc) = bench_integrated_single()
+    _log(f"integrated_single={integrated_single:.0f}; starting scheduled")
     scheduled = bench_scheduled()
+    _log(f"scheduled={scheduled:.0f}; starting closed-loop")
     closed_loop, n_cl_gains = bench_closed_loop()
+    _log(f"closed_loop={closed_loop:.3g}; starting ekf")
     ekf_rate = bench_ekf()
+    _log(f"ekf={ekf_rate:.3g}; starting hw-prng stats")
     hw_prng = bench_hw_prng_stats()
+    _log("all sections done")
     print(json.dumps({
         "metric": "single-plant steps/sec (20 zones, dt=1s; == real-time factor)",
         "value": round(single, 1),
         "unit": "steps/s",
         "vs_baseline": round(single / BASELINE_STEPS_PER_S, 2),
+        "ok": True,
         "extra": {
             "single_plant_steps_per_sec_rkc_fast": round(single_rkc, 1),
             "rkc_fast_vs_baseline": round(single_rkc / BASELINE_STEPS_PER_S,

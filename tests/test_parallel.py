@@ -173,9 +173,9 @@ def test_monte_carlo_batch_is_host_pure():
 
 
 def test_graft_entry_device_probe_skips_short_backends():
-    import __graft_entry__ as ge
+    from ics_wt_physicsengine_tpu.utils.backend_select import select_devices
 
-    devs = ge._select_devices(8)
+    devs = select_devices(8)
     assert len(devs) == 8
     # all selected devices come from one backend
     assert len({d.platform for d in devs}) == 1
