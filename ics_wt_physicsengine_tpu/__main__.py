@@ -329,6 +329,39 @@ _ACTUATOR_FIELDS = ("acid_flow_rate", "chlorine_flow_rate",
                     "inlet_flow_rate")
 
 
+def build_chunk_schedule(applied: BoundaryConditions,
+                         commanded: BoundaryConditions,
+                         n_steps: int, dt: float, tau: float
+                         ) -> Tuple[BoundaryConditions, BoundaryConditions]:
+    """Per-step boundary schedule for one fast-time serving chunk
+    (--serve-chunk): commands are zero-order-held across the chunk, and the
+    actuator flow fields follow exactly the first-order-lag trajectory the
+    per-tick loop integrates (apply_actuator_dynamics), evaluated in closed
+    form — step j uses applied_j = cmd + (applied_0 - cmd)·exp(-j·dt/τ),
+    matching the per-tick recursion applied_{j+1} = applied_j + α·(cmd -
+    applied_j) with α = 1 - exp(-dt/τ).
+
+    Returns ``(schedule, end_boundary)`` where every actuator field of
+    ``schedule`` is an ``[n_steps]`` array and ``end_boundary`` carries the
+    actuator positions after the chunk (the next chunk's slew start)."""
+    import numpy as np
+    from dataclasses import replace
+
+    if tau > 0.0:
+        decay = np.exp(-dt * np.arange(n_steps) / tau)
+        end_decay = float(np.exp(-dt * n_steps / tau))
+    else:
+        decay = np.zeros(n_steps)  # instant actuation: every step = command
+        end_decay = 0.0
+    sched, end = {}, {}
+    for f in _ACTUATOR_FIELDS:
+        a0 = float(getattr(applied, f))
+        cmd = float(getattr(commanded, f))
+        sched[f] = (cmd + (a0 - cmd) * decay).astype(np.float32)
+        end[f] = cmd + (a0 - cmd) * end_decay
+    return replace(commanded, **sched), replace(commanded, **end)
+
+
 def apply_actuator_dynamics(applied: BoundaryConditions,
                             commanded: BoundaryConditions,
                             dt: float, tau: float) -> BoundaryConditions:
@@ -506,6 +539,20 @@ def main(argv=None):
                              "= Chebyshev-stabilized, fewer sequential "
                              "derivative evals per tick (tests/test_rkc.py "
                              "accuracy envelopes)")
+    parser.add_argument("--serve-chunk", type=int, default=1, metavar="N",
+                        help="fast-time HIL serving: advance N physics+"
+                             "instrument steps per register exchange in ONE "
+                             "device call (plant_rollout_serve). Commands "
+                             "are zero-order-held across the chunk and the "
+                             "--actuator-tau slew is precomputed into the "
+                             "chunk's boundary schedule. Replaces the "
+                             "reference's one-step-per-host-tick serving "
+                             "pattern (reference __main__.py:453-457). "
+                             "Requires --fused-sensors. 1 = per-tick loop.")
+    parser.add_argument("--log-decimate", type=int, default=1, metavar="K",
+                        help="with --serve-chunk: write every Kth in-chunk "
+                             "step to --log-csv/--log-parquet (1 = every "
+                             "step; raise for high-RTF free runs)")
     parser.add_argument("--backend", type=str, default="cpu",
                         choices=["cpu", "tpu", "default"],
                         help="JAX backend for the serving loop. The HIL loop "
@@ -518,6 +565,17 @@ def main(argv=None):
     if args.opcua is not None and args.no_modbus:
         parser.error("--opcua bridges onto the Modbus register store and "
                      "cannot be combined with --no-modbus")
+    if args.serve_chunk < 1:
+        parser.error(f"--serve-chunk must be >= 1, got {args.serve_chunk}")
+    if args.serve_chunk > 1 and not args.fused_sensors:
+        parser.error("--serve-chunk needs the in-graph instrument pipeline: "
+                     "add --fused-sensors (host-object sensors cannot run "
+                     "inside a device rollout)")
+    if args.serve_chunk > 1 and (args.fleet > 1 or args.network):
+        parser.error("--serve-chunk currently applies to the single-plant "
+                     "orchestrator (fleet serving batches lanes instead)")
+    if args.log_decimate < 1:
+        parser.error(f"--log-decimate must be >= 1, got {args.log_decimate}")
 
     if args.backend != "default":
         try:
@@ -580,6 +638,7 @@ def main(argv=None):
     # PHASE 3: sensors
     sim_start_time = time.monotonic()
     fused_plant = None
+    serve_roll = None
     if args.fused_sensors:
         try:
             from functools import partial as _partial
@@ -587,13 +646,20 @@ def main(argv=None):
             import jax as _jax
 
             from ics_wt_physicsengine_tpu.models.plant import (
-                make_plant, plant_step)
+                make_plant, plant_rollout_serve, plant_step)
 
             plant_params, fused_plant = make_plant(
                 config, seed=args.seed or 0, warmed_up=True)
             _m, _s = reactor._plan_for(args.dt)
             fused_step = _jax.jit(_partial(
                 plant_step, dt=args.dt, substeps=_m, stages=_s))
+            if args.serve_chunk > 1:
+                serve_roll = _jax.jit(_partial(
+                    plant_rollout_serve, dt=args.dt, substeps=_m,
+                    stages=_s))
+                logger.info("Fast-time serving enabled: %d steps per "
+                            "register exchange in one device call",
+                            args.serve_chunk)
             sensors = {}
             logger.info("Fused sensor path enabled (single jitted "
                         "physics+instruments step per tick)")
@@ -742,9 +808,14 @@ def main(argv=None):
             logger.error("Parquet logging unavailable: %s — continuing "
                          "without it", type(e).__name__)
 
-    def log_csv_row(readings):
+    def log_csv_row(readings, t=None, bc=None):
+        """One history row. ``t``/``bc`` override the loop's current
+        sim_time/boundary for in-chunk rows (--serve-chunk decimated
+        history)."""
         if csv_file is None and parquet_log is None:
             return
+        t = sim_time if t is None else t
+        bc = boundary if bc is None else bc
         def v(key):
             r = readings.get(key)
             return f"{r.value:.6g}" if r else ""
@@ -752,27 +823,27 @@ def main(argv=None):
                             for r in readings.values()))
         if csv_file is not None:
             csv_file.write(
-                f"{sim_time:.3f},{v('pH_inlet')},{v('pH_outlet')},"
+                f"{t:.3f},{v('pH_inlet')},{v('pH_outlet')},"
                 f"{v('chlorine_inlet')},{v('chlorine_outlet')},"
                 f"{v('flow_main')},{v('temp_inlet')},{v('temp_outlet')},"
-                f"{boundary.acid_flow_rate:.6g},"
-                f"{boundary.chlorine_flow_rate:.6g},"
-                f"{boundary.inlet_flow_rate:.6g},{any_fault}\n")
+                f"{bc.acid_flow_rate:.6g},"
+                f"{bc.chlorine_flow_rate:.6g},"
+                f"{bc.inlet_flow_rate:.6g},{any_fault}\n")
         if parquet_log is not None:
             def fv(key):
                 r = readings.get(key)
                 return float(r.value) if r else float("nan")
             parquet_log.log({
-                "sim_time": float(sim_time),
+                "sim_time": float(t),
                 "pH_inlet": fv("pH_inlet"), "pH_outlet": fv("pH_outlet"),
                 "chlorine_inlet": fv("chlorine_inlet"),
                 "chlorine_outlet": fv("chlorine_outlet"),
                 "flow_main": fv("flow_main"),
                 "temp_inlet": fv("temp_inlet"),
                 "temp_outlet": fv("temp_outlet"),
-                "acid_cmd": float(boundary.acid_flow_rate),
-                "chlorine_cmd": float(boundary.chlorine_flow_rate),
-                "inlet_flow_cmd": float(boundary.inlet_flow_rate),
+                "acid_cmd": float(bc.acid_flow_rate),
+                "chlorine_cmd": float(bc.chlorine_flow_rate),
+                "inlet_flow_cmd": float(bc.inlet_flow_rate),
                 "any_fault": any_fault})
 
     def maintain_sensors():
@@ -811,7 +882,84 @@ def main(argv=None):
                 with suppress(Exception):
                     paused = not slave.read_coil("simulation_running")
 
-            if not paused:
+            if not paused and serve_roll is not None:
+                # Fast-time serving (--serve-chunk): N steps per register
+                # exchange in ONE device call — the reference's serving
+                # ceiling is 1 step per host tick (__main__.py:453-457);
+                # here the device free-runs a scan between exchanges
+                # (SURVEY §7 hard-part 4).
+                import numpy as np
+                from dataclasses import replace as _dc_replace
+                chunk = args.serve_chunk
+                try:
+                    schedule, end_boundary = build_chunk_schedule(
+                        boundary, commanded, chunk, args.dt,
+                        args.actuator_tau)
+                    fused_plant, rec = serve_roll(plant_params, fused_plant,
+                                                  schedule)
+                    state = fused_plant.reactor
+                except Exception as e:  # noqa: BLE001
+                    logger.error("Physics chunk failed: %s",
+                                 type(e).__name__)
+                    break
+                readings = _readings_from_outputs(rec, lane=chunk - 1)
+
+                if slave:
+                    if not update_modbus_inputs(
+                            slave, readings, state,
+                            sim_time + chunk * args.dt):
+                        modbus_error_count += 1
+                        if modbus_error_count >= max_modbus_errors:
+                            logger.error(
+                                "Too many Modbus errors, disabling interface")
+                            slave = None
+                if slave:
+                    commands = read_modbus_commands(slave)
+                    commanded = apply_boundary_conditions(end_boundary,
+                                                          commands)
+                # Next chunk slews from the end-of-chunk actuator positions
+                # toward the freshly validated commands (instant when no
+                # actuator lag is configured) — same composition as the
+                # per-tick apply_actuator_dynamics.
+                if args.actuator_tau > 0:
+                    boundary = _dc_replace(commanded, **{
+                        f: getattr(end_boundary, f)
+                        for f in _ACTUATOR_FIELDS})
+                else:
+                    boundary = commanded
+
+                # Decimated in-chunk history: every Kth recorded step, with
+                # its own sim_time and scheduled actuator values.
+                if csv_file is not None or parquet_log is not None:
+                    for j in range(args.log_decimate - 1, chunk,
+                                   args.log_decimate):
+                        row_bc = _dc_replace(end_boundary, **{
+                            f: float(np.asarray(getattr(schedule, f))[j])
+                            for f in _ACTUATOR_FIELDS})
+                        log_csv_row(_readings_from_outputs(rec, lane=j),
+                                    t=sim_time + (j + 1) * args.dt,
+                                    bc=row_bc)
+
+                prev_intervals = step_count // log_interval
+                step_count += chunk
+                sim_time += chunk * args.dt
+                if step_count // log_interval != prev_intervals:
+                    ph_out = readings.get("pH_outlet")
+                    cl_out = readings.get("chlorine_outlet")
+                    logger.info(
+                        "t=%.0fs | pH_out=%.2f | Cl_out=%.2f | AcidCmd=%.2f"
+                        " | chunk=%d",
+                        sim_time,
+                        ph_out.value if ph_out else 0.0,
+                        cl_out.value if cl_out else 0.0,
+                        boundary.acid_flow_rate, chunk)
+                if sim_time >= next_recal:
+                    maintain_sensors()
+                    next_recal += recal_interval_s
+                if args.checkpoint_file and sim_time >= next_checkpoint:
+                    write_checkpoint()
+                    next_checkpoint += checkpoint_interval_s
+            elif not paused:
                 try:
                     if fused_plant is not None:
                         fused_plant, outputs = fused_step(
@@ -882,10 +1030,13 @@ def main(argv=None):
                     write_checkpoint()
                     next_checkpoint += checkpoint_interval_s
 
-            # real-time pacing (reference __main__.py:453-457)
+            # real-time pacing (reference __main__.py:453-457); a serving
+            # chunk paces against its whole simulated span
             if args.rtf > 0:
                 elapsed = time.monotonic() - step_start
-                sleep_time = max(0.0, args.dt / args.rtf - elapsed)
+                span = args.dt * (args.serve_chunk
+                                  if serve_roll is not None else 1)
+                sleep_time = max(0.0, span / args.rtf - elapsed)
                 if sleep_time > 0:
                     time.sleep(sleep_time)
 

@@ -277,14 +277,9 @@ def plant_rollout(params: PlantParams, plant: PlantState,
                         unroll=min(unroll, n_steps))
 
 
-def plant_rollout_scheduled(params: PlantParams, plant: PlantState,
-                            schedule: R.BoundaryConditions, dt: float,
-                            substeps: int, record: bool = True,
-                            stages=None):
-    """Scan plant_step over a time-varying boundary schedule (see
-    core.reactor.rollout_scheduled): physics + all seven instruments under
-    scripted forcing — e.g. measured-value response to a dosing program
-    without a live control loop."""
+def _normalize_schedule(schedule: R.BoundaryConditions):
+    """Broadcast a mixed scalar/[n_steps] boundary pytree to uniform
+    [n_steps] leaves; returns (schedule, n_steps)."""
     import jax.numpy as jnp
 
     lengths = {int(x.shape[0]) for x in jax.tree_util.tree_leaves(schedule)
@@ -298,11 +293,49 @@ def plant_rollout_scheduled(params: PlantParams, plant: PlantState,
     schedule = jax.tree_util.tree_map(
         lambda x: (jnp.broadcast_to(jnp.asarray(x), (n_steps,))
                    if jnp.ndim(x) == 0 else x), schedule)
+    return schedule, n_steps
+
+
+def plant_rollout_scheduled(params: PlantParams, plant: PlantState,
+                            schedule: R.BoundaryConditions, dt: float,
+                            substeps: int, record: bool = True,
+                            stages=None):
+    """Scan plant_step over a time-varying boundary schedule (see
+    core.reactor.rollout_scheduled): physics + all seven instruments under
+    scripted forcing — e.g. measured-value response to a dosing program
+    without a live control loop."""
+    schedule, n_steps = _normalize_schedule(schedule)
 
     def body(p, bc):
         p, readings = plant_step(params, p, bc, dt, substeps, stages=stages)
         out = ({k: v.value for k, v in readings.items()} if record else None)
         return p, out
+
+    return jax.lax.scan(body, plant, schedule, length=n_steps)
+
+
+def plant_rollout_serve(params: PlantParams, plant: PlantState,
+                        schedule: R.BoundaryConditions, dt: float,
+                        substeps: int, stages=None):
+    """One fast-time HIL serving chunk (SURVEY §7 hard-part 4): advance the
+    plant ``n_steps`` in a SINGLE device call under a per-step boundary
+    schedule (zero-order-held validated commands, plus any host-precomputed
+    actuator-slew trajectory), recording the FULL SensorOutput pytree every
+    step. The host then exports the final step as the register snapshot and
+    a decimated slice as history — without re-entering the device.
+
+    This replaces the reference's one-step-per-host-tick serving pattern
+    (reference __main__.py:453-457, ~31 steps/s ceiling): with chunking the
+    served plane runs at device rollout speed between register exchanges.
+
+    Returns ``(final_plant, per_step_readings)`` where every leaf of
+    ``per_step_readings[name]`` is ``[n_steps]``-shaped.
+    """
+    schedule, n_steps = _normalize_schedule(schedule)
+
+    def body(p, bc):
+        p, readings = plant_step(params, p, bc, dt, substeps, stages=stages)
+        return p, readings
 
     return jax.lax.scan(body, plant, schedule, length=n_steps)
 

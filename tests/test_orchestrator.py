@@ -264,3 +264,142 @@ def test_actuator_dynamics_first_order_lag():
     for _ in range(200):
         b = orch.apply_actuator_dynamics(b, commanded, dt=1.0, tau=10.0)
     assert b.acid_flow_rate == pytest.approx(1.0, abs=1e-6)
+
+
+def test_chunk_schedule_matches_per_tick_slew():
+    """build_chunk_schedule's closed-form actuator trajectory is exactly the
+    per-tick apply_actuator_dynamics recursion: step j of a chunk uses the
+    same boundary the per-tick loop would have used, and the end boundary
+    equals the per-tick loop's boundary after the chunk."""
+    import ics_wt_physicsengine_tpu.__main__ as orch
+    from ics_wt_physicsengine_tpu.core import BoundaryConditions
+
+    applied = BoundaryConditions(acid_flow_rate=0.0, chlorine_flow_rate=0.5,
+                                 inlet_flow_rate=5.0, acid_concentration=0.1)
+    commanded = BoundaryConditions(acid_flow_rate=1.0,
+                                   chlorine_flow_rate=0.1,
+                                   inlet_flow_rate=8.0,
+                                   acid_concentration=0.4)
+    dt, tau, n = 2.0, 30.0, 16
+    sched, end = orch.build_chunk_schedule(applied, commanded, n, dt, tau)
+
+    b = applied
+    for j in range(n):
+        for f in orch._ACTUATOR_FIELDS:
+            assert float(np.asarray(getattr(sched, f))[j]) == pytest.approx(
+                getattr(b, f), rel=1e-5), (f, j)
+        b = orch.apply_actuator_dynamics(b, commanded, dt, tau)
+    for f in orch._ACTUATOR_FIELDS:
+        assert getattr(end, f) == pytest.approx(getattr(b, f), rel=1e-6)
+    # non-actuator command fields are zero-order-held at the command
+    # (scalar leaves; plant_rollout_serve broadcasts them to [n_steps])
+    assert float(np.asarray(sched.acid_concentration)) == pytest.approx(0.4)
+
+    # tau=0: instant actuation — every step uses the command
+    sched0, end0 = orch.build_chunk_schedule(applied, commanded, 4, 1.0, 0.0)
+    for f in orch._ACTUATOR_FIELDS:
+        assert np.allclose(np.asarray(getattr(sched0, f)),
+                           getattr(commanded, f))
+        assert getattr(end0, f) == pytest.approx(getattr(commanded, f))
+
+
+def test_serve_chunk_headless_and_history(tmp_path):
+    """--serve-chunk N: the headless fast-time loop advances N steps per
+    host iteration and writes a correctly decimated, correctly timestamped
+    history."""
+    import csv as csv_module
+
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    path = tmp_path / "chunk.csv"
+    orchestrator.running = True
+    rc = orchestrator.main(["--no-modbus", "--duration", "64", "--rtf", "0",
+                            "--fused-sensors", "--serve-chunk", "16",
+                            "--seed", "4", "--dt", "1.0",
+                            "--log-csv", str(path), "--log-decimate", "4"])
+    assert rc == 0
+    with open(path) as f:
+        rows = list(csv_module.DictReader(f))
+    assert len(rows) == 16                       # 64 steps / decimate 4
+    assert float(rows[0]["sim_time"]) == pytest.approx(4.0)
+    assert float(rows[-1]["sim_time"]) == pytest.approx(64.0)
+    assert 5.0 < float(rows[-1]["pH_outlet"]) < 9.0
+
+
+def test_serve_chunk_requires_fused_sensors():
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    with pytest.raises(SystemExit):
+        orchestrator.main(["--no-modbus", "--serve-chunk", "8",
+                           "--duration", "1"])
+
+
+@pytest.fixture(scope="module")
+def serving_sim():
+    """Fast-time serving loop (--serve-chunk) with a live Modbus server."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    port = _free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(port), "--host", "127.0.0.1", "--dt", "1.0",
+               "--duration", "10000000", "--rtf", "0", "--seed", "7",
+               "--fused-sensors", "--serve-chunk", "32"],),
+        daemon=True)
+    thread.start()
+
+    deadline = time.time() + 120
+    client = None
+    while time.time() < deadline:
+        try:
+            client = ModbusTcpClient("127.0.0.1", port, timeout=5).connect()
+            break
+        except OSError:
+            time.sleep(0.3)
+    if client is None:
+        orchestrator.running = False
+        pytest.fail("Serving orchestrator Modbus server did not start")
+
+    yield client
+
+    client.close()
+    orchestrator.running = False
+    thread.join(timeout=30)
+
+
+def test_serve_chunk_fast_time_with_live_client(serving_sim):
+    """The served plane runs far faster than real time while a live Modbus
+    client polls it — the reference's serving ceiling is ~31 steps/s
+    (reference __main__.py:453-457, one step per tick)."""
+    client = serving_sim
+    _wait_sim_time(client, 32.0, timeout=180)   # first chunk done (compiled)
+    t1 = client.read_float32(100)
+    w1 = time.monotonic()
+    time.sleep(3.0)
+    t2 = client.read_float32(100)
+    ratio = (t2 - t1) / (time.monotonic() - w1)
+    assert ratio > 100.0, f"served plane only {ratio:.0f}x real time"
+
+
+def test_serve_chunk_closed_loop_command(serving_sim):
+    """Commands written by the client are picked up at the next register
+    exchange (zero-order hold) and drive the chunked physics."""
+    client = serving_sim
+    # measured inlet pH before dosing (sensor is pre-warmed on this path)
+    deadline = time.time() + 60
+    ph_before = 0.0
+    while time.time() < deadline:
+        ph_before = client.read_float32(0)
+        if ph_before > 5.0:
+            break
+        time.sleep(0.3)
+    assert ph_before > 5.0, f"pH sensor not live: {ph_before}"
+
+    t0 = client.read_float32(100)
+    client.write_float32(0, 1.5)        # acid_flow_rate command
+    _wait_sim_time(client, t0 + 2000.0, timeout=120)
+    ph_after = client.read_float32(0)
+    assert ph_after < ph_before - 0.4, \
+        f"chunked dosing had no effect: {ph_before} -> {ph_after}"
+    client.write_float32(0, 0.0)
