@@ -101,3 +101,151 @@ def test_sensor_state_resumes(tmp_path):
     resumed = [s2["pH_inlet"].read(r2.state, 2010.0 + i).value
                for i in range(5)]
     np.testing.assert_array_equal(np.asarray(cont), np.asarray(resumed))
+
+
+def _leafwise_equal(a, b):
+    import jax
+
+    def host(x):
+        try:  # typed PRNG keys: compare their raw words
+            if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+                return np.asarray(jax.random.key_data(x))
+        except (AttributeError, TypeError):
+            pass
+        return np.asarray(x)
+
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(a),
+            jax.tree_util.tree_leaves_with_path(b)):
+        la, lb = host(la), host(lb)
+        assert la.shape == lb.shape, (pa, la.shape, lb.shape)
+        np.testing.assert_array_equal(la, lb, err_msg=str(pa))
+
+
+def test_cross_topology_restore_sharded_to_single_device(tmp_path):
+    """A fleet checkpoint written from an 8-device-sharded ensemble restores
+    BIT-EXACTLY onto one device, and the single-device continuation matches
+    the sharded one lane for lane (VERDICT r2 item 8 / r3 item 5: the
+    topology-change half of checkpoint restore). Checkpoints are
+    topology-free host arrays; placement is re-applied at load."""
+    import jax
+    import jax.numpy as jnp
+
+    from ics_wt_physicsengine_tpu.core import reactor as R
+    from ics_wt_physicsengine_tpu.models.plant import (
+        make_plant_batch, plant_step_batched)
+    from ics_wt_physicsengine_tpu.parallel import make_mesh, shard_batch
+
+    config = ReactorConfiguration(n_zones=4)
+    bc = BoundaryConditions(inlet_flow_rate=5.0, acid_flow_rate=0.1)
+    params, plant = make_plant_batch(config, 16, seed=3, dtype=jnp.float32)
+
+    # advance the SHARDED ensemble so the checkpointed state is nontrivial
+    mesh = make_mesh(8)
+    params_s, plant_s = shard_batch((params, plant), mesh)
+    step = jax.jit(lambda p, s, b: plant_step_batched(p, s, b, 1.0, 4))
+    for _ in range(3):
+        plant_s, _ = step(params_s, plant_s, bc)
+
+    path = str(tmp_path / "fleet8.npz")
+    save_pytree(path, {"params": params_s, "plant": plant_s},
+                metadata={"fleet": 16})
+
+    # restore onto ONE device (template built fresh — values irrelevant)
+    t_params, t_plant = make_plant_batch(config, 16, seed=999,
+                                         dtype=jnp.float32)
+    restored = load_pytree(path, {"params": t_params, "plant": t_plant})
+    dev = jax.devices("cpu")[0]
+    p1 = jax.device_put(restored["params"], dev)
+    s1 = jax.device_put(restored["plant"], dev)
+    _leafwise_equal(s1, jax.device_get(plant_s))
+
+    # continuation parity: one more step on each topology, lane for lane
+    plant_s, out_s = step(params_s, plant_s, bc)
+    s1b, out_1 = step(p1, s1, bc)
+    _leafwise_equal(jax.device_get(s1b.reactor), jax.device_get(
+        plant_s.reactor))
+    np.testing.assert_array_equal(
+        np.asarray(out_1["pH_outlet"].value),
+        np.asarray(out_s["pH_outlet"].value))
+
+
+def test_cross_topology_restore_single_device_to_sharded(tmp_path):
+    """The reverse direction: a single-device checkpoint restores onto an
+    8-device mesh (shard_batch at load — the fleet.py resume path) and the
+    sharded continuation matches the unsharded one bit for bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from ics_wt_physicsengine_tpu.models.plant import (
+        make_plant_batch, plant_step_batched)
+    from ics_wt_physicsengine_tpu.parallel import make_mesh, shard_batch
+
+    config = ReactorConfiguration(n_zones=4)
+    bc = BoundaryConditions(inlet_flow_rate=5.0, acid_flow_rate=0.1)
+    params, plant = make_plant_batch(config, 16, seed=5, dtype=jnp.float32)
+    dev = jax.devices("cpu")[0]
+    params_1, plant_1 = jax.device_put((params, plant), dev)
+    step = jax.jit(lambda p, s, b: plant_step_batched(p, s, b, 1.0, 4))
+    for _ in range(3):
+        plant_1, _ = step(params_1, plant_1, bc)
+
+    path = str(tmp_path / "fleet1.npz")
+    save_pytree(path, {"params": params_1, "plant": plant_1},
+                metadata={"fleet": 16})
+
+    t_params, t_plant = make_plant_batch(config, 16, seed=999,
+                                         dtype=jnp.float32)
+    restored = load_pytree(path, {"params": t_params, "plant": t_plant})
+    mesh = make_mesh(8)
+    p8, s8 = shard_batch((restored["params"], restored["plant"]), mesh)
+    # every batched leaf is actually distributed over the 8 devices
+    lead = s8.reactor.pH
+    assert len(lead.sharding.device_set) == 8
+    _leafwise_equal(jax.device_get(s8), jax.device_get(plant_1))
+
+    plant_1, out_1 = step(params_1, plant_1, bc)
+    s8b, out_8 = step(p8, s8, bc)
+    _leafwise_equal(jax.device_get(s8b.reactor),
+                    jax.device_get(plant_1.reactor))
+    np.testing.assert_array_equal(
+        np.asarray(out_8["chlorine_outlet"].value),
+        np.asarray(out_1["chlorine_outlet"].value))
+
+
+def test_cross_topology_restore_with_lane_resize(tmp_path):
+    """Composition of both halves of fleet resume: an 8-device-sharded
+    16-lane checkpoint restores into a 24-lane single-device ensemble via
+    merge_lanes — restored lanes bit-exact, extra lanes fresh."""
+    import jax
+    import jax.numpy as jnp
+
+    from ics_wt_physicsengine_tpu.models.plant import make_plant_batch
+    from ics_wt_physicsengine_tpu.parallel import make_mesh, shard_batch
+    from ics_wt_physicsengine_tpu.utils.checkpoint import merge_lanes
+
+    config = ReactorConfiguration(n_zones=4)
+    params, plant = make_plant_batch(config, 16, seed=3, dtype=jnp.float32)
+    mesh = make_mesh(8)
+    params_s, plant_s = shard_batch((params, plant), mesh)
+    path = str(tmp_path / "fleet16.npz")
+    save_pytree(path, {"params": params_s, "plant": plant_s})
+
+    t16 = dict(zip(("params", "plant"),
+                   make_plant_batch(config, 16, seed=999,
+                                    dtype=jnp.float32)))
+    restored = load_pytree(path, t16)
+    f_params, f_plant = make_plant_batch(config, 24, seed=7,
+                                         dtype=jnp.float32)
+    m_plant = merge_lanes(restored["plant"], f_plant)
+
+    def lanes(x, sl):
+        return np.asarray(x)[sl] if np.ndim(np.asarray(x)) >= 1 else \
+            np.asarray(x)
+
+    np.testing.assert_array_equal(
+        lanes(m_plant.reactor.pH, slice(0, 16)),
+        np.asarray(jax.device_get(plant_s.reactor.pH)))
+    np.testing.assert_array_equal(
+        lanes(m_plant.reactor.pH, slice(16, 24)),
+        np.asarray(f_plant.reactor.pH)[16 - 24:])
