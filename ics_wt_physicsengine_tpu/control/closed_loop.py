@@ -185,7 +185,8 @@ def rollout_closed_loop(params, state, boundary: R.BoundaryConditions,
                         record: bool = True, record_obs=None,
                         gains_schedule=None, disturbance=None,
                         controller_owned=("acid_flow_rate",
-                                          "chlorine_flow_rate")):
+                                          "chlorine_flow_rate"),
+                        remat: bool = False):
     """Scan {physics -> observe -> controller -> validated commands} for
     ``n_steps`` inside one jit.
 
@@ -313,6 +314,11 @@ def rollout_closed_loop(params, state, boundary: R.BoundaryConditions,
             out = {**kept, **{f"cmd:{k}": v for k, v in commands.items()}}
         return (st, cc, bc), out
 
+    if remat:
+        # Long-horizon gradient tuning (core.reactor.rollout docstring):
+        # store only the carried (state, ctrl_carry, boundary) per step and
+        # recompute the physics/controller residuals on the backward pass.
+        body = jax.checkpoint(body)
     (state, ctrl_carry, boundary), traj = jax.lax.scan(
         body, (state, ctrl_carry, boundary), jnp.arange(n_steps))
     return state, ctrl_carry, boundary, traj

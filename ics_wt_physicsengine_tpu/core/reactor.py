@@ -593,12 +593,20 @@ def step(params: ReactorParams, state: ReactorState,
 def rollout(params: ReactorParams, state: ReactorState,
             boundary: BoundaryConditions, dt: float, substeps: int,
             n_steps: int, record: bool = True,
-            stages: Optional[int] = None):
+            stages: Optional[int] = None, remat: bool = False):
     """Scan ``step`` over ``n_steps`` inside one jit.
 
     Returns ``(final_state, trajectory)`` where trajectory stacks the primary
     variables per step (or ``None`` when ``record=False`` for pure-throughput
     benchmarking).
+
+    ``remat=True`` wraps the scan body in ``jax.checkpoint``: reverse-mode
+    differentiation then stores only the per-step carry (O(n_steps ·
+    state)) and recomputes the step's internal residuals (every substep's
+    intermediates, ~100x the carry) during the backward pass — parameter
+    estimation and gradient-based MPC scale to >=100k-step horizons at the
+    cost of one extra forward evaluation (docs/PERFORMANCE.md has the
+    measured trade).
     """
     def body(s, _):
         s = step(params, s, boundary, dt, substeps, stages=stages)
@@ -606,13 +614,15 @@ def rollout(params: ReactorParams, state: ReactorState,
                "temperature": s.temperature} if record else None
         return s, out
 
+    if remat:
+        body = jax.checkpoint(body)
     return jax.lax.scan(body, state, None, length=n_steps)
 
 
 def rollout_scheduled(params: ReactorParams, state: ReactorState,
                       schedule: BoundaryConditions, dt: float,
                       substeps: int, record: bool = True,
-                      stages: Optional[int] = None):
+                      stages: Optional[int] = None, remat: bool = False):
     """Scan ``step`` over a time-varying boundary-condition *schedule* inside
     one jit — dosing profiles, diurnal temperature swings, demand curves.
 
@@ -642,6 +652,8 @@ def rollout_scheduled(params: ReactorParams, state: ReactorState,
                "temperature": s.temperature} if record else None
         return s, out
 
+    if remat:   # long-horizon gradients: see rollout()
+        body = jax.checkpoint(body)
     return jax.lax.scan(body, state, schedule, length=n_steps)
 
 

@@ -257,7 +257,7 @@ def _read_all(params: PlantParams, state: R.ReactorState, plant: PlantState,
 def plant_rollout(params: PlantParams, plant: PlantState,
                   boundary: R.BoundaryConditions, dt: float, substeps: int,
                   n_steps: int, record: bool = True, stages=None,
-                  unroll: int = 1):
+                  unroll: int = 1, remat: bool = False):
     """Scan plant_step over n_steps inside one jit: physics + instruments.
 
     ``unroll`` batches scan iterations into one loop body: the integrated
@@ -273,6 +273,8 @@ def plant_rollout(params: PlantParams, plant: PlantState,
         out = ({k: v.value for k, v in readings.items()} if record else None)
         return p, out
 
+    if remat:   # long-horizon gradients: see core.reactor.rollout
+        body = jax.checkpoint(body)
     return jax.lax.scan(body, plant, None, length=n_steps,
                         unroll=min(unroll, n_steps))
 
