@@ -113,6 +113,27 @@ class ModbusTcpClient:
         pdu = struct.pack(">BHHB", 0x0F, address, count, n_bytes) + bytes(data)
         self._transact(pdu)
 
+    def diagnostics(self, sub_function: int, data: int = 0) -> int:
+        """FC 08 Diagnostics: returns the response data field (the counter
+        value for sub-functions 0x0B-0x0F, the echoed data for 0x0000,
+        0 after 0x000A Clear Counters)."""
+        resp = self._transact(struct.pack(">BHH", 0x08,
+                                          sub_function & 0xFFFF,
+                                          data & 0xFFFF))
+        _, value = struct.unpack(">HH", resp[1:5])
+        return value
+
+    def diagnostic_counters(self) -> dict:
+        """All five standard FC 08 counters in one call (same keys as the
+        servers' diagnostics() methods)."""
+        return {
+            "bus_message_count": self.diagnostics(0x0B),
+            "bus_comm_error_count": self.diagnostics(0x0C),
+            "bus_exception_count": self.diagnostics(0x0D),
+            "slave_message_count": self.diagnostics(0x0E),
+            "slave_no_response_count": self.diagnostics(0x0F),
+        }
+
     def read_device_identification(self, read_code: int = 0x01,
                                    object_id: int = 0x00) -> dict:
         """FC 43 / MEI 14 Read Device Identification. Returns

@@ -115,6 +115,9 @@ def _load_library():
         lib.mb_set_unit.restype = ctypes.c_int
         lib.mb_set_identity.argtypes = [ctypes.c_void_p, ctypes.c_uint8,
                                         ctypes.c_char_p]
+        if hasattr(lib, "mb_diag_counters"):
+            lib.mb_diag_counters.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
         _lib = lib
         return _lib
 
@@ -235,6 +238,20 @@ class NativeModbusSlave:
     @property
     def error_count(self) -> int:
         return int(self._lib.mb_error_count(self._handle))
+
+    def diagnostics(self) -> dict:
+        """The FC 08 diagnostic counters (also served on the wire via
+        Diagnostics sub-functions 0x0B-0x0F; clear with sub 0x0A) — the
+        reference's explicitly listed protocol limitation
+        (reference README.md:537)."""
+        import ctypes as _ct
+        out = (_ct.c_uint64 * 5)()
+        self._lib.mb_diag_counters(self._handle, out)
+        return {"bus_message_count": int(out[0]),
+                "bus_comm_error_count": int(out[1]),
+                "bus_exception_count": int(out[2]),
+                "slave_message_count": int(out[3]),
+                "slave_no_response_count": int(out[4])}
 
     # -- raw word access --
     def _resolve_unit(self, unit) -> int:

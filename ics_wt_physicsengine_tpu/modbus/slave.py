@@ -47,7 +47,20 @@ FC_WRITE_SINGLE_COIL = 0x05
 FC_WRITE_SINGLE_REGISTER = 0x06
 FC_WRITE_MULTIPLE_COILS = 0x0F
 FC_WRITE_MULTIPLE_REGISTERS = 0x10
+FC_DIAGNOSTICS = 0x08              # diagnostics sub-functions (FC 08)
 FC_ENCAPSULATED_INTERFACE = 0x2B   # MEI transport (FC 43)
+
+# FC 08 sub-functions (Modbus spec 6.8) — the reference's one explicitly
+# listed protocol limitation is "No diagnostics counters (bad CRCs,
+# timeouts)" (reference README.md:537); both data planes here keep the
+# standard counters and serve them over the wire.
+DIAG_RETURN_QUERY_DATA = 0x0000
+DIAG_CLEAR_COUNTERS = 0x000A
+DIAG_BUS_MESSAGE_COUNT = 0x000B
+DIAG_BUS_COMM_ERROR_COUNT = 0x000C
+DIAG_BUS_EXCEPTION_COUNT = 0x000D
+DIAG_SLAVE_MESSAGE_COUNT = 0x000E
+DIAG_SLAVE_NO_RESPONSE_COUNT = 0x000F
 MEI_READ_DEVICE_ID = 0x0E          # Read Device Identification
 
 EX_ILLEGAL_FUNCTION = 0x01
@@ -171,8 +184,11 @@ class ModbusSlave:
         self._server: Optional[asyncio.AbstractServer] = None
         self._actual_port: Optional[int] = None
 
-        self.request_count = 0
-        self.error_count = 0
+        self.request_count = 0          # bus messages seen
+        self.error_count = 0            # broken framing / handler errors
+        self.exception_count = 0        # exception responses returned
+        self.slave_message_count = 0    # frames addressed to a served unit
+        self.no_response_count = 0      # other units' traffic (ignored)
         self._n_clients = 0   # live connections (event-loop thread only)
 
     # Backward-compatible single-unit block views (the primary unit's).
@@ -274,6 +290,9 @@ class ModbusSlave:
                 store.hr.set(address, words)
                 return pdu[:5]
 
+            if fc == FC_DIAGNOSTICS:
+                return self._process_diagnostics(pdu)
+
             if fc == FC_ENCAPSULATED_INTERFACE:
                 return self._process_read_device_id(pdu)
 
@@ -282,6 +301,43 @@ class ModbusSlave:
             return bytes([fc | 0x80, EX_ILLEGAL_DATA_ADDRESS])
         except (struct.error, ValueError):
             return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
+
+    def _process_diagnostics(self, pdu: bytes) -> bytes:
+        """FC 08 Diagnostics: echo, clear, and the standard counter
+        sub-functions 0x0B-0x0F (bus messages / comm errors / exceptions /
+        slave messages / no-response). Fills the reference's own 'No
+        diagnostics counters' gap (reference README.md:537) on the wire."""
+        fc = pdu[0]
+        sub, _data = struct.unpack(">HH", pdu[1:5])
+        if sub == DIAG_RETURN_QUERY_DATA:
+            return pdu[:5]
+        if sub == DIAG_CLEAR_COUNTERS:
+            self.request_count = 0
+            self.error_count = 0
+            self.exception_count = 0
+            self.slave_message_count = 0
+            self.no_response_count = 0
+            return pdu[:5]
+        counters = {
+            DIAG_BUS_MESSAGE_COUNT: self.request_count,
+            DIAG_BUS_COMM_ERROR_COUNT: self.error_count,
+            DIAG_BUS_EXCEPTION_COUNT: self.exception_count,
+            DIAG_SLAVE_MESSAGE_COUNT: self.slave_message_count,
+            DIAG_SLAVE_NO_RESPONSE_COUNT: self.no_response_count,
+        }
+        if sub in counters:
+            return bytes([fc]) + struct.pack(">HH", sub,
+                                             counters[sub] & 0xFFFF)
+        return bytes([fc | 0x80, EX_ILLEGAL_FUNCTION])
+
+    def diagnostics(self) -> dict:
+        """The FC 08 counters as a dict (same keys as the native plane's
+        NativeModbusSlave.diagnostics)."""
+        return {"bus_message_count": self.request_count,
+                "bus_comm_error_count": self.error_count,
+                "bus_exception_count": self.exception_count,
+                "slave_message_count": self.slave_message_count,
+                "slave_no_response_count": self.no_response_count}
 
     def _process_read_device_id(self, pdu: bytes) -> bytes:
         """FC 43 / MEI type 14: Read Device Identification, serving
@@ -365,8 +421,12 @@ class ModbusSlave:
                 else:
                     logger.debug("Ignoring request for unit %d (serving %s)",
                                  unit_id, self.units)
+                    self.no_response_count += 1
                     continue
+                self.slave_message_count += 1
                 response_pdu = self._process_pdu(pdu, store)
+                if response_pdu and response_pdu[0] & 0x80:
+                    self.exception_count += 1
                 response = struct.pack(
                     ">HHHB", transaction_id, protocol_id,
                     len(response_pdu) + 1, unit_id) + response_pdu

@@ -52,9 +52,24 @@ enum Fc : uint8_t {
   FC_READ_INPUT = 0x04,
   FC_WRITE_SINGLE_COIL = 0x05,
   FC_WRITE_SINGLE_REG = 0x06,
+  FC_DIAGNOSTICS = 0x08,    // serial-line diagnostics sub-functions
   FC_WRITE_MULTI_COILS = 0x0F,
   FC_WRITE_MULTI_REGS = 0x10,
   FC_ENCAPSULATED = 0x2B,   // MEI transport (FC 43)
+};
+
+// FC 08 sub-functions (Modbus spec 6.8). The reference's one explicitly
+// listed protocol limitation is "No diagnostics counters (bad CRCs,
+// timeouts)" (reference README.md:537) — both data planes here keep the
+// standard counters and serve them over the wire.
+enum DiagSub : uint16_t {
+  DIAG_RETURN_QUERY_DATA = 0x0000,
+  DIAG_CLEAR_COUNTERS = 0x000A,
+  DIAG_BUS_MESSAGE_COUNT = 0x000B,
+  DIAG_BUS_COMM_ERROR_COUNT = 0x000C,
+  DIAG_BUS_EXCEPTION_COUNT = 0x000D,
+  DIAG_SLAVE_MESSAGE_COUNT = 0x000E,
+  DIAG_SLAVE_NO_RESPONSE_COUNT = 0x000F,
 };
 
 constexpr uint8_t kMeiReadDeviceId = 0x0E;
@@ -98,8 +113,12 @@ struct Server {
   // counters the other way around) — atomics, not plain fields.
   std::atomic<bool> running{false};
   uint16_t bound_port = 0;
-  std::atomic<uint64_t> request_count{0};
-  std::atomic<uint64_t> error_count{0};
+  std::atomic<uint64_t> request_count{0};   // bus messages seen
+  std::atomic<uint64_t> error_count{0};     // exception responses returned
+  std::atomic<uint64_t> malformed_count{0};  // broken MBAP framing (the
+                                             // TCP analogue of a bad CRC)
+  std::atomic<uint64_t> slave_message_count{0};   // addressed to us
+  std::atomic<uint64_t> no_response_count{0};     // other units' traffic
   // -1 = answer any unit id (default); otherwise answer only this unit
   // or the 0xFF "any" convention used over TCP.
   std::atomic<int> unit_id{-1};
@@ -160,6 +179,7 @@ struct Server {
       case FC_READ_HOLDING: case FC_READ_INPUT:
       case FC_WRITE_SINGLE_COIL: case FC_WRITE_SINGLE_REG:
       case FC_WRITE_MULTI_COILS: case FC_WRITE_MULTI_REGS:
+      case FC_DIAGNOSTICS:
         break;
       case FC_ENCAPSULATED: {
         // FC 43 / MEI 14: Read Device Identification.
@@ -209,6 +229,43 @@ struct Server {
     if (len < 5) return exception(EX_ILLEGAL_VALUE);
     uint16_t address = (pdu[1] << 8) | pdu[2];
     uint16_t count_or_value = (pdu[3] << 8) | pdu[4];
+
+    if (fc == FC_DIAGNOSTICS) {
+      // address = sub-function, count_or_value = data field.
+      auto counter16 = [&](uint64_t v) -> size_t {
+        resp[0] = fc;
+        resp[1] = static_cast<uint8_t>(address >> 8);
+        resp[2] = static_cast<uint8_t>(address & 0xFF);
+        resp[3] = static_cast<uint8_t>((v & 0xFFFF) >> 8);
+        resp[4] = static_cast<uint8_t>(v & 0xFFFF);
+        return 5;
+      };
+      switch (address) {
+        case DIAG_RETURN_QUERY_DATA:
+          std::memcpy(resp, pdu, 5);
+          return 5;
+        case DIAG_CLEAR_COUNTERS:
+          request_count = 0;
+          error_count = 0;
+          malformed_count = 0;
+          slave_message_count = 0;
+          no_response_count = 0;
+          std::memcpy(resp, pdu, 5);
+          return 5;
+        case DIAG_BUS_MESSAGE_COUNT:
+          return counter16(request_count.load());
+        case DIAG_BUS_COMM_ERROR_COUNT:
+          return counter16(malformed_count.load());
+        case DIAG_BUS_EXCEPTION_COUNT:
+          return counter16(error_count.load());
+        case DIAG_SLAVE_MESSAGE_COUNT:
+          return counter16(slave_message_count.load());
+        case DIAG_SLAVE_NO_RESPONSE_COUNT:
+          return counter16(no_response_count.load());
+        default:
+          return exception(EX_ILLEGAL_FUNCTION);
+      }
+    }
 
     switch (fc) {
       case FC_READ_COILS:
@@ -317,7 +374,10 @@ struct Server {
     while (conn.buf.size() >= 7) {
       uint16_t proto = (conn.buf[2] << 8) | conn.buf[3];
       uint16_t length = (conn.buf[4] << 8) | conn.buf[5];
-      if (proto != 0 || length < 2 || length > 254) return false;
+      if (proto != 0 || length < 2 || length > 254) {
+        malformed_count++;
+        return false;
+      }
       size_t frame = 6u + length;
       if (conn.buf.size() < frame) return true;  // wait for more bytes
 
@@ -333,6 +393,7 @@ struct Server {
       if (bank == nullptr) {
         // not addressed to a unit this slave serves: consume, send nothing
         request_count++;
+        no_response_count++;
         conn.buf.erase(conn.buf.begin(), conn.buf.begin() + frame);
         continue;
       }
@@ -343,6 +404,7 @@ struct Server {
       size_t resp_pdu = process_pdu(*bank, conn.buf.data() + 7, length - 1,
                                     resp + 7);
       request_count++;
+      slave_message_count++;
       uint16_t resp_len = static_cast<uint16_t>(resp_pdu + 1);
       resp[4] = resp_len >> 8;
       resp[5] = resp_len & 0xFF;
@@ -547,6 +609,18 @@ int mb_set_unit(void* handle, int unit, int block, uint32_t addr,
 
 uint64_t mb_request_count(void* handle) {
   return static_cast<Server*>(handle)->request_count.load();
+}
+
+// The five FC 08 diagnostic counters in sub-function order 0x0B..0x0F:
+// bus messages, comm errors (malformed frames), exception responses,
+// slave messages, no-response (other-unit) messages.
+void mb_diag_counters(void* handle, uint64_t out[5]) {
+  auto* s = static_cast<Server*>(handle);
+  out[0] = s->request_count.load();
+  out[1] = s->malformed_count.load();
+  out[2] = s->error_count.load();
+  out[3] = s->slave_message_count.load();
+  out[4] = s->no_response_count.load();
 }
 
 uint64_t mb_error_count(void* handle) {

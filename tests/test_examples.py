@@ -251,6 +251,10 @@ def test_web_hmi(tmp_path):
         assert 'wt_sim_command{register="acid_flow_rate"} 2.0' in metrics
         assert 'wt_sim_coil{coil="simulation_running"} 1' in metrics
         assert 'wt_sim_sensor_fault{sensor=' in metrics
+        # FC 08 wire diagnostics surfaced as Prometheus counters
+        assert "# TYPE wt_sim_modbus_diagnostic counter" in metrics
+        assert 'wt_sim_modbus_diagnostic{counter="bus_message_count"}' \
+            in metrics
     finally:
         server.shutdown()
         server.hmi.close()

@@ -295,3 +295,41 @@ def test_broken_mbap_length_drops_connection(slave):
         client._sock.sendall(_struct.pack(">HHHB", 5, 0, 1000, 1))
         with pytest.raises((ConnectionError, IOError)):
             client.read_input_registers(0, 1)
+
+
+def test_diagnostics_fc08(slave):
+    """FC 08 Diagnostics: echo, the five standard counters, exception
+    counting, and Clear Counters — the reference's own listed limitation
+    ('No diagnostics counters', reference README.md:537) closed on the
+    wire."""
+    with ModbusTcpClient("127.0.0.1", slave.port, timeout=5) as client:
+        # 0x0000 Return Query Data echoes the data field
+        assert client.diagnostics(0x0000, 0x1234) == 0x1234
+
+        client.read_input_registers(0, 2)
+        client.read_holding_registers(0, 2)
+        d = client.diagnostic_counters()
+        assert d["bus_message_count"] >= 3       # echo + 2 reads + ...
+        assert d["slave_message_count"] >= 3
+        assert d["bus_comm_error_count"] == 0
+
+        # an illegal read raises client-side AND bumps the exception counter
+        before = d["bus_exception_count"]
+        with pytest.raises(IOError):
+            client.read_input_registers(60000, 10)
+        assert client.diagnostics(0x0D) == before + 1
+
+        # unsupported sub-function -> ILLEGAL FUNCTION exception
+        with pytest.raises(IOError):
+            client.diagnostics(0x0063)
+
+        # 0x000A Clear Counters resets everything
+        client.diagnostics(0x000A)
+        assert client.diagnostics(0x0B) <= 2     # just the clear + this read
+        assert client.diagnostics(0x0D) == 0
+
+    # the host-side accessor mirrors the wire counters
+    keys = {"bus_message_count", "bus_comm_error_count",
+            "bus_exception_count", "slave_message_count",
+            "slave_no_response_count"}
+    assert set(slave.diagnostics()) == keys

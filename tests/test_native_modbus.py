@@ -193,3 +193,39 @@ def test_slow_reader_does_not_stall_others_native(slave):
         assert sent_any
     finally:
         stuffer.close()
+
+
+def test_diagnostics_fc08_native(slave):
+    """FC 08 Diagnostics on the C++ data plane: wire counters match the
+    mb_diag_counters C API, exceptions are counted, clear resets."""
+    from ics_wt_physicsengine_tpu.modbus import ModbusTcpClient
+
+    with ModbusTcpClient("127.0.0.1", slave.port, timeout=5) as client:
+        assert client.diagnostics(0x0000, 0xBEEF) == 0xBEEF
+
+        client.read_input_registers(0, 2)
+        d = client.diagnostic_counters()
+        assert d["bus_message_count"] >= 2
+        assert d["slave_message_count"] >= 2
+        assert d["bus_comm_error_count"] == 0
+
+        before = d["bus_exception_count"]
+        import pytest as _pytest
+        with _pytest.raises(IOError):
+            client.read_input_registers(60000, 10)
+        assert client.diagnostics(0x0D) == before + 1
+
+        with _pytest.raises(IOError):
+            client.diagnostics(0x0063)
+
+        # host-side accessor agrees with the wire (within the in-flight
+        # requests this very read adds)
+        host = slave.diagnostics()
+        assert host["bus_exception_count"] == before + 2  # + illegal sub
+        assert set(host) == {
+            "bus_message_count", "bus_comm_error_count",
+            "bus_exception_count", "slave_message_count",
+            "slave_no_response_count"}
+
+        client.diagnostics(0x000A)
+        assert client.diagnostics(0x0D) == 0

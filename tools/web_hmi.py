@@ -142,8 +142,14 @@ class Hmi:
                      for n, a in COILS.items()}
             faults = {n: self._client.read_discrete_inputs(a, 1)[0]
                       for n, a in FAULTS}
+            try:
+                # FC 08 wire diagnostics (both data planes serve them);
+                # older/foreign servers without FC 08 just omit the section
+                diagnostics = self._client.diagnostic_counters()
+            except Exception:  # noqa: BLE001
+                diagnostics = {}
         return {"inputs": inputs, "commands": commands, "coils": coils,
-                "faults": faults}
+                "faults": faults, "diagnostics": diagnostics}
 
     def write(self, register: str, value: float) -> float:
         if register not in HOLDING:
@@ -199,6 +205,15 @@ def prometheus_metrics(state: dict) -> str:
     for name, v in state["faults"].items():
         out.append(f'wt_sim_sensor_fault{{sensor="{name}"}} '
                    f'{int(bool(v))}')
+    if state.get("diagnostics"):
+        out += [
+            "# HELP wt_sim_modbus_diagnostic FC 08 wire diagnostic "
+            "counter (bus messages / comm errors / exceptions / ...)",
+            "# TYPE wt_sim_modbus_diagnostic counter",
+        ]
+        for name, v in state["diagnostics"].items():
+            out.append(f'wt_sim_modbus_diagnostic{{counter="{name}"}} '
+                       f'{int(v)}')
     return "\n".join(out) + "\n"
 
 
