@@ -132,7 +132,12 @@ def select_devices(n_devices: int, probe_deadline: float = 45.0,
     the default backend under a subprocess deadline first.
     """
     if not backends_initialized():
-        if n_devices > 1:
+        if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            # Explicit cpu request: pin it (the axon plugin registration
+            # overrides the env var with jax_platforms="axon,cpu", so the
+            # env alone would still route init through the tunnel).
+            pin_cpu(n_devices, log=log)
+        elif n_devices > 1:
             log(f"{n_devices} devices requested: single-chip tunnel can "
                 "never satisfy this — selecting virtual CPU mesh directly")
             pin_cpu(n_devices, log=log)
@@ -179,6 +184,13 @@ def ensure_default_backend(min_devices: int = 1, probe_deadline: float = 60.0,
     default backend passed its probe."""
     if backends_initialized():
         return jax.default_backend(), "ok"
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # The user explicitly asked for cpu. The env var alone is NOT
+        # enough — the axon plugin's registration force-updates
+        # jax_platforms to "axon,cpu" at import, so without this pin the
+        # probe would still init (and possibly hang on) the tunnel.
+        pin_cpu(min_devices, log=log)
+        return "cpu", "ok"
     res = probe_default_backend(probe_deadline, retries=retries, log=log)
     if res.ok:
         return res.platform, "ok"

@@ -14,6 +14,16 @@ Three phases, all on the default (TPU) backend, printing ONE JSON line:
 3. **Instrumented checkpoint/resume**: a full PlantState (physics + seven
    sensor carries incl. PRNG keys and delay rings) checkpointed mid-scan
    and resumed, again bit-identical.
+4. **Nitrogen soak** (round 4): the nitrogen-enabled INSTRUMENTED plant
+   (physics + 9 instruments incl. the two ammonia ISEs) over the same
+   horizon through the XLA scan path (the fused kernels deliberately
+   reject nitrogen configs), with per-segment finiteness + species-bounds
+   audits and its own mid-soak checkpoint/resume bit-identity.
+
+Backend-hermetic (round 4): the default backend is proven healthy in a
+deadline-bounded subprocess BEFORE first use (utils/backend_select.py);
+on a wedged/unusable accelerator this prints a parseable
+``{"ok": false, "reason": ...}`` line instead of hanging or crashing.
 
 Usage: python tools/soak.py [--steps 1000000] [--out soak.json]
 """
@@ -160,6 +170,60 @@ def soak(n_steps: int):
             jax.tree_util.tree_leaves(_keyfix(end_resumed)),
             jax.tree_util.tree_leaves(_keyfix(end_oracle))))
 
+    # -- phase 4: nitrogen-enabled instrumented soak (XLA scan path — the
+    # fused kernels reject nitrogen configs by design). Same horizon,
+    # 4 segments, per-segment finiteness + species-bounds audit, plus its
+    # own mid-soak checkpoint/resume bit-identity.
+    n_cfg = R.ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=20,
+        enable_nitrogen=True, initial_ammonia=1.0)
+    n_bc = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.2, inlet_chlorine=0.5,
+        inlet_temperature=26.0, acid_flow_rate=0.1,
+        ambient_temperature=15.0, heat_loss_coefficient=50.0,
+        inlet_ammonia=1.0)
+    np_params, nplant0 = make_plant(n_cfg, seed=11, dtype=jnp.float32)
+    n_sub = R.default_substeps(n_cfg, 1.0)
+    nroll = jax.jit(lambda p, n: plant_rollout(
+        np_params, p, n_bc, 1.0, n_sub, n, record=False)[0],
+        static_argnums=1)
+
+    nstate = nplant0
+    nitro_finite = True
+    nitro_bounded = True
+    nitro_audits = []
+    t0 = time.perf_counter()
+    for i in range(n_segments):
+        nstate = nroll(nstate, seg)
+        r = nstate.reactor
+        for arr in (r.pH, r.chlorine, r.temperature, r.ammonia,
+                    r.nitrite, r.nitrate, r.chloramine):
+            nitro_finite = nitro_finite and bool(
+                np.all(np.isfinite(_get(arr))))
+        for arr in (r.ammonia, r.nitrite, r.nitrate, r.chloramine):
+            a = _get(arr)
+            nitro_bounded = nitro_bounded and bool(
+                np.all(a >= -1e-6) and np.all(a < 100.0))
+        from ics_wt_physicsengine_tpu.core.nitrogen import total_nitrogen_mgN
+        nitro_audits.append({
+            "t": float(_get(r.time)),
+            "total_N_mgN_per_L_mean": round(float(np.mean(_get(
+                total_nitrogen_mgN(r.ammonia, r.nitrite, r.nitrate,
+                                   r.chloramine)))), 4),
+            "ammonia_outlet": round(float(_get(r.ammonia)[-1]), 4),
+        })
+    nitro_elapsed = time.perf_counter() - t0
+
+    nmid = nroll(nplant0, 1000)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "nitro_ckpt.npz")
+        ckpt.save_pytree(path, nmid, metadata={"step": 1000})
+        nmid_restored = ckpt.load_pytree(path, nmid)
+    nitro_resume_ok = all(
+        _leaf_eq(x, y) for x, y in zip(
+            jax.tree_util.tree_leaves(_keyfix(nroll(nmid_restored, 1000))),
+            jax.tree_util.tree_leaves(_keyfix(nroll(nmid, 1000)))))
+
     drift_pct = 100.0 * (audits[-1]["total_chlorine_mg"] - cl0) / cl0
     # Self-judging bounds (the audit used to be print-only; a regression
     # was captured but never caught): chlorine drift within 0.5% over the
@@ -170,6 +234,9 @@ def soak(n_steps: int):
         "trajectories_finite": bool(finite_ok),
         "resume_bitexact_physics": bool(resume_bitexact),
         "resume_bitexact_instrumented": bool(inst_ok),
+        "nitrogen_finite": bool(nitro_finite),
+        "nitrogen_species_bounded": bool(nitro_bounded),
+        "resume_bitexact_nitrogen": bool(nitro_resume_ok),
     }
     return {
         "metric": "1M-step soak + checkpoint/resume e2e (20 zones, f32)",
@@ -178,6 +245,9 @@ def soak(n_steps: int):
         "traj_points_recorded": traj_points,
         "conservation_audit": audits,
         "chlorine_drift_pct_over_soak": round(drift_pct, 4),
+        "nitrogen_soak_steps": n_segments * seg,
+        "nitrogen_steps_per_sec": round(n_segments * seg / nitro_elapsed, 1),
+        "nitrogen_audit": nitro_audits,
         **checks,
         "ok": all(checks.values()),
         "backend": jax.default_backend(),
@@ -189,6 +259,26 @@ def main():
     ap.add_argument("--steps", type=int, default=1_000_000)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
+
+    from ics_wt_physicsengine_tpu.utils.backend_select import (
+        ensure_default_backend)
+    platform, reason = ensure_default_backend(
+        min_devices=1, probe_deadline=60.0, retries=3,
+        log=lambda m: print(f"[soak] {m}", file=sys.stderr, flush=True))
+    if platform == "cpu" and os.environ.get("SOAK_ALLOW_CPU") != "1":
+        line = json.dumps({
+            "metric": "1M-step soak + checkpoint/resume e2e (20 zones, f32)",
+            "ok": False,
+            "reason": (f"accelerator backend unusable: {reason}"
+                       if reason != "ok" else
+                       "default backend is cpu (fused soak kernels need "
+                       "the TPU); set SOAK_ALLOW_CPU=1 to force")})
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+        raise SystemExit(0)
+
     result = soak(args.steps)
     line = json.dumps(result)
     print(line)
