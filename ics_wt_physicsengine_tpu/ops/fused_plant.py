@@ -515,7 +515,7 @@ def _plant_kernel(time_ref, seed_ref, sched_ref, scal_ref, sp_ref, cin_ref,
         for rname, attr, kind in sensors:
             n_n, n_u = _RAND[kind]
             if "no_rand" in _ABLATE:
-                zero = jnp.zeros_like(taps["pH0"])
+                zero = jnp.zeros_like(tap_of("pH", 0))
                 half = zero + 0.5
                 normals = _Cols([zero] * n_n)
                 uniforms = _Cols([half] * n_u)

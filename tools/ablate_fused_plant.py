@@ -3,14 +3,21 @@ Measured breakdown of the fused INTEGRATED-plant kernel's per-step cost
 (VERDICT r3 item 7: single instrumented plant runs ~127k steps/s vs ~340k
 for bare physics — find where the gap lives).
 
-Ablations, all single-plant 20-zone RK4 on the default (TPU) backend:
-  1. physics-only fused kernel      (ops/fused_rollout.py::rollout_fused)
-  2. full fused plant               (physics + 7 instruments + line taps)
-  3. full fused plant with all sample-line delays zero (isolates the
-     circular-history tap share)
+Sweeps the kernel's trace-time ablation switches (ops/fused_plant.py
+``_ABLATE``: each member removes one overlay subsystem from the traced
+kernel, so the timing delta IS that subsystem's in-kernel cost):
 
-Prints one JSON line with per-step microsecond costs and the implied
-shares. Backend-hermetic like bench.py.
+  full        physics + 7 instruments + taps + PRNG + lines + stores
+  no_rand     PRNG word->normal/uniform conversion replaced by constants
+  no_hist     sample-line circular histories skipped (tap used directly)
+  no_store    sensor carry write-back to VMEM skipped
+  no_taps     zone-tap segment extraction replaced by plane broadcast
+  one_sensor  only the first sensor of seven runs
+  no_sensors  physics-only inside the SAME kernel (launch/carry overhead)
+  physics     the standalone physics kernel (ops/fused_rollout.py)
+
+Prints one JSON line with per-step microsecond costs and implied shares.
+Backend-hermetic like bench.py. Single-plant 20-zone RK4.
 
 Usage: python tools/ablate_fused_plant.py [--steps 16384] [--reps 3]
 """
@@ -31,7 +38,7 @@ def _timed(fn, arg, reps, get):
     get(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(out)
+        out = fn(out)  # chain outputs -> inputs (relay caches identical calls)
     get(out)
     return (time.perf_counter() - t0) / reps
 
@@ -58,7 +65,7 @@ def main():
 
     from ics_wt_physicsengine_tpu.core import reactor as R
     from ics_wt_physicsengine_tpu.models.plant import make_plant
-    from ics_wt_physicsengine_tpu.ops.fused_plant import plant_rollout_fused
+    from ics_wt_physicsengine_tpu.ops import fused_plant as FP
     from ics_wt_physicsengine_tpu.ops.fused_rollout import rollout_fused
 
     config = R.ReactorConfiguration(volume=1000, height=2.0, diameter=0.798,
@@ -68,7 +75,7 @@ def main():
                               inlet_chlorine=0.5, acid_flow_rate=0.1)
     n = args.steps
 
-    # 1. bare physics
+    # 1. standalone physics kernel (the 340k steps/s comparator)
     params = R.make_params(config, dtype=jnp.float32)
     state = R.make_initial_state(config, dtype=jnp.float32)
     t_phys = _timed(
@@ -83,54 +90,55 @@ def main():
     # fused-plant oracle tests use). rows_padded=8 for one 20-zone plant.
     rng_kw = {"rng": "hw", "seed": 7}
     if jax.default_backend() == "cpu":
-        from ics_wt_physicsengine_tpu.ops.fused_plant import N_WORDS, _LANES
         bits = np.random.default_rng(7).integers(
-            -2**31, 2**31, size=(n, N_WORDS, 8, _LANES), dtype=np.int32)
+            -2**31, 2**31, size=(n, FP.N_WORDS, 8, FP._LANES),
+            dtype=np.int32)
         rng_kw = {"rng": "bits", "bits": jnp.asarray(bits)}
 
-    def run(p, prms=pparams):
-        out, _ = plant_rollout_fused(prms, p, bc, dt=1.0, substeps=substeps,
-                                     n_steps=n, record_every=n, **rng_kw)
+    def run_with(flags, p):
+        saved = FP._ABLATE
+        FP._ABLATE = frozenset(flags)   # trace-time switch; also the jit key
+        try:
+            out, _ = FP.plant_rollout_fused(
+                pparams, p, bc, dt=1.0, substeps=substeps, n_steps=n,
+                record_every=n, **rng_kw)
+        finally:
+            FP._ABLATE = saved
         return out
 
-    # 2. full plant (production hw rng)
-    t_full = _timed(lambda p: run(p), plant, args.reps,
-                    lambda p: np.asarray(p.reactor.time))
-
-    # 3. zero-delay lines (tap share)
-    import dataclasses
-    try:
-        fields = {}
-        for f in pparams.__dataclass_fields__:
-            v = getattr(pparams, f)
-            fields[f] = dataclasses.replace(
-                v, base=dataclasses.replace(v.base, line_delay_s=0.0)) \
-                if hasattr(v, "base") and hasattr(v.base, "line_delay_s") \
-                else v
-        p_nodelay = dataclasses.replace(pparams, **fields)
-        t_nodelay = _timed(lambda p: run(p, prms=p_nodelay), plant,
-                           args.reps, lambda p: np.asarray(p.reactor.time))
-    except Exception as e:  # noqa: BLE001 — ablation is best-effort
-        print(f"[ablate] no-delay variant failed: {type(e).__name__}",
-              file=sys.stderr)
-        t_nodelay = None
+    variants = ["full", "no_rand", "no_hist", "no_store", "no_taps",
+                "one_sensor", "no_sensors"]
+    times = {}
+    for v in variants:
+        flags = () if v == "full" else (v,)
+        times[v] = _timed(lambda p, f=flags: run_with(f, p), plant,
+                          args.reps, lambda p: np.asarray(p.reactor.time))
+        print(f"[ablate] {v}: {1e6 * times[v] / n:.3f} us/step",
+              file=sys.stderr, flush=True)
 
     us = lambda t: round(1e6 * t / n, 3)  # noqa: E731
-    sensor_us = us(t_full) - us(t_phys)
+    full = us(times["full"])
     result = {
         "ok": True,
         "backend": jax.default_backend(),
         "n_steps": n,
-        "physics_only_steps_per_sec": round(n / t_phys, 1),
-        "full_plant_steps_per_sec": round(n / t_full, 1),
-        "physics_us_per_step": us(t_phys),
-        "full_us_per_step": us(t_full),
-        "sensor_overlay_us_per_step": round(sensor_us, 3),
-        "sensor_share_pct": round(100 * sensor_us / us(t_full), 1),
+        "physics_kernel_us_per_step": us(t_phys),
+        "physics_kernel_steps_per_sec": round(n / t_phys, 1),
+        "full_plant_us_per_step": full,
+        "full_plant_steps_per_sec": round(n / times["full"], 1),
+        "us_per_step": {v: us(t) for v, t in times.items()},
+        # each ablation's saving = that subsystem's in-kernel cost
+        "subsystem_us": {
+            "prng_conversion": round(full - us(times["no_rand"]), 3),
+            "sample_line_hist": round(full - us(times["no_hist"]), 3),
+            "carry_store": round(full - us(times["no_store"]), 3),
+            "zone_taps": round(full - us(times["no_taps"]), 3),
+            "six_extra_sensors": round(full - us(times["one_sensor"]), 3),
+            "all_sensor_overlay": round(full - us(times["no_sensors"]), 3),
+            "kernel_vs_physics_overhead": round(
+                us(times["no_sensors"]) - us(t_phys), 3),
+        },
     }
-    if t_nodelay is not None:
-        result["no_delay_us_per_step"] = us(t_nodelay)
-        result["line_tap_us_per_step"] = round(us(t_full) - us(t_nodelay), 3)
     print(json.dumps(result))
     return 0
 
