@@ -188,6 +188,15 @@ def main():
         for t in threads:
             t.join(timeout=10)
         wall = time.perf_counter() - t0
+
+    # Read the FC 08 diagnostics counters over the wire AFTER the load —
+    # end-to-end proof the counters tracked the run on this plane
+    # (round 4: the reference's own 'No diagnostics counters' limitation).
+    try:
+        with ModbusTcpClient("127.0.0.1", slave.port, timeout=5) as c:
+            diag = c.diagnostic_counters()
+    except Exception as e:  # noqa: BLE001 — diagnostics are best-effort
+        diag = {"error": type(e).__name__}
     slave.stop()
 
     import numpy as np
@@ -209,6 +218,9 @@ def main():
             "max": round(float(lats.max()) * 1e3, 3),
         } if len(lats) else None,
         "errors": int(sum(stats["errors"])),
+        # 16-bit wrapping values per the Modbus spec (FC 08 returns one
+        # register) — at >65k requests the count is total mod 65536
+        "fc08_counters": diag,
         # the serving budget: every master polling once per dt=1 s tick
         # needs p99 well under 1000 ms and requests_per_s >= clients
         "dt1s_budget_ok": bool(
