@@ -583,6 +583,21 @@ def main(argv=None):
             jax.config.update("jax_platforms", args.backend)
         except RuntimeError:
             logger.warning("Backend already initialized; --backend ignored")
+    if args.backend in ("tpu", "default"):
+        # Accelerator requested: prove it alive under a subprocess deadline
+        # before any jnp array is built — a wedged TPU tunnel hangs the
+        # first backend touch forever (no exception to catch). Fall back
+        # to CPU with a warning rather than hanging a serving loop that
+        # external HIL clients are waiting on.
+        from ics_wt_physicsengine_tpu.utils.backend_select import (
+            backends_initialized, pin_cpu, probe_default_backend)
+        if not backends_initialized():
+            res = probe_default_backend(deadline=60.0, retries=2,
+                                        log=logger.info)
+            if not res.ok:
+                logger.warning("--backend %s unusable (%s); serving on cpu",
+                               args.backend, res.reason)
+                pin_cpu(1, log=logger.info)
 
     if args.network:
         import json as _json
