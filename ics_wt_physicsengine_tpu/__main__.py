@@ -592,7 +592,9 @@ def main(argv=None):
         from ics_wt_physicsengine_tpu.utils.backend_select import (
             backends_initialized, pin_cpu, probe_default_backend)
         if not backends_initialized():
-            res = probe_default_backend(deadline=60.0, retries=2,
+            deadline = float(os.environ.get(
+                "WT_BACKEND_PROBE_DEADLINE", "60"))
+            res = probe_default_backend(deadline=deadline, retries=2,
                                         log=logger.info)
             if not res.ok:
                 logger.warning("--backend %s unusable (%s); serving on cpu",

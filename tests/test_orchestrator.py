@@ -164,6 +164,37 @@ def test_pause_resume_via_coil(running_sim):
     _wait_sim_time(client, t2 + 60.0)   # resumes
 
 
+def test_backend_tpu_falls_back_to_cpu_when_probe_fails(monkeypatch):
+    """--backend tpu on an unusable accelerator must fall back to CPU and
+    serve, not hang (the wedged-tunnel failure mode: the first backend
+    touch blocks forever inside PJRT init, so the check has to happen
+    before it — via the deadline-bounded subprocess probe)."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+    from ics_wt_physicsengine_tpu.utils import backend_select as bs
+
+    calls = {}
+
+    def fake_probe(deadline=45.0, retries=2, log=None, **kw):
+        calls["probed"] = True
+        return bs.ProbeResult(False, None, 0, "probe timed out (test)")
+
+    real_pin = bs.pin_cpu
+
+    def fake_pin(n, log=None):
+        calls.setdefault("pinned", n)
+        real_pin(n)          # actually restore cpu for the serving loop
+
+    monkeypatch.setattr(bs, "backends_initialized", lambda: False)
+    monkeypatch.setattr(bs, "probe_default_backend", fake_probe)
+    monkeypatch.setattr(bs, "pin_cpu", fake_pin)
+
+    orchestrator.running = True
+    rc = orchestrator.main(["--no-modbus", "--duration", "3", "--rtf", "0",
+                            "--backend", "tpu", "--seed", "4"])
+    assert rc == 0
+    assert calls.get("probed") and calls.get("pinned") == 1
+
+
 def test_fused_sensor_loop_headless():
     """--fused-sensors: physics + instruments in one jitted step per tick."""
     import ics_wt_physicsengine_tpu.__main__ as orchestrator
