@@ -467,6 +467,71 @@ def bench_hw_prng_stats(n_plants=1024, n_steps=1024):
     }
 
 
+def bench_degraded_cpu(reason, n_steps=8192, reps=2):
+    """Minimal CPU-only measurement for when the accelerator is unusable:
+    the two XLA scan paths (bare physics `rollout`, instrumented
+    `plant_rollout`) at single-plant 20 zones — jitted natively on CPU, no
+    interpret-mode Pallas, no large ensembles. Emits the same primary
+    metric shape as the full bench with ``degraded: true`` so the record
+    stays honest about what was measured where."""
+    from ics_wt_physicsengine_tpu.models.plant import (make_plant,
+                                                       plant_rollout)
+
+    config = R.ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=20,
+        flow_rate=5.0, initial_pH=7.0, initial_chlorine=2.0,
+        temperature=20.0)
+    substeps = R.default_substeps(config, DT)
+    bc = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.2, inlet_chlorine=0.5,
+        inlet_temperature=26.0, acid_flow_rate=0.1,
+        ambient_temperature=15.0, heat_loss_coefficient=50.0)
+
+    params = R.make_params(config, dtype=jnp.float32)
+    state = R.make_initial_state(config, dtype=jnp.float32)
+    phys_fn = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, DT, substeps, n_steps, record=False)[0])
+    import numpy as np
+    s = phys_fn(params, state, bc)
+    np.asarray(s.time)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s = phys_fn(params, s, bc)
+    np.asarray(s.time)
+    single = n_steps * reps / (time.perf_counter() - t0)
+    _log(f"degraded: physics scan {single:.0f} steps/s")
+
+    pparams, plant = make_plant(config, seed=1, dtype=jnp.float32)
+    inst_fn = jax.jit(lambda pp, p, b: plant_rollout(
+        pp, p, b, DT, substeps, n_steps // 2, record=False)[0])
+    p = inst_fn(pparams, plant, bc)
+    np.asarray(p.reactor.time)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        p = inst_fn(pparams, p, bc)
+    np.asarray(p.reactor.time)
+    integrated = (n_steps // 2) * reps / (time.perf_counter() - t0)
+    _log(f"degraded: instrumented scan {integrated:.0f} steps/s")
+
+    return {
+        "metric": ("single-plant steps/sec (20 zones, dt=1s; "
+                   "== real-time factor)"),
+        "value": round(single, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(single / BASELINE_STEPS_PER_S, 2),
+        "ok": True,
+        "degraded": True,
+        "reason": reason,
+        "extra": {
+            "integrated_single_steps_per_sec": round(integrated, 1),
+            "backend": jax.default_backend(),
+            "note": ("XLA scan paths only — fused Pallas kernels and "
+                     "large ensembles need the accelerator; see "
+                     "BENCH_r02.json for the last full TPU record"),
+        },
+    }
+
+
 def main():
     # Hang-proof, parseable-even-on-failure (VERDICT r3 item 2): probe the
     # default backend in a deadline-bounded subprocess BEFORE the first
@@ -478,15 +543,18 @@ def main():
     platform, reason = ensure_default_backend(
         min_devices=1, probe_deadline=60.0, retries=3, log=_log)
     if platform == "cpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        # Degraded mode: the full bench on this host's single CPU core
+        # would exceed any driver timeout (32k-65k-plant ensembles,
+        # interpret-mode Pallas), but a real measurement of the two XLA
+        # scan paths still beats an empty record — the plant itself runs
+        # hundreds of times faster than the reference even here.
         why = (f"accelerator backend unusable: {reason}"
                if reason != "ok" else
                "default backend is cpu (single core); set BENCH_ALLOW_CPU=1"
-               " to force")
-        print(json.dumps({
-            "metric": ("single-plant steps/sec (20 zones, dt=1s; "
-                       "== real-time factor)"),
-            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
-            "ok": False, "reason": why}))
+               " to run the full bench anyway")
+        enable_compile_cache(log=_log)
+        _log(f"degraded cpu bench ({why})")
+        print(json.dumps(bench_degraded_cpu(why)))
         return
     enable_compile_cache(log=_log)
     _log(f"backend: {platform}; starting single-plant")
