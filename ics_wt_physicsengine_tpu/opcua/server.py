@@ -588,6 +588,7 @@ class OPCUAServer:
                 else:
                     sub.enabled = req.publishing_enabled
                     results.append(M.GOOD)
+            state.wake.set()   # re-enabled subs may have pending data
             return (M.ID_SET_PUBLISHING_MODE_RSP,
                     M.SetPublishingModeResponse(
                         M.ResponseHeader(now, req.header.request_handle),
@@ -617,6 +618,13 @@ class OPCUAServer:
                 sub.lifetime_elapsed = 0
             state.publish_queue.append(
                 (seq, req.header.request_handle, ack_results))
+            # Wake the publisher only when this request can be answered
+            # NOW (a subscription already has queued data) — the common
+            # case (client re-arms right after a response, nothing
+            # pending) sleeps through to the next sample tick.
+            if any(s.enabled and s.has_pending()
+                   for s in state.subscriptions.values()):
+                state.wake.set()
             return None, None   # answered by the sampler task
 
         if service_id == M.ID_REPUBLISH_REQ:
@@ -649,6 +657,7 @@ class OPCUAServer:
                     results.append(M.GOOD)
                 else:
                     results.append(M.BAD_SUBSCRIPTION_ID_INVALID)
+            state.wake.set()   # flush queued Publishes / re-derive due
             return (M.ID_DELETE_SUBSCRIPTIONS_RSP,
                     M.DeleteSubscriptionsResponse(
                         M.ResponseHeader(now, req.header.request_handle),
@@ -685,6 +694,7 @@ class OPCUAServer:
                             req.publishing_enabled, req.priority)
         sub.next_sample = time.monotonic() + interval_s
         state.subscriptions[sub_id] = sub
+        state.wake.set()     # re-derive the earliest due sample
         if state.publisher_task is None:
             state.publisher_task = asyncio.get_running_loop().create_task(
                 self._publisher(state))
@@ -811,15 +821,22 @@ class OPCUAServer:
         stopped publishing."""
         try:
             while True:
-                # Adaptive tick: sleep until the earliest due sample so a
-                # fleet of slow subscriptions costs no idle churn, with a
-                # floor for responsiveness to newly created ones.
+                # Event-driven tick: sleep until the earliest due sample —
+                # no polling cap — and let request handlers interrupt the
+                # wait via state.wake when new work arrives (a queued
+                # PublishRequest, subscription create/delete).
                 now_mono = time.monotonic()
                 due = min((s.next_sample
                            for s in state.subscriptions.values()),
-                          default=now_mono + 0.1)
-                await asyncio.sleep(
-                    min(max(due - now_mono, 0.005), 0.25))
+                          default=now_mono + 30.0)
+                timeout = due - now_mono
+                if timeout > 0:
+                    try:
+                        await asyncio.wait_for(state.wake.wait(),
+                                               timeout=min(timeout, 30.0))
+                    except asyncio.TimeoutError:
+                        pass
+                state.wake.clear()
                 now_mono = time.monotonic()
                 now = unix_to_filetime(time.time())
                 replies = []
@@ -834,28 +851,34 @@ class OPCUAServer:
                             M.ServiceFault(M.ResponseHeader(
                                 now, handle, M.BAD_NO_SUBSCRIPTION))))
                 for sub in list(state.subscriptions.values()):
-                    if now_mono < sub.next_sample:
-                        continue
-                    sub.next_sample = now_mono + sub.interval_s
-                    self._sample_subscription(sub, now)
-                    has_data = sub.enabled and sub.has_pending()
-                    sub.keepalive_elapsed += 1
-                    if not state.publish_queue:
-                        sub.lifetime_elapsed += 1
-                        if sub.lifetime_elapsed > sub.lifetime_count:
-                            # expired: no Publish requests for the whole
-                            # lifetime — drop the subscription
-                            logger.info("OPC UA subscription %d expired",
-                                        sub.id)
-                            del state.subscriptions[sub.id]
-                        continue
-                    if has_data or (sub.keepalive_elapsed
-                                    >= sub.keepalive_count):
-                        replies.append(self._build_publish(sub, state,
-                                                           now))
-                    # drain backlog: keep answering while data remains
+                    sampled = False
+                    if now_mono >= sub.next_sample:
+                        sub.next_sample = now_mono + sub.interval_s
+                        self._sample_subscription(sub, now)
+                        sub.keepalive_elapsed += 1
+                        sampled = True
+                        if not state.publish_queue:
+                            sub.lifetime_elapsed += 1
+                            if sub.lifetime_elapsed > sub.lifetime_count:
+                                # expired: no Publish requests for the
+                                # whole lifetime — drop the subscription
+                                logger.info(
+                                    "OPC UA subscription %d expired",
+                                    sub.id)
+                                del state.subscriptions[sub.id]
+                            continue
+                    # Deliver pending data whenever a PublishRequest is
+                    # queued — including between sample ticks, when the
+                    # wake event fired for a freshly queued Publish.
                     while (sub.enabled and sub.has_pending()
                            and state.publish_queue):
+                        replies.append(self._build_publish(sub, state,
+                                                           now))
+                    if (sampled and state.publish_queue
+                            and sub.keepalive_elapsed
+                            >= sub.keepalive_count):
+                        # nothing pending this tick but the keepalive
+                        # budget elapsed: send the empty notification
                         replies.append(self._build_publish(sub, state,
                                                            now))
                 if replies and state.writer is not None:
@@ -1133,6 +1156,12 @@ class _ClientState:
         # queued PublishRequests: (SequenceHeader, request_handle,
         # ack_statuses)
         self.publish_queue: deque = deque()
+        # Wakes the publisher task early when new work arrives (a queued
+        # PublishRequest, a created/deleted subscription) — the loop
+        # otherwise sleeps precisely until the earliest sample is due,
+        # instead of polling on a short cap. At 1000 sessions the old
+        # 0.25 s poll cap cost ~4000 loop wakeups/s of pure overhead.
+        self.wake = asyncio.Event()
         self.writer: Optional[asyncio.StreamWriter] = None
         self.wlock: Optional[asyncio.Lock] = None
         self.publisher_task: Optional[asyncio.Task] = None

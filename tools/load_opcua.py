@@ -225,22 +225,31 @@ def main():
                     default="read")
     ap.add_argument("--max-connections", type=int, default=None)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--attach-port", type=int, default=None,
+                    help="drive an already-running OPC UA server on this "
+                         "port instead of creating one in-process (e.g. "
+                         "an orchestrator --opcua plane, or a server "
+                         "under an external profiler)")
     args = ap.parse_args()
     _raise_fd_limit(2 * args.clients + 128)
 
-    slave = ModbusSlave(ModbusRegisterMap(),
-                        ModbusServerConfig(host="127.0.0.1", port=0))
-    slave.update_input_register("pH_inlet", 7.2)
-    cap = args.max_connections or max(32, args.clients + 4)
-    server = OPCUAServer(slave, host="127.0.0.1", port=0,
-                         max_connections=cap)
-    server.start()
+    server = slave = None
+    if args.attach_port is None:
+        slave = ModbusSlave(ModbusRegisterMap(),
+                            ModbusServerConfig(host="127.0.0.1", port=0))
+        slave.update_input_register("pH_inlet", 7.2)
+        cap = args.max_connections or max(32, args.clients + 4)
+        server = OPCUAServer(slave, host="127.0.0.1", port=0,
+                             max_connections=cap)
+        server.start()
+    port = args.attach_port if server is None else server.actual_port
     t0 = time.perf_counter()
-    stats = asyncio.run(_run_load(server.actual_port, args.clients,
+    stats = asyncio.run(_run_load(port, args.clients,
                                   args.seconds, args.workload))
     wall = time.perf_counter() - t0
-    server.stop()
-    slave.stop()
+    if server is not None:
+        server.stop()
+        slave.stop()
 
     import numpy as np
     total = sum(stats["requests"])
