@@ -567,13 +567,14 @@ def main(argv=None):
                      "cannot be combined with --no-modbus")
     if args.serve_chunk < 1:
         parser.error(f"--serve-chunk must be >= 1, got {args.serve_chunk}")
-    if args.serve_chunk > 1 and not args.fused_sensors:
+    if (args.serve_chunk > 1 and args.fleet == 1 and not args.network
+            and not args.fused_sensors):
+        # The fleet/network paths always run the in-graph batched
+        # instrument pipeline, so only the single-plant loop needs the
+        # explicit opt-in.
         parser.error("--serve-chunk needs the in-graph instrument pipeline: "
                      "add --fused-sensors (host-object sensors cannot run "
                      "inside a device rollout)")
-    if args.serve_chunk > 1 and (args.fleet > 1 or args.network):
-        parser.error("--serve-chunk currently applies to the single-plant "
-                     "orchestrator (fleet serving batches lanes instead)")
     if args.log_decimate < 1:
         parser.error(f"--log-decimate must be >= 1, got {args.log_decimate}")
 

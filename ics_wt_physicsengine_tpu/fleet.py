@@ -39,6 +39,45 @@ def _stack_boundaries(boundaries, dtype):
         lambda *xs: jnp.asarray(xs, dtype=dtype), *boundaries)
 
 
+def _stack_boundary_schedule(applied, commanded, n_steps, dt, tau, dtype):
+    """Per-unit (applied, commanded) boundaries -> one chunk schedule with
+    [n_steps, N] leaves, plus the end-of-chunk per-unit boundary list.
+
+    The fleet counterpart of __main__.build_chunk_schedule: commands are
+    zero-order-held across the chunk and the actuator flow fields follow
+    the exact closed-form first-order-lag trajectory per lane
+    (applied_j = cmd + (applied_0 - cmd)·exp(-j·dt/τ))."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ics_wt_physicsengine_tpu.__main__ as M
+
+    if tau > 0.0:
+        decay = np.exp(-dt * np.arange(n_steps) / tau)[:, None]
+        end_decay = float(np.exp(-dt * n_steps / tau))
+    else:
+        decay = np.zeros((n_steps, 1))
+        end_decay = 0.0
+
+    held = _stack_boundaries(commanded, dtype)          # [N] leaves
+    sched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_steps,) + x.shape), held)
+    ends = list(commanded)
+    over = {}
+    for f in M._ACTUATOR_FIELDS:
+        a0 = np.array([float(getattr(a, f)) for a in applied])
+        cmd = np.array([float(getattr(c, f)) for c in commanded])
+        over[f] = jnp.asarray(cmd[None, :] + (a0 - cmd)[None, :] * decay,
+                              dtype)
+        endv = cmd + (a0 - cmd) * end_decay
+        ends = [dataclasses.replace(e, **{f: float(endv[i])})
+                for i, e in enumerate(ends)]
+    return dataclasses.replace(sched, **over), ends
+
+
 def main_fleet(args) -> None:
     """Fleet serving loop — mirrors main()'s 5 phases for N plants."""
     import numpy as np
@@ -196,6 +235,32 @@ def main_fleet(args) -> None:
             net_idx = jnp.asarray(0, jnp.int32)
         else:
             step = jax.jit(_step_masked)
+
+        # Fast-time fleet serving (--serve-chunk): scan the masked batched
+        # step over a [chunk, N]-leaf boundary schedule in ONE device call
+        # (the fleet counterpart of __main__'s plant_rollout_serve loop).
+        serve_roll = None
+        chunk = max(1, int(getattr(args, "serve_chunk", 1)))
+        if chunk > 1:
+            if net is None:
+                def _serve(prm, pl, sched, mask):
+                    return jax.lax.scan(
+                        lambda p, bc: _step_masked(prm, p, bc, mask),
+                        pl, sched)
+                serve_roll = jax.jit(_serve)
+            else:
+                def _serve_net(prm, pl, sched, mask, ring, ring_idx):
+                    def body(carry, bc):
+                        p, r, ri = carry
+                        p2, out, r2, ri2 = _step_masked_network(
+                            prm, p, bc, mask, r, ri)
+                        return (p2, r2, ri2), out
+                    (p, r, ri), outs = jax.lax.scan(
+                        body, (pl, ring, ring_idx), sched)
+                    return p, outs, r, ri
+                serve_roll = jax.jit(_serve_net)
+            logger.info("Fast-time fleet serving enabled: %d steps per "
+                        "register exchange in one device call", chunk)
         logger.info("Fleet engine initialized (%d zones, %s: substeps=%d%s, "
                     "one jitted batched step/tick)", args.zones,
                     args.integrator, m, "" if s is None else f" x {s} stages")
@@ -559,6 +624,30 @@ def main_fleet(args) -> None:
                          type(e).__name__)
 
     commanded_targets = list(boundaries)   # per-unit actuator slew targets
+
+    def run_recal():
+        """Fleet sensor maintenance: fresh calibrated carries, anchored at
+        the current sim time (t0= resets calibration age and warm-up from
+        the maintenance instant — without it the rebuilt carries would
+        read calibration-expired again immediately past 24 h). Only
+        RUNNING lanes are serviced: a paused lane's freeze invariant holds
+        through maintenance."""
+        nonlocal plant
+        import jax.numpy as _jnp
+        _, fresh = make_plant_batch(
+            config, n, seed=(args.seed or 0) + int(sim_time),
+            warmed_up=True, t0=sim_time)
+        fresh = dc_replace(fresh, reactor=plant.reactor)
+        mask = _jnp.asarray(run_mask)
+
+        def _sel(new, old):
+            mk = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
+            return _jnp.where(mk, new, old)
+
+        plant = jax.tree_util.tree_map(_sel, fresh, plant)
+        logger.info("t=%.0fs | fleet sensor maintenance/"
+                    "recalibration done (%d/%d lanes)",
+                    sim_time, int(run_mask.sum()), n)
     try:
         while M.running and sim_time < args.duration:
             step_start = time.monotonic()
@@ -575,7 +664,93 @@ def main_fleet(args) -> None:
                         pass
             paused = not run_mask.any()
 
-            if not paused:
+            if not paused and serve_roll is not None:
+                # Fast-time fleet serving (--serve-chunk): advance every
+                # lane `chunk` steps in ONE device call. Commands are
+                # zero-order-held at chunk boundaries, per-lane actuator
+                # slew is precomputed in closed form into the schedule,
+                # and frozen lanes hold their carry in-graph exactly like
+                # the per-tick path (pause granularity = one chunk).
+                sched, ends = _stack_boundary_schedule(
+                    boundaries, commanded_targets, chunk, args.dt,
+                    args.actuator_tau, dtype)
+                try:
+                    if net is not None:
+                        plant, outputs, net_ring, net_idx = serve_roll(
+                            params, plant, sched, run_mask,
+                            net_ring, net_idx)
+                    else:
+                        plant, outputs = serve_roll(params, plant, sched,
+                                                    run_mask)
+                except Exception as e:  # noqa: BLE001
+                    logger.error("Fleet chunk failed: %s", type(e).__name__)
+                    break
+                boundaries = [ends[i] if run_mask[i] else boundaries[i]
+                              for i in range(n)]
+                host_out = jax.device_get(outputs)   # [chunk, N, ...] leaves
+                last_out = jax.tree_util.tree_map(lambda x: x[-1], host_out)
+                pH_np = np.asarray(plant.reactor.pH)
+                t_np = np.asarray(plant.reactor.time).reshape(-1)
+                n_np = None
+                if plant.reactor.ammonia is not None:
+                    n_np = {k: np.asarray(getattr(plant.reactor, k))
+                            for k in ("ammonia", "nitrite", "nitrate",
+                                      "chloramine")}
+                if slave:
+                    ok = True
+                    for i, u in enumerate(units):
+                        if not run_mask[i]:
+                            continue
+                        readings = M._readings_from_outputs(last_out,
+                                                            lane=i)
+                        st_ns = SimpleNamespace(pH=pH_np[i]) \
+                            if n_np is None else SimpleNamespace(
+                                pH=pH_np[i],
+                                **{k: v[i] for k, v in n_np.items()})
+                        ok &= M.update_modbus_inputs(
+                            slave, readings, st_ns, float(t_np[i]), unit=u)
+                    if not ok:
+                        modbus_error_count += 1
+                        if modbus_error_count >= max_modbus_errors:
+                            logger.error(
+                                "Too many Modbus errors, disabling interface")
+                            slave = None
+                for i, u in enumerate(units):
+                    if not run_mask[i] or not slave:
+                        continue
+                    commands = M.read_modbus_commands(slave, unit=u)
+                    commanded_targets[i] = M.apply_boundary_conditions(
+                        boundaries[i], commands)
+                # Decimated in-chunk history (every Kth step per lane);
+                # per-step times back-derived from each lane's final clock
+                # (frozen lanes' clocks held for the whole chunk).
+                dec = max(1, int(getattr(args, "log_decimate", 1)))
+                for j in range(dec - 1, chunk, dec):
+                    row = jax.tree_util.tree_map(
+                        lambda x, j=j: x[j], host_out)
+                    t_j = t_np - (chunk - 1 - j) * args.dt * run_mask
+                    log_csv_rows(row, t_j, run_mask)
+                if step_count % (max(1, log_interval // chunk) * chunk) == 0:
+                    ph_out = np.asarray(last_out["pH_outlet"].value)
+                    fin = np.isfinite(ph_out)
+                    if fin.any():
+                        logger.info(
+                            "t=%.0fs | fleet pH_out %.2f..%.2f (mean %.2f) "
+                            "| %d/%d reporting | chunk=%d",
+                            sim_time, np.nanmin(ph_out), np.nanmax(ph_out),
+                            np.nanmean(ph_out), int(fin.sum()), n, chunk)
+                    else:
+                        logger.info("t=%.0fs | Fleet sensors warming up...",
+                                    sim_time)
+                step_count += chunk
+                sim_time += chunk * args.dt
+                if sim_time >= next_recal:
+                    run_recal()
+                    next_recal += recal_interval_s
+                if args.checkpoint_file and sim_time >= next_checkpoint:
+                    write_checkpoint()
+                    next_checkpoint += checkpoint_interval_s
+            elif not paused:
                 try:
                     if net is not None:
                         plant, outputs, net_ring, net_idx = step(
@@ -665,38 +840,18 @@ def main_fleet(args) -> None:
                 step_count += 1
                 sim_time += args.dt
                 if sim_time >= next_recal:
-                    # Fleet sensor maintenance: fresh calibrated carries,
-                    # anchored at the current sim time (t0= resets
-                    # calibration age and warm-up from the maintenance
-                    # instant — without it the rebuilt carries would read
-                    # calibration-expired again immediately past 24 h).
-                    # Only RUNNING lanes are serviced: a paused lane's
-                    # freeze invariant holds through maintenance.
-                    import jax.numpy as _jnp
-                    _, fresh = make_plant_batch(
-                        config, n, seed=(args.seed or 0) + int(sim_time),
-                        warmed_up=True, t0=sim_time)
-                    fresh = dc_replace(fresh, reactor=plant.reactor)
-                    mask = _jnp.asarray(run_mask)
-
-                    def _sel(new, old):
-                        mk = mask.reshape(mask.shape
-                                          + (1,) * (new.ndim - 1))
-                        return _jnp.where(mk, new, old)
-
-                    plant = jax.tree_util.tree_map(_sel, fresh, plant)
-                    logger.info("t=%.0fs | fleet sensor maintenance/"
-                                "recalibration done (%d/%d lanes)",
-                                sim_time, int(run_mask.sum()), n)
+                    run_recal()
                     next_recal += recal_interval_s
                 if args.checkpoint_file and sim_time >= next_checkpoint:
                     write_checkpoint()
                     next_checkpoint += checkpoint_interval_s
 
-            # real-time pacing (reference __main__.py:453-457)
+            # real-time pacing (reference __main__.py:453-457); a chunk
+            # paces against its whole simulated span
             if args.rtf > 0:
                 elapsed = time.monotonic() - step_start
-                sleep_time = max(0.0, args.dt / args.rtf - elapsed)
+                span = args.dt * (chunk if serve_roll is not None else 1)
+                sleep_time = max(0.0, span / args.rtf - elapsed)
                 if sleep_time > 0:
                     time.sleep(sleep_time)
 

@@ -298,6 +298,79 @@ def test_per_unit_pause_coil_freezes_one_lane(running_fleet):
         assert c3.read_float32(100) > t3_resumed, "unit did not resume"
 
 
+def test_fleet_serve_chunk_serves_and_freezes():
+    """--serve-chunk on the fleet plane: every lane advances chunk steps
+    per register exchange in ONE device call (registers only ever show
+    chunk-boundary times), per-unit pause still freezes exactly one lane,
+    and a dosing command written to one unit takes effect at the next
+    chunk boundary while the other lanes hold."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    chunk = 40
+    port = _free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(port), "--host", "127.0.0.1", "--dt", "1",
+               "--duration", "100000000", "--rtf", "0", "--seed", "5",
+               "--fleet", "3", "--zones", "4",
+               "--serve-chunk", str(chunk)],),
+        daemon=True)
+    thread.start()
+
+    deadline = time.time() + 60
+    c1 = None
+    while time.time() < deadline:
+        try:
+            c1 = ModbusTcpClient("127.0.0.1", port, unit_id=1,
+                                 timeout=5).connect()
+            break
+        except OSError:
+            time.sleep(0.3)
+    if c1 is None:
+        orchestrator.running = False
+        pytest.fail("fleet Modbus server did not start")
+
+    try:
+        with ModbusTcpClient("127.0.0.1", port, unit_id=2) as c2:
+            # first chunk includes the scan jit compile — generous wait
+            deadline = time.time() + 240
+            while time.time() < deadline and c1.read_float32(100) < chunk:
+                time.sleep(0.5)
+            t1 = c1.read_float32(100)
+            assert t1 >= chunk, "no chunk landed"
+            # registers only ever expose chunk-boundary instants
+            assert t1 % float(chunk) == 0.0, t1
+
+            # per-unit pause at chunk granularity
+            c2.write_coil(2, False)
+            time.sleep(1.0)
+            t2_frozen = c2.read_float32(100)
+            ta = c1.read_float32(100)
+            _wait_sim_time(c1, ta + 10 * chunk)
+            assert c2.read_float32(100) == pytest.approx(t2_frozen), \
+                "paused unit advanced in chunk mode"
+            c2.write_coil(2, True)
+            _wait_sim_time(c1, c1.read_float32(100) + 10 * chunk)
+            assert c2.read_float32(100) > t2_frozen, "unit did not resume"
+
+            # zero-order-held command: acid into unit 2 only
+            ph1_before = c1.read_float32(0)
+            ph2_before = c2.read_float32(0)
+            c2.write_float32(0, 0.5)          # acid_flow_rate, unit 2
+            _wait_sim_time(c1, c1.read_float32(100) + 1200.0)
+            ph2_after = c2.read_float32(0)
+            ph1_after = c1.read_float32(0)
+            assert ph2_after < ph2_before - 0.5, \
+                f"unit 2 pH did not fall: {ph2_before} -> {ph2_after}"
+            assert abs(ph1_after - ph1_before) < 0.3, \
+                f"unit 1 pH moved without dosing: {ph1_before} -> {ph1_after}"
+    finally:
+        c1.close()
+        orchestrator.running = False
+        thread.join(timeout=30)
+
+
 def test_fleet_headless_with_rkc_integrator():
     """Fleet mode composes with the RKC2-fast integrator plan (the
     batched step uses the same _plan_for policy as single-plant mode)."""

@@ -43,6 +43,11 @@ def main():
                     help="measurement window [wall seconds]")
     ap.add_argument("--backend", default="cpu",
                     choices=["cpu", "tpu", "default"])
+    ap.add_argument("--fleet", type=int, default=1,
+                    help="measure the FLEET serving plane: N independently "
+                         "controlled plants on one endpoint, each advancing "
+                         "chunk steps per exchange in one batched device "
+                         "call (unit ids 1..N)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -50,12 +55,14 @@ def main():
     cmd = [sys.executable, "-m", "ics_wt_physicsengine_tpu",
            "--port", str(port), "--host", "127.0.0.1", "--dt", "1.0",
            "--duration", "1e18", "--rtf", "0", "--seed", "7",
-           "--zones", str(args.zones), "--fused-sensors",
+           "--zones", str(args.zones),
            "--serve-chunk", str(args.chunk), "--backend", args.backend]
+    cmd += (["--fleet", str(args.fleet)] if args.fleet > 1
+            else ["--fused-sensors"])
     sim = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL)
     result = {"ok": False, "chunk": args.chunk, "zones": args.zones,
-              "backend": args.backend, "dt": 1.0}
+              "fleet": args.fleet, "backend": args.backend, "dt": 1.0}
     try:
         from ics_wt_physicsengine_tpu.modbus import ModbusTcpClient
 
@@ -99,7 +106,7 @@ def main():
 
         wall = t_wall1 - t_wall0
         served_steps = t_sim1 - t_sim0     # dt = 1 s -> steps == sim seconds
-        rtf = served_steps / wall
+        rtf = served_steps / wall          # per-lane real-time factor
         # In-range pH polls: at >=10,000x real time, whole sim-DAYS pass per
         # wall-minute, so latched sensor faults legitimately park the
         # register at the 0.0 fault placeholder between the 24h-recal
@@ -108,9 +115,9 @@ def main():
         finite = [p for p in ph_samples if p == p and 0.0 < p < 14.0]
         result.update({
             "ok": rtf >= 1000.0 and polls > 0 and len(finite) >= 1,
-            "served_steps_per_sec": round(rtf, 1),
+            "served_steps_per_sec": round(rtf * args.fleet, 1),
             "served_rtf": round(rtf, 1),
-            "vs_reference_serving": round(rtf / 31.0, 1),
+            "vs_reference_serving": round(rtf * args.fleet / 31.0, 1),
             "wall_window_s": round(wall, 2),
             "client_polls": polls,
             "live_ph_samples_ok": len(finite),
