@@ -605,6 +605,66 @@ def _write_topo(tmp_path, n=3):
     return str(f)
 
 
+def test_network_serve_chunk_advances_all_stages(tmp_path):
+    """--serve-chunk composes with --network: the whole train advances
+    chunk steps per device call (the pipe ring is a scan carry), every
+    stage's clock stays in lock-step at chunk-boundary instants, and the
+    routed hydraulics still propagate the head stage's external flow."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    chunk = 25
+    topo = _write_topo(tmp_path)
+    port = _free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(port), "--host", "127.0.0.1", "--dt", "60",
+               "--duration", "10000000", "--rtf", "0", "--seed", "7",
+               "--zones", "4", "--network", topo,
+               "--serve-chunk", str(chunk)],),
+        daemon=True)
+    thread.start()
+
+    deadline = time.time() + 90
+    c1 = None
+    while time.time() < deadline:
+        try:
+            c1 = ModbusTcpClient("127.0.0.1", port, unit_id=1,
+                                 timeout=5).connect()
+            break
+        except OSError:
+            time.sleep(0.3)
+    if c1 is None:
+        orchestrator.running = False
+        pytest.fail("network Modbus server did not start")
+
+    try:
+        with ModbusTcpClient("127.0.0.1", port, unit_id=2) as c2, \
+                ModbusTcpClient("127.0.0.1", port, unit_id=3) as c3:
+            deadline = time.time() + 240
+            while time.time() < deadline and \
+                    c1.read_float32(100) < chunk * 60.0:
+                time.sleep(0.5)
+            t1 = c1.read_float32(100)
+            assert t1 >= chunk * 60.0, "no chunk landed"
+            assert t1 % (chunk * 60.0) == 0.0, t1
+            # all stages advance in lock-step (one batched scan)
+            assert c2.read_float32(100) == pytest.approx(t1, abs=chunk * 60)
+            assert c3.read_float32(100) == pytest.approx(t1, abs=chunk * 60)
+            # routed hydraulics settle to the head stage's 8 L/min source
+            dl = time.time() + 120
+            while time.time() < dl and not all(
+                    abs(c.read_float32(10) - 8.0) <= 0.5
+                    for c in (c1, c2, c3)):
+                time.sleep(0.3)
+            for c in (c1, c2, c3):
+                assert c.read_float32(10) == pytest.approx(8.0, abs=0.5)
+    finally:
+        c1.close()
+        orchestrator.running = False
+        thread.join(timeout=30)
+
+
 def test_network_serving_closed_loop(tmp_path):
     """--network serves a connected 3-stage train as Modbus units 1..3:
     the hydraulics solve propagates the head stage's external flow to
