@@ -329,6 +329,19 @@ _ACTUATOR_FIELDS = ("acid_flow_rate", "chlorine_flow_rate",
                     "inlet_flow_rate")
 
 
+def _slew_decay(n_steps: int, dt: float, tau: float):
+    """Closed-form first-order actuator-lag decay shared by the
+    single-plant and fleet chunk schedules: step j's applied value is
+    cmd + (applied_0 - cmd)·decay[j], and ``end_decay`` is the position
+    after the full chunk. tau <= 0 = instant actuation (decay 0)."""
+    import numpy as np
+
+    if tau > 0.0:
+        return (np.exp(-dt * np.arange(n_steps) / tau),
+                float(np.exp(-dt * n_steps / tau)))
+    return np.zeros(n_steps), 0.0
+
+
 def build_chunk_schedule(applied: BoundaryConditions,
                          commanded: BoundaryConditions,
                          n_steps: int, dt: float, tau: float
@@ -347,12 +360,7 @@ def build_chunk_schedule(applied: BoundaryConditions,
     import numpy as np
     from dataclasses import replace
 
-    if tau > 0.0:
-        decay = np.exp(-dt * np.arange(n_steps) / tau)
-        end_decay = float(np.exp(-dt * n_steps / tau))
-    else:
-        decay = np.zeros(n_steps)  # instant actuation: every step = command
-        end_decay = 0.0
+    decay, end_decay = _slew_decay(n_steps, dt, tau)
     sched, end = {}, {}
     for f in _ACTUATOR_FIELDS:
         a0 = float(getattr(applied, f))
@@ -577,6 +585,13 @@ def main(argv=None):
                      "inside a device rollout)")
     if args.log_decimate < 1:
         parser.error(f"--log-decimate must be >= 1, got {args.log_decimate}")
+    if args.serve_chunk > 1 and args.log_decimate > args.serve_chunk:
+        # range(dec-1, chunk, dec) would be empty: every chunk would
+        # silently log zero history rows
+        parser.error(f"--log-decimate ({args.log_decimate}) cannot exceed "
+                     f"--serve-chunk ({args.serve_chunk}): at most one row "
+                     "per K in-chunk steps is written, so K > chunk would "
+                     "log nothing at all")
 
     if args.backend != "default":
         try:
@@ -591,12 +606,23 @@ def main(argv=None):
         # to CPU with a warning rather than hanging a serving loop that
         # external HIL clients are waiting on.
         from ics_wt_physicsengine_tpu.utils.backend_select import (
-            backends_initialized, pin_cpu, probe_default_backend)
+            _PROBE_CODE, backends_initialized, pin_cpu,
+            probe_default_backend)
         if not backends_initialized():
             deadline = float(os.environ.get(
                 "WT_BACKEND_PROBE_DEADLINE", "60"))
+            # Probe the backend this process will actually use: the child
+            # inherits the ENV default, which need not be the
+            # --backend-selected one (jax.config updates don't propagate),
+            # so replicate the parent's config update in the child before
+            # its first backend touch.
+            code = _PROBE_CODE
+            if args.backend != "default":
+                code = ("import jax\n"
+                        f"jax.config.update('jax_platforms', "
+                        f"{args.backend!r})\n") + code
             res = probe_default_backend(deadline=deadline, retries=2,
-                                        log=logger.info)
+                                        log=logger.info, _code=code)
             if not res.ok:
                 logger.warning("--backend %s unusable (%s); serving on cpu",
                                args.backend, res.reason)
@@ -908,7 +934,11 @@ def main(argv=None):
                 # (SURVEY §7 hard-part 4).
                 import numpy as np
                 from dataclasses import replace as _dc_replace
-                chunk = args.serve_chunk
+                # Final chunk clamps to the remaining horizon so the run
+                # cannot overshoot --duration by up to chunk-1 steps (the
+                # shorter schedule costs one extra jit at shutdown).
+                chunk = min(args.serve_chunk, max(1, int(round(
+                    (args.duration - sim_time) / args.dt))))
                 try:
                     schedule, end_boundary = build_chunk_schedule(
                         boundary, commanded, chunk, args.dt,

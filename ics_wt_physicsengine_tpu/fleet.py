@@ -55,12 +55,8 @@ def _stack_boundary_schedule(applied, commanded, n_steps, dt, tau, dtype):
 
     import ics_wt_physicsengine_tpu.__main__ as M
 
-    if tau > 0.0:
-        decay = np.exp(-dt * np.arange(n_steps) / tau)[:, None]
-        end_decay = float(np.exp(-dt * n_steps / tau))
-    else:
-        decay = np.zeros((n_steps, 1))
-        end_decay = 0.0
+    decay, end_decay = M._slew_decay(n_steps, dt, tau)
+    decay = decay[:, None]
 
     held = _stack_boundaries(commanded, dtype)          # [N] leaves
     sched = jax.tree_util.tree_map(
@@ -368,7 +364,10 @@ def main_fleet(args) -> None:
             logger.error("Parquet logging unavailable: %s — continuing "
                          "without it", type(e).__name__)
 
-    def log_csv_rows(host_out, t_np, run_mask):
+    def log_csv_rows(host_out, t_np, run_mask, b_rows=None):
+        """``b_rows``: optional per-lane BoundaryConditions override for
+        the command columns — chunk mode passes the step's scheduled
+        (mid-slew) actuator values instead of the end-of-chunk state."""
         if csv_file is None and parquet_log is None:
             return
 
@@ -382,7 +381,7 @@ def main_fleet(args) -> None:
         for i, u in enumerate(units):
             if not run_mask[i]:
                 continue
-            b = boundaries[i]
+            b = b_rows[i] if b_rows is not None else boundaries[i]
             any_fault = int(any(
                 FAULT_FROM_CODE[int(np.asarray(out.fault)[i])]
                 != SensorFault.NONE for out in host_out.values()))
@@ -671,8 +670,13 @@ def main_fleet(args) -> None:
                 # slew is precomputed in closed form into the schedule,
                 # and frozen lanes hold their carry in-graph exactly like
                 # the per-tick path (pause granularity = one chunk).
+                # The final chunk clamps to the remaining horizon so the
+                # run cannot overshoot --duration (one extra jit at
+                # shutdown for the shorter schedule).
+                n_this = min(chunk, max(1, int(round(
+                    (args.duration - sim_time) / args.dt))))
                 sched, ends = _stack_boundary_schedule(
-                    boundaries, commanded_targets, chunk, args.dt,
+                    boundaries, commanded_targets, n_this, args.dt,
                     args.actuator_tau, dtype)
                 try:
                     if net is not None:
@@ -723,13 +727,25 @@ def main_fleet(args) -> None:
                         boundaries[i], commands)
                 # Decimated in-chunk history (every Kth step per lane);
                 # per-step times back-derived from each lane's final clock
-                # (frozen lanes' clocks held for the whole chunk).
+                # (frozen lanes' clocks held for the whole chunk), command
+                # columns from the step's SCHEDULED (mid-slew) actuator
+                # values, not the end-of-chunk positions.
                 dec = max(1, int(getattr(args, "log_decimate", 1)))
-                for j in range(dec - 1, chunk, dec):
+                act_np = None
+                if csv_file is not None or parquet_log is not None:
+                    act_np = {f: np.asarray(getattr(sched, f))
+                              for f in M._ACTUATOR_FIELDS}
+                for j in range(dec - 1, n_this, dec):
                     row = jax.tree_util.tree_map(
                         lambda x, j=j: x[j], host_out)
-                    t_j = t_np - (chunk - 1 - j) * args.dt * run_mask
-                    log_csv_rows(row, t_j, run_mask)
+                    t_j = t_np - (n_this - 1 - j) * args.dt * run_mask
+                    b_rows = None
+                    if act_np is not None:
+                        b_rows = [dc_replace(boundaries[i],
+                                             **{f: float(act_np[f][j, i])
+                                                for f in M._ACTUATOR_FIELDS})
+                                  for i in range(n)]
+                    log_csv_rows(row, t_j, run_mask, b_rows)
                 if step_count % (max(1, log_interval // chunk) * chunk) == 0:
                     ph_out = np.asarray(last_out["pH_outlet"].value)
                     fin = np.isfinite(ph_out)
@@ -738,12 +754,12 @@ def main_fleet(args) -> None:
                             "t=%.0fs | fleet pH_out %.2f..%.2f (mean %.2f) "
                             "| %d/%d reporting | chunk=%d",
                             sim_time, np.nanmin(ph_out), np.nanmax(ph_out),
-                            np.nanmean(ph_out), int(fin.sum()), n, chunk)
+                            np.nanmean(ph_out), int(fin.sum()), n, n_this)
                     else:
                         logger.info("t=%.0fs | Fleet sensors warming up...",
                                     sim_time)
-                step_count += chunk
-                sim_time += chunk * args.dt
+                step_count += n_this
+                sim_time += n_this * args.dt
                 if sim_time >= next_recal:
                     run_recal()
                     next_recal += recal_interval_s

@@ -245,6 +245,14 @@ class NativeModbusSlave:
         reference's explicitly listed protocol limitation
         (reference README.md:537)."""
         import ctypes as _ct
+        if not hasattr(self._lib, "mb_diag_counters"):
+            # stale prebuilt libwtmodbus.so (same degradation story as
+            # mb_set_max_clients above) — fail with a curated message
+            # instead of a bare ctypes AttributeError
+            raise RuntimeError(
+                "native Modbus library predates mb_diag_counters — "
+                "rebuild native/modbus_server.cpp (make -C native) or use "
+                "the Python plane's diagnostics()")
         out = (_ct.c_uint64 * 5)()
         self._lib.mb_diag_counters(self._handle, out)
         return {"bus_message_count": int(out[0]),
