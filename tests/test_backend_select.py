@@ -100,15 +100,22 @@ def test_single_device_falls_back_to_cpu_on_failed_probe():
     assert "GOT cpu 1" in r.stdout
 
 
-def test_bench_emits_parseable_failure_on_unusable_backend():
-    """bench.py with an unusable accelerator prints ONE parseable JSON line
-    with ok=false (not a traceback) and exits 0 — BENCH_r03's rc=1 mode."""
+def test_bench_degrades_to_real_cpu_measurement_on_unusable_backend():
+    """bench.py with an unusable accelerator prints ONE parseable JSON
+    line and exits 0 — and since round 4 that line carries a REAL
+    degraded CPU measurement (XLA scan paths only) with degraded=true
+    and the probe-failure reason, instead of value 0.0 / ok=false
+    (BENCH_r03's rc=1 mode is two contracts ago)."""
     import json
 
     code = (
         "from ics_wt_physicsengine_tpu.utils import backend_select as bs\n"
-        "bs.ensure_default_backend = lambda **k: "
-        "('cpu', 'simulated: probe timeout')\n"
+        # the real ensure_default_backend PINS cpu before reporting it
+        # (env vars alone are overridden by the accelerator plugin's
+        # registration); the fake must honor that contract or the bench
+        # body would touch the broken default backend
+        "bs.ensure_default_backend = lambda **k: (bs.pin_cpu(1), "
+        "('cpu', 'simulated: probe timeout'))[1]\n"
         "import bench\n"
         "bench.ensure_default_backend = bs.ensure_default_backend\n"
         "bench.main()\n")
@@ -117,13 +124,16 @@ def test_bench_emits_parseable_failure_on_unusable_backend():
     # Force cpu so importing bench's package deps can't touch the tunnel.
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=120, cwd=REPO, env=env)
+                       text=True, timeout=300, cwd=REPO, env=env)
     assert r.returncode == 0, r.stderr[-500:]
     line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
-    assert rec["ok"] is False
+    assert rec["ok"] is True
+    assert rec["degraded"] is True
     assert "probe timeout" in rec["reason"]
     assert rec["unit"] == "steps/s"
+    assert rec["value"] > 0
+    assert rec["extra"]["backend"] == "cpu"
 
 
 def test_select_devices_in_initialized_process():
