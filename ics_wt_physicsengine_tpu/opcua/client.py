@@ -364,6 +364,28 @@ class OPCUAClient:
         return (rsp.subscription_id,
                 rsp.revised_publishing_interval_ms / 1000.0)
 
+    def modify_subscription(self, subscription_id: int,
+                            publishing_interval: float = 0.5,
+                            lifetime_count: int = 60,
+                            max_keepalive_count: int = 5,
+                            max_notifications: int = 0,
+                            priority: int = 0) -> float:
+        """Revise an existing subscription (Part 4 §5.13.3); returns the
+        revised publishing interval in seconds."""
+        req = M.ModifySubscriptionRequest(
+            self._request_header(),
+            subscription_id=subscription_id,
+            requested_publishing_interval_ms=publishing_interval * 1000.0,
+            requested_lifetime_count=lifetime_count,
+            requested_max_keepalive_count=max_keepalive_count,
+            max_notifications_per_publish=max_notifications,
+            priority=priority)
+        rsp = self._service(M.ID_MODIFY_SUBSCRIPTION_REQ, req,
+                            M.ID_MODIFY_SUBSCRIPTION_RSP,
+                            M.ModifySubscriptionResponse.decode)
+        self._check(rsp.header.service_result, "ModifySubscription")
+        return rsp.revised_publishing_interval_ms / 1000.0
+
     def create_monitored_items(self, subscription_id: int,
                                nodes: List[Union[str, NodeId]],
                                client_handles: Optional[List[int]] = None,

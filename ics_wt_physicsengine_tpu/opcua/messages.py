@@ -70,6 +70,8 @@ ID_DELETE_MONITORED_ITEMS_REQ = 781
 ID_DELETE_MONITORED_ITEMS_RSP = 784
 ID_CREATE_SUBSCRIPTION_REQ = 787
 ID_CREATE_SUBSCRIPTION_RSP = 790
+ID_MODIFY_SUBSCRIPTION_REQ = 793
+ID_MODIFY_SUBSCRIPTION_RSP = 796
 ID_SET_PUBLISHING_MODE_REQ = 799
 ID_SET_PUBLISHING_MODE_RSP = 802
 ID_DATA_CHANGE_NOTIFICATION = 811   # DataChangeNotification encoding node
@@ -1037,6 +1039,52 @@ class CreateSubscriptionResponse:
     def decode(cls, d: Decoder) -> "CreateSubscriptionResponse":
         return cls(ResponseHeader.decode(d), d.uint32(), d.double(),
                    d.uint32(), d.uint32())
+
+
+@dataclass
+class ModifySubscriptionRequest:
+    """Part 4 §5.13.3 — revise an existing subscription's publishing
+    interval / lifetime / keepalive / notification cap / priority."""
+    header: RequestHeader = field(default_factory=RequestHeader)
+    subscription_id: int = 0
+    requested_publishing_interval_ms: float = 1000.0
+    requested_lifetime_count: int = 60
+    requested_max_keepalive_count: int = 10
+    max_notifications_per_publish: int = 0   # 0 = unlimited
+    priority: int = 0
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.uint32(self.subscription_id)
+        e.double(self.requested_publishing_interval_ms)
+        e.uint32(self.requested_lifetime_count)
+        e.uint32(self.requested_max_keepalive_count)
+        e.uint32(self.max_notifications_per_publish)
+        e.byte(self.priority)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ModifySubscriptionRequest":
+        return cls(RequestHeader.decode(d), d.uint32(), d.double(),
+                   d.uint32(), d.uint32(), d.uint32(), d.byte())
+
+
+@dataclass
+class ModifySubscriptionResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    revised_publishing_interval_ms: float = 1000.0
+    revised_lifetime_count: int = 60
+    revised_max_keepalive_count: int = 10
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.double(self.revised_publishing_interval_ms)
+        e.uint32(self.revised_lifetime_count)
+        e.uint32(self.revised_max_keepalive_count)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "ModifySubscriptionResponse":
+        return cls(ResponseHeader.decode(d), d.double(), d.uint32(),
+                   d.uint32())
 
 
 @dataclass

@@ -22,7 +22,7 @@ map:
 
 TranslateBrowsePathsToNodeIds resolves Objects/Unit<u>/<register> paths
 the way discovery-driven stacks expect. Subscriptions (OPC 10000-4
-§5.12/§5.13) are supported: CreateSubscription
+§5.12/§5.13) are supported: CreateSubscription / ModifySubscription
 / CreateMonitoredItems / Publish / Republish / SetPublishingMode /
 SetMonitoringMode /
 DeleteMonitoredItems / DeleteSubscriptions, with data-change sampling at
@@ -542,6 +542,41 @@ class OPCUAServer:
                 return self._fault(req.header,
                                    M.BAD_SESSION_NOT_ACTIVATED)
             return self._create_subscription(req, now, state)
+
+        if service_id == M.ID_MODIFY_SUBSCRIPTION_REQ:
+            req = M.ModifySubscriptionRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            sub = state.subscriptions.get(req.subscription_id)
+            if sub is None:
+                return self._fault(req.header,
+                                   M.BAD_SUBSCRIPTION_ID_INVALID)
+            # Same revision policy as CreateSubscription; the new
+            # interval applies from the NEXT sample (the pending deadline
+            # is re-anchored so a shortened interval takes effect
+            # immediately rather than after the old one elapses).
+            interval_s = max(self.MIN_PUBLISHING_INTERVAL_S,
+                             (req.requested_publishing_interval_ms
+                              or 1000.0) / 1000.0)
+            keepalive = min(max(req.requested_max_keepalive_count, 1),
+                            1000)
+            lifetime = min(max(req.requested_lifetime_count,
+                               3 * keepalive), 100_000)
+            sub.next_sample = (sub.next_sample - sub.interval_s
+                               + interval_s)
+            sub.interval_s = interval_s
+            sub.keepalive_count = keepalive
+            sub.lifetime_count = lifetime
+            sub.max_notifications = req.max_notifications_per_publish
+            sub.priority = req.priority
+            state.wake.set()   # re-derive the earliest due sample
+            return (M.ID_MODIFY_SUBSCRIPTION_RSP,
+                    M.ModifySubscriptionResponse(
+                        M.ResponseHeader(now, req.header.request_handle),
+                        revised_publishing_interval_ms=interval_s * 1000.0,
+                        revised_lifetime_count=lifetime,
+                        revised_max_keepalive_count=keepalive))
 
         if service_id == M.ID_CREATE_MONITORED_ITEMS_REQ:
             req = M.CreateMonitoredItemsRequest.decode(d)

@@ -506,6 +506,34 @@ def test_subscription_data_change_push(plant_server):
         c.delete_subscriptions([sub_id])
 
 
+def test_modify_subscription_revises_interval(plant_server):
+    """ModifySubscription (Part 4 §5.13.3): a slow subscription revised
+    to a fast interval starts publishing at the new cadence immediately
+    (the pending sample deadline is re-anchored), the response carries
+    the revised values, and an unknown id faults."""
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        sub_id, interval = c.create_subscription(publishing_interval=30.0)
+        assert interval == pytest.approx(30.0)
+        c.create_monitored_items(sub_id, ["u2.pH_outlet"],
+                                 client_handles=[1])
+        revised = c.modify_subscription(sub_id, publishing_interval=0.1)
+        assert revised == pytest.approx(0.1)
+        t0 = time.monotonic()
+        rsp = c.publish(timeout=5.0)      # initial value at the NEW rate
+        assert OPCUAClient.data_changes(rsp)
+        assert time.monotonic() - t0 < 5.0
+        slave.update_input_register("pH_outlet", 6.4, unit=2)
+        rsp = c.publish(timeout=5.0)
+        changes = OPCUAClient.data_changes(rsp)
+        assert changes and changes[0][1].value.value == pytest.approx(
+            6.4, 1e-5)
+        slave.update_input_register("pH_outlet", 6.9, unit=2)  # restore
+        with pytest.raises(OPCUAError) as err:
+            c.modify_subscription(sub_id + 999, publishing_interval=0.1)
+        assert err.value.status == M.BAD_SUBSCRIPTION_ID_INVALID
+
+
 def test_subscription_keepalive_and_publishing_mode(plant_server):
     server, slave = plant_server
     with OPCUAClient("127.0.0.1", server.actual_port) as c:
