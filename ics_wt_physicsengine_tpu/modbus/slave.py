@@ -21,6 +21,7 @@ reference exactly:
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import logging
 import struct
 import threading
@@ -190,6 +191,11 @@ class ModbusSlave:
         self.slave_message_count = 0    # frames addressed to a served unit
         self.no_response_count = 0      # other units' traffic (ignored)
         self._n_clients = 0   # live connections (event-loop thread only)
+        # id(writer) -> ([last_activity_loop_time], writer): stamped per
+        # completed request by each handler, swept by the reaper in
+        # _async_run_server (idle/slow-reader enforcement without
+        # per-read wait_for timer churn)
+        self._conn_activity: Dict[int, tuple] = {}
 
     # Backward-compatible single-unit block views (the primary unit's).
     @property
@@ -390,14 +396,19 @@ class ModbusSlave:
             return
         self._n_clients += 1
         logger.debug("Modbus client connected: %s", peer)
+        # Idle/slow-reader enforcement is a REAPER SWEEP, not per-read
+        # asyncio.wait_for: each wait_for schedules and cancels a timer
+        # (TimerHandle + heap ops) — profiled at ~35% of the event loop's
+        # non-epoll CPU at 3 awaits per request. The handler just stamps
+        # an activity cell per completed request; _async_run_server's
+        # sweep aborts transports idle past the cap (granularity
+        # idle_timeout/4 — these caps are anti-abuse, not precise).
+        loop = asyncio.get_running_loop()
+        activity = [loop.time()]
+        self._conn_activity[id(writer)] = (activity, writer)
         try:
             while not self._shutdown_requested.is_set():
-                # Idle cap-slot holders are dropped (see config); a peer
-                # that stalls MID-frame gets a short grace period — a
-                # well-formed frame arrives in one segment.
-                header = await asyncio.wait_for(
-                    reader.readexactly(7),
-                    timeout=self.config.idle_timeout_seconds)
+                header = await reader.readexactly(7)
                 transaction_id, protocol_id, length, unit_id = struct.unpack(
                     ">HHHB", header)
                 # MBAP length counts unit id + PDU: valid range [2, 254].
@@ -408,8 +419,7 @@ class ModbusSlave:
                                    length, peer)
                     self.error_count += 1
                     break
-                pdu = await asyncio.wait_for(
-                    reader.readexactly(length - 1), timeout=10.0)
+                pdu = await reader.readexactly(length - 1)
                 self.request_count += 1
                 # A slave only answers frames addressed to a unit it serves
                 # (or the broadcast unit 0xFF conventionally used over TCP,
@@ -431,24 +441,22 @@ class ModbusSlave:
                     ">HHHB", transaction_id, protocol_id,
                     len(response_pdu) + 1, unit_id) + response_pdu
                 writer.write(response)
-                # Bounded drain: a client that sends requests but never
-                # reads responses would otherwise park this handler in
-                # drain() forever once the socket buffer fills, holding a
-                # max_connections slot and bypassing the idle-disconnect
-                # defense (the C++ plane drops slow readers via
-                # kMaxOutBuffer; this is the asyncio equivalent).
-                await asyncio.wait_for(
-                    writer.drain(),
-                    timeout=self.config.idle_timeout_seconds)
-        except (asyncio.IncompleteReadError, ConnectionResetError):
+                # A client that sends requests but never reads responses
+                # parks this handler in drain() once the socket buffer
+                # fills — its activity cell then stops advancing and the
+                # reaper aborts the transport (the C++ plane drops slow
+                # readers via kMaxOutBuffer; this is the asyncio
+                # equivalent, at sweep granularity).
+                await writer.drain()
+                activity[0] = loop.time()
+        except (asyncio.IncompleteReadError, ConnectionResetError,
+                ConnectionAbortedError):
             pass
-        except asyncio.TimeoutError:
-            logger.debug("Dropping idle/slow-reading Modbus client: %s",
-                         peer)
         except Exception as exc:  # noqa: BLE001 — log type only, like ref
             self.error_count += 1
             logger.warning("Modbus client error: %s", type(exc).__name__)
         finally:
+            self._conn_activity.pop(id(writer), None)
             self._n_clients -= 1
             writer.close()
             try:
@@ -464,8 +472,25 @@ class ModbusSlave:
         self._actual_port = self._server.sockets[0].getsockname()[1]
         self._server_ready.set()
         try:
+            loop = asyncio.get_running_loop()
+            sweep_every = max(0.2, self.config.idle_timeout_seconds / 4)
+            next_sweep = loop.time() + sweep_every
             while not self._shutdown_requested.is_set():
                 await asyncio.sleep(0.1)
+                # Idle/slow-reader reaper (see _handle_client): abort
+                # transports whose activity cell is older than the idle
+                # cap. One O(n_connections) sweep per idle/4 replaces
+                # 3 timer schedule+cancel pairs per request.
+                now = loop.time()
+                if now >= next_sweep:
+                    next_sweep = now + sweep_every
+                    cutoff = now - self.config.idle_timeout_seconds
+                    for act, w in list(self._conn_activity.values()):
+                        if act[0] < cutoff:
+                            logger.debug("Dropping idle/slow-reading "
+                                         "Modbus client")
+                            with contextlib.suppress(Exception):
+                                w.transport.abort()
         finally:
             self._server.close()
             # wait_closed() (3.12+) also waits for in-flight client

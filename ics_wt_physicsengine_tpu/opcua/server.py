@@ -152,6 +152,9 @@ class OPCUAServer:
         self._next_subscription = 1
         self._lock = threading.Lock()
         self.request_count = 0
+        # id(writer) -> ([last_activity_loop_time], writer), swept by the
+        # idle reaper in _serve (see _handle_client)
+        self._conn_activity: Dict[int, tuple] = {}
 
     # ------------------------------------------------------------------
     # Lifecycle (mirrors ModbusSlave.start/stop)
@@ -206,8 +209,26 @@ class OPCUAServer:
             f"opc.tcp://{self._adv_host}:{self._actual_port}/plant")
         self._server_ready.set()
         try:
+            loop = asyncio.get_running_loop()
+            sweep_every = max(0.2, self.idle_timeout_seconds / 4)
+            next_sweep = loop.time() + sweep_every
             while not self._shutdown.is_set():
                 await asyncio.sleep(0.1)
+                # Idle/slow-reader reaper (same pattern as the Modbus
+                # plane): handlers stamp an activity cell per message
+                # instead of paying wait_for timer churn on every read;
+                # transports idle past the cap are aborted here.
+                now = loop.time()
+                if now >= next_sweep:
+                    next_sweep = now + sweep_every
+                    cutoff = now - self.idle_timeout_seconds
+                    for act, w in list(self._conn_activity.values()):
+                        if act[0] < cutoff:
+                            logger.debug("Dropping idle OPC UA client")
+                            try:
+                                w.transport.abort()
+                            except Exception:  # noqa: BLE001
+                                pass
         finally:
             self._server.close()
             pending = [t for t in asyncio.all_tasks()
@@ -239,13 +260,19 @@ class OPCUAServer:
         state = _ClientState()
         state.writer = writer
         state.wlock = asyncio.Lock()
+        # Idle enforcement via the _serve reaper sweep (stamp per
+        # message) instead of wait_for on every read — per-read timers
+        # are measurable churn at 1000-session request rates.
+        loop = asyncio.get_running_loop()
+        activity = [loop.time()]
+        self._conn_activity[id(writer)] = (activity, writer)
         buf = b""
         try:
             while True:
-                chunk = await asyncio.wait_for(
-                    reader.read(65536), timeout=self.idle_timeout_seconds)
+                chunk = await reader.read(65536)
                 if not chunk:
                     break
+                activity[0] = loop.time()
                 buf += chunk
                 if len(buf) > 32 * 1024 * 1024:
                     raise DecodeError("client buffer overrun")
@@ -258,11 +285,12 @@ class OPCUAServer:
                                            state)
                     if reply:
                         # The sampler task writes PublishResponses on
-                        # the same stream; serialize with it.
+                        # the same stream; serialize with it. A peer that
+                        # never reads parks this drain; its activity cell
+                        # stops advancing and the reaper aborts it.
                         async with state.wlock:
                             writer.write(reply)
-                            await asyncio.wait_for(writer.drain(),
-                                                   timeout=10.0)
+                            await writer.drain()
                     if state.closed:
                         return
         except (asyncio.TimeoutError, asyncio.IncompleteReadError,
@@ -280,6 +308,7 @@ class OPCUAServer:
         except Exception:   # noqa: BLE001 — never kill the server thread
             logger.exception("OPC UA handler error from %s", peer)
         finally:
+            self._conn_activity.pop(id(writer), None)
             self._n_clients -= 1
             if state.publisher_task is not None:
                 state.publisher_task.cancel()
