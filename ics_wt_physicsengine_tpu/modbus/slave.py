@@ -406,49 +406,71 @@ class ModbusSlave:
         loop = asyncio.get_running_loop()
         activity = [loop.time()]
         self._conn_activity[id(writer)] = (activity, writer)
+        # Buffered framing: one read() per socket readiness, ALL complete
+        # frames in the buffer parsed and answered with a single
+        # write+drain — pipelining masters get batched responses, and the
+        # common case costs one await per request instead of two
+        # readexactly (header + body).
+        buf = b""
+        malformed = False
         try:
             while not self._shutdown_requested.is_set():
-                header = await reader.readexactly(7)
-                transaction_id, protocol_id, length, unit_id = struct.unpack(
-                    ">HHHB", header)
-                # MBAP length counts unit id + PDU: valid range [2, 254].
-                # length == 1 is an answerable empty PDU; anything else
-                # outside the range breaks framing — drop the connection.
-                if not 1 <= length <= 254:
-                    logger.warning("Malformed MBAP length %d from %s",
-                                   length, peer)
-                    self.error_count += 1
+                chunk = await reader.read(65536)
+                if not chunk:
                     break
-                pdu = await reader.readexactly(length - 1)
-                self.request_count += 1
-                # A slave only answers frames addressed to a unit it serves
-                # (or the broadcast unit 0xFF conventionally used over TCP,
-                # which maps to the primary unit).
-                if unit_id == 0xFF:
-                    store = self._stores[self._primary]
-                elif unit_id in self._stores:
-                    store = self._stores[unit_id]
-                else:
-                    logger.debug("Ignoring request for unit %d (serving %s)",
-                                 unit_id, self.units)
-                    self.no_response_count += 1
-                    continue
-                self.slave_message_count += 1
-                response_pdu = self._process_pdu(pdu, store)
-                if response_pdu and response_pdu[0] & 0x80:
-                    self.exception_count += 1
-                response = struct.pack(
-                    ">HHHB", transaction_id, protocol_id,
-                    len(response_pdu) + 1, unit_id) + response_pdu
-                writer.write(response)
-                # A client that sends requests but never reads responses
-                # parks this handler in drain() once the socket buffer
-                # fills — its activity cell then stops advancing and the
-                # reaper aborts the transport (the C++ plane drops slow
-                # readers via kMaxOutBuffer; this is the asyncio
-                # equivalent, at sweep granularity).
-                await writer.drain()
                 activity[0] = loop.time()
+                buf += chunk
+                responses = []
+                while len(buf) >= 7:
+                    (transaction_id, protocol_id, length,
+                     unit_id) = struct.unpack(">HHHB", buf[:7])
+                    # MBAP length counts unit id + PDU: valid range
+                    # [2, 254]. length == 1 is an answerable empty PDU;
+                    # anything else outside the range breaks framing —
+                    # drop the connection.
+                    if not 1 <= length <= 254:
+                        logger.warning("Malformed MBAP length %d from %s",
+                                       length, peer)
+                        self.error_count += 1
+                        malformed = True
+                        break
+                    if len(buf) < 6 + length:
+                        break              # incomplete frame: read more
+                    pdu = buf[7:6 + length]
+                    buf = buf[6 + length:]
+                    self.request_count += 1
+                    # A slave only answers frames addressed to a unit it
+                    # serves (or the broadcast unit 0xFF conventionally
+                    # used over TCP, which maps to the primary unit).
+                    if unit_id == 0xFF:
+                        store = self._stores[self._primary]
+                    elif unit_id in self._stores:
+                        store = self._stores[unit_id]
+                    else:
+                        logger.debug("Ignoring request for unit %d "
+                                     "(serving %s)", unit_id, self.units)
+                        self.no_response_count += 1
+                        continue
+                    self.slave_message_count += 1
+                    response_pdu = self._process_pdu(pdu, store)
+                    if response_pdu and response_pdu[0] & 0x80:
+                        self.exception_count += 1
+                    responses.append(struct.pack(
+                        ">HHHB", transaction_id, protocol_id,
+                        len(response_pdu) + 1, unit_id) + response_pdu)
+                if responses:
+                    writer.write(b"".join(responses))
+                    # A client that sends requests but never reads
+                    # responses parks this handler in drain() once the
+                    # socket buffer fills — its activity cell then stops
+                    # advancing and the reaper aborts the transport (the
+                    # C++ plane drops slow readers via kMaxOutBuffer;
+                    # this is the asyncio equivalent, at sweep
+                    # granularity).
+                    await writer.drain()
+                    activity[0] = loop.time()
+                if malformed:
+                    break
         except (asyncio.IncompleteReadError, ConnectionResetError,
                 ConnectionAbortedError):
             pass
