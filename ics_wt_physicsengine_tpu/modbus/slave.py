@@ -21,7 +21,6 @@ reference exactly:
 from __future__ import annotations
 
 import asyncio
-import contextlib
 import logging
 import struct
 import threading
@@ -191,11 +190,13 @@ class ModbusSlave:
         self.slave_message_count = 0    # frames addressed to a served unit
         self.no_response_count = 0      # other units' traffic (ignored)
         self._n_clients = 0   # live connections (event-loop thread only)
-        # id(writer) -> ([last_activity_loop_time], writer): stamped per
-        # completed request by each handler, swept by the reaper in
-        # _async_run_server (idle/slow-reader enforcement without
-        # per-read wait_for timer churn)
-        self._conn_activity: Dict[int, tuple] = {}
+        # Idle/slow-reader enforcement: handlers stamp their activity
+        # cell on completed frames; _async_run_server sweeps
+        # (utils/netreap.py — shared with the OPC UA plane)
+        from ics_wt_physicsengine_tpu.utils.netreap import IdleReaper
+        self._reaper = IdleReaper(
+            self.config.idle_timeout_seconds,
+            log=lambda m: logger.debug("Modbus: %s", m))
 
     # Backward-compatible single-unit block views (the primary unit's).
     @property
@@ -397,20 +398,15 @@ class ModbusSlave:
         self._n_clients += 1
         logger.debug("Modbus client connected: %s", peer)
         # Idle/slow-reader enforcement is a REAPER SWEEP, not per-read
-        # asyncio.wait_for: each wait_for schedules and cancels a timer
-        # (TimerHandle + heap ops) — profiled at ~35% of the event loop's
-        # non-epoll CPU at 3 awaits per request. The handler just stamps
-        # an activity cell per completed request; _async_run_server's
-        # sweep aborts transports idle past the cap (granularity
-        # idle_timeout/4 — these caps are anti-abuse, not precise).
+        # asyncio.wait_for (profiled at ~35% of the event loop's
+        # non-epoll CPU at 3 awaits per request) — see utils/netreap.py.
         loop = asyncio.get_running_loop()
-        activity = [loop.time()]
-        self._conn_activity[id(writer)] = (activity, writer)
+        activity = self._reaper.register(writer, loop.time())
         # Buffered framing: one read() per socket readiness, ALL complete
-        # frames in the buffer parsed and answered with a single
-        # write+drain — pipelining masters get batched responses, and the
-        # common case costs one await per request instead of two
-        # readexactly (header + body).
+        # frames in the buffer parsed (offset-walked — no per-frame tail
+        # copies) and answered with a single write+drain — pipelining
+        # masters get batched responses, and the common case costs one
+        # await per request instead of two readexactly (header + body).
         buf = b""
         malformed = False
         try:
@@ -418,12 +414,16 @@ class ModbusSlave:
                 chunk = await reader.read(65536)
                 if not chunk:
                     break
-                activity[0] = loop.time()
+                # NOTE: no activity stamp here — the stamp happens only
+                # on COMPLETED frames below, so a drip-feeding peer that
+                # never finishes a frame (slow-loris) still looks idle
+                # to the reaper and loses its slot within idle_timeout.
                 buf += chunk
                 responses = []
-                while len(buf) >= 7:
+                off = 0
+                while len(buf) - off >= 7:
                     (transaction_id, protocol_id, length,
-                     unit_id) = struct.unpack(">HHHB", buf[:7])
+                     unit_id) = struct.unpack_from(">HHHB", buf, off)
                     # MBAP length counts unit id + PDU: valid range
                     # [2, 254]. length == 1 is an answerable empty PDU;
                     # anything else outside the range breaks framing —
@@ -434,10 +434,11 @@ class ModbusSlave:
                         self.error_count += 1
                         malformed = True
                         break
-                    if len(buf) < 6 + length:
+                    if len(buf) - off < 6 + length:
                         break              # incomplete frame: read more
-                    pdu = buf[7:6 + length]
-                    buf = buf[6 + length:]
+                    pdu = buf[off + 7:off + 6 + length]
+                    off += 6 + length
+                    activity[0] = loop.time()   # real protocol progress
                     self.request_count += 1
                     # A slave only answers frames addressed to a unit it
                     # serves (or the broadcast unit 0xFF conventionally
@@ -458,6 +459,7 @@ class ModbusSlave:
                     responses.append(struct.pack(
                         ">HHHB", transaction_id, protocol_id,
                         len(response_pdu) + 1, unit_id) + response_pdu)
+                buf = buf[off:] if off else buf
                 if responses:
                     writer.write(b"".join(responses))
                     # A client that sends requests but never reads
@@ -471,6 +473,13 @@ class ModbusSlave:
                     activity[0] = loop.time()
                 if malformed:
                     break
+                if len(buf) > 16 * 1024:
+                    # a peer streaming bytes that never form a complete
+                    # frame (max frame = 260 B) is framing-broken or
+                    # hostile — don't buffer it without bound
+                    logger.warning("Unframeable byte stream from %s", peer)
+                    self.error_count += 1
+                    break
         except (asyncio.IncompleteReadError, ConnectionResetError,
                 ConnectionAbortedError):
             pass
@@ -478,7 +487,7 @@ class ModbusSlave:
             self.error_count += 1
             logger.warning("Modbus client error: %s", type(exc).__name__)
         finally:
-            self._conn_activity.pop(id(writer), None)
+            self._reaper.pop(writer)
             self._n_clients -= 1
             writer.close()
             try:
@@ -495,24 +504,12 @@ class ModbusSlave:
         self._server_ready.set()
         try:
             loop = asyncio.get_running_loop()
-            sweep_every = max(0.2, self.config.idle_timeout_seconds / 4)
-            next_sweep = loop.time() + sweep_every
             while not self._shutdown_requested.is_set():
                 await asyncio.sleep(0.1)
-                # Idle/slow-reader reaper (see _handle_client): abort
-                # transports whose activity cell is older than the idle
-                # cap. One O(n_connections) sweep per idle/4 replaces
-                # 3 timer schedule+cancel pairs per request.
-                now = loop.time()
-                if now >= next_sweep:
-                    next_sweep = now + sweep_every
-                    cutoff = now - self.config.idle_timeout_seconds
-                    for act, w in list(self._conn_activity.values()):
-                        if act[0] < cutoff:
-                            logger.debug("Dropping idle/slow-reading "
-                                         "Modbus client")
-                            with contextlib.suppress(Exception):
-                                w.transport.abort()
+                # Idle/slow-reader reaper (see _handle_client and
+                # utils/netreap.py): one O(n_connections) sweep per
+                # idle/4 replaces 3 timer pairs per request.
+                self._reaper.maybe_sweep(loop.time())
         finally:
             self._server.close()
             # wait_closed() (3.12+) also waits for in-flight client

@@ -152,9 +152,11 @@ class OPCUAServer:
         self._next_subscription = 1
         self._lock = threading.Lock()
         self.request_count = 0
-        # id(writer) -> ([last_activity_loop_time], writer), swept by the
-        # idle reaper in _serve (see _handle_client)
-        self._conn_activity: Dict[int, tuple] = {}
+        # Idle enforcement: handlers stamp activity on complete messages;
+        # _serve sweeps (utils/netreap.py — shared with the Modbus plane)
+        from ics_wt_physicsengine_tpu.utils.netreap import IdleReaper
+        self._reaper = IdleReaper(idle_timeout_seconds,
+                                  log=lambda m: logger.debug("OPCUA: %s", m))
 
     # ------------------------------------------------------------------
     # Lifecycle (mirrors ModbusSlave.start/stop)
@@ -210,25 +212,12 @@ class OPCUAServer:
         self._server_ready.set()
         try:
             loop = asyncio.get_running_loop()
-            sweep_every = max(0.2, self.idle_timeout_seconds / 4)
-            next_sweep = loop.time() + sweep_every
             while not self._shutdown.is_set():
                 await asyncio.sleep(0.1)
-                # Idle/slow-reader reaper (same pattern as the Modbus
-                # plane): handlers stamp an activity cell per message
-                # instead of paying wait_for timer churn on every read;
-                # transports idle past the cap are aborted here.
-                now = loop.time()
-                if now >= next_sweep:
-                    next_sweep = now + sweep_every
-                    cutoff = now - self.idle_timeout_seconds
-                    for act, w in list(self._conn_activity.values()):
-                        if act[0] < cutoff:
-                            logger.debug("Dropping idle OPC UA client")
-                            try:
-                                w.transport.abort()
-                            except Exception:  # noqa: BLE001
-                                pass
+                # Idle/slow-reader reaper (utils/netreap.py, shared with
+                # the Modbus plane): handlers stamp activity on complete
+                # messages; over-idle transports are aborted here.
+                self._reaper.maybe_sweep(loop.time())
         finally:
             self._server.close()
             pending = [t for t in asyncio.all_tasks()
@@ -260,19 +249,18 @@ class OPCUAServer:
         state = _ClientState()
         state.writer = writer
         state.wlock = asyncio.Lock()
-        # Idle enforcement via the _serve reaper sweep (stamp per
-        # message) instead of wait_for on every read — per-read timers
-        # are measurable churn at 1000-session request rates.
+        # Idle enforcement via the _serve reaper sweep — per-read
+        # wait_for timers are measurable churn at 1000-session request
+        # rates. The stamp happens on COMPLETE messages below (not per
+        # chunk), so a drip-feeding slow-loris still looks idle.
         loop = asyncio.get_running_loop()
-        activity = [loop.time()]
-        self._conn_activity[id(writer)] = (activity, writer)
+        activity = self._reaper.register(writer, loop.time())
         buf = b""
         try:
             while True:
                 chunk = await reader.read(65536)
                 if not chunk:
                     break
-                activity[0] = loop.time()
                 buf += chunk
                 if len(buf) > 32 * 1024 * 1024:
                     raise DecodeError("client buffer overrun")
@@ -281,6 +269,7 @@ class OPCUAServer:
                     if split is None:
                         break
                     msg_type, chunk_type, body, buf = split
+                    activity[0] = loop.time()   # real protocol progress
                     reply = self._dispatch(msg_type, chunk_type, body,
                                            state)
                     if reply:
@@ -308,7 +297,7 @@ class OPCUAServer:
         except Exception:   # noqa: BLE001 — never kill the server thread
             logger.exception("OPC UA handler error from %s", peer)
         finally:
-            self._conn_activity.pop(id(writer), None)
+            self._reaper.pop(writer)
             self._n_clients -= 1
             if state.publisher_task is not None:
                 state.publisher_task.cancel()
@@ -599,6 +588,13 @@ class OPCUAServer:
             sub.lifetime_count = lifetime
             sub.max_notifications = req.max_notifications_per_publish
             sub.priority = req.priority
+            # The modify itself proves client liveness: reset the
+            # counters (Part 4 lifetime semantics) — otherwise a stale
+            # lifetime_elapsed carried into a much shorter interval can
+            # expire the subscription right after the server acked the
+            # modify.
+            sub.lifetime_elapsed = 0
+            sub.keepalive_elapsed = 0
             state.wake.set()   # re-derive the earliest due sample
             return (M.ID_MODIFY_SUBSCRIPTION_RSP,
                     M.ModifySubscriptionResponse(

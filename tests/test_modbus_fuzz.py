@@ -175,6 +175,60 @@ def test_connection_cap_rejects_excess_masters():
         slave.stop()
 
 
+def test_drip_feeding_slow_loris_is_dropped():
+    """A peer that keeps the socket warm with a byte-drip but never
+    completes a frame must still lose its cap slot: activity is stamped
+    on COMPLETED frames only, so to the reaper this connection is idle
+    (the chunk-level stamp would have made byte-drips immortal)."""
+    import threading
+    import time
+
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0,
+                                           max_connections=1,
+                                           idle_timeout_seconds=2.0))
+    slave.start(blocking=False)
+    try:
+        slave.update_input_register("pH_inlet", 7.5)
+        loris = socket.create_connection(("127.0.0.1", slave.port))
+        stop = threading.Event()
+
+        def drip():
+            # one header byte per 0.4 s: never enough for a 7-byte MBAP
+            # header within any window, socket never goes byte-silent
+            while not stop.is_set():
+                try:
+                    loris.sendall(b"\x00")
+                except OSError:
+                    return
+                stop.wait(0.4)
+
+        t = threading.Thread(target=drip, daemon=True)
+        t.start()
+        # the dripper holds the only slot right now
+        time.sleep(0.2)
+        with ModbusTcpClient("127.0.0.1", slave.port, timeout=1.0) as c:
+            with pytest.raises((OSError, IOError)):
+                c.read_float32(0)
+        # ...but the reaper drops it despite the drip
+        deadline = time.time() + 10.0
+        value = None
+        while time.time() < deadline:
+            try:
+                with ModbusTcpClient("127.0.0.1", slave.port,
+                                     timeout=1.0) as c:
+                    value = c.read_float32(0)
+                break
+            except (OSError, IOError):
+                time.sleep(0.1)
+        assert value == pytest.approx(7.5, abs=1e-5), \
+            "drip-feeding connection was never reaped"
+        stop.set()
+        loris.close()
+    finally:
+        slave.stop()
+
+
 def test_idle_connections_are_dropped():
     """A connection that sends nothing is dropped after idle_timeout_seconds
     (slow-loris defense), freeing its cap slot for a real master."""
