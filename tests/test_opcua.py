@@ -534,6 +534,38 @@ def test_modify_subscription_revises_interval(plant_server):
         assert err.value.status == M.BAD_SUBSCRIPTION_ID_INVALID
 
 
+def test_modify_subscription_resets_lifetime(plant_server):
+    """The modify proves client liveness: a nearly-expired subscription
+    revised to a fast interval must NOT expire on the stale counter
+    (Part 4 lifetime semantics — the counter resets on modify)."""
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        # distinctive lifetime_count: gc-based reach-in must not match a
+        # dead subscription from an earlier test with the same id
+        sub_id, _ = c.create_subscription(publishing_interval=0.2,
+                                          lifetime_count=77)
+        c.create_monitored_items(sub_id, ["u2.pH_outlet"])
+        # Age the subscription to the brink of expiry server-side; the
+        # per-connection state is private to the handler task, so reach
+        # the live _Subscription object via gc.
+        import gc
+
+        from ics_wt_physicsengine_tpu.opcua.server import _Subscription
+        live = [o for o in gc.get_objects()
+                if isinstance(o, _Subscription) and o.id == sub_id
+                and o.lifetime_count == 77]
+        assert len(live) == 1, "live subscription object not found"
+        live[0].lifetime_elapsed = live[0].lifetime_count - 1
+
+        revised = c.modify_subscription(sub_id, publishing_interval=0.1,
+                                        lifetime_count=77)
+        assert revised == pytest.approx(0.1)
+        assert live[0].lifetime_elapsed == 0   # reset by the modify
+        # the subscription still answers (no BAD_NO_SUBSCRIPTION)
+        rsp = c.publish(timeout=5.0)
+        assert rsp.subscription_id == sub_id
+
+
 def test_subscription_keepalive_and_publishing_mode(plant_server):
     server, slave = plant_server
     with OPCUAClient("127.0.0.1", server.actual_port) as c:
