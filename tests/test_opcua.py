@@ -555,12 +555,18 @@ def test_modify_subscription_resets_lifetime(plant_server):
                 if isinstance(o, _Subscription) and o.id == sub_id
                 and o.lifetime_count == 77]
         assert len(live) == 1, "live subscription object not found"
-        live[0].lifetime_elapsed = live[0].lifetime_count - 1
+        # brink of expiry, with margin for sample ticks that land between
+        # this poke and the modify (the publisher increments the counter
+        # on every no-publish-queued tick)
+        live[0].lifetime_elapsed = live[0].lifetime_count - 10
 
         revised = c.modify_subscription(sub_id, publishing_interval=0.1,
                                         lifetime_count=77)
         assert revised == pytest.approx(0.1)
-        assert live[0].lifetime_elapsed == 0   # reset by the modify
+        # reset by the modify; a few post-modify ticks may already have
+        # re-incremented it, but without the reset it would still be
+        # near lifetime_count - 10
+        assert live[0].lifetime_elapsed < 30
         # the subscription still answers (no BAD_NO_SUBSCRIPTION)
         rsp = c.publish(timeout=5.0)
         assert rsp.subscription_id == sub_id
