@@ -390,18 +390,26 @@ class OPCUAClient:
                                nodes: List[Union[str, NodeId]],
                                client_handles: Optional[List[int]] = None,
                                queue_size: int = 1,
-                               mode: int = 2
+                               mode: int = 2,
+                               deadband: Optional[float] = None
                                ) -> List[M.MonitoredItemCreateResult]:
         """Monitor the Value attribute of ``nodes``. ``client_handles``
-        default to the node's index in the list."""
+        default to the node's index in the list. ``deadband`` attaches an
+        absolute DataChangeFilter: numeric changes within the band are
+        not reported (Part 4 §7.22.2)."""
         handles = client_handles or list(range(len(nodes)))
+        filt = (M.DataChangeFilter(
+                    trigger=1, deadband_type=1, deadband_value=deadband
+                ).to_extension_object()
+                if deadband is not None else None)
         req = M.CreateMonitoredItemsRequest(
             self._request_header(), subscription_id=subscription_id,
             items=[M.MonitoredItemCreateRequest(
                 item_to_monitor=M.ReadValueId(self._node(n)),
                 monitoring_mode=mode,
                 requested_parameters=M.MonitoringParameters(
-                    client_handle=h, queue_size=queue_size))
+                    client_handle=h, queue_size=queue_size,
+                    **({"filter": filt} if filt is not None else {})))
                 for n, h in zip(nodes, handles)])
         rsp = self._service(M.ID_CREATE_MONITORED_ITEMS_REQ, req,
                             M.ID_CREATE_MONITORED_ITEMS_RSP,

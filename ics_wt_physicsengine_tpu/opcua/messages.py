@@ -75,6 +75,7 @@ ID_MODIFY_SUBSCRIPTION_RSP = 796
 ID_SET_PUBLISHING_MODE_REQ = 799
 ID_SET_PUBLISHING_MODE_RSP = 802
 ID_DATA_CHANGE_NOTIFICATION = 811   # DataChangeNotification encoding node
+ID_DATA_CHANGE_FILTER = 724         # DataChangeFilter encoding node
 ID_PUBLISH_REQ = 826
 ID_PUBLISH_RSP = 829
 ID_REPUBLISH_REQ = 832
@@ -113,6 +114,9 @@ BAD_NOTHING_TO_DO = 0x800F0000
 BAD_NO_MATCH = 0x806F0000
 BAD_SUBSCRIPTION_ID_INVALID = 0x80280000
 BAD_MONITORED_ITEM_ID_INVALID = 0x80420000
+BAD_MONITORED_ITEM_FILTER_INVALID = 0x80430000
+BAD_MONITORED_ITEM_FILTER_UNSUPPORTED = 0x80440000
+BAD_DEADBAND_FILTER_INVALID = 0x808E0000
 BAD_TOO_MANY_SUBSCRIPTIONS = 0x80770000
 BAD_TOO_MANY_PUBLISH_REQUESTS = 0x80780000
 BAD_NO_SUBSCRIPTION = 0x80790000
@@ -1085,6 +1089,30 @@ class ModifySubscriptionResponse:
     def decode(cls, d: Decoder) -> "ModifySubscriptionResponse":
         return cls(ResponseHeader.decode(d), d.double(), d.uint32(),
                    d.uint32())
+
+
+@dataclass
+class DataChangeFilter:
+    """Part 4 §7.22.2 — when to report a monitored item's change.
+    Trigger: 0 Status / 1 StatusValue / 2 StatusValueTimestamp.
+    DeadbandType: 0 None / 1 Absolute / 2 Percent."""
+    trigger: int = 1
+    deadband_type: int = 0
+    deadband_value: float = 0.0
+
+    def encode(self, e: Encoder) -> None:
+        e.int32(self.trigger)
+        e.uint32(self.deadband_type)
+        e.double(self.deadband_value)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "DataChangeFilter":
+        return cls(d.int32(), d.uint32(), d.double())
+
+    def to_extension_object(self) -> ExtensionObject:
+        e = Encoder()
+        self.encode(e)
+        return ExtensionObject(NodeId(0, ID_DATA_CHANGE_FILTER), e.data())
 
 
 @dataclass

@@ -28,11 +28,13 @@ SetMonitoringMode /
 DeleteMonitoredItems / DeleteSubscriptions, with data-change sampling at
 the (revised) publishing interval, per-item queues, keepalives,
 sequence-numbered retransmission buffers and acknowledgement handling —
-the push path real SCADA clients use instead of polling Read. Scope
-(documented, tested): anonymous auth over policy None only, single-chunk
-messages, items sample at the publishing cadence (samplingInterval is
-revised up to it), DataChangeFilter/deadband and event notifications are
-not implemented (filters are revised to none). Certificate security
+the push path real SCADA clients use instead of polling Read.
+DataChangeFilter absolute deadbands are applied at the sampler (round 4;
+percent deadband needs an EURange the register model doesn't carry and
+is refused with Bad_MonitoredItemFilterUnsupported). Scope (documented,
+tested): anonymous auth over policy None only, single-chunk messages,
+items sample at the publishing cadence (samplingInterval is revised up
+to it), event notifications and percent deadbands are not implemented. Certificate security
 needs a crypto/PKI stack that is out of scope here; the Modbus planes'
 hardening posture (cluster-internal, docs/SECURITY.md) applies to this
 port too.
@@ -791,15 +793,46 @@ class OPCUAServer:
                 continue
             queue_size = min(max(item.requested_parameters.queue_size, 1),
                              100)
+            # DataChangeFilter: absolute deadband is applied at the
+            # sampler; percent deadband needs an EURange the register
+            # model doesn't carry — refused honestly. Unknown filter
+            # types are refused rather than silently ignored.
+            deadband = None
+            filt = item.requested_parameters.filter
+            if filt.body is not None:
+                if not (filt.type_id.namespace == 0 and
+                        filt.type_id.identifier == M.ID_DATA_CHANGE_FILTER):
+                    results.append(M.MonitoredItemCreateResult(
+                        status=M.BAD_MONITORED_ITEM_FILTER_UNSUPPORTED))
+                    continue
+                try:
+                    dcf = M.DataChangeFilter.decode(Decoder(filt.body))
+                except DecodeError:
+                    results.append(M.MonitoredItemCreateResult(
+                        status=M.BAD_MONITORED_ITEM_FILTER_INVALID))
+                    continue
+                if dcf.deadband_type == 2:     # percent: no EURange
+                    results.append(M.MonitoredItemCreateResult(
+                        status=M.BAD_MONITORED_ITEM_FILTER_UNSUPPORTED))
+                    continue
+                if dcf.deadband_type == 1:
+                    if dcf.deadband_value < 0:
+                        results.append(M.MonitoredItemCreateResult(
+                            status=M.BAD_DEADBAND_FILTER_INVALID))
+                        continue
+                    deadband = dcf.deadband_value
+                # deadband_type 0: trigger-only filter — StatusValue is
+                # this server's native change semantics already
             mi = _MonitoredItem(
                 sub.new_item_id(), rv,
                 item.requested_parameters.client_handle,
                 item.monitoring_mode, queue_size,
-                item.requested_parameters.discard_oldest)
+                item.requested_parameters.discard_oldest,
+                deadband=deadband)
             sub.items[mi.id] = mi
-            # Items sample at the publishing cadence; filters are
-            # revised away (no deadband support) — both reported
-            # honestly in the revised parameters.
+            # Items sample at the publishing cadence — reported honestly
+            # in the revised parameters (DataChangeFilter has no
+            # filter-result type, so filter_result stays null).
             results.append(M.MonitoredItemCreateResult(
                 status=M.GOOD, monitored_item_id=mi.id,
                 revised_sampling_interval_ms=sub.interval_s * 1000.0,
@@ -823,7 +856,24 @@ class OPCUAServer:
                    dv.status)
             if key == item.last:
                 continue
+            # Absolute deadband (Part 4 §7.22.2): a numeric change inside
+            # the band vs the last REPORTED value is not a data change —
+            # item.last stays at the reported value so drift accumulates
+            # toward the band edge instead of resetting each sample.
+            # Status changes always report.
+            if (item.deadband is not None and item.last is not None
+                    and item.last_num is not None
+                    and dv.value is not None
+                    and isinstance(dv.value.value, (int, float))
+                    and dv.status == item.last[1]
+                    and abs(dv.value.value - item.last_num)
+                    <= item.deadband):
+                continue
             item.last = key
+            item.last_num = (dv.value.value
+                             if dv.value is not None and isinstance(
+                                 dv.value.value, (int, float))
+                             else None)
             item.queue.append(M.MonitoredItemNotification(
                 item.client_handle, dv))
             if len(item.queue) > item.queue_size:
@@ -1152,14 +1202,17 @@ class _MonitoredItem:
     """One sampled attribute inside a subscription."""
 
     def __init__(self, item_id: int, rv, client_handle: int, mode: int,
-                 queue_size: int, discard_oldest: bool) -> None:
+                 queue_size: int, discard_oldest: bool,
+                 deadband: Optional[float] = None) -> None:
         self.id = item_id
         self.rv = rv                     # M.ReadValueId
         self.client_handle = client_handle
         self.mode = mode                 # 0 disabled / 1 sampling / 2 reporting
         self.queue_size = queue_size
         self.discard_oldest = discard_oldest
+        self.deadband = deadband         # absolute DataChangeFilter band
         self.last: Optional[tuple] = None   # change-detection key
+        self.last_num: Optional[float] = None  # last REPORTED numeric value
         self.queue: List[M.MonitoredItemNotification] = []
 
 

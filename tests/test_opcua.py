@@ -572,6 +572,65 @@ def test_modify_subscription_resets_lifetime(plant_server):
         assert rsp.subscription_id == sub_id
 
 
+def test_data_change_filter_absolute_deadband(plant_server):
+    """Absolute-deadband DataChangeFilter (Part 4 §7.22.2): numeric
+    changes inside the band vs the last REPORTED value are suppressed,
+    out-of-band changes report, and the percent variant (needs an
+    EURange the register model doesn't carry) is refused honestly."""
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        sub_id, _ = c.create_subscription(publishing_interval=0.1,
+                                          max_keepalive_count=50)
+        res = c.create_monitored_items(sub_id, ["u2.pH_outlet"],
+                                       deadband=0.5)
+        assert res[0].status == M.GOOD
+        rsp = c.publish(timeout=5.0)        # initial value (6.9)
+        seq = rsp.notification_message.sequence_number
+        assert OPCUAClient.data_changes(rsp)
+
+        # in-band change: several sample ticks pass, nothing queues
+        slave.update_input_register("pH_outlet", 7.1, unit=2)   # d=0.2
+        time.sleep(0.5)
+        # out-of-band change vs the last REPORTED 6.9: next publish
+        # carries ONLY the 8.0 (the 7.1 was never a data change)
+        slave.update_input_register("pH_outlet", 8.0, unit=2)   # d=1.1
+        rsp = c.publish(acks=[(sub_id, seq)], timeout=5.0)
+        changes = OPCUAClient.data_changes(rsp)
+        assert len(changes) == 1
+        assert changes[0][1].value.value == pytest.approx(8.0, 1e-5)
+
+        # percent deadband: refused with the standard status
+        filt = M.DataChangeFilter(trigger=1, deadband_type=2,
+                                  deadband_value=10.0
+                                  ).to_extension_object()
+        req = M.CreateMonitoredItemsRequest(
+            c._request_header(), subscription_id=sub_id,
+            items=[M.MonitoredItemCreateRequest(
+                item_to_monitor=M.ReadValueId(c._node("u2.chlorine_outlet")),
+                requested_parameters=M.MonitoringParameters(
+                    client_handle=9, filter=filt))])
+        rsp2 = c._service(M.ID_CREATE_MONITORED_ITEMS_REQ, req,
+                          M.ID_CREATE_MONITORED_ITEMS_RSP,
+                          M.CreateMonitoredItemsResponse.decode)
+        assert rsp2.results[0].status == \
+            M.BAD_MONITORED_ITEM_FILTER_UNSUPPORTED
+
+        # negative absolute deadband: invalid
+        filt = M.DataChangeFilter(trigger=1, deadband_type=1,
+                                  deadband_value=-1.0
+                                  ).to_extension_object()
+        req = M.CreateMonitoredItemsRequest(
+            c._request_header(), subscription_id=sub_id,
+            items=[M.MonitoredItemCreateRequest(
+                item_to_monitor=M.ReadValueId(c._node("u2.chlorine_outlet")),
+                requested_parameters=M.MonitoringParameters(
+                    client_handle=10, filter=filt))])
+        rsp3 = c._service(M.ID_CREATE_MONITORED_ITEMS_REQ, req,
+                          M.ID_CREATE_MONITORED_ITEMS_RSP,
+                          M.CreateMonitoredItemsResponse.decode)
+        assert rsp3.results[0].status == M.BAD_DEADBAND_FILTER_INVALID
+
+
 def test_subscription_keepalive_and_publishing_mode(plant_server):
     server, slave = plant_server
     with OPCUAClient("127.0.0.1", server.actual_port) as c:
