@@ -342,6 +342,28 @@ class OPCUAClient:
     # Subscription services
     # ------------------------------------------------------------------
 
+    def register_nodes(self, nodes: List[Union[str, NodeId]]
+                       ) -> List[NodeId]:
+        """RegisterNodes (Part 4 §5.8.5): optimization hint before cyclic
+        access; returns the ids to use (this server echoes them)."""
+        req = M.RegisterNodesRequest(
+            self._request_header(),
+            nodes_to_register=[self._node(n) for n in nodes])
+        rsp = self._service(M.ID_REGISTER_NODES_REQ, req,
+                            M.ID_REGISTER_NODES_RSP,
+                            M.RegisterNodesResponse.decode)
+        self._check(rsp.header.service_result, "RegisterNodes")
+        return rsp.registered_node_ids
+
+    def unregister_nodes(self, nodes: List[Union[str, NodeId]]) -> None:
+        req = M.UnregisterNodesRequest(
+            self._request_header(),
+            nodes_to_unregister=[self._node(n) for n in nodes])
+        rsp = self._service(M.ID_UNREGISTER_NODES_REQ, req,
+                            M.ID_UNREGISTER_NODES_RSP,
+                            M.UnregisterNodesResponse.decode)
+        self._check(rsp.header.service_result, "UnregisterNodes")
+
     def create_subscription(self, publishing_interval: float = 0.5,
                             lifetime_count: int = 60,
                             max_keepalive_count: int = 5,

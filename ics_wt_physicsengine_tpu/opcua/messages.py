@@ -62,6 +62,10 @@ ID_BROWSE_RSP = 530
 ID_ANONYMOUS_IDENTITY_TOKEN = 321   # AnonymousIdentityToken binary encoding
 ID_TRANSLATE_BROWSE_PATHS_REQ = 552
 ID_TRANSLATE_BROWSE_PATHS_RSP = 555
+ID_REGISTER_NODES_REQ = 560
+ID_REGISTER_NODES_RSP = 563
+ID_UNREGISTER_NODES_REQ = 566
+ID_UNREGISTER_NODES_RSP = 569
 ID_CREATE_MONITORED_ITEMS_REQ = 751
 ID_CREATE_MONITORED_ITEMS_RSP = 754
 ID_SET_MONITORING_MODE_REQ = 767
@@ -960,6 +964,65 @@ class BrowsePathResult:
     def decode(cls, d: Decoder) -> "BrowsePathResult":
         return cls(d.status_code(),
                    d.array(BrowsePathTarget.decode) or [])
+
+
+@dataclass
+class RegisterNodesRequest:
+    """Part 4 §5.8.5 — optimization hint: the client asks for ids it can
+    use for repeated access. A server MAY return the ids unchanged."""
+    header: RequestHeader = field(default_factory=RequestHeader)
+    nodes_to_register: List[NodeId] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.nodes_to_register, lambda enc, n: enc.node_id(n))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "RegisterNodesRequest":
+        return cls(RequestHeader.decode(d),
+                   d.array(lambda dd: dd.node_id()) or [])
+
+
+@dataclass
+class RegisterNodesResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+    registered_node_ids: List[NodeId] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.registered_node_ids, lambda enc, n: enc.node_id(n))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "RegisterNodesResponse":
+        return cls(ResponseHeader.decode(d),
+                   d.array(lambda dd: dd.node_id()) or [])
+
+
+@dataclass
+class UnregisterNodesRequest:
+    header: RequestHeader = field(default_factory=RequestHeader)
+    nodes_to_unregister: List[NodeId] = field(default_factory=list)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+        e.array(self.nodes_to_unregister, lambda enc, n: enc.node_id(n))
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "UnregisterNodesRequest":
+        return cls(RequestHeader.decode(d),
+                   d.array(lambda dd: dd.node_id()) or [])
+
+
+@dataclass
+class UnregisterNodesResponse:
+    header: ResponseHeader = field(default_factory=ResponseHeader)
+
+    def encode(self, e: Encoder) -> None:
+        self.header.encode(e)
+
+    @classmethod
+    def decode(cls, d: Decoder) -> "UnregisterNodesResponse":
+        return cls(ResponseHeader.decode(d))
 
 
 @dataclass

@@ -21,7 +21,8 @@ map:
         <discrete_input name>      ns=1;s=u<u>.<name>    Boolean, read-only
 
 TranslateBrowsePathsToNodeIds resolves Objects/Unit<u>/<register> paths
-the way discovery-driven stacks expect. Subscriptions (OPC 10000-4
+the way discovery-driven stacks expect; RegisterNodes/UnregisterNodes
+answer the optimization-hint handshake (ids echoed) instead of faulting. Subscriptions (OPC 10000-4
 §5.12/§5.13) are supported: CreateSubscription / ModifySubscription
 / CreateMonitoredItems / Publish / Republish / SetPublishingMode /
 SetMonitoringMode /
@@ -513,6 +514,31 @@ class OPCUAServer:
                        for b in req.nodes]
             return M.ID_BROWSE_RSP, M.BrowseResponse(
                 M.ResponseHeader(now, req.header.request_handle), results)
+
+        if service_id == M.ID_REGISTER_NODES_REQ:
+            req = M.RegisterNodesRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            if not req.nodes_to_register:
+                return self._fault(req.header, M.BAD_NOTHING_TO_DO)
+            # Optimization-hint service (Part 4 §5.8.5): node ids here
+            # are already their cheapest form — echo them back, which a
+            # conformant server may do. Discovery-driven stacks call
+            # this before cyclic access; answering beats a ServiceFault.
+            return (M.ID_REGISTER_NODES_RSP, M.RegisterNodesResponse(
+                M.ResponseHeader(now, req.header.request_handle),
+                registered_node_ids=req.nodes_to_register))
+
+        if service_id == M.ID_UNREGISTER_NODES_REQ:
+            req = M.UnregisterNodesRequest.decode(d)
+            if not self._session_ok(req.header, state):
+                return self._fault(req.header,
+                                   M.BAD_SESSION_NOT_ACTIVATED)
+            if not req.nodes_to_unregister:
+                return self._fault(req.header, M.BAD_NOTHING_TO_DO)
+            return (M.ID_UNREGISTER_NODES_RSP, M.UnregisterNodesResponse(
+                M.ResponseHeader(now, req.header.request_handle)))
 
         if service_id == M.ID_TRANSLATE_BROWSE_PATHS_REQ:
             req = M.TranslateBrowsePathsRequest.decode(d)

@@ -572,6 +572,23 @@ def test_modify_subscription_resets_lifetime(plant_server):
         assert rsp.subscription_id == sub_id
 
 
+def test_register_unregister_nodes_roundtrip(plant_server):
+    """RegisterNodes/UnregisterNodes (Part 4 §5.8.5): the optimization
+    hint answers with usable ids (echoed here) instead of a ServiceFault,
+    the registered ids read correctly, and empty requests fault."""
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        ids = c.register_nodes(["u1.pH_outlet", "u2.pH_outlet"])
+        assert len(ids) == 2
+        vals = c.read(ids)
+        assert vals[0].value.value == pytest.approx(7.2, 1e-5)
+        assert vals[1].value.value == pytest.approx(6.9, 1e-5)
+        c.unregister_nodes(ids)          # no-op, must not fault
+        with pytest.raises(OPCUAError) as err:
+            c.register_nodes([])
+        assert err.value.status == M.BAD_NOTHING_TO_DO
+
+
 def test_data_change_filter_absolute_deadband(plant_server):
     """Absolute-deadband DataChangeFilter (Part 4 §7.22.2): numeric
     changes inside the band vs the last REPORTED value are suppressed,
