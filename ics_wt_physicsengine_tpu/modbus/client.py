@@ -113,6 +113,26 @@ class ModbusTcpClient:
         pdu = struct.pack(">BHHB", 0x0F, address, count, n_bytes) + bytes(data)
         self._transact(pdu)
 
+    def mask_write_register(self, address: int, and_mask: int,
+                            or_mask: int) -> None:
+        """FC 22 Mask Write Register (spec 6.16):
+        reg = (current AND and_mask) OR (or_mask AND NOT and_mask)."""
+        self._transact(struct.pack(">BHHH", 0x16, address,
+                                   and_mask & 0xFFFF, or_mask & 0xFFFF))
+
+    def read_write_registers(self, read_address: int, read_count: int,
+                             write_address: int,
+                             values: list) -> list:
+        """FC 23 Read/Write Multiple Registers (spec 6.17): the write
+        executes first, then the read; returns the read words."""
+        n = len(values)
+        pdu = struct.pack(">BHHHHB", 0x17, read_address, read_count,
+                          write_address, n, n * 2) + b"".join(
+            struct.pack(">H", v & 0xFFFF) for v in values)
+        resp = self._transact(pdu)
+        count = resp[1] // 2
+        return list(struct.unpack(f">{count}H", resp[2:2 + resp[1]]))
+
     def diagnostics(self, sub_function: int, data: int = 0) -> int:
         """FC 08 Diagnostics: returns the response data field (the counter
         value for sub-functions 0x0B-0x0F, the echoed data for 0x0000,

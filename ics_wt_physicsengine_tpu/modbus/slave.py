@@ -4,7 +4,8 @@ Modbus/TCP server — from-scratch asyncio implementation.
 The reference delegates the wire protocol to pymodbus 3.x
 (modbus/slave.py:320-339); that dependency is not available here, so this
 module implements the Modbus/TCP application protocol directly (MBAP framing
-+ function codes 1/2/3/4/5/6/15/16 with standard exception responses). The
++ function codes 1/2/3/4/5/6/8/15/16/22/23 and 43/14 with standard
+exception responses). The
 server lifecycle and the thread-safe, name-based register API match the
 reference exactly:
 
@@ -47,6 +48,8 @@ FC_WRITE_SINGLE_COIL = 0x05
 FC_WRITE_SINGLE_REGISTER = 0x06
 FC_WRITE_MULTIPLE_COILS = 0x0F
 FC_WRITE_MULTIPLE_REGISTERS = 0x10
+FC_MASK_WRITE_REGISTER = 0x16      # Mask Write Register (FC 22)
+FC_READ_WRITE_MULTIPLE = 0x17      # Read/Write Multiple Registers (FC 23)
 FC_DIAGNOSTICS = 0x08              # diagnostics sub-functions (FC 08)
 FC_ENCAPSULATED_INTERFACE = 0x2B   # MEI transport (FC 43)
 
@@ -296,6 +299,31 @@ class ModbusSlave:
                 words = list(struct.unpack(f">{count}H", pdu[6:6 + n_bytes]))
                 store.hr.set(address, words)
                 return pdu[:5]
+
+            if fc == FC_MASK_WRITE_REGISTER:
+                # Modbus spec 6.16: reg = (current AND and_mask) OR
+                # (or_mask AND NOT and_mask); response echoes the request.
+                address, and_mask, or_mask = struct.unpack(">HHH",
+                                                           pdu[1:7])
+                current = store.hr.get(address, 1)[0]
+                store.hr.set(address, [
+                    (current & and_mask) | (or_mask & ~and_mask & 0xFFFF)])
+                return pdu[:7]
+
+            if fc == FC_READ_WRITE_MULTIPLE:
+                # Modbus spec 6.17: the WRITE executes first, then the
+                # read; response is FC3-shaped over the read range.
+                (r_addr, r_count, w_addr, w_count,
+                 n_bytes) = struct.unpack(">HHHHB", pdu[1:10])
+                if (not 1 <= r_count <= 125 or not 1 <= w_count <= 121
+                        or n_bytes != w_count * 2):
+                    return bytes([fc | 0x80, EX_ILLEGAL_DATA_VALUE])
+                words = list(struct.unpack(f">{w_count}H",
+                                           pdu[10:10 + n_bytes]))
+                store.hr.set(w_addr, words)
+                out = store.hr.get(r_addr, r_count)
+                return bytes([fc, r_count * 2]) + b"".join(
+                    struct.pack(">H", w & 0xFFFF) for w in out)
 
             if fc == FC_DIAGNOSTICS:
                 return self._process_diagnostics(pdu)

@@ -55,6 +55,8 @@ enum Fc : uint8_t {
   FC_DIAGNOSTICS = 0x08,    // serial-line diagnostics sub-functions
   FC_WRITE_MULTI_COILS = 0x0F,
   FC_WRITE_MULTI_REGS = 0x10,
+  FC_MASK_WRITE_REG = 0x16,   // Mask Write Register (FC 22)
+  FC_READ_WRITE_MULTI = 0x17, // Read/Write Multiple Registers (FC 23)
   FC_ENCAPSULATED = 0x2B,   // MEI transport (FC 43)
 };
 
@@ -179,6 +181,7 @@ struct Server {
       case FC_READ_HOLDING: case FC_READ_INPUT:
       case FC_WRITE_SINGLE_COIL: case FC_WRITE_SINGLE_REG:
       case FC_WRITE_MULTI_COILS: case FC_WRITE_MULTI_REGS:
+      case FC_MASK_WRITE_REG: case FC_READ_WRITE_MULTI:
       case FC_DIAGNOSTICS:
         break;
       case FC_ENCAPSULATED: {
@@ -345,6 +348,51 @@ struct Server {
           return exception(EX_ILLEGAL_ADDRESS);
         std::memcpy(resp, pdu, 5);
         return 5;
+      }
+      case FC_MASK_WRITE_REG: {
+        // Modbus spec 6.16: reg = (current & and_mask) | (or_mask &
+        // ~and_mask); response echoes the request.
+        if (len < 7) return exception(EX_ILLEGAL_VALUE);
+        uint16_t and_mask = count_or_value;           // bytes 3-4
+        uint16_t or_mask = (pdu[5] << 8) | pdu[6];
+        uint16_t current;
+        if (!get(bank, HOLDING_REGISTERS, address, 1, &current))
+          return exception(EX_ILLEGAL_ADDRESS);
+        uint16_t out = static_cast<uint16_t>(
+            (current & and_mask) | (or_mask & ~and_mask));
+        if (!set(bank, HOLDING_REGISTERS, address, 1, &out))
+          return exception(EX_ILLEGAL_ADDRESS);
+        std::memcpy(resp, pdu, 7);
+        return 7;
+      }
+      case FC_READ_WRITE_MULTI: {
+        // Modbus spec 6.17: the WRITE executes first, then the read;
+        // response is FC3-shaped over the read range.
+        if (len < 10) return exception(EX_ILLEGAL_VALUE);
+        uint16_t r_addr = address;                    // bytes 1-2
+        uint16_t r_count = count_or_value;            // bytes 3-4
+        uint16_t w_addr = (pdu[5] << 8) | pdu[6];
+        uint16_t w_count = (pdu[7] << 8) | pdu[8];
+        uint8_t n_bytes = pdu[9];
+        if (r_count < 1 || r_count > 125 || w_count < 1 ||
+            w_count > 121 || n_bytes != w_count * 2 ||
+            len < 10u + n_bytes)
+          return exception(EX_ILLEGAL_VALUE);
+        std::vector<uint16_t> w(w_count);
+        for (uint16_t i = 0; i < w_count; i++)
+          w[i] = (pdu[10 + 2 * i] << 8) | pdu[11 + 2 * i];
+        if (!set(bank, HOLDING_REGISTERS, w_addr, w_count, w.data()))
+          return exception(EX_ILLEGAL_ADDRESS);
+        std::vector<uint16_t> r(r_count);
+        if (!get(bank, HOLDING_REGISTERS, r_addr, r_count, r.data()))
+          return exception(EX_ILLEGAL_ADDRESS);
+        resp[0] = fc;
+        resp[1] = static_cast<uint8_t>(r_count * 2);
+        for (uint16_t i = 0; i < r_count; i++) {
+          resp[2 + 2 * i] = r[i] >> 8;
+          resp[3 + 2 * i] = r[i] & 0xFF;
+        }
+        return 2 + r_count * 2;
       }
       default:
         return exception(EX_ILLEGAL_FUNCTION);

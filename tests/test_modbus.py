@@ -297,6 +297,29 @@ def test_broken_mbap_length_drops_connection(slave):
             client.read_input_registers(0, 1)
 
 
+def test_mask_write_and_read_write_multiple(slave):
+    """FC 22 Mask Write Register and FC 23 Read/Write Multiple Registers
+    (spec 6.16/6.17): masked bit updates land, and FC 23's write executes
+    BEFORE its read so the response reflects the new values."""
+    with ModbusTcpClient("127.0.0.1", slave.port, timeout=5) as client:
+        client.write_registers(10, [0x12FF])
+        # clear the low nibble, set bit 0x0004:
+        # (0x12FF & 0xFFF0) | (0x0004 & ~0xFFF0) = 0x12F4
+        client.mask_write_register(10, 0xFFF0, 0x0004)
+        assert client.read_holding_registers(10, 1) == [0x12F4]
+
+        # FC 23: write [0xAAAA, 0xBBBB] at 20, read back the same range
+        # in one transaction — the response must show the NEW values
+        out = client.read_write_registers(20, 2, 20, [0xAAAA, 0xBBBB])
+        assert out == [0xAAAA, 0xBBBB]
+        assert client.read_holding_registers(20, 2) == [0xAAAA, 0xBBBB]
+
+        # bad write count faults with ILLEGAL DATA VALUE
+        import struct as _struct
+        with pytest.raises(IOError):
+            client._transact(_struct.pack(">BHHHHB", 0x17, 0, 1, 0, 0, 0))
+
+
 def test_diagnostics_fc08(slave):
     """FC 08 Diagnostics: echo, the five standard counters, exception
     counting, and Clear Counters — the reference's own listed limitation

@@ -195,6 +195,23 @@ def test_slow_reader_does_not_stall_others_native(slave):
         stuffer.close()
 
 
+def test_mask_write_and_read_write_multiple_native(slave):
+    """FC 22 / FC 23 on the C++ data plane — same semantics as the
+    Python plane (mask math, write-before-read ordering, value faults)."""
+    with ModbusTcpClient("127.0.0.1", slave.port, timeout=5) as client:
+        client.write_registers(10, [0x12FF])
+        client.mask_write_register(10, 0xFFF0, 0x0004)
+        assert client.read_holding_registers(10, 1) == [0x12F4]
+
+        out = client.read_write_registers(20, 2, 20, [0xAAAA, 0xBBBB])
+        assert out == [0xAAAA, 0xBBBB]
+        assert client.read_holding_registers(20, 2) == [0xAAAA, 0xBBBB]
+
+        import struct as _struct
+        with pytest.raises(IOError):
+            client._transact(_struct.pack(">BHHHHB", 0x17, 0, 1, 0, 0, 0))
+
+
 def test_diagnostics_fc08_native(slave):
     """FC 08 Diagnostics on the C++ data plane: wire counters match the
     mb_diag_counters C API, exceptions are counted, clear resets."""
