@@ -80,9 +80,12 @@ def scada_loop(host, port, publishes, interval, cl_setpoint, ph_setpoint,
     with OPCUAClient(host, port, timeout=30.0) as c:
         sub_id, rev_interval = c.create_subscription(
             publishing_interval=interval, max_keepalive_count=10)
+        # Absolute deadband: sensor-noise-scale jitter (< 0.005 units)
+        # is suppressed at the server's sampler, so pushes carry only
+        # operationally meaningful changes (round 4, Part 4 §7.22.2).
         results = c.create_monitored_items(
             sub_id, list(MONITORED.values()),
-            client_handles=list(MONITORED.keys()))
+            client_handles=list(MONITORED.keys()), deadband=0.005)
         bad = [r.status for r in results if r.status != 0]
         if bad:
             raise RuntimeError(f"monitored-item failures: {bad}")
