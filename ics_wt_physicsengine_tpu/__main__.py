@@ -561,6 +561,26 @@ def main(argv=None):
                         help="with --serve-chunk: write every Kth in-chunk "
                              "step to --log-csv/--log-parquet (1 = every "
                              "step; raise for high-RTF free runs)")
+    parser.add_argument("--tls-cert", type=str, default=None,
+                        help="Modbus/TCP Security (MB-TCP-Security-v21): "
+                             "server certificate PEM. With --tls-key and "
+                             "--tls-ca, the Python Modbus plane speaks TLS "
+                             "with mandatory client certificates")
+    parser.add_argument("--tls-key", type=str, default=None,
+                        help="server private key PEM (with --tls-cert)")
+    parser.add_argument("--tls-ca", type=str, default=None,
+                        help="trust anchor PEM for client certificates "
+                             "(with --tls-cert)")
+    parser.add_argument("--tls-role", action="append", default=None,
+                        metavar="ROLE=PERM",
+                        help="map a client-certificate RoleOID value to a "
+                             "permission (ro|rw|deny); repeatable. Clients "
+                             "without a mapped role get --tls-default-"
+                             "permission")
+    parser.add_argument("--tls-default-permission", type=str, default="ro",
+                        choices=["deny", "ro", "rw"],
+                        help="permission for authenticated clients with no "
+                             "or unmapped role (default: read-only)")
     parser.add_argument("--backend", type=str, default="cpu",
                         choices=["cpu", "tpu", "default"],
                         help="JAX backend for the serving loop. The HIL loop "
@@ -585,6 +605,30 @@ def main(argv=None):
                      "inside a device rollout)")
     if args.log_decimate < 1:
         parser.error(f"--log-decimate must be >= 1, got {args.log_decimate}")
+    tls_config = None
+    if args.tls_cert or args.tls_key or args.tls_ca:
+        if not (args.tls_cert and args.tls_key and args.tls_ca):
+            parser.error("Modbus TLS needs all three of --tls-cert, "
+                         "--tls-key, --tls-ca (mutual authentication is "
+                         "mandatory in the Modbus security spec)")
+        if args.native_modbus:
+            parser.error("--tls-cert requires the Python Modbus plane "
+                         "(the C++ data plane is plaintext-only; terminate "
+                         "TLS at a front proxy instead)")
+        roles = {}
+        for item in args.tls_role or ():
+            role, sep, perm = item.partition("=")
+            if not sep or perm not in ("deny", "ro", "rw"):
+                parser.error(f"--tls-role must be ROLE=ro|rw|deny, "
+                             f"got {item!r}")
+            roles[role] = perm
+        from ics_wt_physicsengine_tpu.modbus import ModbusTLSConfig
+        tls_config = ModbusTLSConfig(
+            certfile=args.tls_cert, keyfile=args.tls_key,
+            cafile=args.tls_ca, role_permissions=roles,
+            default_permission=args.tls_default_permission)
+    # carried on args so the fleet/network entry points (fleet.py) see it
+    args.tls_config = tls_config
     if args.serve_chunk > 1 and args.log_decimate > args.serve_chunk:
         # range(dec-1, chunk, dec) would be empty: every chunk would
         # silently log zero history rows
@@ -725,8 +769,9 @@ def main(argv=None):
     if not args.no_modbus:
         logger.info("[PHASE 4] Initializing Modbus server...")
         try:
-            server_config = ModbusServerConfig(host=args.host,
-                                               port=args.port, unit_id=1)
+            server_config = ModbusServerConfig(
+                host=args.host, port=args.port, unit_id=1,
+                tls=getattr(args, "tls_config", None))
             if args.native_modbus:
                 from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
                 slave = NativeModbusSlave(

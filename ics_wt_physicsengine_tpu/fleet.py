@@ -287,7 +287,8 @@ def main_fleet(args) -> None:
             # controller farm example): size the cap to the fleet.
             server_config = ModbusServerConfig(
                 host=args.host, port=args.port, unit_id=1,
-                max_connections=max(32, 2 * n + 4))
+                max_connections=max(32, 2 * n + 4),
+                tls=getattr(args, "tls_config", None))
             if args.native_modbus:
                 from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
                 slave = NativeModbusSlave(

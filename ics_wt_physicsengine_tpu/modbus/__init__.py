@@ -23,6 +23,11 @@ from ics_wt_physicsengine_tpu.modbus.slave import (  # noqa: F401
     ModbusSlave,
 )
 from ics_wt_physicsengine_tpu.modbus.client import ModbusTcpClient  # noqa: F401
+from ics_wt_physicsengine_tpu.modbus.security import (  # noqa: F401
+    ModbusTLSConfig,
+    make_client_ssl_context,
+    make_server_ssl_context,
+)
 from ics_wt_physicsengine_tpu.modbus.native_slave import (  # noqa: F401
     NativeModbusSlave,
 )

@@ -10,8 +10,9 @@ real TCP socket for integration tests and external-controller loops.
 from __future__ import annotations
 
 import socket
+import ssl as _ssl
 import struct
-from typing import List
+from typing import List, Optional
 
 from ics_wt_physicsengine_tpu.modbus.protocols import (
     ModbusDecoder,
@@ -23,17 +24,26 @@ class ModbusTcpClient:
     """Blocking Modbus/TCP master for tests and HIL controller loops."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 5020,
-                 unit_id: int = 1, timeout: float = 5.0):
+                 unit_id: int = 1, timeout: float = 5.0,
+                 ssl_context: Optional[_ssl.SSLContext] = None,
+                 server_hostname: Optional[str] = None):
         self.host = host
         self.port = port
         self.unit_id = unit_id
         self.timeout = timeout
+        # Modbus/TCP Security: pass security.make_client_ssl_context(...)
+        # to speak mbaps (TLS + client certificate) to a TLS-enabled slave.
+        self.ssl_context = ssl_context
+        self.server_hostname = server_hostname or host
         self._sock: socket.socket | None = None
         self._transaction = 0
 
     def connect(self):
         self._sock = socket.create_connection((self.host, self.port),
                                               timeout=self.timeout)
+        if self.ssl_context is not None:
+            self._sock = self.ssl_context.wrap_socket(
+                self._sock, server_hostname=self.server_hostname)
         return self
 
     def close(self):

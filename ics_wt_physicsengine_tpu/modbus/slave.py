@@ -36,6 +36,12 @@ from ics_wt_physicsengine_tpu.modbus.register_map import (
     ModbusRegisterMap,
     RegisterType,
 )
+from ics_wt_physicsengine_tpu.modbus.security import (
+    ModbusTLSConfig,
+    extract_role,
+    make_server_ssl_context,
+    pdu_requires_write,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -100,6 +106,11 @@ class ModbusServerConfig:
     # max_connections half-open sockets would lock legitimate masters out
     # forever). Generous vs any real SCADA poll interval.
     idle_timeout_seconds: float = 300.0
+    # Modbus/TCP Security (MB-TCP-Security-v21): when set, the server
+    # speaks TLS with mandatory client certificates and role-based
+    # write authorization (modbus/security.py). Closes the reference's
+    # "No authentication or encryption" limitation (README.md:536).
+    tls: Optional["ModbusTLSConfig"] = None
 
 
 class _DataBlock:
@@ -192,6 +203,7 @@ class ModbusSlave:
         self.exception_count = 0        # exception responses returned
         self.slave_message_count = 0    # frames addressed to a served unit
         self.no_response_count = 0      # other units' traffic (ignored)
+        self.unauthorized_count = 0     # TLS role-gate rejections
         self._n_clients = 0   # live connections (event-loop thread only)
         # Idle/slow-reader enforcement: handlers stamp their activity
         # cell on completed frames; _async_run_server sweeps
@@ -368,11 +380,14 @@ class ModbusSlave:
     def diagnostics(self) -> dict:
         """The FC 08 counters as a dict (same keys as the native plane's
         NativeModbusSlave.diagnostics)."""
-        return {"bus_message_count": self.request_count,
-                "bus_comm_error_count": self.error_count,
-                "bus_exception_count": self.exception_count,
-                "slave_message_count": self.slave_message_count,
-                "slave_no_response_count": self.no_response_count}
+        out = {"bus_message_count": self.request_count,
+               "bus_comm_error_count": self.error_count,
+               "bus_exception_count": self.exception_count,
+               "slave_message_count": self.slave_message_count,
+               "slave_no_response_count": self.no_response_count}
+        if self.config.tls is not None:
+            out["unauthorized_count"] = self.unauthorized_count
+        return out
 
     def _process_read_device_id(self, pdu: bytes) -> bytes:
         """FC 43 / MEI type 14: Read Device Identification, serving
@@ -425,6 +440,30 @@ class ModbusSlave:
             return
         self._n_clients += 1
         logger.debug("Modbus client connected: %s", peer)
+        # Modbus/TCP Security role gate: mTLS already succeeded (the
+        # listener's SSL context requires and verifies the client cert),
+        # so authorization is purely the RoleOID → permission mapping.
+        allow_write = True
+        if self.config.tls is not None:
+            ssl_obj = writer.get_extra_info("ssl_object")
+            role = extract_role(
+                ssl_obj.getpeercert(binary_form=True)
+                if ssl_obj is not None else None)
+            permission = self.config.tls.resolve_permission(role)
+            if permission == "deny":
+                self.unauthorized_count += 1
+                logger.warning("Denying Modbus client %s: role %r maps "
+                               "to 'deny'", peer, role)
+                self._n_clients -= 1
+                writer.close()
+                try:
+                    await writer.wait_closed()
+                except Exception:  # noqa: BLE001
+                    pass
+                return
+            allow_write = permission == "rw"
+            logger.debug("Modbus TLS client %s authenticated: role=%r "
+                         "permission=%s", peer, role, permission)
         # Idle/slow-reader enforcement is a REAPER SWEEP, not per-read
         # asyncio.wait_for (profiled at ~35% of the event loop's
         # non-epoll CPU at 3 awaits per request) — see utils/netreap.py.
@@ -481,7 +520,13 @@ class ModbusSlave:
                         self.no_response_count += 1
                         continue
                     self.slave_message_count += 1
-                    response_pdu = self._process_pdu(pdu, store)
+                    if not allow_write and pdu_requires_write(pdu):
+                        # read-only role: refuse the write, keep serving
+                        self.unauthorized_count += 1
+                        response_pdu = bytes([pdu[0] | 0x80,
+                                              EX_ILLEGAL_FUNCTION])
+                    else:
+                        response_pdu = self._process_pdu(pdu, store)
                     if response_pdu and response_pdu[0] & 0x80:
                         self.exception_count += 1
                     responses.append(struct.pack(
@@ -526,8 +571,12 @@ class ModbusSlave:
 
     async def _async_run_server(self):
         """Serve until shutdown (reference slave.py:320-339 lifecycle)."""
+        ssl_ctx = (make_server_ssl_context(self.config.tls)
+                   if self.config.tls is not None else None)
         self._server = await asyncio.start_server(
-            self._handle_client, self.config.host, self.config.port)
+            self._handle_client, self.config.host, self.config.port,
+            ssl=ssl_ctx,
+            ssl_handshake_timeout=10.0 if ssl_ctx is not None else None)
         self._actual_port = self._server.sockets[0].getsockname()[1]
         self._server_ready.set()
         try:
