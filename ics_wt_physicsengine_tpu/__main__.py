@@ -561,6 +561,16 @@ def main(argv=None):
                         help="with --serve-chunk: write every Kth in-chunk "
                              "step to --log-csv/--log-parquet (1 = every "
                              "step; raise for high-RTF free runs)")
+    parser.add_argument("--rtu-serial", type=str, default=None,
+                        metavar="DEVICE",
+                        help="serve Modbus RTU on a serial device (or pty) "
+                             "instead of Modbus/TCP — closes the "
+                             "reference's 'No Modbus RTU/serial support' "
+                             "limitation")
+    parser.add_argument("--rtu-tcp", action="store_true",
+                        help="serve RTU framing (CRC-16, no MBAP) on the "
+                             "TCP port — the serial-device-server bridge "
+                             "convention")
     parser.add_argument("--tls-cert", type=str, default=None,
                         help="Modbus/TCP Security (MB-TCP-Security-v21): "
                              "server certificate PEM. With --tls-key and "
@@ -605,6 +615,15 @@ def main(argv=None):
                      "inside a device rollout)")
     if args.log_decimate < 1:
         parser.error(f"--log-decimate must be >= 1, got {args.log_decimate}")
+    if args.rtu_serial and args.rtu_tcp:
+        parser.error("--rtu-serial and --rtu-tcp are mutually exclusive")
+    if (args.rtu_serial or args.rtu_tcp) and args.native_modbus:
+        parser.error("RTU framing is served by the Python plane "
+                     "(drop --native-modbus)")
+    if (args.rtu_serial or args.rtu_tcp) and (args.tls_cert or args.tls_key
+                                              or args.tls_ca):
+        parser.error("RTU framing has no TLS profile; use the Modbus/TCP "
+                     "Security plane (--tls-cert without --rtu-*)")
     tls_config = None
     if args.tls_cert or args.tls_key or args.tls_ca:
         if not (args.tls_cert and args.tls_key and args.tls_ca):
@@ -778,6 +797,12 @@ def main(argv=None):
                     ModbusRegisterMap(
                         extended_nitrogen=args.enable_nitrogen),
                     server_config)
+            elif args.rtu_serial or args.rtu_tcp:
+                from ics_wt_physicsengine_tpu.modbus import ModbusRtuSlave
+                slave = ModbusRtuSlave(
+                    ModbusRegisterMap(
+                        extended_nitrogen=args.enable_nitrogen),
+                    server_config, serial_device=args.rtu_serial)
             else:
                 slave = ModbusSlave(
                     ModbusRegisterMap(
@@ -796,8 +821,12 @@ def main(argv=None):
             slave.write_coil("acid_pump_enable", True)
             slave.write_coil("chlorine_pump_enable", True)
             slave.write_coil("simulation_running", True)
-            logger.info("Modbus server started on %s:%d", args.host,
-                        slave.port)
+            if args.rtu_serial:
+                logger.info("Modbus RTU server started on serial %s",
+                            args.rtu_serial)
+            else:
+                logger.info("Modbus server started on %s:%d", args.host,
+                            slave.port)
         except Exception as e:  # noqa: BLE001
             logger.error("Modbus server startup failed: %s",
                          type(e).__name__)

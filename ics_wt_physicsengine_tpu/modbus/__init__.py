@@ -28,6 +28,10 @@ from ics_wt_physicsengine_tpu.modbus.security import (  # noqa: F401
     make_client_ssl_context,
     make_server_ssl_context,
 )
+from ics_wt_physicsengine_tpu.modbus.rtu import (  # noqa: F401
+    ModbusRtuClient,
+    ModbusRtuSlave,
+)
 from ics_wt_physicsengine_tpu.modbus.native_slave import (  # noqa: F401
     NativeModbusSlave,
 )

@@ -1,0 +1,255 @@
+"""Modbus RTU tests — closes the reference's "No Modbus RTU/serial
+support" limitation (reference README.md:535): CRC-16 framing, frame
+length deduction, noise resync, broadcast semantics, and live serving
+over a real pty serial line and over RTU-over-TCP."""
+
+import os
+import struct
+
+import pytest
+
+from ics_wt_physicsengine_tpu.modbus import (
+    ModbusRegisterMap,
+    ModbusRtuClient,
+    ModbusRtuSlave,
+    ModbusServerConfig,
+    ModbusTLSConfig,
+)
+from ics_wt_physicsengine_tpu.modbus.rtu import (
+    RtuFramer,
+    check_crc,
+    crc16,
+    expected_request_length,
+    expected_response_length,
+    frame_rtu,
+)
+
+
+# ---------------------------------------------------------------------------
+# CRC + framing units
+# ---------------------------------------------------------------------------
+
+def test_crc16_check_value():
+    # CRC catalogue check value for CRC-16/MODBUS
+    assert crc16(b"123456789") == 0x4B37
+
+
+def test_crc16_matches_bitwise_reference():
+    def bitwise(data):
+        crc = 0xFFFF
+        for b in data:
+            crc ^= b
+            for _ in range(8):
+                crc = (crc >> 1) ^ 0xA001 if crc & 1 else crc >> 1
+        return crc
+
+    rng = __import__("random").Random(7)
+    for n in (0, 1, 4, 17, 256):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert crc16(data) == bitwise(data)
+
+
+def test_frame_round_trip():
+    pdu = struct.pack(">BHH", 0x03, 10, 2)
+    frame = frame_rtu(7, pdu)
+    assert frame[0] == 7 and frame[1:-2] == pdu
+    assert check_crc(frame)
+    assert not check_crc(frame[:-1] + bytes([frame[-1] ^ 0xFF]))
+
+
+def test_expected_request_lengths():
+    assert expected_request_length(b"\x01") is None          # too short
+    for fc in (1, 2, 3, 4, 5, 6, 8):
+        assert expected_request_length(bytes([1, fc])) == 8
+    assert expected_request_length(bytes([1, 0x16])) == 10
+    # FC 16 write 2 regs: byte count 4 at offset 6 → 9+4
+    req = struct.pack(">BBHHB", 1, 0x10, 0, 2, 4)
+    assert expected_request_length(req) == 13
+    assert expected_request_length(req[:6]) is None
+    # FC 23: byte count at offset 10
+    req = struct.pack(">BBHHHHB", 1, 0x17, 0, 2, 4, 2, 4)
+    assert expected_request_length(req) == 17
+    assert expected_request_length(bytes([1, 0x7F])) == -1   # unknown FC
+
+
+def test_expected_response_lengths():
+    assert expected_response_length(bytes([1, 0x83, 2])) == 5  # exception
+    assert expected_response_length(bytes([1, 0x03, 4])) == 9
+    assert expected_response_length(bytes([1, 0x06])) == 8
+    assert expected_response_length(bytes([1, 0x16])) == 10
+    # FC 43: 1 object of 3 bytes → 8 + (2+3) + 2
+    resp = bytes([1, 0x2B, 0x0E, 1, 0x82, 0, 0, 1, 0x00, 3, 65, 66, 67])
+    assert expected_response_length(resp) == 15
+    assert expected_response_length(resp[:9]) is None
+
+
+def test_framer_resyncs_after_noise():
+    framer = RtuFramer(expected_request_length)
+    good = frame_rtu(1, struct.pack(">BHH", 0x04, 0, 2))
+    # leading line noise (unknown FC + bad CRC shapes), then a clean frame
+    frames = framer.feed(b"\xff\x99\x00" + good)
+    assert frames == [(1, struct.pack(">BHH", 0x04, 0, 2))]
+    assert framer.crc_errors >= 1
+    # split delivery: byte-at-a-time still reassembles
+    for b in good[:-1]:
+        assert framer.feed(bytes([b])) == []
+    assert framer.feed(good[-1:]) == [(1, struct.pack(">BHH", 0x04, 0, 2))]
+
+
+def test_rtu_refuses_tls_config():
+    with pytest.raises(ValueError, match="TLS"):
+        ModbusRtuSlave(
+            ModbusRegisterMap(),
+            ModbusServerConfig(tls=ModbusTLSConfig("c", "k", "ca")))
+
+
+# ---------------------------------------------------------------------------
+# Live serial (pty) serving
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def serial_pair():
+    """A pty pair: the slave side is the 'serial device' the server
+    opens by path; the master side plays the field wiring."""
+    master_fd, slave_fd = os.openpty()
+    yield master_fd, os.ttyname(slave_fd)
+    os.close(master_fd)
+    os.close(slave_fd)
+
+
+def test_serial_round_trip(serial_pair):
+    master_fd, slave_path = serial_pair
+    slave = ModbusRtuSlave(ModbusRegisterMap())
+    slave.start_serial(slave_path)
+    try:
+        slave.update_input_register("pH_inlet", 7.25)
+        slave.write_holding_register("inlet_flow_rate", 5.0)
+        with ModbusRtuClient(device=master_fd, unit_id=1) as c:
+            assert abs(c.read_float32(0) - 7.25) < 1e-6
+            c.write_float32(0, 1.5)        # acid_flow_rate
+            assert abs(c.read_float32(0, input_register=False) - 1.5) \
+                < 1e-6
+            c.write_coil(0, True)
+            assert c.read_coils(0, 1) == [True]
+            # device identification serves over RTU too
+            info = c.read_device_identification()
+            assert info[0x00] == "ICS-WT-PhysicsEngine-TPU"  # VendorName
+    finally:
+        slave.stop()
+
+
+def test_serial_crc_error_counted_and_resynced(serial_pair):
+    master_fd, slave_path = serial_pair
+    slave = ModbusRtuSlave(ModbusRegisterMap())
+    slave.start_serial(slave_path)
+    try:
+        slave.update_input_register("pH_inlet", 6.5)
+        # corrupt frame: valid shape, broken CRC → silently dropped
+        bad = bytearray(frame_rtu(1, struct.pack(">BHH", 0x04, 0, 2)))
+        bad[-1] ^= 0xFF
+        os.write(master_fd, bytes(bad))
+        with ModbusRtuClient(device=master_fd, unit_id=1,
+                             timeout=10.0) as c:
+            assert abs(c.read_float32(0) - 6.5) < 1e-6   # line recovered
+        assert slave.core.error_count >= 1
+    finally:
+        slave.stop()
+
+
+def test_serial_broadcast_and_unit_filtering(serial_pair):
+    master_fd, slave_path = serial_pair
+    slave = ModbusRtuSlave(ModbusRegisterMap(), units=[1, 2])
+    slave.start_serial(slave_path)
+    try:
+        with ModbusRtuClient(device=master_fd, unit_id=1,
+                             timeout=10.0) as c:
+            # broadcast write: applied to EVERY unit, no response
+            pdu = struct.pack(">BHH", 0x06, 100, 17)  # simulation_timestep
+            c.send_broadcast(pdu)
+            # follow with an addressed read — proves no broadcast
+            # response interleaved AND the write landed everywhere
+            assert c.read_holding_registers(100, 1) == [17]
+            c.unit_id = 2
+            assert c.read_holding_registers(100, 1) == [17]
+            # a unit this line doesn't serve: silence (client times out)
+            c.unit_id = 9
+            c.timeout = 1.0
+            with pytest.raises(TimeoutError):
+                c.read_holding_registers(100, 1)
+        assert slave.core.no_response_count >= 1
+    finally:
+        slave.stop()
+
+
+def test_orchestrator_serves_rtu_serial(serial_pair):
+    """End-to-end: the orchestrator CLI serves the plant over a serial
+    line (--rtu-serial) and an RTU master closes the HIL loop."""
+    import threading
+    import time
+
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    master_fd, slave_path = serial_pair
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--rtu-serial", slave_path, "--dt", "30",
+               "--duration", "100000", "--rtf", "0", "--seed", "7"],),
+        daemon=True)
+    thread.start()
+    try:
+        with ModbusRtuClient(device=master_fd, unit_id=1,
+                             timeout=10.0) as c:
+            # wait for the serving loop (first XLA compile is slow on
+            # this 1-core host); retry until the line answers
+            t1, deadline = 0.0, time.time() + 120
+            while time.time() < deadline:
+                try:
+                    t1 = c.read_float32(100)   # simulation_time
+                    if t1 > 0:
+                        break
+                except (TimeoutError, IOError):
+                    pass
+                time.sleep(1)
+            assert t1 > 0, "simulation did not advance over RTU"
+            c.write_float32(0, 2.0)            # acid_flow_rate command
+            assert abs(c.read_float32(0, input_register=False) - 2.0) \
+                < 1e-6
+    finally:
+        orchestrator.running = False
+        thread.join(timeout=30)
+
+
+# ---------------------------------------------------------------------------
+# RTU-over-TCP
+# ---------------------------------------------------------------------------
+
+def test_rtu_over_tcp_round_trip():
+    slave = ModbusRtuSlave(ModbusRegisterMap(),
+                           ModbusServerConfig(host="127.0.0.1", port=0))
+    slave.start_tcp("127.0.0.1", 0)
+    try:
+        slave.update_input_register("temperature_inlet", 21.5)
+        with ModbusRtuClient(host="127.0.0.1", port=slave.port,
+                             unit_id=1) as c:
+            assert abs(c.read_float32(12) - 21.5) < 1e-5
+            c.write_float32(100, 3.0)      # simulation_timestep
+            assert slave.read_holding_register("simulation_timestep") \
+                == pytest.approx(3.0)
+            # FC 08 diagnostics ride the RTU framing unchanged
+            counters = c.diagnostic_counters()
+            assert counters["bus_message_count"] >= 2
+    finally:
+        slave.stop()
+
+
+def test_rtu_over_tcp_exception_response():
+    slave = ModbusRtuSlave(ModbusRegisterMap())
+    slave.start_tcp("127.0.0.1", 0)
+    try:
+        with ModbusRtuClient(host="127.0.0.1", port=slave.port,
+                             unit_id=1) as c:
+            with pytest.raises(IOError, match="exception 2"):
+                c.read_holding_registers(9000, 2)
+    finally:
+        slave.stop()
