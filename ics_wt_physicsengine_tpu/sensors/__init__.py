@@ -25,6 +25,13 @@ from ics_wt_physicsengine_tpu.sensors.base import (  # noqa: F401
     make_sensor_carry,
     make_sensor_params,
 )
+from ics_wt_physicsengine_tpu.sensors.electrical import (  # noqa: F401
+    ElectricalCarry,
+    ElectricalParams,
+    electrical_transform,
+    make_electrical_carry,
+    make_electrical_params,
+)
 from ics_wt_physicsengine_tpu.sensors.wrappers import (  # noqa: F401
     AmmoniaSensor,
     BaseSensor,

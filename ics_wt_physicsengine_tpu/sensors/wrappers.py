@@ -63,6 +63,12 @@ _TP_READ = jax.jit(TP.temperature_read)
 _AM_READ = jax.jit(AM.ammonia_read)
 
 
+@jax.jit
+def _electrical_jit(params, carry, value, t):
+    from ics_wt_physicsengine_tpu.sensors import electrical as E
+    return E.electrical_transform(params, carry, value, t)
+
+
 def _zone(arr, idx):
     arr = np.asarray(arr)
     n = arr.shape[-1]
@@ -89,6 +95,24 @@ class _SensorShell:
             maxlen=max_history_length)
         self.calibration_history: Deque[CalibrationRecord] = deque(maxlen=100)
         self._state_lock = threading.RLock()
+        # opt-in electrical-environment stage (sensors/electrical.py):
+        # EMI / cable capacitance / ground loop on the transmitted value
+        self._electrical_params = None
+        self._electrical_carry = None
+        self._electrical_key = None
+
+    def attach_electrical(self, params, seed: int = 0) -> None:
+        """Attach an electrical-environment model (EMI pickup, cable RC,
+        ground loop — sensors/electrical.py) to this sensor's
+        transmitted signal. Closes the reference's EMI/cable/ground-loop
+        sensor-model limitations (reference README.md:528-531). The
+        stage corrupts the reported value; sensor status/fault fields
+        still reflect the instrument itself."""
+        import jax as _jax
+        with self._state_lock:
+            self._electrical_params = params
+            self._electrical_carry = None     # lazily seeded on first read
+            self._electrical_key = _jax.random.PRNGKey(seed)
 
     # -- attribute parity helpers --
     @property
@@ -138,9 +162,23 @@ class _SensorShell:
             inputs = self._extract_inputs(reactor_state)
             self.carry, out = self._read_fn(self.params, self.carry,
                                             *inputs, float(current_time))
+            value = float(out.value)
+            if self._electrical_params is not None:
+                from ics_wt_physicsengine_tpu.sensors import electrical as E
+                if self._electrical_carry is None:
+                    # seed at the first read's clock so the first dt is
+                    # 0 (no spurious burst/walk jump from a huge gap)
+                    self._electrical_carry = E.make_electrical_carry(
+                        self._electrical_params,
+                        key=self._electrical_key,
+                        t0=float(current_time))
+                self._electrical_carry, corrupted = _electrical_jit(
+                    self._electrical_params, self._electrical_carry,
+                    value, float(current_time))
+                value = float(corrupted)
             reading = SensorReading(
                 timestamp=float(out.timestamp),
-                value=float(out.value),
+                value=value,
                 raw_value=float(out.raw_value),
                 noise=float(out.noise),
                 drift=float(out.drift),
