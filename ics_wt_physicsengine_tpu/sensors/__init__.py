@@ -32,6 +32,11 @@ from ics_wt_physicsengine_tpu.sensors.electrical import (  # noqa: F401
     make_electrical_carry,
     make_electrical_params,
 )
+from ics_wt_physicsengine_tpu.sensors.sampleline import (  # noqa: F401
+    LineThermalConfig,
+    PhysicalSampleLine,
+    validate_sample_line,
+)
 from ics_wt_physicsengine_tpu.sensors.wrappers import (  # noqa: F401
     AmmoniaSensor,
     BaseSensor,
