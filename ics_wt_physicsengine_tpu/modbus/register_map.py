@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from enum import IntEnum
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 
 class RegisterType(IntEnum):
@@ -36,11 +36,21 @@ class RegisterDefinition:
     units: str
     description: str
     read_only: bool = True
+    # Engineering-unit range (low, high) for analog values: drives the
+    # OPC UA EURange property and percent-deadband conversion (Part 8
+    # section 5.6.3.3); None for counters/codes with no natural span.
+    eu_range: "Optional[Tuple[float, float]]" = None
 
     def validate(self):
         if self.address < 0 or self.address > 65535:
             raise ValueError(
                 f"Register address {self.address} out of range [0, 65535]")
+        if self.eu_range is not None:
+            low, high = self.eu_range
+            if not (low < high):
+                raise ValueError(
+                    f"Register {self.name}: eu_range low ({low}) must be "
+                    f"< high ({high})")
         if self.data_type not in ("float32", "int16", "uint16", "bool"):
             raise ValueError(f"Unknown data type: {self.data_type}")
         if self.register_type == RegisterType.HOLDING_REGISTER \
@@ -56,14 +66,16 @@ class RegisterDefinition:
         return 2 if self.data_type == "float32" else 1
 
 
-def _ir(address, name, units, description):
+def _ir(address, name, units, description, eu_range=None):
     return RegisterDefinition(address, name, RegisterType.INPUT_REGISTER,
-                              "float32", units, description, read_only=True)
+                              "float32", units, description, read_only=True,
+                              eu_range=eu_range)
 
 
-def _hr(address, name, units, description):
+def _hr(address, name, units, description, eu_range=None):
     return RegisterDefinition(address, name, RegisterType.HOLDING_REGISTER,
-                              "float32", units, description, read_only=False)
+                              "float32", units, description,
+                              read_only=False, eu_range=eu_range)
 
 
 class ModbusRegisterMap:
@@ -76,17 +88,27 @@ class ModbusRegisterMap:
         reference map leaves free — the base map stays address-identical
         to the reference either way."""
         # Input registers (reference register_map.py:119-244)
+        # eu_range values mirror the instruments' measurement ranges
+        # (sensor wrappers) and the orchestrator's zero-trust clamps
+        # (__main__.validate_flow_rate max 20); simulation_time is an
+        # unbounded counter, so it carries none.
         self.input_registers: List[RegisterDefinition] = [
-            _ir(0, "pH_inlet", "pH", "pH at inlet (zone 0)"),
-            _ir(2, "pH_middle", "pH", "pH at middle (zone n/2)"),
-            _ir(4, "pH_outlet", "pH", "pH at outlet (zone -1)"),
-            _ir(6, "chlorine_inlet", "mg/L", "Free chlorine at inlet"),
-            _ir(8, "chlorine_outlet", "mg/L", "Free chlorine at outlet"),
-            _ir(10, "flow_rate", "L/min", "Main flow rate"),
+            _ir(0, "pH_inlet", "pH", "pH at inlet (zone 0)",
+                eu_range=(0.0, 14.0)),
+            _ir(2, "pH_middle", "pH", "pH at middle (zone n/2)",
+                eu_range=(0.0, 14.0)),
+            _ir(4, "pH_outlet", "pH", "pH at outlet (zone -1)",
+                eu_range=(0.0, 14.0)),
+            _ir(6, "chlorine_inlet", "mg/L", "Free chlorine at inlet",
+                eu_range=(0.0, 10.0)),
+            _ir(8, "chlorine_outlet", "mg/L", "Free chlorine at outlet",
+                eu_range=(0.0, 10.0)),
+            _ir(10, "flow_rate", "L/min", "Main flow rate",
+                eu_range=(0.0, 20.0)),
             _ir(12, "temperature_inlet", "degC",
-                "Water temperature at inlet"),
+                "Water temperature at inlet", eu_range=(0.0, 50.0)),
             _ir(14, "temperature_outlet", "degC",
-                "Water temperature at outlet"),
+                "Water temperature at outlet", eu_range=(0.0, 50.0)),
             _ir(100, "simulation_time", "s", "Simulation elapsed time"),
             RegisterDefinition(102, "system_status",
                                RegisterType.INPUT_REGISTER, "uint16", "",
@@ -96,31 +118,41 @@ class ModbusRegisterMap:
         if extended_nitrogen:
             self.input_registers += [
                 _ir(20, "ammonia_outlet", "mg N/L",
-                    "Total ammonia nitrogen at outlet"),
-                _ir(22, "nitrite_outlet", "mg N/L", "Nitrite at outlet"),
-                _ir(24, "nitrate_outlet", "mg N/L", "Nitrate at outlet"),
+                    "Total ammonia nitrogen at outlet",
+                    eu_range=(0.0, 10.0)),
+                _ir(22, "nitrite_outlet", "mg N/L", "Nitrite at outlet",
+                    eu_range=(0.0, 10.0)),
+                _ir(24, "nitrate_outlet", "mg N/L", "Nitrate at outlet",
+                    eu_range=(0.0, 50.0)),
                 _ir(26, "chloramine_outlet", "mg/L as Cl2",
-                    "Combined chlorine (monochloramine) at outlet"),
+                    "Combined chlorine (monochloramine) at outlet",
+                    eu_range=(0.0, 5.0)),
             ]
 
         # Holding registers (reference register_map.py:246-323)
         self.holding_registers: List[RegisterDefinition] = [
             _hr(0, "acid_flow_rate", "L/min",
-                "Acid dosing pump flow rate setpoint"),
+                "Acid dosing pump flow rate setpoint",
+                eu_range=(0.0, 20.0)),
             _hr(2, "chlorine_flow_rate", "L/min",
-                "Chlorine dosing pump flow rate setpoint"),
+                "Chlorine dosing pump flow rate setpoint",
+                eu_range=(0.0, 20.0)),
             _hr(4, "inlet_flow_rate", "L/min",
-                "Main inlet flow rate setpoint"),
+                "Main inlet flow rate setpoint", eu_range=(0.0, 20.0)),
             _hr(10, "acid_concentration", "mol/L",
-                "Acid stock solution concentration"),
+                "Acid stock solution concentration",
+                eu_range=(0.0, 1.0)),
             _hr(12, "chlorine_concentration", "mg/L",
-                "Chlorine stock solution concentration"),
-            _hr(100, "simulation_timestep", "s", "Simulation time step"),
+                "Chlorine stock solution concentration",
+                eu_range=(0.0, 100.0)),
+            _hr(100, "simulation_timestep", "s", "Simulation time step",
+                eu_range=(0.0, 60.0)),
         ]
         if extended_nitrogen:
             self.holding_registers += [
                 _hr(14, "inlet_ammonia", "mg N/L",
-                    "Source-water total ammonia nitrogen"),
+                    "Source-water total ammonia nitrogen",
+                    eu_range=(0.0, 10.0)),
             ]
 
         # Coils (reference register_map.py:325-362)

@@ -268,6 +268,18 @@ class OPCUAClient:
             raise OPCUAError(dv.status, f"Read {node}")
         return float(dv.value.value)
 
+    def read_eu_range(self, node: Union[str, NodeId]
+                      ) -> Tuple[float, float]:
+        """(low, high) from a variable's EURange property (Part 8):
+        pass the VARIABLE's node — '.EURange' is appended."""
+        sid = node if isinstance(node, str) else node.identifier
+        dv = self.read([f"{sid}.EURange"])[0]
+        if dv.status is not None and dv.status & 0x80000000:
+            raise OPCUAError(dv.status, f"Read {sid}.EURange")
+        from ics_wt_physicsengine_tpu.opcua.encoding import Decoder
+        d = Decoder(dv.value.value.body)      # Range: low, high doubles
+        return d.double(), d.double()
+
     def read_bool(self, node: Union[str, NodeId]) -> bool:
         dv = self.read([node])[0]
         if dv.status is not None and dv.status & 0x80000000:
@@ -413,15 +425,20 @@ class OPCUAClient:
                                client_handles: Optional[List[int]] = None,
                                queue_size: int = 1,
                                mode: int = 2,
-                               deadband: Optional[float] = None
+                               deadband: Optional[float] = None,
+                               deadband_percent: bool = False
                                ) -> List[M.MonitoredItemCreateResult]:
         """Monitor the Value attribute of ``nodes``. ``client_handles``
-        default to the node's index in the list. ``deadband`` attaches an
-        absolute DataChangeFilter: numeric changes within the band are
-        not reported (Part 4 §7.22.2)."""
+        default to the node's index in the list. ``deadband`` attaches a
+        DataChangeFilter: numeric changes within the band are not
+        reported (Part 4 §7.22.2). ``deadband_percent=True`` sends a
+        percent deadband (percent of the node's EURange span, Part 8
+        §5.6.3.3) instead of an absolute one."""
         handles = client_handles or list(range(len(nodes)))
         filt = (M.DataChangeFilter(
-                    trigger=1, deadband_type=1, deadband_value=deadband
+                    trigger=1,
+                    deadband_type=2 if deadband_percent else 1,
+                    deadband_value=deadband
                 ).to_extension_object()
                 if deadband is not None else None)
         req = M.CreateMonitoredItemsRequest(

@@ -121,6 +121,7 @@ BAD_MONITORED_ITEM_ID_INVALID = 0x80420000
 BAD_MONITORED_ITEM_FILTER_INVALID = 0x80430000
 BAD_MONITORED_ITEM_FILTER_UNSUPPORTED = 0x80440000
 BAD_DEADBAND_FILTER_INVALID = 0x808E0000
+BAD_FILTER_NOT_ALLOWED = 0x80450000   # percent deadband w/o EURange
 BAD_TOO_MANY_SUBSCRIPTIONS = 0x80770000
 BAD_TOO_MANY_PUBLISH_REQUESTS = 0x80780000
 BAD_NO_SUBSCRIPTION = 0x80790000
@@ -154,6 +155,10 @@ REF_HAS_TYPE_DEFINITION = NodeId(0, 40)
 REF_HIERARCHICAL = NodeId(0, 33)
 DT_BOOLEAN = NodeId(0, 1)
 DT_DOUBLE = NodeId(0, 11)
+TYPE_PROPERTY = NodeId(0, 68)        # PropertyType
+REF_HAS_PROPERTY = NodeId(0, 46)
+DT_RANGE = NodeId(0, 884)            # Range structure DataType
+ID_RANGE_BINARY = 886                # Range default-binary encoding node
 
 
 # --------------------------------------------------------------------------

@@ -30,12 +30,14 @@ DeleteMonitoredItems / DeleteSubscriptions, with data-change sampling at
 the (revised) publishing interval, per-item queues, keepalives,
 sequence-numbered retransmission buffers and acknowledgement handling —
 the push path real SCADA clients use instead of polling Read.
-DataChangeFilter absolute deadbands are applied at the sampler (round 4;
-percent deadband needs an EURange the register model doesn't carry and
-is refused with Bad_MonitoredItemFilterUnsupported). Scope (documented,
+DataChangeFilter absolute AND percent deadbands are applied at the
+sampler (round 4): analog registers carry engineering-unit ranges
+(register_map eu_range), exposed as EURange property nodes (Part 8),
+and percent deadbands convert to absolute bands over that span —
+Bad_FilterNotAllowed for nodes without an EURange. Scope (documented,
 tested): anonymous auth over policy None only, single-chunk messages,
 items sample at the publishing cadence (samplingInterval is revised up
-to it), event notifications and percent deadbands are not implemented. Certificate security
+to it), event notifications are not implemented. Certificate security
 needs a crypto/PKI stack that is out of scope here; the Modbus planes'
 hardening posture (cluster-internal, docs/SECURITY.md) applies to this
 port too.
@@ -58,12 +60,14 @@ from ics_wt_physicsengine_tpu.opcua.encoding import (
     DecodeError,
     Decoder,
     Encoder,
+    ExtensionObject,
     LocalizedText,
     NodeId,
     QualifiedName,
     Variant,
     VT_BOOLEAN,
     VT_DOUBLE,
+    VT_EXTENSIONOBJECT,
     unix_to_filetime,
 )
 
@@ -84,6 +88,7 @@ class _Node:
     writable: bool
     units: str
     description: str
+    eu_range: Optional[tuple] = None   # (low, high) engineering units
 
     @property
     def is_boolean(self) -> bool:
@@ -124,6 +129,7 @@ class OPCUAServer:
         # registers onto one node.
         self._nodes: Dict[str, _Node] = {}
         self._children: Dict[str, list] = {}   # folder sid -> child sids
+        self._properties: Dict[str, tuple] = {}  # EURange sid -> (lo, hi)
         rm = slave.register_map
         for u in slave.units:
             folder = f"u{u}"
@@ -139,10 +145,16 @@ class OPCUAServer:
                         f"register name {reg.name!r} appears in more "
                         f"than one register type; OPC UA node ids "
                         f"require unique names")
+                eu_range = getattr(reg, "eu_range", None)
                 self._nodes[sid] = _Node(u, reg.name, reg.register_type,
                                          writable, reg.units,
-                                         reg.description)
+                                         reg.description,
+                                         eu_range=eu_range)
                 self._children[folder].append(sid)
+                # EURange property node (Part 8 AnalogItem property):
+                # serves percent-deadband conversion and HMI scaling
+                if eu_range is not None:
+                    self._properties[f"{sid}.EURange"] = eu_range
 
         self._server_ready = threading.Event()
         self._shutdown = threading.Event()
@@ -808,7 +820,9 @@ class OPCUAServer:
                      or rv.node_id == M.OBJECTS_FOLDER
                      or (rv.node_id.namespace == NAMESPACE
                          and isinstance(rv.node_id.identifier, str)
-                         and rv.node_id.identifier in self._children))
+                         and (rv.node_id.identifier in self._children
+                              or rv.node_id.identifier
+                              in self._properties)))
             if not known:
                 results.append(M.MonitoredItemCreateResult(
                     status=M.BAD_NODE_ID_UNKNOWN))
@@ -819,10 +833,10 @@ class OPCUAServer:
                 continue
             queue_size = min(max(item.requested_parameters.queue_size, 1),
                              100)
-            # DataChangeFilter: absolute deadband is applied at the
-            # sampler; percent deadband needs an EURange the register
-            # model doesn't carry — refused honestly. Unknown filter
-            # types are refused rather than silently ignored.
+            # DataChangeFilter: absolute and percent deadbands are
+            # applied at the sampler (percent converts to absolute via
+            # the node's EURange span, Part 8 section 5.6.3.3). Unknown
+            # filter types are refused rather than silently ignored.
             deadband = None
             filt = item.requested_parameters.filter
             if filt.body is not None:
@@ -837,10 +851,23 @@ class OPCUAServer:
                     results.append(M.MonitoredItemCreateResult(
                         status=M.BAD_MONITORED_ITEM_FILTER_INVALID))
                     continue
-                if dcf.deadband_type == 2:     # percent: no EURange
-                    results.append(M.MonitoredItemCreateResult(
-                        status=M.BAD_MONITORED_ITEM_FILTER_UNSUPPORTED))
-                    continue
+                if dcf.deadband_type == 2:
+                    # Percent deadband (Part 8 section 5.6.3.3): percent
+                    # OF THE EURANGE SPAN — only nodes carrying the
+                    # EURange property qualify (Bad_FilterNotAllowed
+                    # otherwise, per Part 8), and the percentage must
+                    # be in [0, 100].
+                    node = self._lookup(rv.node_id)
+                    if node is None or node.eu_range is None:
+                        results.append(M.MonitoredItemCreateResult(
+                            status=M.BAD_FILTER_NOT_ALLOWED))
+                        continue
+                    if not 0.0 <= dcf.deadband_value <= 100.0:
+                        results.append(M.MonitoredItemCreateResult(
+                            status=M.BAD_DEADBAND_FILTER_INVALID))
+                        continue
+                    low, high = node.eu_range
+                    deadband = dcf.deadband_value / 100.0 * (high - low)
                 if dcf.deadband_type == 1:
                     if dcf.deadband_value < 0:
                         results.append(M.MonitoredItemCreateResult(
@@ -1076,6 +1103,10 @@ class OPCUAServer:
                 and isinstance(nid.identifier, str)
                 and nid.identifier in self._children):
             return self._read_folder_attribute(nid, rv.attribute_id, now)
+        if (nid.namespace == NAMESPACE and isinstance(nid.identifier, str)
+                and nid.identifier in self._properties):
+            return self._read_property_attribute(nid, rv.attribute_id,
+                                                 now)
         node = self._lookup(nid)
         if node is None:
             return DataValue(status=M.BAD_NODE_ID_UNKNOWN)
@@ -1102,6 +1133,36 @@ class OPCUAServer:
             var = Variant(6, -1)   # scalar
         elif a in (M.ATTR_ACCESS_LEVEL, M.ATTR_USER_ACCESS_LEVEL):
             var = Variant(3, 0x03 if node.writable else 0x01)
+        else:
+            return DataValue(status=M.BAD_ATTRIBUTE_ID_INVALID)
+        return DataValue(value=var, source_timestamp=now)
+
+    def _read_property_attribute(self, nid: NodeId, attr: int,
+                                 now: int) -> DataValue:
+        """EURange property node (Part 8 section 5.6.3.3): Value is a
+        Range structure — ExtensionObject with the Range default-binary
+        encoding (two doubles, low then high)."""
+        low, high = self._properties[nid.identifier]
+        if attr == M.ATTR_VALUE:
+            body = Encoder().double(float(low)).double(float(high)).data()
+            var = Variant(VT_EXTENSIONOBJECT, ExtensionObject(
+                NodeId(0, M.ID_RANGE_BINARY), body))
+            return DataValue(value=var, source_timestamp=now,
+                             server_timestamp=now)
+        if attr == M.ATTR_NODE_ID:
+            var = Variant(17, nid)
+        elif attr == M.ATTR_NODE_CLASS:
+            var = Variant(6, M.NODECLASS_VARIABLE)
+        elif attr == M.ATTR_BROWSE_NAME:
+            var = Variant(20, QualifiedName(0, "EURange"))
+        elif attr == M.ATTR_DISPLAY_NAME:
+            var = Variant(21, LocalizedText("EURange", "en"))
+        elif attr == M.ATTR_DATA_TYPE:
+            var = Variant(17, M.DT_RANGE)
+        elif attr == M.ATTR_VALUE_RANK:
+            var = Variant(6, -1)
+        elif attr in (M.ATTR_ACCESS_LEVEL, M.ATTR_USER_ACCESS_LEVEL):
+            var = Variant(3, 0x01)         # read-only
         else:
             return DataValue(status=M.BAD_ATTRIBUTE_ID_INVALID)
         return DataValue(value=var, source_timestamp=now)
@@ -1216,7 +1277,19 @@ class OPCUAServer:
                     node_class=M.NODECLASS_VARIABLE,
                     type_definition=M.TYPE_BASE_DATA_VARIABLE))
         elif self._lookup(b.node_id) is not None:
-            pass   # variables have no forward hierarchical references
+            # variables' only forward reference is the EURange property
+            prop_sid = f"{b.node_id.identifier}.EURange"
+            if prop_sid in self._properties:
+                refs.append(M.ReferenceDescription(
+                    node_id=NodeId(NAMESPACE, prop_sid),
+                    browse_name=QualifiedName(0, "EURange"),
+                    display_name=LocalizedText("EURange", "en"),
+                    node_class=M.NODECLASS_VARIABLE,
+                    type_definition=M.TYPE_PROPERTY))
+        elif (b.node_id.namespace == NAMESPACE
+              and isinstance(b.node_id.identifier, str)
+              and b.node_id.identifier in self._properties):
+            pass   # properties are leaves
         else:
             return M.BrowseResult(status=M.BAD_NODE_ID_UNKNOWN)
         if max_references:

@@ -592,8 +592,8 @@ def test_register_unregister_nodes_roundtrip(plant_server):
 def test_data_change_filter_absolute_deadband(plant_server):
     """Absolute-deadband DataChangeFilter (Part 4 §7.22.2): numeric
     changes inside the band vs the last REPORTED value are suppressed,
-    out-of-band changes report, and the percent variant (needs an
-    EURange the register model doesn't carry) is refused honestly."""
+    out-of-band changes report, and the percent variant on a node
+    WITHOUT an EURange is refused with Bad_FilterNotAllowed (Part 8)."""
     server, slave = plant_server
     with OPCUAClient("127.0.0.1", server.actual_port) as c:
         sub_id, _ = c.create_subscription(publishing_interval=0.1,
@@ -616,21 +616,21 @@ def test_data_change_filter_absolute_deadband(plant_server):
         assert len(changes) == 1
         assert changes[0][1].value.value == pytest.approx(8.0, 1e-5)
 
-        # percent deadband: refused with the standard status
+        # percent deadband on a node with NO EURange (simulation_time
+        # is an unbounded counter): Bad_FilterNotAllowed per Part 8
         filt = M.DataChangeFilter(trigger=1, deadband_type=2,
                                   deadband_value=10.0
                                   ).to_extension_object()
         req = M.CreateMonitoredItemsRequest(
             c._request_header(), subscription_id=sub_id,
             items=[M.MonitoredItemCreateRequest(
-                item_to_monitor=M.ReadValueId(c._node("u2.chlorine_outlet")),
+                item_to_monitor=M.ReadValueId(c._node("u2.simulation_time")),
                 requested_parameters=M.MonitoringParameters(
                     client_handle=9, filter=filt))])
         rsp2 = c._service(M.ID_CREATE_MONITORED_ITEMS_REQ, req,
                           M.ID_CREATE_MONITORED_ITEMS_RSP,
                           M.CreateMonitoredItemsResponse.decode)
-        assert rsp2.results[0].status == \
-            M.BAD_MONITORED_ITEM_FILTER_UNSUPPORTED
+        assert rsp2.results[0].status == M.BAD_FILTER_NOT_ALLOWED
 
         # negative absolute deadband: invalid
         filt = M.DataChangeFilter(trigger=1, deadband_type=1,
@@ -646,6 +646,57 @@ def test_data_change_filter_absolute_deadband(plant_server):
                           M.ID_CREATE_MONITORED_ITEMS_RSP,
                           M.CreateMonitoredItemsResponse.decode)
         assert rsp3.results[0].status == M.BAD_DEADBAND_FILTER_INVALID
+
+
+def test_eu_range_property_and_percent_deadband(plant_server):
+    """Part 8 AnalogItem semantics: analog variables expose an EURange
+    property (browseable + readable as a Range structure), and percent
+    deadbands convert to absolute bands over the EURange span."""
+    server, slave = plant_server
+    with OPCUAClient("127.0.0.1", server.actual_port) as c:
+        # EURange property readable: chlorine 0-10 mg/L, pH 0-14
+        assert c.read_eu_range("u1.chlorine_outlet") == (0.0, 10.0)
+        assert c.read_eu_range("u1.pH_inlet") == (0.0, 14.0)
+        # browse of the variable surfaces the property
+        assert "EURange" in c.browse("u1.chlorine_outlet")
+        # folders don't list properties as children
+        assert "EURange" not in c.browse("u1")
+
+        # percent deadband: 10 % of (0,10) = 1.0 mg/L absolute band
+        sub_id, _ = c.create_subscription(publishing_interval=0.1,
+                                          max_keepalive_count=50)
+        res = c.create_monitored_items(sub_id, ["u1.chlorine_outlet"],
+                                       deadband=10.0,
+                                       deadband_percent=True)
+        assert res[0].status == M.GOOD
+        rsp = c.publish(timeout=5.0)          # initial value (0.85)
+        seq = rsp.notification_message.sequence_number
+        assert OPCUAClient.data_changes(rsp)
+
+        # in-band: |1.5 - 0.85| = 0.65 < 1.0 — suppressed
+        slave.update_input_register("chlorine_outlet", 1.5, unit=1)
+        time.sleep(0.5)
+        # out-of-band: |2.5 - 0.85| = 1.65 > 1.0 — reported
+        slave.update_input_register("chlorine_outlet", 2.5, unit=1)
+        rsp = c.publish(acks=[(sub_id, seq)], timeout=5.0)
+        changes = OPCUAClient.data_changes(rsp)
+        assert len(changes) == 1
+        assert changes[0][1].value.value == pytest.approx(2.5, 1e-5)
+
+        # out-of-range percentage: invalid
+        filt = M.DataChangeFilter(trigger=1, deadband_type=2,
+                                  deadband_value=150.0
+                                  ).to_extension_object()
+        req = M.CreateMonitoredItemsRequest(
+            c._request_header(), subscription_id=sub_id,
+            items=[M.MonitoredItemCreateRequest(
+                item_to_monitor=M.ReadValueId(c._node("u1.pH_outlet")),
+                requested_parameters=M.MonitoringParameters(
+                    client_handle=4, filter=filt))])
+        rsp2 = c._service(M.ID_CREATE_MONITORED_ITEMS_REQ, req,
+                          M.ID_CREATE_MONITORED_ITEMS_RSP,
+                          M.CreateMonitoredItemsResponse.decode)
+        assert rsp2.results[0].status == M.BAD_DEADBAND_FILTER_INVALID
 
 
 def test_subscription_keepalive_and_publishing_mode(plant_server):
