@@ -19,10 +19,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _run(script, args, timeout=420):
     env = dict(os.environ)
-    # The examples choose their own backend (--cpu / jax.config); scrub the
-    # test session's device forcing so subprocesses start clean.
+    # Hermetic: pin the subprocess to CPU. The container's default backend
+    # is a tunneled TPU whose health (wedged tunnel, a concurrent bench on
+    # the same chip) must not decide this suite's outcome — a contended
+    # tunnel has SIGSEGV'd an example subprocess mid-run. Default-backend
+    # probing/fallback has its own deadline-bounded unit coverage
+    # (tests/test_backend_select.py, test_orchestrator.py).
     env.pop("XLA_FLAGS", None)
-    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script)] + args,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout)
@@ -110,7 +114,7 @@ def test_package_demo_mains(module, marker):
     the CPU backend regardless of the session's default device."""
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
-    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run([sys.executable, "-m", module], cwd=REPO, env=env,
                          capture_output=True, text=True, timeout=420)
     assert out.returncode == 0, (module, out.stdout[-1500:],
