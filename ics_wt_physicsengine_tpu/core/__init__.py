@@ -67,11 +67,18 @@ from ics_wt_physicsengine_tpu.core.nitrogen import (  # noqa: F401
     total_nitrogen_mgN,
     validate_nitrogen,
 )
+from ics_wt_physicsengine_tpu.core.gas import (  # noqa: F401
+    GasParams,
+    co2_henry_constant,
+    make_gas_params,
+    oxygen_saturation,
+    validate_gas,
+)
 
 
 def run_all_validations() -> None:
     """Run the validation suites (reference core/__init__.py:266-294, plus
-    the nitrogen-chemistry extension's suite)."""
+    the nitrogen-chemistry and gas-exchange extensions' suites)."""
     print("Running all physics validations...")
     validate_thermodynamics()
     validate_chemistry()
@@ -80,6 +87,8 @@ def run_all_validations() -> None:
     validate_integrated_reactor()
     if not validate_nitrogen():
         raise RuntimeError("nitrogen chemistry validation failed")
+    if not validate_gas():
+        raise RuntimeError("gas exchange validation failed")
     print("ALL PHYSICS VALIDATIONS PASSED")
 
 

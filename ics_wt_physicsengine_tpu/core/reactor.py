@@ -27,6 +27,7 @@ with the stratification-modified exchange operator rebuilt each evaluation
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass, field
 from functools import partial
@@ -40,6 +41,7 @@ from ics_wt_physicsengine_tpu.core import chemistry as chem
 from ics_wt_physicsengine_tpu.core import constants as c
 from ics_wt_physicsengine_tpu.core import spatial as spatial_mod
 from ics_wt_physicsengine_tpu.core import thermodynamics as thermo
+from ics_wt_physicsengine_tpu.core import gas as gas_mod
 from ics_wt_physicsengine_tpu.core import nitrogen as nitrogen_mod
 from ics_wt_physicsengine_tpu.core import transport as transport_mod
 from ics_wt_physicsengine_tpu.core.chemistry import ChemistryConstants, LN10
@@ -98,6 +100,14 @@ class ReactorConfiguration:
     initial_nitrate: float = 0.0     # [mg N/L]
     initial_chloramine: float = 0.0  # [mg/L as Cl2] (combined chlorine)
     nitrogen_kinetics: Optional[dict] = None  # make_nitrogen_params overrides
+
+    # Gas exchange (core/gas.py — closes the reference's "No gas exchange
+    # (O2, CO2 dissolution)" limitation, reference README.md:521; disabled
+    # by default for exact reference parity: when off, the state carries no
+    # gas species and every code path is unchanged)
+    enable_gas: bool = False
+    initial_oxygen: Optional[float] = None   # [mg/L]; None = saturation(T)
+    gas_params: Optional[dict] = None        # make_gas_params overrides
 
     def validate(self) -> None:
         """Configuration consistency (reference reactor.py:91-110; the bare
@@ -182,6 +192,9 @@ class ReactorParams:
     # via None-ness, so the disabled path compiles exactly as before)
     nitrogen: Optional[nitrogen_mod.NitrogenParams] = None
 
+    # gas exchange (None = disabled; same trace-time static gating)
+    gas: Optional[gas_mod.GasParams] = None
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -205,6 +218,14 @@ class BoundaryConditions:
     heat_loss_coefficient: float = 0.0  # [W/K]
 
     inlet_ammonia: float = 0.0         # [mg N/L] (nitrogen chemistry only)
+
+    # gas exchange only (core/gas.py): source-water dissolved O2 / total
+    # carbonate, and the diffused-aeration actuator (volumetric O2 kLa the
+    # air flow provides; CO2 rides the same bubbles scaled by the film
+    # ratio — bubbling air strips CO2 and raises pH)
+    inlet_oxygen: float = 9.0          # [mg/L]
+    inlet_carbonate: float = 2.0       # [mmol/L]
+    aeration_kla: float = 0.0          # [1/s]
 
 
 @jax.tree_util.register_dataclass
@@ -232,6 +253,12 @@ class ReactorState:
     nitrite: jnp.ndarray = None      # [mg N/L]
     nitrate: jnp.ndarray = None      # [mg N/L]
     chloramine: jnp.ndarray = None   # monochloramine [mg/L as Cl2]
+
+    # gas species (None unless enable_gas; [..., n_zones] arrays)
+    oxygen: jnp.ndarray = None       # dissolved O2 [mg/L]
+    carbonate: jnp.ndarray = None    # total carbonate C_T [mmol/L] (dynamic
+    #                                  — CO2 exchange shifts it; pH follows
+    #                                  at constant alkalinity)
 
     def update_derived(self) -> "ReactorState":
         """Recompute derived quantities from the primary variables
@@ -271,6 +298,10 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
     if getattr(config, "enable_nitrogen", False):
         nitrogen = nitrogen_mod.make_nitrogen_params(
             dtype=dtype, **(config.nitrogen_kinetics or {}))
+    gas = None
+    if getattr(config, "enable_gas", False):
+        gas = gas_mod.make_gas_params(
+            dtype=dtype, **(config.gas_params or {}))
     return ReactorParams(
         n_zones=config.n_zones,
         volume_L=arr(config.volume),
@@ -288,6 +319,7 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
         ri_crit=arr(0.25),
         supp_factor=arr(0.5),
         nitrogen=nitrogen,
+        gas=gas,
     )
 
 
@@ -301,17 +333,27 @@ def make_initial_state(config: ReactorConfiguration,
     """
     z = config.n_zones
 
+    batch = np.shape(np.asarray(config.initial_pH))
+
     def full(v):
         v = np.asarray(v, dtype)
-        return np.broadcast_to(v[..., None], v.shape + (z,)).copy()
-
-    batch = np.shape(np.asarray(config.initial_pH))
+        v = np.broadcast_to(v[..., None], v.shape + (z,))
+        # scalar config fields follow the batch set by initial_pH so every
+        # state leaf carries the same [B, Z] rank
+        return np.broadcast_to(v, batch + (z,)).copy()
     n_kw = {}
     if getattr(config, "enable_nitrogen", False):
         n_kw = dict(ammonia=full(config.initial_ammonia),
                     nitrite=full(config.initial_nitrite),
                     nitrate=full(config.initial_nitrate),
                     chloramine=full(config.initial_chloramine))
+    if getattr(config, "enable_gas", False):
+        o2_0 = config.initial_oxygen
+        if o2_0 is None:
+            o2_0 = gas_mod.oxygen_saturation(
+                np.asarray(config.temperature, np.float64))
+        n_kw.update(oxygen=full(o2_0),
+                    carbonate=full(config.total_carbonate))
     state = ReactorState(
         time=np.zeros(batch, dtype) if batch else np.asarray(0.0, dtype),
         pH=full(config.initial_pH),
@@ -332,7 +374,8 @@ def make_initial_state(config: ReactorConfiguration,
 
 def derivatives(params: ReactorParams, pH, Cl, T,
                 boundary: BoundaryConditions,
-                inlet_mask=None, outlet_mask=None, nitrogen=None):
+                inlet_mask=None, outlet_mask=None, nitrogen=None,
+                gas=None):
     """d(pH, Cl, T)/dt for ``[..., Z]`` zone arrays. Fully vectorized —
     semantics match reference reactor.py:272-448 term by term.
 
@@ -355,6 +398,16 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     pH = jnp.clip(pH, 0.0, 14.0)
     Cl = jnp.maximum(Cl, 0.0)
     T = jnp.clip(T, 0.0, 100.0)
+
+    # Gas exchange makes total carbonate a per-zone STATE: the buffering
+    # capacity and carbonate speciation below must see the dynamic C_T, so
+    # the constant bundle is rebuilt with the state value (no-op while C_T
+    # still equals the configured value — reference parity is bit-exact
+    # until CO2 transfer actually moves it).
+    if gas is not None:
+        o2_s, ct_s = (jnp.maximum(x, 0.0) for x in gas)
+        ct_mol = ct_s * 1e-3
+        k = dataclasses.replace(k, C_T_mol=ct_mol)
 
     # Stratification-modified exchange operator (reactor.py:304-337):
     # density profile -> Richardson per interface -> suppression -> k_iface.
@@ -433,23 +486,10 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     dT = dT - align_trailing(heat_rate, T) \
         * (T - align_trailing(boundary.ambient_temperature, T))
 
-    if nitrogen is None:
+    if nitrogen is None and gas is None:
         return dpH, dCl, dT
 
-    # --- nitrogen species dynamics (core/nitrogen.py; roadmap item,
-    #     reference README.md:448). Chloramine FORMATION is deliberately
-    #     absent here — its seconds-scale rate would set the global substep
-    #     count; step() applies it as an exact analytic operator split. ---
-    # per-plant kinetics leaves are [B] while zone arrays are [B, Z]:
-    # right-pad for broadcasting (same pattern as k_exchange[..., None])
-    np_ = jax.tree_util.tree_map(lambda x: align_trailing(x, T),
-                                 params.nitrogen)
-    nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in nitrogen)
-    r1 = nitrogen_mod.nitrification_rate(nh, T, np_)      # [mg N/L/s]
-    r2 = nitrogen_mod.nitratation_rate(no2, T, np_)
-    r3 = nitrogen_mod.denitrification_rate(no3, T, np_)
-    r_cm_decay = (np_.k_cm_decay / nitrogen_mod.SECONDS_PER_DAY) * nhcl
-
+    # shared inlet/source helper for the extension species
     def species(x, inlet_conc, reaction):
         d = mix(x) + reaction
         if inlet_mask is None:
@@ -457,20 +497,88 @@ def derivatives(params: ReactorParams, pH, Cl, T,
         return d + align_trailing(q_per_v, x) * (inlet_conc - x) \
             * inlet_mask
 
-    dNH = species(nh, boundary.inlet_ammonia, -r1)
-    dNO2 = species(no2, 0.0, r1 - r2)
-    dNO3 = species(no3, 0.0, r2 - r3)
-    dNHCl = species(nhcl, 0.0, -r_cm_decay)
+    # The two extension axes couple both ways: O2 limitation (gas) scales
+    # the nitrification rates, and the nitrification rates (nitrogen) set
+    # the O2 demand — so rates are computed first, equations second.
+    gp = None
+    if gas is not None:
+        gp = jax.tree_util.tree_map(lambda x: align_trailing(x, T),
+                                    params.gas)
 
-    # alkalinity coupling through the same buffering chain rule the acid
-    # dosing uses: nitrification releases 2 H+/N, denitrification consumes
-    # 1 H+/N (7.14 / 3.57 g CaCO3 per g N)
-    dH_bio = (nitrogen_mod.H_PER_N_NITRIF * r1
-              + nitrogen_mod.H_PER_N_DENIT * r3) \
-        / nitrogen_mod._N_MGL_PER_MOL                    # [mol/L/s]
-    dpH = dpH - dH_bio * inv_beta_ln10
+    extra = ()
+    r1 = r2 = None
+    if nitrogen is not None:
+        # --- nitrogen species dynamics (core/nitrogen.py; roadmap item,
+        #     reference README.md:448). Chloramine FORMATION is deliberately
+        #     absent here — its seconds-scale rate would set the global
+        #     substep count; step() applies it as an exact analytic
+        #     operator split. ---
+        # per-plant kinetics leaves are [B] while zone arrays are [B, Z]:
+        # right-pad for broadcasting (same pattern as k_exchange[..., None])
+        np_ = jax.tree_util.tree_map(lambda x: align_trailing(x, T),
+                                     params.nitrogen)
+        nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in nitrogen)
+        r1 = nitrogen_mod.nitrification_rate(nh, T, np_)      # [mg N/L/s]
+        r2 = nitrogen_mod.nitratation_rate(no2, T, np_)
+        r3 = nitrogen_mod.denitrification_rate(no3, T, np_)
+        if gas is not None:
+            # aerobic steps are Monod-limited in O2; denitrification is
+            # O2-INHIBITED — anoxic zones emerge from the physics
+            lim = gas_mod.o2_monod(o2_s, gp.K_o2_nitrif)
+            r1 = r1 * lim
+            r2 = r2 * lim
+            r3 = r3 * gas_mod.o2_inhibition(o2_s, gp.K_o2_denit)
+        r_cm_decay = (np_.k_cm_decay / nitrogen_mod.SECONDS_PER_DAY) * nhcl
 
-    return dpH, dCl, dT, dNH, dNO2, dNO3, dNHCl
+        dNH = species(nh, boundary.inlet_ammonia, -r1)
+        dNO2 = species(no2, 0.0, r1 - r2)
+        dNO3 = species(no3, 0.0, r2 - r3)
+        dNHCl = species(nhcl, 0.0, -r_cm_decay)
+
+        # alkalinity coupling through the same buffering chain rule the acid
+        # dosing uses: nitrification releases 2 H+/N, denitrification
+        # consumes 1 H+/N (7.14 / 3.57 g CaCO3 per g N)
+        dH_bio = (nitrogen_mod.H_PER_N_NITRIF * r1
+                  + nitrogen_mod.H_PER_N_DENIT * r3) \
+            / nitrogen_mod._N_MGL_PER_MOL                    # [mol/L/s]
+        dpH = dpH - dH_bio * inv_beta_ln10
+        extra += (dNH, dNO2, dNO3, dNHCl)
+
+    if gas is not None:
+        # --- gas exchange (core/gas.py; closes reference README.md:521
+        #     "No gas exchange"). Two-film surface transfer acts on the TOP
+        #     zone (Z-1 — the outlet zone, so the sharded path's
+        #     outlet_mask doubles as the surface selector); diffused
+        #     aeration (boundary.aeration_kla) acts volumetrically. ---
+        if outlet_mask is None:
+            surf = jnp.zeros_like(T).at[..., -1].set(1.0)
+        else:
+            surf = outlet_mask
+        kla_surf = gas_mod.kla_temperature(
+            gp.kl_surface / align_trailing(params.zone_height, T),
+            T, gp.theta_kla) * surf
+        kla_o2 = kla_surf + align_trailing(
+            jnp.asarray(boundary.aeration_kla), T)
+        r_o2 = kla_o2 * (gas_mod.oxygen_saturation(T) - o2_s)  # [mg/L/s]
+        demand = 0.0
+        if r1 is not None:
+            # nitrification oxygen demand: 3.43 + 1.14 g O2 / g N
+            demand = gas_mod.O2_PER_N_AOB * r1 + gas_mod.O2_PER_N_NOB * r2
+        dO2 = species(o2_s, boundary.inlet_oxygen, r_o2 - demand)
+
+        # CO2 exchanges against the dissolved (alpha0) fraction of the
+        # carbonate pool; the film coefficient scales by sqrt(D_CO2/D_O2)
+        a0, _, _ = chem.alpha_carbonate(pH, k.Ka1, k.Ka2)
+        r_co2_mol = (kla_o2 * gas_mod.CO2_FILM_RATIO) * (
+            gas_mod.co2_saturation_mol(T, gp.p_co2_atm) - a0 * ct_mol)
+        dCT = species(ct_s, boundary.inlet_carbonate, 1e3 * r_co2_mol)
+
+        # equilibrium pH shift at constant alkalinity:
+        # dpH/dC_T = -(a1 + 2 a2) / beta (k already carries the dynamic C_T)
+        dpH = dpH + gas_mod.ph_per_carbonate(pH, k) * r_co2_mol
+        extra += (dO2, dCT)
+
+    return (dpH, dCl, dT) + extra
 
 
 # ---------------------------------------------------------------------------
@@ -499,6 +607,8 @@ def _update_derived(state: ReactorState) -> ReactorState:
         nitrite=state.nitrite,
         nitrate=state.nitrate,
         chloramine=state.chloramine,
+        oxygen=state.oxygen,
+        carbonate=state.carbonate,
     )
 
 
@@ -515,7 +625,8 @@ def step(params: ReactorParams, state: ReactorState,
          boundary: BoundaryConditions, dt: float,
          substeps: int, deriv_fn=None,
          stages: Optional[int] = None,
-         deriv_fn_nitrogen: bool = False) -> ReactorState:
+         deriv_fn_nitrogen: bool = False,
+         deriv_fn_gas: bool = False) -> ReactorState:
     """Advance the reactor by ``dt`` seconds (reference reactor.py:450-509).
 
     ``dt`` and ``substeps`` must be static (Python) values. ``deriv_fn``
@@ -527,6 +638,7 @@ def step(params: ReactorParams, state: ReactorState,
     trajectories in tests/test_rkc.py.
     """
     has_n = params.nitrogen is not None and state.ammonia is not None
+    has_gas = params.gas is not None and state.oxygen is not None
     if deriv_fn is not None and has_n and not deriv_fn_nitrogen:
         raise ValueError(
             "this custom deriv_fn was not declared nitrogen-capable "
@@ -534,14 +646,21 @@ def step(params: ReactorParams, state: ReactorState,
             "4 extra species); the zone-sharded SPMD paths "
             "(parallel/spatial.py) support nitrogen via their "
             "nitrogen=True option")
+    if deriv_fn is not None and has_gas and not deriv_fn_gas:
+        raise ValueError(
+            "this custom deriv_fn was not declared gas-capable "
+            "(pass deriv_fn_gas=True if it accepts and returns the oxygen "
+            "and carbonate species after any nitrogen species)")
+    # species tuple layout: (pH, Cl, T) [+ 4 nitrogen] [+ 2 gas]
+    n_sl = slice(3, 7) if has_n else None
+    g_off = 7 if has_n else 3
+    g_sl = slice(g_off, g_off + 2) if has_gas else None
     if deriv_fn is None:
-        if has_n:
-            def f(y):
-                return derivatives(params, y[0], y[1], y[2], boundary,
-                                   nitrogen=y[3:])
-        else:
-            def f(y):
-                return derivatives(params, y[0], y[1], y[2], boundary)
+        def f(y):
+            return derivatives(
+                params, y[0], y[1], y[2], boundary,
+                nitrogen=y[n_sl] if has_n else None,
+                gas=y[g_sl] if has_gas else None)
     else:
         f = deriv_fn
 
@@ -549,14 +668,19 @@ def step(params: ReactorParams, state: ReactorState,
     if has_n:
         y = y + (state.ammonia, state.nitrite, state.nitrate,
                  state.chloramine)
+    if has_gas:
+        y = y + (state.oxygen, state.carbonate)
     if stages is None:
         out = integrators.integrate_fixed(f, y, dt, substeps)
     else:
         out = integrators.integrate_rkc(f, y, dt, substeps, stages)
     pH, Cl, T = _enforce_bounds(*out[:3])
     n_kw = {}
+    if has_gas:
+        n_kw = dict(oxygen=jnp.maximum(out[g_sl.start], 0.0),
+                    carbonate=jnp.maximum(out[g_sl.start + 1], 0.0))
     if has_n:
-        nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in out[3:])
+        nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in out[n_sl])
         # Operator split for the FAST reaction (chloramination: HOCl + NH3
         # -> NH2Cl, pseudo-first-order ~60 1/s at 2 mg/L free chlorine):
         # exact analytic second-order extent over dt against the stepped
@@ -570,11 +694,15 @@ def step(params: ReactorParams, state: ReactorState,
         Cl = jnp.maximum(Cl - x_mol * nitrogen_mod._CL2_MGL_PER_MOL, 0.0)
         nh = jnp.maximum(nh - x_mol * nitrogen_mod._N_MGL_PER_MOL, 0.0)
         nhcl = nhcl + x_mol * nitrogen_mod._CL2_MGL_PER_MOL
-        beta = chem.buffering_capacity(pH, params.chem)
+        k_split = params.chem
+        if has_gas:  # buffering must see the dynamic carbonate pool
+            k_split = dataclasses.replace(
+                k_split, C_T_mol=n_kw["carbonate"] * 1e-3)
+        beta = chem.buffering_capacity(pH, k_split)
         pH = jnp.clip(
             pH - nitrogen_mod.H_PER_N_CHLORAMINE * x_mol / (beta * LN10),
             0.0, 14.0)
-        n_kw = dict(ammonia=nh, nitrite=no2, nitrate=no3, chloramine=nhcl)
+        n_kw.update(ammonia=nh, nitrite=no2, nitrate=no3, chloramine=nhcl)
 
     total_flow = (boundary.inlet_flow_rate + boundary.acid_flow_rate
                   + boundary.chlorine_flow_rate)
