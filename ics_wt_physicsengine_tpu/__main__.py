@@ -125,6 +125,15 @@ def initialize_sensors(config, sim_start_time: float, verbose: bool = False,
             elif "ammonia" in name:
                 sensor.calibrate(getattr(config, "initial_ammonia", 0.0),
                                  sim_start_time, "system_init")
+            elif "oxygen" in name:
+                from ics_wt_physicsengine_tpu.core.gas import (
+                    oxygen_saturation)
+                o2_ref = getattr(config, "initial_oxygen", None)
+                if o2_ref is None:
+                    import numpy as _np
+                    o2_ref = float(oxygen_saturation(
+                        _np.float64(config.temperature)))
+                sensor.calibrate(o2_ref, sim_start_time, "system_init")
             if verbose:
                 logger.info("  calibrated %s", name)
         except Exception:  # noqa: BLE001
@@ -236,6 +245,21 @@ def update_modbus_inputs(slave: Optional[ModbusSlave],
                                         outlet(state.chloramine),
                                         unit=unit)
 
+        # gas-exchange extension registers (extended_gas=True maps)
+        oxygen = getattr(state, "oxygen", None)
+        if oxygen is not None:
+            def outlet_g(x):
+                return float(np.asarray(x)[..., -1])
+            # prefer the MEASURED value from the DO instrument
+            # (sensors/oxygen.py); fall back to the true state
+            o2_val = (safe_value("oxygen_outlet")
+                      if "oxygen_outlet" in readings
+                      else outlet_g(oxygen))
+            slave.update_input_register("oxygen_outlet", o2_val, unit=unit)
+            slave.update_input_register("carbonate_outlet",
+                                        outlet_g(state.carbonate),
+                                        unit=unit)
+
         any_fault = any(r.fault != SensorFault.NONE
                         for r in readings.values())
         slave.update_input_register("system_status", 1 if any_fault else 0,
@@ -263,7 +287,7 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
     (reference __main__.py:227-252, extended to the full register map).
     ``unit`` selects a fleet unit's register space; None = primary."""
     if slave is None or not slave.is_running:
-        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None
+        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None
     try:
         acid_rate = validate_flow_rate(
             slave.read_holding_register("acid_flow_rate", unit=unit),
@@ -289,11 +313,18 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
                 max_value=50.0)
         except Exception:  # noqa: BLE001 — base map: register absent
             inlet_ammonia = None
+        try:    # gas extension register (extended maps only)
+            aeration_kla = validate_concentration(
+                slave.read_holding_register("aeration_kla", unit=unit),
+                max_value=0.1)
+        except Exception:  # noqa: BLE001 — base map: register absent
+            aeration_kla = None
         return (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
-                acid_enable, cl_enable, sim_running, inlet_ammonia)
+                acid_enable, cl_enable, sim_running, inlet_ammonia,
+                aeration_kla)
     except Exception as e:  # noqa: BLE001
         logger.error("Modbus read failed: %s", type(e).__name__)
-        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None
+        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None
 
 
 def apply_boundary_conditions(boundary: BoundaryConditions, commands
@@ -305,6 +336,7 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
     (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
      acid_enable, cl_enable, _), extra = commands[:8], commands[8:]
     inlet_ammonia = extra[0] if extra else None
+    aeration_kla = extra[1] if len(extra) > 1 else None
     from dataclasses import replace
     new_inlet = boundary.inlet_flow_rate
     if inlet_rate > 0.1:
@@ -312,6 +344,8 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
     updates = {}
     if inlet_ammonia is not None:   # nitrogen extension register present
         updates["inlet_ammonia"] = inlet_ammonia
+    if aeration_kla is not None:    # gas extension register present
+        updates["aeration_kla"] = aeration_kla
     return replace(
         boundary,
         acid_flow_rate=(validate_flow_rate(acid_rate, max_value=2.0)
@@ -498,6 +532,12 @@ def main(argv=None):
     parser.add_argument("--initial-ammonia", type=float, default=1.0,
                         help="Initial/source total ammonia nitrogen "
                              "[mg N/L] when --enable-nitrogen is set")
+    parser.add_argument("--enable-gas", action="store_true",
+                        help="Enable the gas-exchange extension "
+                             "(core/gas.py): dissolved O2/CO2 species with "
+                             "carbonate-pH coupling, a DO instrument, "
+                             "extended input registers (28-31) and the "
+                             "aeration_kla holding register (16)")
     parser.add_argument("--fleet", type=int, default=1,
                         help="Serve N independently controlled plants from "
                              "one Modbus endpoint: unit id u = plant lane "
@@ -724,7 +764,8 @@ def main(argv=None):
             initial_pH=7.2, initial_chlorine=2.0, temperature=20.0,
             enable_nitrogen=args.enable_nitrogen,
             initial_ammonia=args.initial_ammonia
-            if args.enable_nitrogen else 0.0)
+            if args.enable_nitrogen else 0.0,
+            enable_gas=args.enable_gas)
         reactor = IntegratedCSTR(config, integrator=args.integrator)
         _m, _s = reactor._plan_for(args.dt)
         logger.info("Physics engine initialized (%d zones, %s: substeps=%d%s)",
@@ -795,18 +836,21 @@ def main(argv=None):
                 from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
                 slave = NativeModbusSlave(
                     ModbusRegisterMap(
-                        extended_nitrogen=args.enable_nitrogen),
+                        extended_nitrogen=args.enable_nitrogen,
+                        extended_gas=args.enable_gas),
                     server_config)
             elif args.rtu_serial or args.rtu_tcp:
                 from ics_wt_physicsengine_tpu.modbus import ModbusRtuSlave
                 slave = ModbusRtuSlave(
                     ModbusRegisterMap(
-                        extended_nitrogen=args.enable_nitrogen),
+                        extended_nitrogen=args.enable_nitrogen,
+                        extended_gas=args.enable_gas),
                     server_config, serial_device=args.rtu_serial)
             else:
                 slave = ModbusSlave(
                     ModbusRegisterMap(
-                        extended_nitrogen=args.enable_nitrogen),
+                        extended_nitrogen=args.enable_nitrogen,
+                        extended_gas=args.enable_gas),
                     server_config)
             slave.start(blocking=False)
             # Initialize writable registers/coils so reference-compatible
@@ -818,6 +862,8 @@ def main(argv=None):
             if args.enable_nitrogen:
                 slave.write_holding_register("inlet_ammonia",
                                              args.initial_ammonia)
+            if args.enable_gas:
+                slave.write_holding_register("aeration_kla", 0.0)
             slave.write_coil("acid_pump_enable", True)
             slave.write_coil("chlorine_pump_enable", True)
             slave.write_coil("simulation_running", True)

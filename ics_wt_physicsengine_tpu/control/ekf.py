@@ -42,10 +42,12 @@ from ics_wt_physicsengine_tpu.core import reactor as R
 # core when the plant runs the nitrogen chemistry (core/nitrogen.py)
 _FIELDS = ("pH", "chlorine", "temperature")
 _N_FIELDS = ("ammonia", "nitrite", "nitrate", "chloramine")
+_G_FIELDS = ("oxygen", "carbonate")
 
 
-def state_fields(nitrogen: bool = False) -> tuple:
-    return _FIELDS + (_N_FIELDS if nitrogen else ())
+def state_fields(nitrogen: bool = False, gas: bool = False) -> tuple:
+    return _FIELDS + (_N_FIELDS if nitrogen else ()) \
+        + (_G_FIELDS if gas else ())
 
 
 @jax.tree_util.register_dataclass
@@ -62,14 +64,17 @@ def flatten_state(state: R.ReactorState) -> jnp.ndarray:
     if state.ammonia is not None:
         arrs += [state.ammonia, state.nitrite, state.nitrate,
                  state.chloramine]
+    if state.oxygen is not None:
+        arrs += [state.oxygen, state.carbonate]
     return jnp.concatenate(arrs, axis=-1)
 
 
 def unflatten_state(x: jnp.ndarray, n_zones: int,
                     time=0.0, flow_rate=0.0,
-                    nitrogen: bool = False) -> R.ReactorState:
+                    nitrogen: bool = False,
+                    gas: bool = False) -> R.ReactorState:
     """Flat vector -> ReactorState (derived fields recomputed)."""
-    fields = state_fields(nitrogen)
+    fields = state_fields(nitrogen, gas)
     parts = {f: x[..., i * n_zones:(i + 1) * n_zones]
              for i, f in enumerate(fields)}
     st = R.ReactorState(
@@ -77,14 +82,15 @@ def unflatten_state(x: jnp.ndarray, n_zones: int,
         pH=parts["pH"], chlorine=parts["chlorine"],
         temperature=parts["temperature"],
         flow_rate=jnp.asarray(flow_rate, x.dtype),
-        **({k: parts[k] for k in _N_FIELDS} if nitrogen else {}))
+        **({k: parts[k] for k in _N_FIELDS} if nitrogen else {}),
+        **({k: parts[k] for k in _G_FIELDS} if gas else {}))
     return st.update_derived()
 
 
 def tap_index(field: str, zone: int, n_zones: int,
-              nitrogen: bool = False) -> int:
+              nitrogen: bool = False, gas: bool = False) -> int:
     """State-vector index of ``field`` at ``zone`` (negative zones ok)."""
-    fields = state_fields(nitrogen)
+    fields = state_fields(nitrogen, gas)
     if field not in fields:
         raise ValueError(f"field must be one of {fields}, got {field!r}")
     if not -n_zones <= zone < n_zones:
@@ -100,7 +106,8 @@ def make_ekf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
     (pH, chlorine, temperature[, ammonia, nitrite, nitrate,
     chloramine]) broadcast across that field's zones."""
     nitrogen = state0.ammonia is not None
-    n_fields = len(state_fields(nitrogen))
+    gas = state0.oxygen is not None
+    n_fields = len(state_fields(nitrogen, gas))
     x0 = flatten_state(state0)
     p0_arr = jnp.asarray(p0, x0.dtype)
     if p0_arr.ndim == 0:
@@ -142,26 +149,30 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
     ensembles.
 
     Nitrogen plants (``params.nitrogen`` set) extend the state to 7
-    fields per zone (pH, Cl, T, NH3, NO2, NO3, NH2Cl); taps may then
-    include the species (e.g. ``("ammonia", -1)`` — the suite's ISE
-    instrument), and ``process_noise`` takes 7 per-field PSDs (a
-    3-entry core value is extended with 1e-6 for each species)."""
+    fields per zone (pH, Cl, T, NH3, NO2, NO3, NH2Cl); gas plants
+    (``params.gas``) append O2 and C_T after any nitrogen species. Taps
+    may then include the species (e.g. ``("ammonia", -1)`` — the ISE
+    instrument — or ``("oxygen", -1)`` — the DO probe), and
+    ``process_noise`` takes one PSD per field (a 3-entry core value is
+    extended with 1e-6 for each extension species)."""
     nitrogen = params.nitrogen is not None
-    n_fields = len(state_fields(nitrogen))
-    idxs = tuple(tap_index(f, z, n_zones, nitrogen) for f, z in taps)
+    gas = params.gas is not None
+    n_fields = len(state_fields(nitrogen, gas))
+    idxs = tuple(tap_index(f, z, n_zones, nitrogen, gas)
+                 for f, z in taps)
     q_field = jnp.asarray(process_noise, jnp.float32)
-    if nitrogen and q_field.shape == (3,):
+    if q_field.shape == (3,) and n_fields > 3:
         q_field = jnp.concatenate(
-            [q_field, jnp.full(4, 1e-6, jnp.float32)])
+            [q_field, jnp.full(n_fields - 3, 1e-6, jnp.float32)])
     if q_field.shape != (n_fields,):
         raise ValueError(f"process_noise is one PSD per field "
-                         f"{state_fields(nitrogen)}")
+                         f"{state_fields(nitrogen, gas)}")
     q_diag = jnp.repeat(q_field, n_zones) * dt
     r = jnp.broadcast_to(jnp.asarray(measurement_noise, jnp.float32),
                          (len(idxs),))
 
     def f_flat(x, boundary):
-        st = unflatten_state(x, n_zones, nitrogen=nitrogen)
+        st = unflatten_state(x, n_zones, nitrogen=nitrogen, gas=gas)
         st2 = R.step(params, st, boundary, dt, substeps, stages=stages)
         return flatten_state(st2)
 
@@ -270,7 +281,8 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
     import dataclasses
 
     nitrogen = params.nitrogen is not None
-    n_fields = len(state_fields(nitrogen))
+    gas = params.gas is not None
+    n_fields = len(state_fields(nitrogen, gas))
     bc_fields = {f.name for f in
                  dataclasses.fields(R.BoundaryConditions)}
     for name in augment:
@@ -279,14 +291,15 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
                              f"field")
     n_aug = len(augment)
     n_core = n_fields * n_zones
-    idxs = tuple(tap_index(f, z, n_zones, nitrogen) for f, z in taps)
+    idxs = tuple(tap_index(f, z, n_zones, nitrogen, gas)
+                 for f, z in taps)
     q_field = jnp.asarray(process_noise, jnp.float32)
-    if nitrogen and q_field.shape == (3,):
+    if q_field.shape == (3,) and n_fields > 3:
         q_field = jnp.concatenate(
-            [q_field, jnp.full(4, 1e-6, jnp.float32)])
+            [q_field, jnp.full(n_fields - 3, 1e-6, jnp.float32)])
     if q_field.shape != (n_fields,):
         raise ValueError(f"process_noise is one PSD per field "
-                         f"{state_fields(nitrogen)}")
+                         f"{state_fields(nitrogen, gas)}")
     q_aug = jnp.broadcast_to(
         jnp.asarray(augment_noise, jnp.float32), (n_aug,))
     q_diag = jnp.concatenate(
@@ -300,7 +313,7 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
             boundary, **{name: theta[..., i]
                          for i, name in enumerate(augment)})
         st = unflatten_state(x[..., :n_core], n_zones,
-                             nitrogen=nitrogen)
+                             nitrogen=nitrogen, gas=gas)
         st2 = R.step(params, st, bc, dt, substeps, stages=stages)
         return jnp.concatenate([flatten_state(st2), theta], axis=-1)
 
@@ -333,7 +346,7 @@ def ekf_observer(controller, ekf_step, n_zones: int,
                  measured: Sequence[str],
                  estimates: dict,
                  batched: bool = False,
-                 nitrogen: bool = False):
+                 nitrogen: bool = False, gas: bool = False):
     """Wrap a controller so it acts on EKF state ESTIMATES instead of
     raw instrument readings — observer-based output feedback, in-graph.
 
@@ -353,7 +366,7 @@ def ekf_observer(controller, ekf_step, n_zones: int,
     ``ekf_step`` (from ``make_ekf``); it must equal the rollout's dt.
     ``batched=True`` vmaps the filter over a leading lane axis (use
     with ``rollout_closed_loop(batched=True)``)."""
-    idx_of = {name: tap_index(f, z, n_zones, nitrogen)
+    idx_of = {name: tap_index(f, z, n_zones, nitrogen, gas)
               for name, (f, z) in estimates.items()}
     step_fn = (jax.vmap(ekf_step, in_axes=(0, 0, 0)) if batched
                else ekf_step)

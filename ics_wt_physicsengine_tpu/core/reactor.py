@@ -1033,6 +1033,12 @@ class IntegratedCSTR:
             "temperature": self.state.temperature,
             "density": self.state.density,
         }
+        # extension species (present only when their axis is enabled)
+        for name in ("ammonia", "nitrite", "nitrate", "chloramine",
+                     "oxygen", "carbonate"):
+            v = getattr(self.state, name, None)
+            if v is not None:
+                arrays[name] = v
         if parameter not in arrays:
             raise ValueError(f"Unknown parameter: {parameter}")
         return float(arrays[parameter][..., zone_idx])

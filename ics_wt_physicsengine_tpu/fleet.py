@@ -107,7 +107,8 @@ def main_fleet(args) -> None:
             initial_pH=7.2, initial_chlorine=2.0, temperature=20.0,
             enable_nitrogen=getattr(args, "enable_nitrogen", False),
             initial_ammonia=args.initial_ammonia
-            if getattr(args, "enable_nitrogen", False) else 0.0)
+            if getattr(args, "enable_nitrogen", False) else 0.0,
+            enable_gas=getattr(args, "enable_gas", False))
         # Plan the integrator exactly like the single-plant path.
         m, s = IntegratedCSTR(
             config, integrator=args.integrator)._plan_for(args.dt)
@@ -292,13 +293,17 @@ def main_fleet(args) -> None:
             if args.native_modbus:
                 from ics_wt_physicsengine_tpu.modbus import NativeModbusSlave
                 slave = NativeModbusSlave(
-                    ModbusRegisterMap(extended_nitrogen=getattr(
-                        args, "enable_nitrogen", False)),
+                    ModbusRegisterMap(
+                        extended_nitrogen=getattr(
+                            args, "enable_nitrogen", False),
+                        extended_gas=getattr(args, "enable_gas", False)),
                     server_config, units=units)
             else:
                 slave = ModbusSlave(
-                    ModbusRegisterMap(extended_nitrogen=getattr(
-                        args, "enable_nitrogen", False)),
+                    ModbusRegisterMap(
+                        extended_nitrogen=getattr(
+                            args, "enable_nitrogen", False),
+                        extended_gas=getattr(args, "enable_gas", False)),
                     server_config, units=units)
             # The listener starts AFTER checkpoint restore (below): both
             # planes' register stores accept writes pre-start, and
@@ -316,6 +321,9 @@ def main_fleet(args) -> None:
                 if getattr(args, "enable_nitrogen", False):
                     slave.write_holding_register("inlet_ammonia",
                                                  args.initial_ammonia,
+                                                 unit=u)
+                if getattr(args, "enable_gas", False):
+                    slave.write_holding_register("aeration_kla", 0.0,
                                                  unit=u)
                 slave.write_coil("acid_pump_enable", True, unit=u)
                 slave.write_coil("chlorine_pump_enable", True, unit=u)
@@ -589,6 +597,8 @@ def main_fleet(args) -> None:
                 "acid_concentration", "chlorine_concentration")
         if getattr(args, "enable_nitrogen", False):
             regs = regs + ("inlet_ammonia",)   # the extension's command
+        if getattr(args, "enable_gas", False):
+            regs = regs + ("aeration_kla",)
         coils = ("acid_pump_enable", "chlorine_pump_enable",
                  "simulation_running")
         try:
@@ -696,11 +706,14 @@ def main_fleet(args) -> None:
                 last_out = jax.tree_util.tree_map(lambda x: x[-1], host_out)
                 pH_np = np.asarray(plant.reactor.pH)
                 t_np = np.asarray(plant.reactor.time).reshape(-1)
-                n_np = None
+                n_np = {}
                 if plant.reactor.ammonia is not None:
-                    n_np = {k: np.asarray(getattr(plant.reactor, k))
-                            for k in ("ammonia", "nitrite", "nitrate",
-                                      "chloramine")}
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("ammonia", "nitrite", "nitrate",
+                                           "chloramine")})
+                if plant.reactor.oxygen is not None:
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("oxygen", "carbonate")})
                 if slave:
                     ok = True
                     for i, u in enumerate(units):
@@ -708,10 +721,9 @@ def main_fleet(args) -> None:
                             continue
                         readings = M._readings_from_outputs(last_out,
                                                             lane=i)
-                        st_ns = SimpleNamespace(pH=pH_np[i]) \
-                            if n_np is None else SimpleNamespace(
-                                pH=pH_np[i],
-                                **{k: v[i] for k, v in n_np.items()})
+                        st_ns = SimpleNamespace(
+                            pH=pH_np[i],
+                            **{k: v[i] for k, v in n_np.items()})
                         ok &= M.update_modbus_inputs(
                             slave, readings, st_ns, float(t_np[i]), unit=u)
                     if not ok:
@@ -794,11 +806,14 @@ def main_fleet(args) -> None:
                 # device->host transfer per species per tick, not one per
                 # unit (a sharded 254-unit fleet would otherwise do ~1000
                 # cross-device gathers per tick)
-                n_np = None
+                n_np = {}
                 if plant.reactor.ammonia is not None:
-                    n_np = {k: np.asarray(getattr(plant.reactor, k))
-                            for k in ("ammonia", "nitrite", "nitrate",
-                                      "chloramine")}
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("ammonia", "nitrite", "nitrate",
+                                           "chloramine")})
+                if plant.reactor.oxygen is not None:
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("oxygen", "carbonate")})
 
                 if slave:
                     ok = True
@@ -806,11 +821,9 @@ def main_fleet(args) -> None:
                         if not run_mask[i]:
                             continue   # frozen lane keeps its last registers
                         readings = M._readings_from_outputs(host_out, lane=i)
-                        st_ns = SimpleNamespace(pH=pH_np[i])
-                        if n_np is not None:
-                            st_ns = SimpleNamespace(
-                                pH=pH_np[i],
-                                **{k: v[i] for k, v in n_np.items()})
+                        st_ns = SimpleNamespace(
+                            pH=pH_np[i],
+                            **{k: v[i] for k, v in n_np.items()})
                         ok &= M.update_modbus_inputs(
                             slave, readings, st_ns,
                             float(t_np[i]), unit=u)

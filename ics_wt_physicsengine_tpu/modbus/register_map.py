@@ -82,11 +82,14 @@ class ModbusRegisterMap:
     """Register layout only — no sensor/actuator/control logic
     (reference register_map.py:91-102)."""
 
-    def __init__(self, extended_nitrogen: bool = False):
+    def __init__(self, extended_nitrogen: bool = False,
+                 extended_gas: bool = False):
         """``extended_nitrogen=True`` appends the nitrogen-chemistry
         extension's registers (core/nitrogen.py) at addresses the
         reference map leaves free — the base map stays address-identical
-        to the reference either way."""
+        to the reference either way. ``extended_gas=True`` likewise appends
+        the gas-exchange extension's registers (core/gas.py): dissolved-O2
+        and carbonate telemetry plus the diffused-aeration actuator."""
         # Input registers (reference register_map.py:119-244)
         # eu_range values mirror the instruments' measurement ranges
         # (sensor wrappers) and the orchestrator's zero-trust clamps
@@ -128,6 +131,15 @@ class ModbusRegisterMap:
                     "Combined chlorine (monochloramine) at outlet",
                     eu_range=(0.0, 5.0)),
             ]
+        if extended_gas:
+            self.input_registers += [
+                _ir(28, "oxygen_outlet", "mg/L",
+                    "Dissolved oxygen at outlet",
+                    eu_range=(0.0, 20.0)),
+                _ir(30, "carbonate_outlet", "mmol/L",
+                    "Total carbonate (C_T) at outlet",
+                    eu_range=(0.0, 20.0)),
+            ]
 
         # Holding registers (reference register_map.py:246-323)
         self.holding_registers: List[RegisterDefinition] = [
@@ -153,6 +165,13 @@ class ModbusRegisterMap:
                 _hr(14, "inlet_ammonia", "mg N/L",
                     "Source-water total ammonia nitrogen",
                     eu_range=(0.0, 10.0)),
+            ]
+        if extended_gas:
+            self.holding_registers += [
+                _hr(16, "aeration_kla", "1/s",
+                    "Diffused-aeration volumetric kLa setpoint "
+                    "(0 = blowers off)",
+                    eu_range=(0.0, 0.1)),
             ]
 
         # Coils (reference register_map.py:325-362)

@@ -24,6 +24,7 @@ from ics_wt_physicsengine_tpu.sensors import ammonia as SA
 from ics_wt_physicsengine_tpu.sensors import base as SB
 from ics_wt_physicsengine_tpu.sensors import chlorine as SC
 from ics_wt_physicsengine_tpu.sensors import flow as SF
+from ics_wt_physicsengine_tpu.sensors import oxygen as SO
 from ics_wt_physicsengine_tpu.sensors import ph as SP
 from ics_wt_physicsengine_tpu.sensors import temperature as ST
 from ics_wt_physicsengine_tpu.sensors.types import InstallationQuality, SampleLine
@@ -42,6 +43,8 @@ class PlantParams:
     temp_outlet: ST.TemperatureSensorParams
     # the nitrogen chemistry's instrument (None unless enable_nitrogen)
     ammonia_outlet: Optional[SA.AmmoniaSensorParams] = None
+    # the gas-exchange instrument (None unless enable_gas)
+    oxygen_outlet: Optional[SO.OxygenSensorParams] = None
 
 
 @jax.tree_util.register_dataclass
@@ -56,6 +59,7 @@ class PlantState:
     temp_inlet: ST.TemperatureSensorCarry
     temp_outlet: ST.TemperatureSensorCarry
     ammonia_outlet: Optional[SA.AmmoniaSensorCarry] = None
+    oxygen_outlet: Optional[SO.OxygenSensorCarry] = None
 
 
 def make_plant(config: R.ReactorConfiguration, seed: int = 0,
@@ -80,6 +84,7 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
     # split: splitting 8 would change all seven legacy streams and break
     # seed-pinned reproducibility (cf. CHANGELOG round-2 note)
     am_key = jax.random.fold_in(jax.random.key(seed), 7)
+    ox_key = jax.random.fold_in(jax.random.key(seed), 8)
 
     ph_in_p = SP.make_ph_params(zone_index=0, sample_line=line,
                                 installation=good_installation, dtype=dtype)
@@ -111,13 +116,19 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
         am_p = SA.make_ammonia_params(zone_index=-1,
                                       installation=good_installation,
                                       dtype=dtype)
+    ox_p = None
+    if getattr(config, "enable_gas", False):
+        ox_p = SO.make_oxygen_params(zone_index=-1,
+                                     sensor_type=SO.OPTICAL,
+                                     installation=good_installation,
+                                     dtype=dtype)
 
     params = PlantParams(
         reactor=R.make_params(config, dtype=dtype),
         ph_inlet=ph_in_p, ph_outlet=ph_out_p,
         chlorine_inlet=cl_in_p, chlorine_outlet=cl_out_p,
         flow_main=fl_p, temp_inlet=t_in_p, temp_outlet=t_out_p,
-        ammonia_outlet=am_p)
+        ammonia_outlet=am_p, oxygen_outlet=ox_p)
 
     def backdate(carry, base_params):
         if not warmed_up:
@@ -153,7 +164,9 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
             ST.make_temperature_carry(t_out_p, keys[6], dtype=dtype),
             t_out_p.base),
         ammonia_outlet=None if am_p is None else backdate(
-            SA.make_ammonia_carry(am_p, am_key, dtype=dtype), am_p.base))
+            SA.make_ammonia_carry(am_p, am_key, dtype=dtype), am_p.base),
+        oxygen_outlet=None if ox_p is None else backdate(
+            SO.make_oxygen_carry(ox_p, ox_key, dtype=dtype), ox_p.base))
     return params, state
 
 
@@ -240,10 +253,21 @@ def _read_all(params: PlantParams, state: R.ReactorState, plant: PlantState,
             _zone(state.temperature, ap.zone_index), t,
             rand=rand.get("ammonia_outlet"))
 
+    ox_c, ox = plant.oxygen_outlet, None
+    if params.oxygen_outlet is not None and state.oxygen is not None:
+        op = params.oxygen_outlet
+        ox_c, ox = SO.oxygen_read(
+            op, plant.oxygen_outlet,
+            _zone(state.oxygen, op.zone_index),
+            _zone(state.temperature, op.zone_index),
+            state.flow_rate, t,
+            rand=rand.get("oxygen_outlet"))
+
     new_plant = PlantState(
         reactor=state, ph_inlet=ph_in_c, ph_outlet=ph_out_c,
         chlorine_inlet=cl_in_c, chlorine_outlet=cl_out_c, flow_main=fl_c,
-        temp_inlet=t_in_c, temp_outlet=t_out_c, ammonia_outlet=am_c)
+        temp_inlet=t_in_c, temp_outlet=t_out_c, ammonia_outlet=am_c,
+        oxygen_outlet=ox_c)
     readings = {
         "pH_inlet": ph_in, "pH_outlet": ph_out,
         "chlorine_inlet": cl_in, "chlorine_outlet": cl_out,
@@ -251,6 +275,8 @@ def _read_all(params: PlantParams, state: R.ReactorState, plant: PlantState,
     }
     if am is not None:
         readings["ammonia_outlet"] = am
+    if ox is not None:
+        readings["oxygen_outlet"] = ox
     return new_plant, readings
 
 
@@ -404,6 +430,7 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
     base_keys = jax.random.wrap_key_data(key_data)           # [n_plants]
     keys = jax.vmap(lambda k: jax.random.split(k, 7))(base_keys)
     am_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(base_keys)
+    ox_keys = jax.vmap(lambda k: jax.random.fold_in(k, 8))(base_keys)
 
     from dataclasses import replace as dc_replace
 
@@ -420,7 +447,9 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
         temp_inlet=with_key(state.temp_inlet, keys[:, 5]),
         temp_outlet=with_key(state.temp_outlet, keys[:, 6]),
         ammonia_outlet=None if state.ammonia_outlet is None
-        else with_key(state.ammonia_outlet, am_keys))
+        else with_key(state.ammonia_outlet, am_keys),
+        oxygen_outlet=None if state.oxygen_outlet is None
+        else with_key(state.oxygen_outlet, ox_keys))
     params = dc_replace(params, reactor=reactor_params)
     return params, state
 
@@ -783,7 +812,8 @@ def plant_rollout_auto(params: PlantParams, plant: PlantState,
     batch = 1 if single else int(ph.shape[0])
     z = params.reactor.n_zones
     use_fused = (jax.default_backend() == "tpu" and batch < fused_max_batch
-                 and z <= 128 and params.reactor.nitrogen is None)
+                 and z <= 128 and params.reactor.nitrogen is None
+                 and params.reactor.gas is None)
     if use_fused:
         from ics_wt_physicsengine_tpu.ops.fused_plant import (
             plant_rollout_fused)

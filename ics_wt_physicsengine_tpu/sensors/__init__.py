@@ -42,11 +42,15 @@ from ics_wt_physicsengine_tpu.sensors.wrappers import (  # noqa: F401
     BaseSensor,
     ChlorineSensor,
     FlowSensor,
+    OxygenSensor,
     TemperatureSensor,
     pHSensor,
 )
 from ics_wt_physicsengine_tpu.sensors.ammonia import (  # noqa: F401
     validate_ammonia_sensor,
+)
+from ics_wt_physicsengine_tpu.sensors.oxygen import (  # noqa: F401
+    validate_oxygen_sensor,
 )
 from ics_wt_physicsengine_tpu.sensors.validation import (  # noqa: F401
     run_all_sensor_validations,
@@ -81,6 +85,11 @@ class TemperatureSensorType:
     RTD_PT1000 = _temperature.RTD_PT1000
     THERMOCOUPLE_K = _temperature.THERMOCOUPLE_K
     THERMOCOUPLE_J = _temperature.THERMOCOUPLE_J
+
+
+class OxygenSensorType:
+    OPTICAL = "optical"
+    CLARK = "clark"
 
 
 def _suite_installation() -> InstallationQuality:
@@ -156,4 +165,11 @@ def create_realistic_sensor_suite(reactor_config, seed: int | None = None):
             name="ammonia_outlet", zone_index=-1,
             installation=_suite_installation(),
             seed=_suite_seed(seed, 7))
+    # gas exchange adds its instrument: an optical DO probe at the outlet
+    if getattr(reactor_config, "enable_gas", False):
+        suite["oxygen_outlet"] = OxygenSensor(
+            name="oxygen_outlet", zone_index=-1,
+            sensor_type=OxygenSensorType.OPTICAL,
+            installation=_suite_installation(),
+            seed=_suite_seed(seed, 8))
     return suite

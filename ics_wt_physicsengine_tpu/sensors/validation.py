@@ -155,12 +155,17 @@ def run_all_sensor_validations():
     from ics_wt_physicsengine_tpu.sensors.ammonia import (
         validate_ammonia_sensor)
 
+    from ics_wt_physicsengine_tpu.sensors.oxygen import (
+        validate_oxygen_sensor)
+
     validate_pH_sensor()
     validate_chlorine_sensor()
     validate_flow_sensor()
     validate_temperature_sensor()
     if not validate_ammonia_sensor():
         raise RuntimeError("ammonia sensor validation failed")
+    if not validate_oxygen_sensor():
+        raise RuntimeError("oxygen sensor validation failed")
     print("ALL SENSOR VALIDATIONS PASSED")
 
 

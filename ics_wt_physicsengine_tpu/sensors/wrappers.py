@@ -30,6 +30,7 @@ from ics_wt_physicsengine_tpu.sensors import chlorine as CL
 from ics_wt_physicsengine_tpu.sensors import flow as FL
 from ics_wt_physicsengine_tpu.sensors import ph as PH
 from ics_wt_physicsengine_tpu.sensors import ammonia as AM
+from ics_wt_physicsengine_tpu.sensors import oxygen as OX
 from ics_wt_physicsengine_tpu.sensors import temperature as TP
 from ics_wt_physicsengine_tpu.sensors.types import (
     STATUS_FROM_CODE,
@@ -61,6 +62,7 @@ _CL_READ = jax.jit(lambda params, carry, cl, ph, o3, h2o2, clo2, comb, t:
 _FL_READ = jax.jit(FL.flow_read)
 _TP_READ = jax.jit(TP.temperature_read)
 _AM_READ = jax.jit(AM.ammonia_read)
+_OX_READ = jax.jit(OX.oxygen_read)
 
 
 @jax.jit
@@ -623,3 +625,73 @@ class AmmoniaSensor(_SensorShell):
     @property
     def slope_percentage(self):
         return float(self.carry.slope_percentage)
+
+
+class OxygenSensor(_SensorShell):
+    """Dissolved-oxygen sensor (optical luminescent / Clark amperometric) —
+    the instrument for the gas-exchange physics; no reference counterpart
+    (sensors/oxygen.py)."""
+
+    def __init__(self, name: str, zone_index: int = 0,
+                 sensor_type: str = OX.OPTICAL,
+                 precision: Optional[float] = None,
+                 response_time: Optional[float] = None,
+                 drift_rate: float = 0.01 / 24.0,
+                 cal_temperature: float = 20.0,
+                 max_history_length: int = 1000,
+                 sample_line: Optional[SampleLine] = None,
+                 installation: Optional[InstallationQuality] = None,
+                 calibration_validity_hours: float = 24.0 * 30,
+                 seed: Optional[int] = None, dtype=None):
+        dtype = dtype or _default_dtype()
+        self._dtype = dtype
+        if hasattr(sensor_type, "value"):
+            sensor_type = sensor_type.value
+        self.zone_index = zone_index
+        self.sensor_type = sensor_type
+        params = OX.make_oxygen_params(
+            zone_index=zone_index, sensor_type=sensor_type,
+            precision=precision, response_time=response_time,
+            drift_rate=drift_rate, cal_temperature=cal_temperature,
+            sample_line=sample_line, installation=installation,
+            calibration_validity_hours=calibration_validity_hours,
+            dtype=dtype)
+        carry = OX.make_oxygen_carry(params, _new_key(seed), dtype=dtype)
+        super().__init__(name, params, carry, _OX_READ, max_history_length,
+                         calibration_validity_hours)
+
+    def _fresh_carry(self, seed=None):
+        return OX.make_oxygen_carry(self.params, _new_key(seed),
+                                    dtype=self._dtype)
+
+    def _extract_inputs(self, reactor_state):
+        o2 = _zone(reactor_state.oxygen, self.zone_index)
+        temp = (_zone(reactor_state.temperature, self.zone_index)
+                if hasattr(reactor_state, "temperature") else 20.0)
+        flow = (float(np.asarray(reactor_state.flow_rate))
+                if hasattr(reactor_state, "flow_rate") else 1.0)
+        return (float(o2), float(temp), flow)
+
+    def replace_cap(self) -> None:
+        """Replace the sensing cap (optical) / membrane+electrolyte (Clark):
+        resets all consumable aging (maintenance op, in the idiom of the
+        chlorine sensor's replace_membrane, reference
+        chlorine_sensor.py:486-537)."""
+        with self._state_lock:
+            self.carry = OX.replace_cap(self.carry)
+
+    @property
+    def cap_age_days(self):
+        return float(self.carry.cap_age_days)
+
+    @property
+    def slope_percentage(self):
+        return float(self.carry.slope_percentage)
+
+    @property
+    def membrane_fouling(self):
+        return float(self.carry.membrane_fouling)
+
+    @property
+    def electrolyte(self):
+        return float(self.carry.electrolyte)

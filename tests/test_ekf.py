@@ -419,3 +419,64 @@ def test_nitrogen_ekf_reconstructs_species():
     assert ekf_err < 0.5 * ol_err, (ekf_err, ol_err)
     assert ekf_err < 0.15, ekf_err
     assert bool(jnp.all(jnp.isfinite(carry.P)))
+
+
+def test_gas_ekf_reconstructs_oxygen_profile():
+    """Gas plants append O2/C_T to the EKF state: the outlet DO probe plus
+    the core taps reconstruct the unmeasured interior oxygen sag through
+    the reaeration dynamics (soft-sensing for aeration control)."""
+    g_config = R.ReactorConfiguration(
+        volume=1000.0, n_zones=Z, flow_rate=5.0, initial_pH=7.2,
+        initial_chlorine=0.2, temperature=20.0, enable_gas=True,
+        gas_params={"kl_surface": 1e-4})
+    params = R.make_params(g_config, dtype=jnp.float64)
+    substeps = R.default_substeps(g_config, DT)
+    boundary = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.4, inlet_chlorine=0.0,
+        inlet_temperature=20.0, inlet_oxygen=6.0, aeration_kla=5e-4)
+    taps = TAPS + [("oxygen", -1)]
+    sigma = np.append(SIGMA, 0.05)
+    ekf_step = jax.jit(make_ekf(
+        params, Z, taps, DT, substeps,
+        measurement_noise=(sigma ** 2).tolist()))
+    step = jax.jit(lambda s: R.step(params, s, boundary, DT, substeps))
+
+    truth = R.make_initial_state(g_config, dtype=jnp.float64)
+    truth = R.ReactorState(
+        time=truth.time, pH=truth.pH, chlorine=truth.chlorine,
+        temperature=truth.temperature, flow_rate=truth.flow_rate,
+        oxygen=jnp.linspace(3.0, 8.0, Z).astype(truth.pH.dtype),
+        carbonate=truth.carbonate).update_derived()
+    guess = R.make_initial_state(g_config, dtype=jnp.float64)
+
+    carry = make_ekf_carry(
+        guess, p0=(0.05, 1.0, 4.0, 4.0, 0.25), n_zones=Z)
+    assert carry.x.shape == (5 * Z,)
+    rng = np.random.default_rng(8)
+    open_loop = guess
+    for _ in range(40):
+        truth = step(truth)
+        open_loop = step(open_loop)
+        z = np.array([float(flatten_state(truth)[
+            tap_index(f, zz, Z, gas=True)]) for f, zz in taps])
+        carry, x_hat = ekf_step(carry,
+                                jnp.asarray(z + rng.normal(0, sigma)),
+                                boundary)
+    mid = Z // 2
+    i_o2 = tap_index("oxygen", mid, Z, gas=True)
+    ekf_err = abs(float(x_hat[i_o2]) - float(truth.oxygen[mid]))
+    ol_err = abs(float(open_loop.oxygen[mid])
+                 - float(truth.oxygen[mid]))
+    assert ekf_err < 0.5 * ol_err, (ekf_err, ol_err)
+    assert bool(jnp.all(jnp.isfinite(carry.P)))
+
+
+def test_tap_index_species_layout_nitrogen_plus_gas():
+    """Gas fields come AFTER the nitrogen block, matching step()'s species
+    tuple layout (pH, Cl, T | 4 nitrogen | 2 gas)."""
+    assert tap_index("oxygen", 0, Z, gas=True) == 3 * Z
+    assert tap_index("oxygen", 0, Z, nitrogen=True, gas=True) == 7 * Z
+    assert tap_index("carbonate", -1, Z, nitrogen=True, gas=True) \
+        == 8 * Z + (Z - 1)
+    with pytest.raises(ValueError, match="field"):
+        tap_index("oxygen", 0, Z)   # gas fields need gas=True
