@@ -74,6 +74,15 @@ from ics_wt_physicsengine_tpu.core.gas import (  # noqa: F401
     oxygen_saturation,
     validate_gas,
 )
+from ics_wt_physicsengine_tpu.core.particles import (  # noqa: F401
+    ParticleParams,
+    make_particle_params,
+    stokes_velocity,
+    total_solids_mgl,
+    turbidity_ntu,
+    turbidity_ntu_tap,
+    validate_particles,
+)
 
 
 def run_all_validations() -> None:
@@ -89,6 +98,8 @@ def run_all_validations() -> None:
         raise RuntimeError("nitrogen chemistry validation failed")
     if not validate_gas():
         raise RuntimeError("gas exchange validation failed")
+    if not validate_particles():
+        raise RuntimeError("particle dynamics validation failed")
     print("ALL PHYSICS VALIDATIONS PASSED")
 
 

@@ -42,6 +42,7 @@ from ics_wt_physicsengine_tpu.core import constants as c
 from ics_wt_physicsengine_tpu.core import spatial as spatial_mod
 from ics_wt_physicsengine_tpu.core import thermodynamics as thermo
 from ics_wt_physicsengine_tpu.core import gas as gas_mod
+from ics_wt_physicsengine_tpu.core import particles as particles_mod
 from ics_wt_physicsengine_tpu.core import nitrogen as nitrogen_mod
 from ics_wt_physicsengine_tpu.core import transport as transport_mod
 from ics_wt_physicsengine_tpu.core.chemistry import ChemistryConstants, LN10
@@ -108,6 +109,13 @@ class ReactorConfiguration:
     enable_gas: bool = False
     initial_oxygen: Optional[float] = None   # [mg/L]; None = saturation(T)
     gas_params: Optional[dict] = None        # make_gas_params overrides
+
+    # Particle dynamics (core/particles.py — closes the reference's "No
+    # particle dynamics (settling, filtration)" limitation, reference
+    # README.md:522; disabled by default for exact reference parity)
+    enable_particles: bool = False
+    initial_tss: float = 10.0                # [mg/L] total suspended solids
+    particle_params: Optional[dict] = None   # make_particle_params overrides
 
     def validate(self) -> None:
         """Configuration consistency (reference reactor.py:91-110; the bare
@@ -195,6 +203,9 @@ class ReactorParams:
     # gas exchange (None = disabled; same trace-time static gating)
     gas: Optional[gas_mod.GasParams] = None
 
+    # particle dynamics (None = disabled; same trace-time static gating)
+    particles: Optional[particles_mod.ParticleParams] = None
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -226,6 +237,15 @@ class BoundaryConditions:
     inlet_oxygen: float = 9.0          # [mg/L]
     inlet_carbonate: float = 2.0       # [mmol/L]
     aeration_kla: float = 0.0          # [1/s]
+
+    # particle dynamics only (core/particles.py): source-water solids and
+    # the three treatment actuators (coagulant dosing shifts mass into
+    # fast-settling classes; a recirculating filter strips solids at the
+    # outlet zone; blowdown wastes the settled sludge inventory)
+    inlet_tss: float = 10.0            # [mg/L]
+    coagulant_dose: float = 0.0        # [mg/L]
+    filter_flow_rate: float = 0.0      # [L/min]
+    sludge_blowdown: float = 0.0       # [1/s]
 
 
 @jax.tree_util.register_dataclass
@@ -259,6 +279,11 @@ class ReactorState:
     carbonate: jnp.ndarray = None    # total carbonate C_T [mmol/L] (dynamic
     #                                  — CO2 exchange shifts it; pH follows
     #                                  at constant alkalinity)
+
+    # particle classes (None unless enable_particles)
+    tss: jnp.ndarray = None          # [..., n_classes, n_zones] [mg/L]
+    sludge: jnp.ndarray = None       # [..., n_classes] settled inventory
+    #                                  [mg/L of bottom-zone volume]
 
     def update_derived(self) -> "ReactorState":
         """Recompute derived quantities from the primary variables
@@ -302,6 +327,10 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
     if getattr(config, "enable_gas", False):
         gas = gas_mod.make_gas_params(
             dtype=dtype, **(config.gas_params or {}))
+    particles = None
+    if getattr(config, "enable_particles", False):
+        particles = particles_mod.make_particle_params(
+            dtype=dtype, **(config.particle_params or {}))
     return ReactorParams(
         n_zones=config.n_zones,
         volume_L=arr(config.volume),
@@ -320,6 +349,7 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
         supp_factor=arr(0.5),
         nitrogen=nitrogen,
         gas=gas,
+        particles=particles,
     )
 
 
@@ -354,6 +384,18 @@ def make_initial_state(config: ReactorConfiguration,
                 np.asarray(config.temperature, np.float64))
         n_kw.update(oxygen=full(o2_0),
                     carbonate=full(config.total_carbonate))
+    if getattr(config, "enable_particles", False):
+        pp = particles_mod.make_particle_params(
+            dtype=np.float64, **(config.particle_params or {}))
+        fr = np.asarray(pp.inlet_fractions, dtype)        # [C]
+        tss0 = np.asarray(config.initial_tss, dtype)      # [...] or scalar
+        # [..., C, Z]: batch x class x zone
+        tss = np.broadcast_to(
+            (tss0[..., None] * fr)[..., None],
+            batch + (particles_mod.N_CLASSES, z)).copy()
+        n_kw.update(tss=tss,
+                    sludge=np.zeros(batch + (particles_mod.N_CLASSES,),
+                                    dtype))
     state = ReactorState(
         time=np.zeros(batch, dtype) if batch else np.asarray(0.0, dtype),
         pH=full(config.initial_pH),
@@ -375,7 +417,7 @@ def make_initial_state(config: ReactorConfiguration,
 def derivatives(params: ReactorParams, pH, Cl, T,
                 boundary: BoundaryConditions,
                 inlet_mask=None, outlet_mask=None, nitrogen=None,
-                gas=None):
+                gas=None, particles=None):
     """d(pH, Cl, T)/dt for ``[..., Z]`` zone arrays. Fully vectorized —
     semantics match reference reactor.py:272-448 term by term.
 
@@ -486,7 +528,7 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     dT = dT - align_trailing(heat_rate, T) \
         * (T - align_trailing(boundary.ambient_temperature, T))
 
-    if nitrogen is None and gas is None:
+    if nitrogen is None and gas is None and particles is None:
         return dpH, dCl, dT
 
     # shared inlet/source helper for the extension species
@@ -578,6 +620,56 @@ def derivatives(params: ReactorParams, pH, Cl, T,
         dpH = dpH + gas_mod.ph_per_carbonate(pH, k) * r_co2_mol
         extra += (dO2, dCT)
 
+    if particles is not None:
+        # --- particle dynamics (core/particles.py; closes reference
+        #     README.md:522 "No particle dynamics"). The class axis sits
+        #     ahead of the zone axis ([..., C, Z]); the exchange stencil
+        #     vectorizes over it by inserting a class axis into the
+        #     interface rates. ---
+        if inlet_mask is not None or outlet_mask is not None:
+            raise ValueError(
+                "the zone-sharded SPMD path does not carry the particle "
+                "classes; run particle plants on the dense XLA path")
+        pp = params.particles
+        tss, sludge = particles
+        tss = jnp.maximum(tss, 0.0)
+        sludge = jnp.maximum(sludge, 0.0)
+
+        # inter-zone mixing + outlet advection, class-vectorized
+        dTSS = transport_mod.apply_exchange(
+            tss, k_iface=k_iface[..., None, :], q_per_v=q_per_v)
+        # inlet advection at zone 0, split by the source-water fractions
+        tss_in = align_trailing(jnp.asarray(boundary.inlet_tss), T) \
+            * pp.inlet_fractions
+        dTSS = dTSS.at[..., 0].add(
+            align_trailing(q_per_v, tss_in) * (tss_in - tss[..., 0]))
+
+        # Stokes settling toward zone 0 (the tank bottom): rates from the
+        # bulk temperature's viscosity, per class
+        w_rate = particles_mod.settling_rates(
+            pp, jnp.mean(T, axis=-1)[..., None], params.zone_height)
+        dsettle, deposit = particles_mod.settle(tss, w_rate[..., None])
+        dTSS = dTSS + dsettle
+
+        # coagulation chain (mass-conserving across classes)
+        dTSS = dTSS + particles_mod.coagulation_chain(
+            tss, jnp.asarray(boundary.coagulant_dose), pp)
+
+        # recirculating filtration at the outlet zone
+        q_filter = (jnp.asarray(boundary.filter_flow_rate) / 60.0) \
+            / params.zone_volume_L
+        dTSS = dTSS.at[..., -1].add(
+            -align_trailing(q_filter, tss[..., -1])
+            * pp.filter_eff * tss[..., -1])
+
+        # sludge inventory: deposit in, resuspension + blowdown out
+        resusp = align_trailing(pp.k_resuspension, sludge) * sludge
+        dSludge = deposit - resusp \
+            - align_trailing(jnp.asarray(boundary.sludge_blowdown),
+                             sludge) * sludge
+        dTSS = dTSS.at[..., 0].add(resusp)
+        extra += (dTSS, dSludge)
+
     return (dpH, dCl, dT) + extra
 
 
@@ -609,6 +701,8 @@ def _update_derived(state: ReactorState) -> ReactorState:
         chloramine=state.chloramine,
         oxygen=state.oxygen,
         carbonate=state.carbonate,
+        tss=state.tss,
+        sludge=state.sludge,
     )
 
 
@@ -626,7 +720,8 @@ def step(params: ReactorParams, state: ReactorState,
          substeps: int, deriv_fn=None,
          stages: Optional[int] = None,
          deriv_fn_nitrogen: bool = False,
-         deriv_fn_gas: bool = False) -> ReactorState:
+         deriv_fn_gas: bool = False,
+         deriv_fn_particles: bool = False) -> ReactorState:
     """Advance the reactor by ``dt`` seconds (reference reactor.py:450-509).
 
     ``dt`` and ``substeps`` must be static (Python) values. ``deriv_fn``
@@ -639,6 +734,7 @@ def step(params: ReactorParams, state: ReactorState,
     """
     has_n = params.nitrogen is not None and state.ammonia is not None
     has_gas = params.gas is not None and state.oxygen is not None
+    has_p = params.particles is not None and state.tss is not None
     if deriv_fn is not None and has_n and not deriv_fn_nitrogen:
         raise ValueError(
             "this custom deriv_fn was not declared nitrogen-capable "
@@ -651,16 +747,25 @@ def step(params: ReactorParams, state: ReactorState,
             "this custom deriv_fn was not declared gas-capable "
             "(pass deriv_fn_gas=True if it accepts and returns the oxygen "
             "and carbonate species after any nitrogen species)")
-    # species tuple layout: (pH, Cl, T) [+ 4 nitrogen] [+ 2 gas]
+    if deriv_fn is not None and has_p and not deriv_fn_particles:
+        raise ValueError(
+            "this custom deriv_fn was not declared particle-capable "
+            "(pass deriv_fn_particles=True if it accepts and returns the "
+            "tss/sludge leaves after any nitrogen and gas species)")
+    # species tuple layout:
+    # (pH, Cl, T) [+ 4 nitrogen] [+ 2 gas] [+ tss, sludge]
     n_sl = slice(3, 7) if has_n else None
     g_off = 7 if has_n else 3
     g_sl = slice(g_off, g_off + 2) if has_gas else None
+    p_off = g_off + (2 if has_gas else 0)
+    p_sl = slice(p_off, p_off + 2) if has_p else None
     if deriv_fn is None:
         def f(y):
             return derivatives(
                 params, y[0], y[1], y[2], boundary,
                 nitrogen=y[n_sl] if has_n else None,
-                gas=y[g_sl] if has_gas else None)
+                gas=y[g_sl] if has_gas else None,
+                particles=y[p_sl] if has_p else None)
     else:
         f = deriv_fn
 
@@ -670,6 +775,8 @@ def step(params: ReactorParams, state: ReactorState,
                  state.chloramine)
     if has_gas:
         y = y + (state.oxygen, state.carbonate)
+    if has_p:
+        y = y + (state.tss, state.sludge)
     if stages is None:
         out = integrators.integrate_fixed(f, y, dt, substeps)
     else:
@@ -679,6 +786,9 @@ def step(params: ReactorParams, state: ReactorState,
     if has_gas:
         n_kw = dict(oxygen=jnp.maximum(out[g_sl.start], 0.0),
                     carbonate=jnp.maximum(out[g_sl.start + 1], 0.0))
+    if has_p:
+        n_kw.update(tss=jnp.maximum(out[p_sl.start], 0.0),
+                    sludge=jnp.maximum(out[p_sl.start + 1], 0.0))
     if has_n:
         nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in out[n_sl])
         # Operator split for the FAST reaction (chloramination: HOCl + NH3
@@ -1039,6 +1149,10 @@ class IntegratedCSTR:
             v = getattr(self.state, name, None)
             if v is not None:
                 arrays[name] = v
+        if self.state.tss is not None:
+            arrays["tss"] = particles_mod.total_solids_mgl(self.state.tss)
+            arrays["turbidity"] = particles_mod.turbidity_ntu(
+                self.state.tss, self.params.particles)
         if parameter not in arrays:
             raise ValueError(f"Unknown parameter: {parameter}")
         return float(arrays[parameter][..., zone_idx])

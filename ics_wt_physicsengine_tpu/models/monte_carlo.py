@@ -123,4 +123,19 @@ def make_monte_carlo_batch(base_config: R.ReactorConfiguration,
 
     params = jax.tree_util.tree_map(batched, params)
     state = jax.tree_util.tree_map(batched, state)
+    if params.particles is not None:
+        # particle leaves are [C] class vectors (not scalars), so the
+        # generic 0-dim broadcast above misses them — prepend the plant
+        # axis explicitly so vmapped paths see a uniform batch rank
+        import dataclasses as _dc
+
+        def pbatch(x):
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] == n_plants:
+                return x
+            return np.broadcast_to(x, (n_plants,) + x.shape).copy()
+
+        params = _dc.replace(
+            params, particles=jax.tree_util.tree_map(
+                pbatch, params.particles))
     return params, state

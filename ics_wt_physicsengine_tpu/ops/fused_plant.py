@@ -795,9 +795,10 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
     z = rparams.n_zones
     if z > _LANES:
         raise ValueError(f"fused plant supports n_zones <= {_LANES}")
-    if rparams.nitrogen is not None or rparams.gas is not None:
+    if rparams.nitrogen is not None or rparams.gas is not None \
+            or rparams.particles is not None:
         raise ValueError("the fused plant kernel does not support the "
-                         "nitrogen/gas extensions; use the XLA "
+                         "nitrogen/gas/particle extensions; use the XLA "
                          "integrated-plant paths (plant_rollout_auto "
                          "routes there automatically)")
 

@@ -467,10 +467,12 @@ def rollout_fused(params: R.ReactorParams, state: R.ReactorState,
     ``interpret=None`` auto-selects: compiled Mosaic on TPU backends,
     interpreter elsewhere (Pallas has no compiled CPU lowering).
     """
-    if params.nitrogen is not None or params.gas is not None:
+    if params.nitrogen is not None or params.gas is not None \
+            or params.particles is not None:
         raise ValueError(
-            "the fused physics kernels do not support the nitrogen/gas "
-            "extensions; use core.reactor.rollout / rollout_scheduled (XLA)")
+            "the fused physics kernels do not support the nitrogen/gas/"
+            "particle extensions; use core.reactor.rollout / "
+            "rollout_scheduled (XLA)")
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -601,10 +603,12 @@ def rollout_scheduled_fused(params: R.ReactorParams, state: R.ReactorState,
     recorded (same VMEM bound as ``rollout_fused``: the whole trajectory
     buffer lives on-chip per row tile).
     """
-    if params.nitrogen is not None or params.gas is not None:
+    if params.nitrogen is not None or params.gas is not None \
+            or params.particles is not None:
         raise ValueError(
-            "the fused physics kernels do not support the nitrogen/gas "
-            "extensions; use core.reactor.rollout / rollout_scheduled (XLA)")
+            "the fused physics kernels do not support the nitrogen/gas/"
+            "particle extensions; use core.reactor.rollout / "
+            "rollout_scheduled (XLA)")
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
