@@ -125,6 +125,8 @@ def initialize_sensors(config, sim_start_time: float, verbose: bool = False,
             elif "ammonia" in name:
                 sensor.calibrate(getattr(config, "initial_ammonia", 0.0),
                                  sim_start_time, "system_init")
+            elif "turbidity" in name:
+                sensor.calibrate(0.0, sim_start_time, "system_init")
             elif "oxygen" in name:
                 from ics_wt_physicsengine_tpu.core.gas import (
                     oxygen_saturation)
@@ -260,6 +262,28 @@ def update_modbus_inputs(slave: Optional[ModbusSlave],
                                         outlet_g(state.carbonate),
                                         unit=unit)
 
+        # particle-dynamics extension registers (extended_particles maps)
+        tss = getattr(state, "tss", None)
+        if tss is not None:
+            tss_np = np.asarray(tss)              # [..., C, Z]
+            # prefer the MEASURED turbidity from the nephelometer
+            # (sensors/turbidity.py); fall back to the true class-weighted
+            # value with the canonical weights
+            if "turbidity_outlet" in readings:
+                ntu_val = safe_value("turbidity_outlet")
+            else:
+                from ics_wt_physicsengine_tpu.core.particles import (
+                    DEFAULT_NTU_PER_MGL)
+                ntu_val = float(np.sum(
+                    np.asarray(DEFAULT_NTU_PER_MGL) * tss_np[..., -1]))
+            slave.update_input_register("turbidity_outlet", ntu_val,
+                                        unit=unit)
+            slave.update_input_register(
+                "tss_outlet", float(tss_np[..., -1].sum()), unit=unit)
+            slave.update_input_register(
+                "sludge_level",
+                float(np.asarray(state.sludge).sum()), unit=unit)
+
         any_fault = any(r.fault != SensorFault.NONE
                         for r in readings.values())
         slave.update_input_register("system_status", 1 if any_fault else 0,
@@ -287,7 +311,8 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
     (reference __main__.py:227-252, extended to the full register map).
     ``unit`` selects a fleet unit's register space; None = primary."""
     if slave is None or not slave.is_running:
-        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None
+        return (0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None,
+                None)
     try:
         acid_rate = validate_flow_rate(
             slave.read_holding_register("acid_flow_rate", unit=unit),
@@ -319,12 +344,30 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
                 max_value=0.1)
         except Exception:  # noqa: BLE001 — base map: register absent
             aeration_kla = None
+        try:    # particle extension registers (extended maps only)
+            particle_cmds = (
+                validate_concentration(
+                    slave.read_holding_register("coagulant_dose",
+                                                unit=unit),
+                    max_value=100.0),
+                validate_flow_rate(
+                    slave.read_holding_register("filter_flow_rate",
+                                                unit=unit),
+                    max_value=60.0),
+                validate_concentration(
+                    slave.read_holding_register("sludge_blowdown",
+                                                unit=unit),
+                    max_value=0.01),
+            )
+        except Exception:  # noqa: BLE001 — base map: registers absent
+            particle_cmds = None
         return (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
                 acid_enable, cl_enable, sim_running, inlet_ammonia,
-                aeration_kla)
+                aeration_kla, particle_cmds)
     except Exception as e:  # noqa: BLE001
         logger.error("Modbus read failed: %s", type(e).__name__)
-        return 0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None
+        return (0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None,
+                None)
 
 
 def apply_boundary_conditions(boundary: BoundaryConditions, commands
@@ -337,6 +380,7 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
      acid_enable, cl_enable, _), extra = commands[:8], commands[8:]
     inlet_ammonia = extra[0] if extra else None
     aeration_kla = extra[1] if len(extra) > 1 else None
+    particle_cmds = extra[2] if len(extra) > 2 else None
     from dataclasses import replace
     new_inlet = boundary.inlet_flow_rate
     if inlet_rate > 0.1:
@@ -346,6 +390,10 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
         updates["inlet_ammonia"] = inlet_ammonia
     if aeration_kla is not None:    # gas extension register present
         updates["aeration_kla"] = aeration_kla
+    if particle_cmds is not None:   # particle extension registers present
+        updates["coagulant_dose"] = particle_cmds[0]
+        updates["filter_flow_rate"] = particle_cmds[1]
+        updates["sludge_blowdown"] = particle_cmds[2]
     return replace(
         boundary,
         acid_flow_rate=(validate_flow_rate(acid_rate, max_value=2.0)
@@ -538,6 +586,16 @@ def main(argv=None):
                              "carbonate-pH coupling, a DO instrument, "
                              "extended input registers (28-31) and the "
                              "aeration_kla holding register (16)")
+    parser.add_argument("--enable-particles", action="store_true",
+                        help="Enable the particle-dynamics extension "
+                             "(core/particles.py): suspended-solids size "
+                             "classes with settling/coagulation/filtration,"
+                             " a turbidity instrument, extended input "
+                             "registers (32-37) and the coagulant/filter/"
+                             "blowdown holding registers (18-23)")
+    parser.add_argument("--initial-tss", type=float, default=10.0,
+                        help="Initial/source total suspended solids "
+                             "[mg/L] when --enable-particles is set")
     parser.add_argument("--fleet", type=int, default=1,
                         help="Serve N independently controlled plants from "
                              "one Modbus endpoint: unit id u = plant lane "
@@ -765,7 +823,9 @@ def main(argv=None):
             enable_nitrogen=args.enable_nitrogen,
             initial_ammonia=args.initial_ammonia
             if args.enable_nitrogen else 0.0,
-            enable_gas=args.enable_gas)
+            enable_gas=args.enable_gas,
+            enable_particles=args.enable_particles,
+            initial_tss=args.initial_tss)
         reactor = IntegratedCSTR(config, integrator=args.integrator)
         _m, _s = reactor._plan_for(args.dt)
         logger.info("Physics engine initialized (%d zones, %s: substeps=%d%s)",
@@ -781,7 +841,8 @@ def main(argv=None):
         inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.0,
         inlet_temperature=20.0, acid_flow_rate=0.0, acid_concentration=0.1,
         chlorine_flow_rate=0.0,
-        inlet_ammonia=args.initial_ammonia if args.enable_nitrogen else 0.0)
+        inlet_ammonia=args.initial_ammonia if args.enable_nitrogen else 0.0,
+        inlet_tss=args.initial_tss if args.enable_particles else 0.0)
 
     # PHASE 3: sensors
     sim_start_time = time.monotonic()
@@ -837,20 +898,23 @@ def main(argv=None):
                 slave = NativeModbusSlave(
                     ModbusRegisterMap(
                         extended_nitrogen=args.enable_nitrogen,
-                        extended_gas=args.enable_gas),
+                        extended_gas=args.enable_gas,
+                        extended_particles=args.enable_particles),
                     server_config)
             elif args.rtu_serial or args.rtu_tcp:
                 from ics_wt_physicsengine_tpu.modbus import ModbusRtuSlave
                 slave = ModbusRtuSlave(
                     ModbusRegisterMap(
                         extended_nitrogen=args.enable_nitrogen,
-                        extended_gas=args.enable_gas),
+                        extended_gas=args.enable_gas,
+                        extended_particles=args.enable_particles),
                     server_config, serial_device=args.rtu_serial)
             else:
                 slave = ModbusSlave(
                     ModbusRegisterMap(
                         extended_nitrogen=args.enable_nitrogen,
-                        extended_gas=args.enable_gas),
+                        extended_gas=args.enable_gas,
+                        extended_particles=args.enable_particles),
                     server_config)
             slave.start(blocking=False)
             # Initialize writable registers/coils so reference-compatible
@@ -864,6 +928,10 @@ def main(argv=None):
                                              args.initial_ammonia)
             if args.enable_gas:
                 slave.write_holding_register("aeration_kla", 0.0)
+            if args.enable_particles:
+                slave.write_holding_register("coagulant_dose", 0.0)
+                slave.write_holding_register("filter_flow_rate", 0.0)
+                slave.write_holding_register("sludge_blowdown", 0.0)
             slave.write_coil("acid_pump_enable", True)
             slave.write_coil("chlorine_pump_enable", True)
             slave.write_coil("simulation_running", True)

@@ -108,7 +108,9 @@ def main_fleet(args) -> None:
             enable_nitrogen=getattr(args, "enable_nitrogen", False),
             initial_ammonia=args.initial_ammonia
             if getattr(args, "enable_nitrogen", False) else 0.0,
-            enable_gas=getattr(args, "enable_gas", False))
+            enable_gas=getattr(args, "enable_gas", False),
+            enable_particles=getattr(args, "enable_particles", False),
+            initial_tss=getattr(args, "initial_tss", 10.0))
         # Plan the integrator exactly like the single-plant path.
         m, s = IntegratedCSTR(
             config, integrator=args.integrator)._plan_for(args.dt)
@@ -296,14 +298,18 @@ def main_fleet(args) -> None:
                     ModbusRegisterMap(
                         extended_nitrogen=getattr(
                             args, "enable_nitrogen", False),
-                        extended_gas=getattr(args, "enable_gas", False)),
+                        extended_gas=getattr(args, "enable_gas", False),
+                        extended_particles=getattr(
+                            args, "enable_particles", False)),
                     server_config, units=units)
             else:
                 slave = ModbusSlave(
                     ModbusRegisterMap(
                         extended_nitrogen=getattr(
                             args, "enable_nitrogen", False),
-                        extended_gas=getattr(args, "enable_gas", False)),
+                        extended_gas=getattr(args, "enable_gas", False),
+                        extended_particles=getattr(
+                            args, "enable_particles", False)),
                     server_config, units=units)
             # The listener starts AFTER checkpoint restore (below): both
             # planes' register stores accept writes pre-start, and
@@ -324,6 +330,13 @@ def main_fleet(args) -> None:
                                                  unit=u)
                 if getattr(args, "enable_gas", False):
                     slave.write_holding_register("aeration_kla", 0.0,
+                                                 unit=u)
+                if getattr(args, "enable_particles", False):
+                    slave.write_holding_register("coagulant_dose", 0.0,
+                                                 unit=u)
+                    slave.write_holding_register("filter_flow_rate", 0.0,
+                                                 unit=u)
+                    slave.write_holding_register("sludge_blowdown", 0.0,
                                                  unit=u)
                 slave.write_coil("acid_pump_enable", True, unit=u)
                 slave.write_coil("chlorine_pump_enable", True, unit=u)
@@ -599,6 +612,9 @@ def main_fleet(args) -> None:
             regs = regs + ("inlet_ammonia",)   # the extension's command
         if getattr(args, "enable_gas", False):
             regs = regs + ("aeration_kla",)
+        if getattr(args, "enable_particles", False):
+            regs = regs + ("coagulant_dose", "filter_flow_rate",
+                           "sludge_blowdown")
         coils = ("acid_pump_enable", "chlorine_pump_enable",
                  "simulation_running")
         try:
@@ -714,6 +730,9 @@ def main_fleet(args) -> None:
                 if plant.reactor.oxygen is not None:
                     n_np.update({k: np.asarray(getattr(plant.reactor, k))
                                  for k in ("oxygen", "carbonate")})
+                if plant.reactor.tss is not None:
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("tss", "sludge")})
                 if slave:
                     ok = True
                     for i, u in enumerate(units):
@@ -814,6 +833,9 @@ def main_fleet(args) -> None:
                 if plant.reactor.oxygen is not None:
                     n_np.update({k: np.asarray(getattr(plant.reactor, k))
                                  for k in ("oxygen", "carbonate")})
+                if plant.reactor.tss is not None:
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("tss", "sludge")})
 
                 if slave:
                     ok = True

@@ -83,13 +83,18 @@ class ModbusRegisterMap:
     (reference register_map.py:91-102)."""
 
     def __init__(self, extended_nitrogen: bool = False,
-                 extended_gas: bool = False):
+                 extended_gas: bool = False,
+                 extended_particles: bool = False):
         """``extended_nitrogen=True`` appends the nitrogen-chemistry
         extension's registers (core/nitrogen.py) at addresses the
         reference map leaves free — the base map stays address-identical
         to the reference either way. ``extended_gas=True`` likewise appends
         the gas-exchange extension's registers (core/gas.py): dissolved-O2
-        and carbonate telemetry plus the diffused-aeration actuator."""
+        and carbonate telemetry plus the diffused-aeration actuator.
+        ``extended_particles=True`` appends the particle-dynamics
+        extension's registers (core/particles.py): turbidity/TSS/sludge
+        telemetry plus the coagulant, filtration, and blowdown
+        actuators."""
         # Input registers (reference register_map.py:119-244)
         # eu_range values mirror the instruments' measurement ranges
         # (sensor wrappers) and the orchestrator's zero-trust clamps
@@ -140,6 +145,18 @@ class ModbusRegisterMap:
                     "Total carbonate (C_T) at outlet",
                     eu_range=(0.0, 20.0)),
             ]
+        if extended_particles:
+            self.input_registers += [
+                _ir(32, "turbidity_outlet", "NTU",
+                    "Turbidity at outlet (nephelometric)",
+                    eu_range=(0.0, 1000.0)),
+                _ir(34, "tss_outlet", "mg/L",
+                    "Total suspended solids at outlet",
+                    eu_range=(0.0, 500.0)),
+                _ir(36, "sludge_level", "mg/L",
+                    "Settled sludge inventory (bottom-zone equivalent)",
+                    eu_range=(0.0, 10000.0)),
+            ]
 
         # Holding registers (reference register_map.py:246-323)
         self.holding_registers: List[RegisterDefinition] = [
@@ -172,6 +189,18 @@ class ModbusRegisterMap:
                     "Diffused-aeration volumetric kLa setpoint "
                     "(0 = blowers off)",
                     eu_range=(0.0, 0.1)),
+            ]
+        if extended_particles:
+            self.holding_registers += [
+                _hr(18, "coagulant_dose", "mg/L",
+                    "Coagulant dose setpoint",
+                    eu_range=(0.0, 100.0)),
+                _hr(20, "filter_flow_rate", "L/min",
+                    "Recirculating filter flow setpoint",
+                    eu_range=(0.0, 60.0)),
+                _hr(22, "sludge_blowdown", "1/s",
+                    "Sludge blowdown (wasting) rate",
+                    eu_range=(0.0, 0.01)),
             ]
 
         # Coils (reference register_map.py:325-362)

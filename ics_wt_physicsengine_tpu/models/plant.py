@@ -25,6 +25,8 @@ from ics_wt_physicsengine_tpu.sensors import base as SB
 from ics_wt_physicsengine_tpu.sensors import chlorine as SC
 from ics_wt_physicsengine_tpu.sensors import flow as SF
 from ics_wt_physicsengine_tpu.sensors import oxygen as SO
+from ics_wt_physicsengine_tpu.sensors import turbidity as STB
+from ics_wt_physicsengine_tpu.core import particles as PC
 from ics_wt_physicsengine_tpu.sensors import ph as SP
 from ics_wt_physicsengine_tpu.sensors import temperature as ST
 from ics_wt_physicsengine_tpu.sensors.types import InstallationQuality, SampleLine
@@ -45,6 +47,8 @@ class PlantParams:
     ammonia_outlet: Optional[SA.AmmoniaSensorParams] = None
     # the gas-exchange instrument (None unless enable_gas)
     oxygen_outlet: Optional[SO.OxygenSensorParams] = None
+    # the particle-dynamics instrument (None unless enable_particles)
+    turbidity_outlet: Optional[STB.TurbiditySensorParams] = None
 
 
 @jax.tree_util.register_dataclass
@@ -60,6 +64,7 @@ class PlantState:
     temp_outlet: ST.TemperatureSensorCarry
     ammonia_outlet: Optional[SA.AmmoniaSensorCarry] = None
     oxygen_outlet: Optional[SO.OxygenSensorCarry] = None
+    turbidity_outlet: Optional[STB.TurbiditySensorCarry] = None
 
 
 def make_plant(config: R.ReactorConfiguration, seed: int = 0,
@@ -85,6 +90,7 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
     # seed-pinned reproducibility (cf. CHANGELOG round-2 note)
     am_key = jax.random.fold_in(jax.random.key(seed), 7)
     ox_key = jax.random.fold_in(jax.random.key(seed), 8)
+    tb_key = jax.random.fold_in(jax.random.key(seed), 9)
 
     ph_in_p = SP.make_ph_params(zone_index=0, sample_line=line,
                                 installation=good_installation, dtype=dtype)
@@ -122,13 +128,18 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
                                      sensor_type=SO.OPTICAL,
                                      installation=good_installation,
                                      dtype=dtype)
+    tb_p = None
+    if getattr(config, "enable_particles", False):
+        tb_p = STB.make_turbidity_params(zone_index=-1,
+                                         installation=good_installation,
+                                         dtype=dtype)
 
     params = PlantParams(
         reactor=R.make_params(config, dtype=dtype),
         ph_inlet=ph_in_p, ph_outlet=ph_out_p,
         chlorine_inlet=cl_in_p, chlorine_outlet=cl_out_p,
         flow_main=fl_p, temp_inlet=t_in_p, temp_outlet=t_out_p,
-        ammonia_outlet=am_p, oxygen_outlet=ox_p)
+        ammonia_outlet=am_p, oxygen_outlet=ox_p, turbidity_outlet=tb_p)
 
     def backdate(carry, base_params):
         if not warmed_up:
@@ -166,7 +177,10 @@ def make_plant(config: R.ReactorConfiguration, seed: int = 0,
         ammonia_outlet=None if am_p is None else backdate(
             SA.make_ammonia_carry(am_p, am_key, dtype=dtype), am_p.base),
         oxygen_outlet=None if ox_p is None else backdate(
-            SO.make_oxygen_carry(ox_p, ox_key, dtype=dtype), ox_p.base))
+            SO.make_oxygen_carry(ox_p, ox_key, dtype=dtype), ox_p.base),
+        turbidity_outlet=None if tb_p is None else backdate(
+            STB.make_turbidity_carry(tb_p, tb_key, dtype=dtype),
+            tb_p.base))
     return params, state
 
 
@@ -263,11 +277,20 @@ def _read_all(params: PlantParams, state: R.ReactorState, plant: PlantState,
             state.flow_rate, t,
             rand=rand.get("oxygen_outlet"))
 
+    tb_c, tb = plant.turbidity_outlet, None
+    if params.turbidity_outlet is not None and state.tss is not None:
+        tp = params.turbidity_outlet
+        true_ntu = PC.turbidity_ntu_tap(_zone(state.tss, tp.zone_index),
+                                        params.reactor.particles)
+        tb_c, tb = STB.turbidity_read(
+            tp, plant.turbidity_outlet, true_ntu, t,
+            rand=rand.get("turbidity_outlet"))
+
     new_plant = PlantState(
         reactor=state, ph_inlet=ph_in_c, ph_outlet=ph_out_c,
         chlorine_inlet=cl_in_c, chlorine_outlet=cl_out_c, flow_main=fl_c,
         temp_inlet=t_in_c, temp_outlet=t_out_c, ammonia_outlet=am_c,
-        oxygen_outlet=ox_c)
+        oxygen_outlet=ox_c, turbidity_outlet=tb_c)
     readings = {
         "pH_inlet": ph_in, "pH_outlet": ph_out,
         "chlorine_inlet": cl_in, "chlorine_outlet": cl_out,
@@ -277,6 +300,8 @@ def _read_all(params: PlantParams, state: R.ReactorState, plant: PlantState,
         readings["ammonia_outlet"] = am
     if ox is not None:
         readings["oxygen_outlet"] = ox
+    if tb is not None:
+        readings["turbidity_outlet"] = tb
     return new_plant, readings
 
 
@@ -431,6 +456,7 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
     keys = jax.vmap(lambda k: jax.random.split(k, 7))(base_keys)
     am_keys = jax.vmap(lambda k: jax.random.fold_in(k, 7))(base_keys)
     ox_keys = jax.vmap(lambda k: jax.random.fold_in(k, 8))(base_keys)
+    tb_keys = jax.vmap(lambda k: jax.random.fold_in(k, 9))(base_keys)
 
     from dataclasses import replace as dc_replace
 
@@ -449,7 +475,9 @@ def make_plant_batch(config: R.ReactorConfiguration, n_plants: int,
         ammonia_outlet=None if state.ammonia_outlet is None
         else with_key(state.ammonia_outlet, am_keys),
         oxygen_outlet=None if state.oxygen_outlet is None
-        else with_key(state.oxygen_outlet, ox_keys))
+        else with_key(state.oxygen_outlet, ox_keys),
+        turbidity_outlet=None if state.turbidity_outlet is None
+        else with_key(state.turbidity_outlet, tb_keys))
     params = dc_replace(params, reactor=reactor_params)
     return params, state
 
@@ -813,7 +841,8 @@ def plant_rollout_auto(params: PlantParams, plant: PlantState,
     z = params.reactor.n_zones
     use_fused = (jax.default_backend() == "tpu" and batch < fused_max_batch
                  and z <= 128 and params.reactor.nitrogen is None
-                 and params.reactor.gas is None)
+                 and params.reactor.gas is None
+                 and params.reactor.particles is None)
     if use_fused:
         from ics_wt_physicsengine_tpu.ops.fused_plant import (
             plant_rollout_fused)

@@ -44,6 +44,7 @@ from ics_wt_physicsengine_tpu.sensors.wrappers import (  # noqa: F401
     FlowSensor,
     OxygenSensor,
     TemperatureSensor,
+    TurbiditySensor,
     pHSensor,
 )
 from ics_wt_physicsengine_tpu.sensors.ammonia import (  # noqa: F401
@@ -51,6 +52,9 @@ from ics_wt_physicsengine_tpu.sensors.ammonia import (  # noqa: F401
 )
 from ics_wt_physicsengine_tpu.sensors.oxygen import (  # noqa: F401
     validate_oxygen_sensor,
+)
+from ics_wt_physicsengine_tpu.sensors.turbidity import (  # noqa: F401
+    validate_turbidity_sensor,
 )
 from ics_wt_physicsengine_tpu.sensors.validation import (  # noqa: F401
     run_all_sensor_validations,
@@ -172,4 +176,10 @@ def create_realistic_sensor_suite(reactor_config, seed: int | None = None):
             sensor_type=OxygenSensorType.OPTICAL,
             installation=_suite_installation(),
             seed=_suite_seed(seed, 8))
+    # particle dynamics adds its instrument: an outlet nephelometer
+    if getattr(reactor_config, "enable_particles", False):
+        suite["turbidity_outlet"] = TurbiditySensor(
+            name="turbidity_outlet", zone_index=-1,
+            installation=_suite_installation(),
+            seed=_suite_seed(seed, 9))
     return suite

@@ -157,6 +157,8 @@ def run_all_sensor_validations():
 
     from ics_wt_physicsengine_tpu.sensors.oxygen import (
         validate_oxygen_sensor)
+    from ics_wt_physicsengine_tpu.sensors.turbidity import (
+        validate_turbidity_sensor)
 
     validate_pH_sensor()
     validate_chlorine_sensor()
@@ -166,6 +168,8 @@ def run_all_sensor_validations():
         raise RuntimeError("ammonia sensor validation failed")
     if not validate_oxygen_sensor():
         raise RuntimeError("oxygen sensor validation failed")
+    if not validate_turbidity_sensor():
+        raise RuntimeError("turbidity sensor validation failed")
     print("ALL SENSOR VALIDATIONS PASSED")
 
 

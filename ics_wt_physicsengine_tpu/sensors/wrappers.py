@@ -31,6 +31,7 @@ from ics_wt_physicsengine_tpu.sensors import flow as FL
 from ics_wt_physicsengine_tpu.sensors import ph as PH
 from ics_wt_physicsengine_tpu.sensors import ammonia as AM
 from ics_wt_physicsengine_tpu.sensors import oxygen as OX
+from ics_wt_physicsengine_tpu.sensors import turbidity as TB
 from ics_wt_physicsengine_tpu.sensors import temperature as TP
 from ics_wt_physicsengine_tpu.sensors.types import (
     STATUS_FROM_CODE,
@@ -63,6 +64,7 @@ _FL_READ = jax.jit(FL.flow_read)
 _TP_READ = jax.jit(TP.temperature_read)
 _AM_READ = jax.jit(AM.ammonia_read)
 _OX_READ = jax.jit(OX.oxygen_read)
+_TB_READ = jax.jit(TB.turbidity_read)
 
 
 @jax.jit
@@ -695,3 +697,60 @@ class OxygenSensor(_SensorShell):
     @property
     def electrolyte(self):
         return float(self.carry.electrolyte)
+
+
+class TurbiditySensor(_SensorShell):
+    """Nephelometric turbidity sensor (ISO 7027 90-degree scatter) — the
+    instrument for the particle dynamics; no reference counterpart
+    (sensors/turbidity.py).
+
+    The instrument is size-blind: its true value is the class-weighted
+    NTU of the water (core/particles.py turbidity weights), computed here
+    from the state's ``tss`` classes with ``ntu_weights`` (defaults to
+    the particle model's canonical weights)."""
+
+    def __init__(self, name: str, zone_index: int = 0,
+                 precision: Optional[float] = None,
+                 response_time: Optional[float] = None,
+                 drift_rate: float = 0.005 / 24.0,
+                 ntu_weights=None,
+                 max_history_length: int = 1000,
+                 sample_line: Optional[SampleLine] = None,
+                 installation: Optional[InstallationQuality] = None,
+                 calibration_validity_hours: float = 24.0 * 90,
+                 seed: Optional[int] = None, dtype=None):
+        from ics_wt_physicsengine_tpu.core import particles as PC
+        dtype = dtype or _default_dtype()
+        self._dtype = dtype
+        self.zone_index = zone_index
+        if ntu_weights is None:
+            ntu_weights = PC.DEFAULT_NTU_PER_MGL
+        self._ntu_weights = np.asarray(ntu_weights, float)
+        params = TB.make_turbidity_params(
+            zone_index=zone_index, precision=precision,
+            response_time=response_time, drift_rate=drift_rate,
+            sample_line=sample_line, installation=installation,
+            calibration_validity_hours=calibration_validity_hours,
+            dtype=dtype)
+        carry = TB.make_turbidity_carry(params, _new_key(seed), dtype=dtype)
+        super().__init__(name, params, carry, _TB_READ, max_history_length,
+                         calibration_validity_hours)
+
+    def _fresh_carry(self, seed=None):
+        return TB.make_turbidity_carry(self.params, _new_key(seed),
+                                       dtype=self._dtype)
+
+    def _extract_inputs(self, reactor_state):
+        tss = np.asarray(reactor_state.tss)          # [..., C, Z]
+        col = tss[..., self.zone_index]               # [..., C]
+        ntu = float(np.sum(self._ntu_weights * col, axis=-1))
+        return (ntu,)
+
+    def wipe_window(self) -> None:
+        """Run the mechanical wiper (clears the window-fouling bias)."""
+        with self._state_lock:
+            self.carry = TB.wipe_window(self.carry)
+
+    @property
+    def window_fouling_ntu(self):
+        return float(self.carry.window_fouling_ntu)
