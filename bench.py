@@ -125,6 +125,30 @@ def bench_batched(n_plants=32768, n_steps=2000, reps=3):
             2 * n_plants * n_steps / elapsed_rkc)
 
 
+def bench_full_chemistry(n_plants=8192, n_steps=1000, reps=3):
+    """All three extension axes at once (nitrogen + gas + particles):
+    a 12-field-per-zone plant (3 core + 4 N + 2 gas + 3 TSS classes +
+    sludge) on the batched XLA rollout — the throughput of the COMPLETE
+    physics, not just the reference-parity subset."""
+    base = R.ReactorConfiguration(
+        n_zones=20, enable_nitrogen=True, enable_gas=True,
+        enable_particles=True, initial_ammonia=1.0, initial_tss=20.0)
+    params, state = make_monte_carlo_batch(base, n_plants, seed=0,
+                                           dtype=jnp.float32)
+    params, state = jax.device_put((params, state))
+    bc = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.3,
+        inlet_ammonia=1.0, aeration_kla=1e-3, inlet_tss=20.0,
+        coagulant_dose=20.0, filter_flow_rate=10.0)
+    substeps = 3
+
+    fn = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=DT, substeps=substeps, n_steps=n_steps,
+        record=False)[0])
+    elapsed = _timed_chained(fn, params, state, bc, reps)
+    return n_plants * n_steps / elapsed
+
+
 def bench_integrated(n_plants=65536, n_steps=512, reps=3):
     """BASELINE configs 3+4 combined: batched integrated plants — physics
     plus all seven PRNG-threaded instruments per step per plant
@@ -561,7 +585,10 @@ def main():
     single, single_rkc = bench_single_plant()
     _log(f"single={single:.0f} rkc={single_rkc:.0f}; starting batched")
     batched, batched_rkc = bench_batched()
-    _log(f"batched={batched:.3g} rkc={batched_rkc:.3g}; starting integrated")
+    _log(f"batched={batched:.3g} rkc={batched_rkc:.3g}; starting "
+         "full-chemistry")
+    full_chem = bench_full_chemistry()
+    _log(f"full_chemistry={full_chem:.3g}; starting integrated")
     integrated = bench_integrated()
     _log(f"integrated={integrated:.3g}; starting integrated-single")
     (integrated_single, integrated_single_hil,
@@ -589,6 +616,8 @@ def main():
             "batched_plant_steps_per_sec_rkc_fast": round(batched_rkc, 1),
             "batched_n_plants": 32768,
             "batched_n_plants_rkc": 65536,
+            "full_chemistry_plant_steps_per_sec": round(full_chem, 1),
+            "full_chemistry_n_plants": 8192,
             "integrated_plant_steps_per_sec": round(integrated, 1),
             "integrated_n_plants": 65536,
             "integrated_single_steps_per_sec": round(integrated_single, 1),

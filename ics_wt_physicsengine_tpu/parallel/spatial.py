@@ -57,10 +57,14 @@ def _zone_spec(ndim: int, axis_name: str) -> P:
     return P(*([None] * (ndim - 1)), axis_name)
 
 
-def _species_specs(zone, present: bool):
-    """Spec kwargs for the optional nitrogen species fields."""
+def _species_specs(zone, present: bool, gas: bool = False):
+    """Spec kwargs for the optional nitrogen/gas species fields (the
+    particle classes are dense-path only: reactor.derivatives rejects
+    them under zone sharding)."""
     spec = zone if present else None
-    return dict(ammonia=spec, nitrite=spec, nitrate=spec, chloramine=spec)
+    gspec = zone if gas else None
+    return dict(ammonia=spec, nitrite=spec, nitrate=spec, chloramine=spec,
+                oxygen=gspec, carbonate=gspec)
 
 
 def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
@@ -73,7 +77,8 @@ def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
         density=None if state.density is None else zone,
         chlorine_decay_rate=(None if state.chlorine_decay_rate is None
                              else zone),
-        **_species_specs(zone, state.ammonia is not None),
+        **_species_specs(zone, state.ammonia is not None,
+                         gas=state.oxygen is not None),
     )
 
 
@@ -112,13 +117,16 @@ def _local_deriv_fn(params, boundary, dtype, local_zones: int,
     outlet_mask = ((idx == n_shards - 1) & (pos == zp - 2)).astype(dtype)
 
     has_n = params.nitrogen is not None
+    has_g = params.gas is not None
+    g_off = 7 if has_n else 3
 
     def f(y):
         padded = tuple(_halo_pad(v, axis_name, n_shards) for v in y)
         d = R.derivatives(params, padded[0], padded[1], padded[2],
                           boundary, inlet_mask=inlet_mask,
                           outlet_mask=outlet_mask,
-                          nitrogen=padded[3:] if has_n else None)
+                          nitrogen=padded[3:7] if has_n else None,
+                          gas=padded[g_off:g_off + 2] if has_g else None)
         return tuple(v[..., 1:-1] for v in d)
 
     return f
@@ -126,7 +134,8 @@ def _local_deriv_fn(params, boundary, dtype, local_zones: int,
 
 def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                       state_ndim: int = 1, axis_name: str = ZONE_AXIS,
-                      stages=None, nitrogen: bool = False):
+                      stages=None, nitrogen: bool = False,
+                      gas: bool = False):
     """Jitted single-dt step with the zone axis sharded over ``mesh``.
 
     ``n_zones`` must be divisible by the mesh size. ``state_ndim`` is the
@@ -142,14 +151,14 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
                                 chlorine_decay_rate=zone,
-                                **_species_specs(zone, nitrogen))
+                                **_species_specs(zone, nitrogen, gas=gas))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
                             axis_name, n_shards)
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
                       deriv_fn=f, stages=stages,
-                      deriv_fn_nitrogen=nitrogen)
+                      deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas)
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(P(), state_spec, P()),
@@ -180,7 +189,8 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
                             substeps: int, params_example,
                             plants_axis: str = "plants",
                             zone_axis: str = ZONE_AXIS, stages=None,
-                            nitrogen: bool = False):
+                            nitrogen: bool = False,
+                            gas: bool = False):
     """Jitted batched step over a 2-D (plants x zones) mesh: the leading
     plant axis of every ``[n_plants]``-batched params/state leaf is sharded
     over ``plants_axis``, the trailing zone axis over ``zone_axis``.
@@ -204,14 +214,14 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
                                 chlorine_decay_rate=zone,
-                                **_species_specs(zone, nitrogen))
+                                **_species_specs(zone, nitrogen, gas=gas))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
                             zone_axis, n_shards)
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
                       deriv_fn=f, stages=stages,
-                      deriv_fn_nitrogen=nitrogen)
+                      deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas)
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(param_specs, state_spec, P()),
@@ -241,7 +251,8 @@ def shard_batch_zones(tree, mesh: Mesh, plants_axis: str = "plants",
 def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                          n_steps: int, state_ndim: int = 1,
                          axis_name: str = ZONE_AXIS, stages=None,
-                         nitrogen: bool = False):
+                         nitrogen: bool = False,
+                         gas: bool = False):
     """Jitted n-step rollout (scan inside the shard_map, so the halo
     exchanges stay on-device for the whole trajectory)."""
     n_shards = mesh.shape[axis_name]
@@ -254,7 +265,7 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
                                 chlorine_decay_rate=zone,
-                                **_species_specs(zone, nitrogen))
+                                **_species_specs(zone, nitrogen, gas=gas))
 
     def local_rollout(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
@@ -263,7 +274,8 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
         def body(s, _):
             return R.step(params, s, boundary, dt=dt, substeps=substeps,
                           deriv_fn=f, stages=stages,
-                          deriv_fn_nitrogen=nitrogen), None
+                          deriv_fn_nitrogen=nitrogen,
+                          deriv_fn_gas=gas), None
 
         final, _ = jax.lax.scan(body, state, None, length=n_steps)
         return final

@@ -196,3 +196,37 @@ def test_zone_sharded_rkc(cfg16):
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(out.chlorine),
                                np.asarray(ref.chlorine), rtol=0, atol=1e-12)
+
+
+def test_zone_sharded_gas_matches_single_device():
+    """Gas species (O2/C_T) halo-exchange across the zone shards; the
+    surface transfer lands on the TOP zone via the outlet mask (last
+    shard), reproducing the single-device trajectory exactly."""
+    cfg = R.ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=16,
+        flow_rate=5.0, initial_pH=7.2, initial_chlorine=2.0,
+        temperature=20.0, enable_gas=True, initial_oxygen=5.0,
+        gas_params={"kl_surface": 2e-4})
+    params = R.make_params(cfg, dtype=jnp.float64)
+    state0 = R.make_initial_state(cfg, dtype=jnp.float64)
+    bc = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.5, inlet_oxygen=7.0,
+        aeration_kla=1e-3, inlet_temperature=22.0)
+
+    ref = state0
+    step1 = jax.jit(lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=4))
+    for _ in range(10):
+        ref = step1(params, ref, bc)
+
+    mesh = make_zone_mesh(8)
+    st = shard_state_zones(state0, mesh)
+    fn = zone_sharded_step(mesh, n_zones=16, dt=1.0, substeps=4, gas=True)
+    for _ in range(10):
+        st = fn(params, st, bc)
+
+    for f in ("pH", "chlorine", "temperature", "oxygen", "carbonate"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st, f)), np.asarray(getattr(ref, f)),
+            rtol=0, atol=0, err_msg=f)
+    # the surface transfer actually moved O2 toward saturation at the top
+    assert float(ref.oxygen[-1]) > float(state0.oxygen[-1])
