@@ -47,6 +47,7 @@ from ics_wt_physicsengine_tpu.control.ekf import (
     make_ekf_carry,
     nis_fault_monitor,
     tap_index,
+    tss_index,
     unflatten_state,
 )
 from ics_wt_physicsengine_tpu.control.estimator import (
@@ -90,5 +91,5 @@ __all__ = [
     "make_kalman_carry", "make_kalman_params",
     "EKFCarry", "ekf_observer", "flatten_state", "make_augmented_carry",
     "make_augmented_ekf", "make_ekf", "make_ekf_carry",
-    "nis_fault_monitor", "tap_index", "unflatten_state",
+    "nis_fault_monitor", "tap_index", "tss_index", "unflatten_state",
 ]

@@ -50,6 +50,12 @@ def state_fields(nitrogen: bool = False, gas: bool = False) -> tuple:
         + (_G_FIELDS if gas else ())
 
 
+def _n_classes(state_or_none) -> int:
+    """Particle class count carried by a state (0 when particles off)."""
+    tss = getattr(state_or_none, "tss", None)
+    return 0 if tss is None else tss.shape[-2]
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class EKFCarry:
@@ -59,22 +65,40 @@ class EKFCarry:
 
 def flatten_state(state: R.ReactorState) -> jnp.ndarray:
     """ReactorState -> flat vector (pH | Cl | T [| NH3 | NO2 | NO3 |
-    NH2Cl] — species included when the state carries them)."""
+    NH2Cl] [| O2 | C_T] [| TSS classes x zones | sludge classes] —
+    species included when the state carries them)."""
     arrs = [state.pH, state.chlorine, state.temperature]
     if state.ammonia is not None:
         arrs += [state.ammonia, state.nitrite, state.nitrate,
                  state.chloramine]
     if state.oxygen is not None:
         arrs += [state.oxygen, state.carbonate]
+    if state.tss is not None:
+        c, z = state.tss.shape[-2:]
+        arrs += [state.tss.reshape(state.tss.shape[:-2] + (c * z,)),
+                 state.sludge]
     return jnp.concatenate(arrs, axis=-1)
 
 
 def unflatten_state(x: jnp.ndarray, n_zones: int,
                     time=0.0, flow_rate=0.0,
                     nitrogen: bool = False,
-                    gas: bool = False) -> R.ReactorState:
-    """Flat vector -> ReactorState (derived fields recomputed)."""
+                    gas: bool = False,
+                    n_classes: int = 0) -> R.ReactorState:
+    """Flat vector -> ReactorState (derived fields recomputed).
+
+    ``n_classes > 0`` declares a particle plant: the trailing
+    ``n_classes * n_zones + n_classes`` entries are the TSS class
+    concentrations ([..., C, Z]) and the settled sludge inventory."""
     fields = state_fields(nitrogen, gas)
+    p_kw = {}
+    if n_classes:
+        n_p = n_classes * n_zones + n_classes
+        xp, x = x[..., -n_p:], x[..., :-n_p]
+        p_kw = dict(
+            tss=xp[..., :n_classes * n_zones].reshape(
+                xp.shape[:-1] + (n_classes, n_zones)),
+            sludge=xp[..., n_classes * n_zones:])
     parts = {f: x[..., i * n_zones:(i + 1) * n_zones]
              for i, f in enumerate(fields)}
     st = R.ReactorState(
@@ -83,7 +107,8 @@ def unflatten_state(x: jnp.ndarray, n_zones: int,
         temperature=parts["temperature"],
         flow_rate=jnp.asarray(flow_rate, x.dtype),
         **({k: parts[k] for k in _N_FIELDS} if nitrogen else {}),
-        **({k: parts[k] for k in _G_FIELDS} if gas else {}))
+        **({k: parts[k] for k in _G_FIELDS} if gas else {}),
+        **p_kw)
     return st.update_derived()
 
 
@@ -98,27 +123,49 @@ def tap_index(field: str, zone: int, n_zones: int,
     return fields.index(field) * n_zones + (zone % n_zones)
 
 
+def tss_index(cls: int, zone: int, n_zones: int, n_classes: int,
+              nitrogen: bool = False, gas: bool = False) -> int:
+    """State-vector index of TSS class ``cls`` at ``zone`` on a
+    particle plant (the particle block trails the zone fields)."""
+    if not -n_classes <= cls < n_classes:
+        raise ValueError(f"class {cls} outside [{-n_classes}, "
+                         f"{n_classes})")
+    if not -n_zones <= zone < n_zones:
+        raise ValueError(f"zone {zone} outside [{-n_zones}, {n_zones})")
+    base = len(state_fields(nitrogen, gas)) * n_zones
+    return base + (cls % n_classes) * n_zones + (zone % n_zones)
+
+
 def make_ekf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
                    n_zones: int) -> EKFCarry:
     """Initial carry from a (possibly wrong) state guess.
 
     ``p0`` is the initial variance — a scalar, or one value per field
     (pH, chlorine, temperature[, ammonia, nitrite, nitrate,
-    chloramine]) broadcast across that field's zones."""
+    chloramine][, oxygen, carbonate][, tss, sludge]) broadcast across
+    that field's zones (the tss entry covers every class x zone; the
+    sludge entry the per-class inventory)."""
     nitrogen = state0.ammonia is not None
     gas = state0.oxygen is not None
+    n_cls = _n_classes(state0)
     n_fields = len(state_fields(nitrogen, gas))
     x0 = flatten_state(state0)
+    n = n_fields * n_zones + n_cls * n_zones + n_cls
     p0_arr = jnp.asarray(p0, x0.dtype)
     if p0_arr.ndim == 0:
-        diag = jnp.full(n_fields * n_zones, p0_arr, x0.dtype)
+        diag = jnp.full(n, p0_arr, x0.dtype)
     else:
-        if p0_arr.shape != (n_fields,):
-            raise ValueError(f"p0 needs {n_fields} per-field entries "
+        want = n_fields + (2 if n_cls else 0)
+        if p0_arr.shape != (want,):
+            raise ValueError(f"p0 needs {want} per-field entries "
                              f"(or a scalar), got {p0_arr.shape}")
-        diag = jnp.repeat(p0_arr.astype(x0.dtype), n_zones)
-    P0 = jnp.zeros(x0.shape + (n_fields * n_zones,), x0.dtype) \
-        + jnp.diag(diag)
+        diag = jnp.repeat(p0_arr[:n_fields].astype(x0.dtype), n_zones)
+        if n_cls:
+            diag = jnp.concatenate([
+                diag,
+                jnp.full(n_cls * n_zones, p0_arr[n_fields], x0.dtype),
+                jnp.full(n_cls, p0_arr[n_fields + 1], x0.dtype)])
+    P0 = jnp.zeros(x0.shape + (n,), x0.dtype) + jnp.diag(diag)
     return EKFCarry(x=x0, P=P0)
 
 
@@ -126,6 +173,7 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
              taps: Sequence[Tuple[str, int]], dt: float, substeps: int,
              process_noise: Sequence[float] = (1e-6, 1e-5, 1e-5),
              measurement_noise: Sequence[float] | float = 0.01,
+             particle_noise: Tuple[float, float] = (1e-4, 1e-8),
              stages=None, diagnostics: bool = False):
     """Build the EKF step function for a plant and a set of instrument
     taps.
@@ -154,12 +202,26 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
     may then include the species (e.g. ``("ammonia", -1)`` — the ISE
     instrument — or ``("oxygen", -1)`` — the DO probe), and
     ``process_noise`` takes one PSD per field (a 3-entry core value is
-    extended with 1e-6 for each extension species)."""
+    extended with 1e-6 for each extension species).
+
+    Particle plants (``params.particles``) append the TSS class
+    concentrations and the sludge inventory after every zone field.
+    The nephelometer's measurand is the class-WEIGHTED sum
+    ``sum_c ntu_per_mgl[c] * tss[c, z]`` — a linear combination, not a
+    single state entry — so ``("turbidity", zone)`` taps build a full
+    measurement row and the update runs in general scalar form
+    (y = h.x); the filter apportions the innovation across classes by
+    their covariances (soft-sensing the size distribution from one
+    NTU channel). ``particle_noise`` is the (tss, sludge) PSD pair."""
     nitrogen = params.nitrogen is not None
     gas = params.gas is not None
+    n_cls = (0 if params.particles is None
+             else params.particles.ntu_per_mgl.shape[-1])
     n_fields = len(state_fields(nitrogen, gas))
-    idxs = tuple(tap_index(f, z, n_zones, nitrogen, gas)
-                 for f, z in taps)
+    n = n_fields * n_zones + n_cls * n_zones + n_cls
+    idxs = tuple(
+        _tap_row(f, z, n_zones, nitrogen, gas, n_cls, n,
+                 params.particles) for f, z in taps)
     q_field = jnp.asarray(process_noise, jnp.float32)
     if q_field.shape == (3,) and n_fields > 3:
         q_field = jnp.concatenate(
@@ -167,18 +229,52 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
     if q_field.shape != (n_fields,):
         raise ValueError(f"process_noise is one PSD per field "
                          f"{state_fields(nitrogen, gas)}")
-    q_diag = jnp.repeat(q_field, n_zones) * dt
+    q_diag = jnp.repeat(q_field, n_zones)
+    if n_cls:
+        q_tss, q_sl = particle_noise
+        q_diag = jnp.concatenate([
+            q_diag, jnp.full(n_cls * n_zones, q_tss, jnp.float32),
+            jnp.full(n_cls, q_sl, jnp.float32)])
+    q_diag = q_diag * dt
     r = jnp.broadcast_to(jnp.asarray(measurement_noise, jnp.float32),
                          (len(idxs),))
 
     def f_flat(x, boundary):
-        st = unflatten_state(x, n_zones, nitrogen=nitrogen, gas=gas)
+        st = unflatten_state(x, n_zones, nitrogen=nitrogen, gas=gas,
+                             n_classes=n_cls)
         st2 = R.step(params, st, boundary, dt, substeps, stages=stages)
         return flatten_state(st2)
 
     ekf_step = _build_ekf_step(f_flat, idxs, q_diag, r,
                                diagnostics=diagnostics)
     return ekf_step
+
+
+def _tap_row(field: str, zone: int, n_zones: int, nitrogen: bool,
+             gas: bool, n_classes: int, n: int, pp):
+    """A tap -> either a state index (direct state measurements) or a
+    measurement row h (linear-combination measurands)."""
+    if field == "turbidity":
+        if not n_classes:
+            raise ValueError("turbidity taps need a particle plant "
+                             "(params.particles)")
+        if not -n_zones <= zone < n_zones:
+            raise ValueError(f"zone {zone} outside "
+                             f"[{-n_zones}, {n_zones})")
+        h = jnp.zeros((n,), jnp.float32)
+        base = len(state_fields(nitrogen, gas)) * n_zones
+        for c in range(n_classes):
+            h = h.at[base + c * n_zones + (zone % n_zones)].set(
+                pp.ntu_per_mgl[c].astype(jnp.float32))
+        return h
+    if field == "tss" and n_classes:
+        # total-solids tap (unweighted class sum) at one zone
+        h = jnp.zeros((n,), jnp.float32)
+        base = len(state_fields(nitrogen, gas)) * n_zones
+        for c in range(n_classes):
+            h = h.at[base + c * n_zones + (zone % n_zones)].set(1.0)
+        return h
+    return tap_index(field, zone, n_zones, nitrogen, gas)
 
 
 def _build_ekf_step(f_flat, idxs, q_diag, r, diagnostics: bool = False):
@@ -197,10 +293,19 @@ def _build_ekf_step(f_flat, idxs, q_diag, r, diagnostics: bool = False):
             zk = z[..., k]
             finite = jnp.isfinite(zk)
             zs = jnp.where(finite, zk, 0.0)
-            p_row = Pu[..., idx, :]               # P @ h (h = e_idx)
-            s = p_row[..., idx] + r[k]            # innovation variance
-            gain = p_row / s[..., None]           # K = P h / s
-            innov = zs - x[..., idx]
+            if isinstance(idx, jnp.ndarray):
+                # general measurement row: y = h.x (e.g. turbidity —
+                # a class-weighted sum of TSS states)
+                h = idx.astype(Pu.dtype)
+                p_row = jnp.einsum("...ij,j->...i", Pu, h)   # P h
+                s = jnp.einsum("...i,i->...", p_row, h) + r[k]
+                gain = p_row / s[..., None]
+                innov = zs - jnp.einsum("...i,i->...", x, h)
+            else:
+                p_row = Pu[..., idx, :]           # P @ h (h = e_idx)
+                s = p_row[..., idx] + r[k]        # innovation variance
+                gain = p_row / s[..., None]       # K = P h / s
+                innov = zs - x[..., idx]
             innovations.append(jnp.where(finite, innov, jnp.nan))
             variances.append(s)
             x_upd = x + gain * innov[..., None]
@@ -282,6 +387,8 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
 
     nitrogen = params.nitrogen is not None
     gas = params.gas is not None
+    n_cls = (0 if params.particles is None
+             else params.particles.ntu_per_mgl.shape[-1])
     n_fields = len(state_fields(nitrogen, gas))
     bc_fields = {f.name for f in
                  dataclasses.fields(R.BoundaryConditions)}
@@ -290,9 +397,10 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
             raise ValueError(f"{name!r} is not a BoundaryConditions "
                              f"field")
     n_aug = len(augment)
-    n_core = n_fields * n_zones
-    idxs = tuple(tap_index(f, z, n_zones, nitrogen, gas)
-                 for f, z in taps)
+    n_core = n_fields * n_zones + n_cls * n_zones + n_cls
+    idxs = tuple(
+        _tap_row(f, z, n_zones, nitrogen, gas, n_cls,
+                 n_core + n_aug, params.particles) for f, z in taps)
     q_field = jnp.asarray(process_noise, jnp.float32)
     if q_field.shape == (3,) and n_fields > 3:
         q_field = jnp.concatenate(
@@ -302,8 +410,12 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
                          f"{state_fields(nitrogen, gas)}")
     q_aug = jnp.broadcast_to(
         jnp.asarray(augment_noise, jnp.float32), (n_aug,))
-    q_diag = jnp.concatenate(
-        [jnp.repeat(q_field, n_zones), q_aug]) * dt
+    q_core = jnp.repeat(q_field, n_zones)
+    if n_cls:
+        q_core = jnp.concatenate([
+            q_core, jnp.full(n_cls * n_zones, 1e-4, jnp.float32),
+            jnp.full(n_cls, 1e-8, jnp.float32)])
+    q_diag = jnp.concatenate([q_core, q_aug]) * dt
     r = jnp.broadcast_to(jnp.asarray(measurement_noise, jnp.float32),
                          (len(idxs),))
 
@@ -313,7 +425,8 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
             boundary, **{name: theta[..., i]
                          for i, name in enumerate(augment)})
         st = unflatten_state(x[..., :n_core], n_zones,
-                             nitrogen=nitrogen, gas=gas)
+                             nitrogen=nitrogen, gas=gas,
+                             n_classes=n_cls)
         st2 = R.step(params, st, bc, dt, substeps, stages=stages)
         return jnp.concatenate([flatten_state(st2), theta], axis=-1)
 

@@ -480,3 +480,68 @@ def test_tap_index_species_layout_nitrogen_plus_gas():
         == 8 * Z + (Z - 1)
     with pytest.raises(ValueError, match="field"):
         tap_index("oxygen", 0, Z)   # gas fields need gas=True
+
+
+def test_particle_ekf_soft_senses_tss_from_turbidity():
+    """Particle plants append TSS classes + sludge to the EKF state, and
+    the nephelometer tap is a class-WEIGHTED linear measurement row
+    (y = sum_c w_c tss[c, z]): one outlet NTU channel plus the core taps
+    pulls the whole total-solids profile toward truth, beating the same
+    wrong guess run open loop."""
+    from ics_wt_physicsengine_tpu.control import tss_index
+    from ics_wt_physicsengine_tpu.core import particles as P
+
+    config = R.ReactorConfiguration(
+        volume=1000.0, n_zones=Z, flow_rate=5.0, initial_pH=7.2,
+        initial_chlorine=0.5, temperature=20.0, enable_particles=True,
+        initial_tss=10.0)
+    params = R.make_params(config, dtype=jnp.float64)
+    substeps = R.default_substeps(config, DT)
+    boundary = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.4, inlet_chlorine=0.3,
+        inlet_temperature=20.0, inlet_tss=25.0)
+    taps = TAPS + [("turbidity", -1)]
+    sigma = np.append(SIGMA, 0.2)        # 0.2 NTU nephelometer noise
+    ekf_step = jax.jit(make_ekf(
+        params, Z, taps, DT, substeps,
+        measurement_noise=(sigma ** 2).tolist(),
+        particle_noise=(1e-3, 1e-8)))
+    step = jax.jit(lambda s: R.step(params, s, boundary, DT, substeps))
+
+    # truth carries MORE solids than the filter's guess believes
+    truth = R.make_initial_state(config, dtype=jnp.float64)
+    truth = R.ReactorState(
+        time=truth.time, pH=truth.pH, chlorine=truth.chlorine,
+        temperature=truth.temperature, flow_rate=truth.flow_rate,
+        tss=3.0 * truth.tss, sludge=truth.sludge).update_derived()
+    guess = R.make_initial_state(config, dtype=jnp.float64)
+    open_loop = guess
+
+    n_cls = P.N_CLASSES
+    carry = make_ekf_carry(
+        guess, p0=(0.05, 1.0, 4.0, 25.0, 1.0), n_zones=Z)
+    assert carry.x.shape == (3 * Z + n_cls * Z + n_cls,)
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        truth = step(truth)
+        open_loop = step(open_loop)
+        z = [float(flatten_state(truth)[tap_index(f, zz, Z)])
+             for f, zz in TAPS]
+        z.append(float(P.turbidity_ntu_tap(truth.tss[:, -1],
+                                           params.particles)))
+        carry, x_hat = ekf_step(
+            carry, jnp.asarray(np.asarray(z) + rng.normal(0, sigma)),
+            boundary)
+
+    mid = Z // 2
+    est = unflatten_state(x_hat, Z, n_classes=n_cls)
+    tss_est = float(jnp.sum(est.tss[:, mid]))
+    tss_true = float(jnp.sum(truth.tss[:, mid]))
+    tss_ol = float(jnp.sum(open_loop.tss[:, mid]))
+    assert abs(tss_est - tss_true) < 0.5 * abs(tss_ol - tss_true), (
+        tss_est, tss_true, tss_ol)
+    # the flat layout helper addresses the same entries the estimate used
+    i0 = tss_index(0, mid, Z, n_cls)
+    assert float(x_hat[i0]) == float(est.tss[0, mid])
+    assert bool(jnp.all(jnp.isfinite(carry.P)))
