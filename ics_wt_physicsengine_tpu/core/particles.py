@@ -133,16 +133,41 @@ def settling_rates(p: ParticleParams, T_surface, zone_height):
     return w / align_trailing(zone_height, w)
 
 
-def settle(x, rate_cz):
+def settling_rates_zonal(p: ParticleParams, T_zone, zone_height):
+    """Per-class, per-zone settling rate w/h [1/s]: each zone's Stokes
+    velocity from its OWN temperature's viscosity
+    (``[..., Z] -> [..., C, Z]``). Strictly more physical than a
+    bulk-valued rate (a warm top layer settles its solids faster), and
+    purely local in the zone axis — the property the zone-sharded SPMD
+    path (parallel/spatial.py) needs: no global temperature reduction
+    inside the stencil."""
+    contrast = align_trailing(p.density_kgm3 - 998.2, p.diameters_m)
+    w_c = G_GRAVITY * contrast * p.diameters_m ** 2 / 18.0  # mu-free
+    w_cz = w_c[..., :, None] / water_viscosity(T_zone)[..., None, :]
+    return w_cz / align_trailing(zone_height, w_cz)
+
+
+def settle(x, rate_cz, top_mask=None, bottom_mask=None):
     """Upwind settling stencil on ``x[..., C, Z]`` with per-class rates
-    ``rate_cz[..., C, 1]`` (zone 0 = bottom). Returns ``(dx, deposit)``:
-    the in-column tendency and the per-class bottom deposition flux
-    [mg/L/s of bottom-zone volume]."""
+    ``rate_cz`` (``[..., C, 1]`` or ``[..., C, Z]``; zone 0 = bottom).
+    Returns ``(dx, deposit)``: the in-column tendency and the per-class
+    bottom deposition flux [mg/L/s of bottom-zone volume].
+
+    ``top_mask``/``bottom_mask`` (``[..., Z]`` one-hot floats) relocate
+    the no-receive condition and the deposit extraction away from the
+    array ends for the zone-sharded SPMD path, exactly like
+    ``reactor.derivatives``'s inlet/outlet masks (the default None
+    keeps the canonical array-end layout)."""
     fall = rate_cz * x                        # downward flux out of each zone
     zeros = jnp.zeros_like(x[..., :1])
     # zone i receives zone i+1's fall; the top zone receives nothing
     recv = jnp.concatenate([fall[..., 1:], zeros], axis=-1)
-    deposit = fall[..., 0]                    # bottom zone -> sludge
+    if top_mask is not None:
+        recv = recv * (1.0 - top_mask[..., None, :])
+    if bottom_mask is None:
+        deposit = fall[..., 0]                # bottom zone -> sludge
+    else:
+        deposit = jnp.sum(fall * bottom_mask[..., None, :], axis=-1)
     return recv - fall, deposit
 
 

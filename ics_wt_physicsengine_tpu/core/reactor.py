@@ -625,30 +625,42 @@ def derivatives(params: ReactorParams, pH, Cl, T,
         #     README.md:522 "No particle dynamics"). The class axis sits
         #     ahead of the zone axis ([..., C, Z]); the exchange stencil
         #     vectorizes over it by inserting a class axis into the
-        #     interface rates. ---
-        if inlet_mask is not None or outlet_mask is not None:
-            raise ValueError(
-                "the zone-sharded SPMD path does not carry the particle "
-                "classes; run particle plants on the dense XLA path")
+        #     interface rates. Under inlet/outlet masks (the zone-sharded
+        #     SPMD path) the bottom/top source terms relocate onto the
+        #     owning shard, and the sludge tendency is GATED to the
+        #     bottom-owning shard: the sludge leaf is replicated across
+        #     zone shards, so the SPMD wrapper psums the gated tendency
+        #     to recover the (bit-exact) global value. ---
         pp = params.particles
         tss, sludge = particles
         tss = jnp.maximum(tss, 0.0)
         sludge = jnp.maximum(sludge, 0.0)
 
         # inter-zone mixing + outlet advection, class-vectorized
-        dTSS = transport_mod.apply_exchange(
-            tss, k_iface=k_iface[..., None, :], q_per_v=q_per_v)
+        if outlet_mask is None:
+            dTSS = transport_mod.apply_exchange(
+                tss, k_iface=k_iface[..., None, :], q_per_v=q_per_v)
+        else:
+            dTSS = transport_mod.apply_exchange(
+                tss, k_iface=k_iface[..., None, :], q_per_v=0.0) \
+                - align_trailing(q_per_v, tss) * tss \
+                * outlet_mask[..., None, :]
         # inlet advection at zone 0, split by the source-water fractions
         tss_in = align_trailing(jnp.asarray(boundary.inlet_tss), T) \
             * pp.inlet_fractions
-        dTSS = dTSS.at[..., 0].add(
-            align_trailing(q_per_v, tss_in) * (tss_in - tss[..., 0]))
+        if inlet_mask is None:
+            dTSS = dTSS.at[..., 0].add(
+                align_trailing(q_per_v, tss_in) * (tss_in - tss[..., 0]))
+        else:
+            dTSS = dTSS + align_trailing(q_per_v, tss) \
+                * (tss_in[..., None] - tss) * inlet_mask[..., None, :]
 
-        # Stokes settling toward zone 0 (the tank bottom): rates from the
-        # bulk temperature's viscosity, per class
-        w_rate = particles_mod.settling_rates(
-            pp, jnp.mean(T, axis=-1)[..., None], params.zone_height)
-        dsettle, deposit = particles_mod.settle(tss, w_rate[..., None])
+        # Stokes settling toward zone 0 (the tank bottom): per-zone rates
+        # from each zone's own temperature (purely local in the zone axis)
+        w_rate = particles_mod.settling_rates_zonal(
+            pp, T, params.zone_height)
+        dsettle, deposit = particles_mod.settle(
+            tss, w_rate, top_mask=outlet_mask, bottom_mask=inlet_mask)
         dTSS = dTSS + dsettle
 
         # coagulation chain (mass-conserving across classes)
@@ -658,16 +670,27 @@ def derivatives(params: ReactorParams, pH, Cl, T,
         # recirculating filtration at the outlet zone
         q_filter = (jnp.asarray(boundary.filter_flow_rate) / 60.0) \
             / params.zone_volume_L
-        dTSS = dTSS.at[..., -1].add(
-            -align_trailing(q_filter, tss[..., -1])
-            * pp.filter_eff * tss[..., -1])
+        if outlet_mask is None:
+            dTSS = dTSS.at[..., -1].add(
+                -align_trailing(q_filter, tss[..., -1])
+                * pp.filter_eff * tss[..., -1])
+        else:
+            dTSS = dTSS - align_trailing(q_filter, tss) \
+                * pp.filter_eff[..., None] * tss \
+                * outlet_mask[..., None, :]
 
         # sludge inventory: deposit in, resuspension + blowdown out
         resusp = align_trailing(pp.k_resuspension, sludge) * sludge
         dSludge = deposit - resusp \
             - align_trailing(jnp.asarray(boundary.sludge_blowdown),
                              sludge) * sludge
-        dTSS = dTSS.at[..., 0].add(resusp)
+        if inlet_mask is None:
+            dTSS = dTSS.at[..., 0].add(resusp)
+        else:
+            dTSS = dTSS + resusp[..., None] * inlet_mask[..., None, :]
+            # gate to the bottom-owning shard so the wrapper's psum
+            # reproduces the global tendency exactly
+            dSludge = dSludge * jnp.sum(inlet_mask, axis=-1)[..., None]
         extra += (dTSS, dSludge)
 
     return (dpH, dCl, dT) + extra

@@ -57,19 +57,28 @@ def _zone_spec(ndim: int, axis_name: str) -> P:
     return P(*([None] * (ndim - 1)), axis_name)
 
 
-def _species_specs(zone, present: bool, gas: bool = False):
-    """Spec kwargs for the optional nitrogen/gas species fields (the
-    particle classes are dense-path only: reactor.derivatives rejects
-    them under zone sharding)."""
+def _species_specs(zone, present: bool, gas: bool = False,
+                   particles=None):
+    """Spec kwargs for the optional nitrogen/gas/particle species fields.
+    ``particles`` is None (off) or a ``(tss_spec, sludge_spec)`` pair —
+    the TSS leaf carries a class axis AHEAD of the sharded zone axis
+    ([..., C, Z]) and the sludge inventory has no zone axis at all (it
+    replicates across zone shards; the local deriv fn psums its gated
+    tendency so every shard integrates the identical global value)."""
     spec = zone if present else None
     gspec = zone if gas else None
+    tspec, sspec = particles if particles is not None else (None, None)
     return dict(ammonia=spec, nitrite=spec, nitrate=spec, chloramine=spec,
-                oxygen=gspec, carbonate=gspec)
+                oxygen=gspec, carbonate=gspec, tss=tspec, sludge=sspec)
 
 
 def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
-    zone = _zone_spec(np.ndim(state.pH), axis_name)
+    ndim = np.ndim(state.pH)
+    zone = _zone_spec(ndim, axis_name)
     rep = P()
+    part = None
+    if state.tss is not None:
+        part = (_zone_spec(ndim + 1, axis_name), rep)
     return R.ReactorState(
         time=rep, pH=zone, chlorine=zone, temperature=zone,
         flow_rate=rep,
@@ -78,7 +87,8 @@ def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
         chlorine_decay_rate=(None if state.chlorine_decay_rate is None
                              else zone),
         **_species_specs(zone, state.ammonia is not None,
-                         gas=state.oxygen is not None),
+                         gas=state.oxygen is not None,
+                         particles=part),
     )
 
 
@@ -118,15 +128,27 @@ def _local_deriv_fn(params, boundary, dtype, local_zones: int,
 
     has_n = params.nitrogen is not None
     has_g = params.gas is not None
+    has_p = params.particles is not None
     g_off = 7 if has_n else 3
+    p_off = g_off + (2 if has_g else 0)
 
     def f(y):
-        padded = tuple(_halo_pad(v, axis_name, n_shards) for v in y)
+        # sludge (the last leaf on particle plants) has no zone axis:
+        # it is neither halo-padded nor trimmed, and its tendency is
+        # psum'd so every zone shard integrates the identical global
+        # value (derivatives gates it to the bottom-owning shard).
+        zoned, sludge = (y[:-1], y[-1]) if has_p else (y, None)
+        padded = tuple(_halo_pad(v, axis_name, n_shards) for v in zoned)
         d = R.derivatives(params, padded[0], padded[1], padded[2],
                           boundary, inlet_mask=inlet_mask,
                           outlet_mask=outlet_mask,
                           nitrogen=padded[3:7] if has_n else None,
-                          gas=padded[g_off:g_off + 2] if has_g else None)
+                          gas=padded[g_off:g_off + 2] if has_g else None,
+                          particles=((padded[p_off], sludge)
+                                     if has_p else None))
+        if has_p:
+            return tuple(v[..., 1:-1] for v in d[:-1]) \
+                + (jax.lax.psum(d[-1], axis_name),)
         return tuple(v[..., 1:-1] for v in d)
 
     return f
@@ -135,7 +157,7 @@ def _local_deriv_fn(params, boundary, dtype, local_zones: int,
 def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                       state_ndim: int = 1, axis_name: str = ZONE_AXIS,
                       stages=None, nitrogen: bool = False,
-                      gas: bool = False):
+                      gas: bool = False, particles: bool = False):
     """Jitted single-dt step with the zone axis sharded over ``mesh``.
 
     ``n_zones`` must be divisible by the mesh size. ``state_ndim`` is the
@@ -147,18 +169,22 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                          f"mesh size {n_shards}")
     local_zones = n_zones // n_shards
     zone = _zone_spec(state_ndim, axis_name)
+    part = ((_zone_spec(state_ndim + 1, axis_name), P())
+            if particles else None)
     state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
                                 chlorine_decay_rate=zone,
-                                **_species_specs(zone, nitrogen, gas=gas))
+                                **_species_specs(zone, nitrogen, gas=gas,
+                                                 particles=part))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
                             axis_name, n_shards)
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
                       deriv_fn=f, stages=stages,
-                      deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas)
+                      deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas,
+                      deriv_fn_particles=particles)
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(P(), state_spec, P()),
@@ -190,7 +216,7 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
                             plants_axis: str = "plants",
                             zone_axis: str = ZONE_AXIS, stages=None,
                             nitrogen: bool = False,
-                            gas: bool = False):
+                            gas: bool = False, particles: bool = False):
     """Jitted batched step over a 2-D (plants x zones) mesh: the leading
     plant axis of every ``[n_plants]``-batched params/state leaf is sharded
     over ``plants_axis``, the trailing zone axis over ``zone_axis``.
@@ -210,18 +236,22 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
         lambda x: P() if np.ndim(x) == 0 else P(plants_axis),
         params_example)
     zone = P(plants_axis, zone_axis)
+    part = ((P(plants_axis, None, zone_axis), P(plants_axis))
+            if particles else None)
     state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
                                 chlorine_decay_rate=zone,
-                                **_species_specs(zone, nitrogen, gas=gas))
+                                **_species_specs(zone, nitrogen, gas=gas,
+                                                 particles=part))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
                             zone_axis, n_shards)
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
                       deriv_fn=f, stages=stages,
-                      deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas)
+                      deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas,
+                      deriv_fn_particles=particles)
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(param_specs, state_spec, P()),
@@ -233,13 +263,24 @@ def shard_batch_zones(tree, mesh: Mesh, plants_axis: str = "plants",
                       zone_axis: str = ZONE_AXIS):
     """Place a plant-batched pytree on a 2-D mesh: rank-0 leaves replicate,
     rank-1 leaves (per-plant params) shard over plants, rank-2+ leaves
-    ([plants, ..., zones] state) shard plants x zones."""
+    ([plants, ..., zones] state) shard plants x zones.
+
+    Particle leaves are the exception to the rank rule — their trailing
+    class axis is NOT a zone axis: ``ReactorState.sludge`` ([plants, C])
+    and every ``ReactorParams.particles`` leaf ([plants] or [plants, C])
+    shard over plants only."""
+    plants_only = set()
+    if isinstance(tree, R.ReactorState) and tree.sludge is not None:
+        plants_only.add(id(tree.sludge))
+    if isinstance(tree, R.ReactorParams) and tree.particles is not None:
+        plants_only.update(
+            id(leaf) for leaf in jax.tree_util.tree_leaves(tree.particles))
 
     def place(x):
         nd = np.ndim(x)
         if nd == 0:
             spec = P()
-        elif nd == 1:
+        elif nd == 1 or id(x) in plants_only:
             spec = P(plants_axis)
         else:
             spec = P(plants_axis, *([None] * (nd - 2)), zone_axis)
@@ -252,7 +293,7 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                          n_steps: int, state_ndim: int = 1,
                          axis_name: str = ZONE_AXIS, stages=None,
                          nitrogen: bool = False,
-                         gas: bool = False):
+                         gas: bool = False, particles: bool = False):
     """Jitted n-step rollout (scan inside the shard_map, so the halo
     exchanges stay on-device for the whole trajectory)."""
     n_shards = mesh.shape[axis_name]
@@ -261,11 +302,14 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                          f"mesh size {n_shards}")
     local_zones = n_zones // n_shards
     zone = _zone_spec(state_ndim, axis_name)
+    part = ((_zone_spec(state_ndim + 1, axis_name), P())
+            if particles else None)
     state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
                                 chlorine_decay_rate=zone,
-                                **_species_specs(zone, nitrogen, gas=gas))
+                                **_species_specs(zone, nitrogen, gas=gas,
+                                                 particles=part))
 
     def local_rollout(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
@@ -275,7 +319,8 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
             return R.step(params, s, boundary, dt=dt, substeps=substeps,
                           deriv_fn=f, stages=stages,
                           deriv_fn_nitrogen=nitrogen,
-                          deriv_fn_gas=gas), None
+                          deriv_fn_gas=gas,
+                          deriv_fn_particles=particles), None
 
         final, _ = jax.lax.scan(body, state, None, length=n_steps)
         return final

@@ -198,6 +198,108 @@ def test_zone_sharded_rkc(cfg16):
                                np.asarray(ref.chlorine), rtol=0, atol=1e-12)
 
 
+def _particle_cfg(n_zones=16):
+    return R.ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=n_zones,
+        flow_rate=5.0, initial_pH=7.2, initial_chlorine=2.0,
+        temperature=20.0, enable_particles=True, initial_tss=25.0)
+
+
+PARTICLE_BC = R.BoundaryConditions(
+    inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.4,
+    inlet_temperature=26.0, inlet_tss=40.0, coagulant_dose=20.0,
+    filter_flow_rate=2.0, sludge_blowdown=1e-5)
+
+
+def test_zone_sharded_particles_match_single_device():
+    """Particle classes ([C, Z] tss + replicated [C] sludge inventory)
+    through the halo-exchanged SPMD step: settling crosses shard edges via
+    the same ghost zones, the deposit lands on the bottom-owning shard, and
+    the psum'd sludge tendency reproduces the single-device trajectory to
+    ULP level in f64 (the masked outlet/filtration terms sum in a different
+    order than the dense path's .at[-1] updates, so exact bit-matching is
+    not expected here, unlike the mask-free primary-species tests above)."""
+    cfg = _particle_cfg()
+    params = R.make_params(cfg, dtype=jnp.float64)
+    state0 = _stratified_state_particles(cfg, jnp.float64)
+
+    ref = state0
+    step1 = jax.jit(lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=4))
+    for _ in range(10):
+        ref = step1(params, ref, PARTICLE_BC)
+
+    mesh = make_zone_mesh(8)
+    st = shard_state_zones(state0, mesh)
+    fn = zone_sharded_step(mesh, n_zones=16, dt=1.0, substeps=4,
+                           particles=True)
+    for _ in range(10):
+        st = fn(params, st, PARTICLE_BC)
+
+    for f in ("pH", "chlorine", "temperature", "tss", "sludge"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-13, atol=1e-13, err_msg=f)
+    # the processes actually ran: sludge accumulated from settling
+    assert float(jnp.sum(ref.sludge)) > float(jnp.sum(state0.sludge))
+
+
+def _stratified_state_particles(cfg, dtype):
+    """Stratified initial state carrying a zone-graded TSS profile so the
+    settling stencil moves mass across every shard boundary."""
+    s = _stratified_state(cfg, dtype)
+    base = R.make_initial_state(cfg, dtype=dtype)
+    z = cfg.n_zones
+    tss = base.tss * (1.0 + jnp.linspace(0.0, 1.0, z, dtype=dtype))
+    import dataclasses
+    return dataclasses.replace(s, tss=tss, sludge=base.sludge)
+
+
+def test_zone_sharded_particles_rollout(cfg16):
+    """Scan-inside-shard_map variant with particles enabled."""
+    cfg = _particle_cfg()
+    params = R.make_params(cfg, dtype=jnp.float64)
+    state0 = _stratified_state_particles(cfg, jnp.float64)
+
+    ref, _ = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=1.0, substeps=4, n_steps=15, record=False))(
+            params, state0, PARTICLE_BC)
+
+    mesh = make_zone_mesh(8)
+    roll = zone_sharded_rollout(mesh, n_zones=16, dt=1.0, substeps=4,
+                                n_steps=15, particles=True)
+    st = roll(params, shard_state_zones(state0, mesh), PARTICLE_BC)
+    np.testing.assert_array_equal(np.asarray(st.tss), np.asarray(ref.tss))
+    np.testing.assert_array_equal(np.asarray(st.sludge),
+                                  np.asarray(ref.sludge))
+
+
+def test_plant_zone_2d_mesh_particles():
+    """dp x sp with the particle classes: per-plant [plants, C] particle
+    params shard over plants only, tss shards [plants, :, zones], the
+    sludge inventory replicates across the zone dimension."""
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+    from ics_wt_physicsengine_tpu.parallel import (
+        make_plant_zone_mesh, plant_zone_sharded_step, shard_batch_zones)
+
+    cfg = _particle_cfg()
+    params, state = make_monte_carlo_batch(cfg, 4, seed=5,
+                                           dtype=jnp.float64)
+    ref = jax.jit(lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=4))(
+        params, state, PARTICLE_BC)
+
+    mesh = make_plant_zone_mesh(2, 4)
+    fn = plant_zone_sharded_step(mesh, n_zones=16, dt=1.0, substeps=4,
+                                 params_example=params, particles=True)
+    out = fn(shard_batch_zones(params, mesh),
+             shard_batch_zones(state, mesh), PARTICLE_BC)
+    assert out.tss.shape == ref.tss.shape
+    np.testing.assert_array_equal(np.asarray(out.pH), np.asarray(ref.pH))
+    np.testing.assert_array_equal(np.asarray(out.tss), np.asarray(ref.tss))
+    np.testing.assert_array_equal(np.asarray(out.sludge),
+                                  np.asarray(ref.sludge))
+
+
 def test_zone_sharded_gas_matches_single_device():
     """Gas species (O2/C_T) halo-exchange across the zone shards; the
     surface transfer lands on the TOP zone via the outlet mask (last
