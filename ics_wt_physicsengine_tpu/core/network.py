@@ -24,10 +24,19 @@ this is designed TPU-first:
 Coupling semantics: an edge ``i -> j`` with delay ``d`` (>= 1 step) means
 plant j's inlet at step k blends plant i's *outlet zone* composition as it
 was after step ``k - d``. Blending is flow-weighted and linear in the
-conserved variables — chlorine, temperature, and the nitrogen species mix
-linearly; pH mixes in H+ concentration space (the same approximation the
-in-reactor mixing term uses through the buffering chain rule,
+conserved variables — chlorine, temperature, the nitrogen species, the
+dissolved gases (O2, total carbonate), and the per-class suspended solids
+mix linearly; pH mixes in H+ concentration space (the same approximation
+the in-reactor mixing term uses through the buffering chain rule,
 core/reactor.py derivatives; reference reactor.py:339-376).
+
+Particle classes ride the pipes CLASS-RESOLVED: the downstream plant's
+inlet receives the upstream effluent's actual class split via
+``BoundaryConditions.inlet_tss_classes`` (a clarifier's effluent is
+fines-enriched — the downstream filter sees that split, not the static
+source-water fractions). This is what makes a coagulation basin ->
+clarifier -> filter -> contact tank treatment train emerge from the same
+physics that runs each unit.
 
 External sources: each plant's ``BoundaryConditions`` (leaves ``[P]`` or
 scalars) provides its external inlet (flow + composition) and its own
@@ -121,9 +130,10 @@ class NetworkTopology:
 class NetworkState:
     """Stacked plant states + the pipe-delay ring.
 
-    ``reactor`` leaves are ``[P, Z]``; ``ring`` is ``[D, P, S]`` (S = 3
-    species without nitrogen — H+, Cl, T — or 7 with); ``ring_index`` counts
-    pushes (slot ``ring_index % D`` is written after each step).
+    ``reactor`` leaves are ``[P, Z]``; ``ring`` is ``[D, P, S]`` where the
+    species columns are [H+, Cl, T] (+4 nitrogen) (+2 gas: O2, C_T)
+    (+C particle classes); ``ring_index`` counts pushes (slot
+    ``ring_index % D`` is written after each step).
     """
 
     reactor: R.ReactorState
@@ -132,7 +142,12 @@ class NetworkState:
 
 
 def _n_species(state: R.ReactorState) -> int:
-    return 7 if state.ammonia is not None else 3
+    n = 7 if state.ammonia is not None else 3
+    if state.oxygen is not None:
+        n += 2
+    if state.tss is not None:
+        n += state.tss.shape[-2]
+    return n
 
 
 def _outlet_sample(state: R.ReactorState) -> jnp.ndarray:
@@ -143,7 +158,13 @@ def _outlet_sample(state: R.ReactorState) -> jnp.ndarray:
     if state.ammonia is not None:
         cols += [state.ammonia[..., -1], state.nitrite[..., -1],
                  state.nitrate[..., -1], state.chloramine[..., -1]]
-    return jnp.stack(cols, axis=-1)
+    if state.oxygen is not None:
+        cols += [state.oxygen[..., -1], state.carbonate[..., -1]]
+    sample = jnp.stack(cols, axis=-1)
+    if state.tss is not None:
+        # per-class outlet solids [..., P, C] — piped class-resolved
+        sample = jnp.concatenate([sample, state.tss[..., -1]], axis=-1)
+    return sample
 
 
 def make_network(configs: Union[R.ReactorConfiguration,
@@ -166,9 +187,9 @@ def make_network(configs: Union[R.ReactorConfiguration,
     zs = {c.n_zones for c in configs}
     if len(zs) != 1:
         raise ValueError(f"all plants must share n_zones, got {sorted(zs)}")
-    nit = {bool(getattr(c, "enable_nitrogen", False)) for c in configs}
-    if len(nit) != 1:
-        raise ValueError("enable_nitrogen must match across plants")
+    for flag in ("enable_nitrogen", "enable_gas", "enable_particles"):
+        if len({bool(getattr(c, flag, False)) for c in configs}) != 1:
+            raise ValueError(f"{flag} must match across plants")
 
     p_list = [R.make_params(c, dtype=dtype) for c in configs]
     s_list = [R.make_initial_state(c, dtype=dtype) for c in configs]
@@ -197,12 +218,21 @@ def make_network(configs: Union[R.ReactorConfiguration,
 
 
 def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
-                      boundary: R.BoundaryConditions, has_nitrogen: bool):
-    """Per-plant effective BoundaryConditions after routing + blending."""
+                      boundary: R.BoundaryConditions, has_nitrogen: bool,
+                      particle_fractions=None):
+    """Per-plant effective BoundaryConditions after routing + blending.
+
+    ``particle_fractions`` ([P, C] or [C]) splits the external
+    ``inlet_tss`` into classes on particle-carrying networks (ignored when
+    ``boundary.inlet_tss_classes`` already gives the external split)."""
     ring, idx = nstate.ring, nstate.ring_index
     D = ring.shape[0]
     Pn = ring.shape[-2]
     dtype = ring.dtype
+    has_gas = nstate.reactor.oxygen is not None
+    has_p = nstate.reactor.tss is not None
+    g_off = 7 if has_nitrogen else 3
+    p_off = g_off + (2 if has_gas else 0)
 
     def v(x):  # [P] view of a possibly-scalar boundary leaf
         return jnp.broadcast_to(jnp.asarray(x, dtype), (Pn,))
@@ -227,7 +257,25 @@ def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
     if has_nitrogen:
         zero = jnp.zeros((Pn,), dtype)
         ext_cols += [v(boundary.inlet_ammonia), zero, zero, zero]
-    ext_c = jnp.stack(ext_cols, axis=-1)                       # [P, S]
+    if has_gas:
+        ext_cols += [v(boundary.inlet_oxygen), v(boundary.inlet_carbonate)]
+    ext_c = jnp.stack(ext_cols, axis=-1)                       # [P, S0]
+    if has_p:
+        if boundary.inlet_tss_classes is not None:
+            n_classes = ring.shape[-1] - p_off
+            ext_tss = jnp.broadcast_to(
+                jnp.asarray(boundary.inlet_tss_classes, dtype),
+                (Pn, n_classes))
+        elif particle_fractions is not None:
+            fr = jnp.asarray(particle_fractions, dtype)
+            ext_tss = v(boundary.inlet_tss)[:, None] \
+                * jnp.broadcast_to(fr, (Pn, fr.shape[-1]))
+        else:
+            raise ValueError(
+                "particle-carrying network needs particle_fractions (or "
+                "boundary.inlet_tss_classes) to split the external "
+                "inlet_tss into classes")
+        ext_c = jnp.concatenate([ext_c, ext_tss], axis=-1)     # [P, S]
 
     num = ext_q[:, None] * ext_c \
         + jnp.einsum("ji,jis->js", routed_q, delayed)          # [P, S]
@@ -244,6 +292,12 @@ def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
     )
     if has_nitrogen:
         kw["inlet_ammonia"] = c_in[:, 3]
+    if has_gas:
+        kw["inlet_oxygen"] = c_in[:, g_off]
+        kw["inlet_carbonate"] = c_in[:, g_off + 1]
+    if has_p:
+        kw["inlet_tss_classes"] = c_in[:, p_off:]
+        kw["inlet_tss"] = jnp.sum(c_in[:, p_off:], axis=-1)
     return replace(boundary, **kw), q_out
 
 
@@ -260,7 +314,10 @@ def network_step(params: R.ReactorParams, topo_arrays,
     """
     W, Minv, delay = topo_arrays
     has_n = nstate.reactor.ammonia is not None
-    eff_bc, _ = _blended_boundary(W, Minv, delay, nstate, boundary, has_n)
+    pf = (params.particles.inlet_fractions
+          if nstate.reactor.tss is not None else None)
+    eff_bc, _ = _blended_boundary(W, Minv, delay, nstate, boundary, has_n,
+                                  particle_fractions=pf)
     reactor = R.step(params, nstate.reactor, eff_bc, dt, substeps,
                      stages=stages)
     sample = _outlet_sample(reactor).astype(nstate.ring.dtype)

@@ -246,6 +246,13 @@ class BoundaryConditions:
     coagulant_dose: float = 0.0        # [mg/L]
     filter_flow_rate: float = 0.0      # [L/min]
     sludge_blowdown: float = 0.0       # [1/s]
+    # Optional per-class source-water solids [..., C] [mg/L]. When set it
+    # OVERRIDES inlet_tss x inlet_fractions — the connected-network path
+    # (core/network.py) uses it to pipe an upstream plant's class-resolved
+    # effluent into a downstream inlet (a clarifier's effluent is
+    # fines-enriched; the downstream filter must see that, not the static
+    # source-water split).
+    inlet_tss_classes: Optional[jnp.ndarray] = None
 
 
 @jax.tree_util.register_dataclass
@@ -646,8 +653,14 @@ def derivatives(params: ReactorParams, pH, Cl, T,
                 - align_trailing(q_per_v, tss) * tss \
                 * outlet_mask[..., None, :]
         # inlet advection at zone 0, split by the source-water fractions
-        tss_in = align_trailing(jnp.asarray(boundary.inlet_tss), T) \
-            * pp.inlet_fractions
+        # (or taken class-resolved from inlet_tss_classes — routed
+        # upstream effluent in a connected network, core/network.py)
+        if boundary.inlet_tss_classes is None:
+            tss_in = align_trailing(jnp.asarray(boundary.inlet_tss), T) \
+                * pp.inlet_fractions
+        else:
+            tss_in = jnp.asarray(boundary.inlet_tss_classes,
+                                 dtype=tss.dtype)
         if inlet_mask is None:
             dTSS = dTSS.at[..., 0].add(
                 align_trailing(q_per_v, tss_in) * (tss_in - tss[..., 0]))

@@ -207,8 +207,11 @@ def main_fleet(args) -> None:
             W, Minv, delays = net["arrays"]
             ns = NetworkState(reactor=pl.reactor, ring=ring,
                               ring_index=ring_idx)
+            pf = (prm.reactor.particles.inlet_fractions
+                  if pl.reactor.tss is not None else None)
             eff_bc, _ = net["blend"](W, Minv, delays, ns, bc,
-                                     pl.reactor.ammonia is not None)
+                                     pl.reactor.ammonia is not None,
+                                     particle_fractions=pf)
             new_pl, outputs = plant_step_batched(prm, pl, eff_bc, args.dt,
                                                  m, stages=s,
                                                  boundary_axes=0)
@@ -641,7 +644,8 @@ def main_fleet(args) -> None:
                             "seed": args.seed or 0,
                             "boundaries": [
                                 {k: float(v) for k, v in
-                                 dataclasses.asdict(b).items()}
+                                 dataclasses.asdict(b).items()
+                                 if v is not None and np.ndim(v) == 0}
                                 for b in boundaries],
                             "unit_io": snapshot_unit_io()})
             logger.info("t=%.0fs | fleet checkpoint written", sim_time)

@@ -121,21 +121,25 @@ def make_monte_carlo_batch(base_config: R.ReactorConfiguration,
             return np.broadcast_to(x, (n_plants,)).copy()
         return x
 
-    params = jax.tree_util.tree_map(batched, params)
-    state = jax.tree_util.tree_map(batched, state)
-    if params.particles is not None:
-        # particle leaves are [C] class vectors (not scalars), so the
-        # generic 0-dim broadcast above misses them — prepend the plant
-        # axis explicitly so vmapped paths see a uniform batch rank
+    # particle leaves are [C] class vectors (not scalars), so the generic
+    # 0-dim broadcast below misses them — batch the pristine subtree
+    # explicitly (scalar -> [n], [C] -> [n, C]) BEFORE the generic map can
+    # touch it: shape-based "already batched?" heuristics are ambiguous
+    # exactly when n_plants == n_classes
+    particles = params.particles
+    if particles is not None:
         import dataclasses as _dc
 
         def pbatch(x):
             x = np.asarray(x)
-            if x.ndim >= 1 and x.shape[0] == n_plants:
-                return x
             return np.broadcast_to(x, (n_plants,) + x.shape).copy()
 
-        params = _dc.replace(
-            params, particles=jax.tree_util.tree_map(
-                pbatch, params.particles))
+        particles = jax.tree_util.tree_map(pbatch, particles)
+        params = _dc.replace(params, particles=None)
+
+    params = jax.tree_util.tree_map(batched, params)
+    state = jax.tree_util.tree_map(batched, state)
+    if particles is not None:
+        import dataclasses as _dc
+        params = _dc.replace(params, particles=particles)
     return params, state

@@ -61,6 +61,12 @@ def test_treatment_train():
     assert "booster sweep" in out and "finished-water residual" in out
 
 
+def test_clarifier_train():
+    out = _run("clarifier_train.py",
+               ["--cpu", "--hours", "0.25", "--doses", "4"])
+    assert "coagulant sweep" in out and "class split" in out
+
+
 def test_parameter_estimation():
     out = _run("parameter_estimation.py",
                ["--cpu", "--steps", "60", "--iters", "25"])

@@ -745,6 +745,91 @@ def test_network_serving_closed_loop(tmp_path):
         thread.join(timeout=30)
 
 
+def test_network_particles_clarifier_train(tmp_path):
+    """--network + --enable-particles: the train's pipes carry the
+    CLASS-RESOLVED solids (BoundaryConditions.inlet_tss_classes from the
+    blender), so coagulant dosed into stage 1's registers clarifies not
+    just its own effluent but the downstream stages' turbidity too —
+    observed through each unit's nephelometer registers over a real
+    socket."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    IR_TURBIDITY, IR_SLUDGE, HR_COAGULANT = 32, 36, 18
+
+    topo = _write_topo(tmp_path)
+    port = _free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(port), "--host", "127.0.0.1", "--dt", "60",
+               "--duration", "10000000", "--rtf", "0", "--seed", "11",
+               "--zones", "4", "--network", topo,
+               "--enable-particles", "--initial-tss", "25.0"],),
+        daemon=True)
+    thread.start()
+
+    deadline = time.time() + 90
+    c1 = None
+    while time.time() < deadline:
+        try:
+            c1 = ModbusTcpClient("127.0.0.1", port, unit_id=1,
+                                 timeout=5).connect()
+            break
+        except OSError:
+            time.sleep(0.3)
+    if c1 is None:
+        orchestrator.running = False
+        pytest.fail("network Modbus server did not start")
+
+    def wait_t(target, timeout=240):
+        dl = time.time() + timeout
+        while time.time() < dl:
+            if c1.read_float32(100) >= target:
+                return
+            time.sleep(0.2)
+        pytest.fail(f"network fleet did not reach t={target}")
+
+    try:
+        with ModbusTcpClient("127.0.0.1", port, unit_id=2) as c2, \
+                ModbusTcpClient("127.0.0.1", port, unit_id=3) as c3:
+            # let the train load from the 25 mg/L raw source and the
+            # sensors warm up
+            wait_t(30000.0)
+
+            def settled_ntu(c, lo=0.5, timeout=60):
+                """Poll past transient NaN/dropout reads (a nephelometer
+                bubble spike or momentary fault pushes 0.0/NaN into the
+                register for one tick)."""
+                dl = time.time() + timeout
+                while time.time() < dl:
+                    v = c.read_float32(IR_TURBIDITY)
+                    if np.isfinite(v) and v > lo:
+                        return v
+                    time.sleep(0.3)
+                pytest.fail(f"turbidity register never settled (last {v})")
+
+            ntu1_before = settled_ntu(c1)
+            ntu2_before = settled_ntu(c2)
+            settled_ntu(c3)
+            sl1_before = c1.read_float32(IR_SLUDGE)
+            c1.write_float32(HR_COAGULANT, 40.0)   # jar-test dose, stage 1
+            wait_t(c1.read_float32(100) + 60000.0)
+            ntu1 = settled_ntu(c1, lo=0.02)
+            ntu2 = settled_ntu(c2, lo=0.02)
+            sl1 = c1.read_float32(IR_SLUDGE)
+            c1.write_float32(HR_COAGULANT, 0.0)
+
+        # stage 1 clarified hard; the CLARIFIED, class-shifted effluent
+        # reached stage 2 through the pipe and clarified it too
+        assert ntu1 < 0.6 * ntu1_before, (ntu1_before, ntu1)
+        assert ntu2 < 0.8 * ntu2_before, (ntu2_before, ntu2)
+        # the flocs the dose built settled into stage 1's sludge inventory
+        assert sl1 > sl1_before + 1.0, (sl1_before, sl1)
+    finally:
+        orchestrator.running = False
+        thread.join(timeout=30)
+
+
 def test_network_checkpoint_roundtrip(tmp_path):
     """A network fleet checkpoint carries the pipe-delay ring: resuming at
     t=20 and running to t=40 is bit-exact vs a straight t=40 run, and a

@@ -237,6 +237,101 @@ def test_nitrogen_species_routed():
     assert 1e-4 < nh[1, 0] < nh[0, 0]  # B loaded only through the pipe
 
 
+def test_gas_species_routed():
+    """With gas exchange enabled, oxygen aerated into plant A arrives in
+    plant B through the pipe (B has no aeration and no external source)."""
+    cfg = wt.ReactorConfiguration(n_zones=4, enable_gas=True,
+                                  initial_oxygen=1.0, initial_chlorine=0.0)
+    topo = _series_topo()
+    params, ns = N.make_network(cfg, topo, dtype=F64)
+    ta = N.topology_arrays(topo, F64)
+    bc = wt.BoundaryConditions(
+        inlet_flow_rate=np.array([6.0, 0.0]), inlet_chlorine=0.0,
+        inlet_oxygen=np.array([1.0, 0.0]), inlet_carbonate=2.0,
+        aeration_kla=np.array([5e-3, 0.0]))
+    fs, _ = jax.jit(functools.partial(
+        N.rollout_network, dt=5.0, substeps=8, n_steps=400))(
+            params, ta, ns, bc)
+    o2 = np.asarray(fs.reactor.oxygen)
+    assert o2.shape == (2, 4)
+    assert o2[0, -1] > 2.0              # A aerated well above its initial
+    assert o2[1, 0] > 1.05              # B rose ONLY through the pipe
+    assert np.all(np.isfinite(np.asarray(fs.reactor.carbonate)))
+
+
+def test_particle_classes_routed_class_resolved():
+    """The clarifier-train physics: plant A settles out its coarse solids
+    (no dosing — a plain sedimentation basin), so its effluent is
+    FINES-ENRICHED relative to the source water; plant B (fed only by the
+    pipe) must receive A's actual class split — visible as a finer
+    inlet-zone composition in B than the source fractions would give — and
+    B's solids must arrive only through the pipe."""
+    cfg = wt.ReactorConfiguration(n_zones=4, enable_particles=True,
+                                  initial_tss=5.0)
+    topo = _series_topo()
+    params, ns = N.make_network(cfg, topo, dtype=F64)
+    ta = N.topology_arrays(topo, F64)
+    bc = wt.BoundaryConditions(
+        inlet_flow_rate=np.array([6.0, 0.0]),
+        inlet_tss=np.array([60.0, 0.0]))        # A clarifies by settling
+    fs, _ = jax.jit(functools.partial(
+        N.rollout_network, dt=5.0, substeps=8, n_steps=600))(
+            params, ta, ns, bc)
+    tss = np.asarray(fs.reactor.tss)            # [P, C, Z]
+    assert np.all(np.isfinite(tss)) and np.all(tss >= 0.0)
+
+    # B carries solids it could only have gotten through the pipe
+    assert tss[1].sum() > 0.5
+    # class-resolved piping: B's inlet-zone fine fraction exceeds the
+    # source-water fine fraction (A's clarification removed coarse mass)
+    src_fine = float(np.asarray(params.particles.inlet_fractions)[0, 0])
+    b_split = tss[1, :, 0] / tss[1, :, 0].sum()
+    assert b_split[0] > src_fine + 0.05
+    # and A's own effluent really is fines-enriched (the physics premise)
+    a_split = tss[0, :, -1] / tss[0, :, -1].sum()
+    assert a_split[0] > src_fine
+    # the upstream basin catches more sludge than the downstream one (it
+    # sees the raw coarse load; B only gets what escaped A)
+    sl = np.asarray(fs.reactor.sludge)
+    assert sl[0].sum() > 1.3 * sl[1].sum() > 0.0
+
+
+def test_single_plant_network_identity_full_chemistry():
+    """The 1-plant pass-through identity with ALL extension species on:
+    the blender's gas columns and class-resolved solids must reduce to the
+    standalone reactor's external boundary semantics."""
+    cfg = wt.ReactorConfiguration(
+        n_zones=4, enable_nitrogen=True, enable_gas=True,
+        enable_particles=True, initial_ammonia=0.5, initial_oxygen=6.0,
+        initial_tss=15.0)
+    topo = wt.NetworkTopology(routing=np.zeros((1, 1)))
+    params, ns = N.make_network(cfg, topo, dtype=F64)
+    ta = N.topology_arrays(topo, F64)
+    bc = wt.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.6, inlet_chlorine=1.0,
+        inlet_temperature=22.0, inlet_ammonia=1.0, inlet_oxygen=8.0,
+        inlet_carbonate=2.5, aeration_kla=1e-3, inlet_tss=30.0,
+        coagulant_dose=10.0, filter_flow_rate=1.0, sludge_blowdown=1e-6)
+    fs, _ = jax.jit(functools.partial(
+        N.rollout_network, dt=1.0, substeps=4, n_steps=25))(
+            params, ta, ns, bc)
+
+    pa = R.make_params(cfg, dtype=F64)
+    sa = R.make_initial_state(cfg, dtype=F64)
+    ref, _ = jax.jit(functools.partial(
+        R.rollout, dt=1.0, substeps=4, n_steps=25))(pa, sa, bc)
+
+    for f in ("chlorine", "temperature", "ammonia", "oxygen", "carbonate",
+              "tss", "sludge"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fs.reactor, f))[0],
+            np.asarray(getattr(ref, f)), rtol=1e-12, atol=1e-12,
+            err_msg=f)
+    # pH passes through one 10**-x / -log10 round trip in the blender
+    np.testing.assert_allclose(np.asarray(fs.reactor.pH)[0],
+                               np.asarray(ref.pH), rtol=0, atol=1e-9)
+
+
 def test_sharded_plants_bitexact():
     """The P axis sharded over the 8-device mesh: XLA inserts the routing
     collectives; trajectories must match single-device bit-exactly."""
