@@ -37,6 +37,12 @@ _COMMAND_LIMITS = {
     "acid_flow_rate": 2.0,
     "chlorine_flow_rate": 1.0,
     "inlet_flow_rate": 20.0,
+    # extension-species actuators; limits mirror the orchestrator's
+    # zero-trust register clamps (__main__.py read_modbus_commands)
+    "aeration_kla": 0.1,
+    "coagulant_dose": 100.0,
+    "filter_flow_rate": 60.0,
+    "sludge_blowdown": 0.01,
 }
 
 
@@ -170,6 +176,13 @@ def observe_true(state: R.ReactorState) -> Dict[str, jnp.ndarray]:
         obs["chloramine_outlet"] = state.chloramine[..., -1]
         obs["total_chlorine_outlet"] = state.chlorine[..., -1] \
             + state.chloramine[..., -1]
+    if state.oxygen is not None:       # gas-exchange observables
+        obs["oxygen_outlet"] = state.oxygen[..., -1]
+        obs["carbonate_outlet"] = state.carbonate[..., -1]
+    if state.tss is not None:          # particle observables (params-free
+        #                                TSS; NTU = instrument weighting)
+        obs["tss_outlet"] = jnp.sum(state.tss[..., -1], axis=-1)
+        obs["sludge_total"] = jnp.sum(state.sludge, axis=-1)
     return obs
 
 
@@ -291,7 +304,8 @@ def rollout_closed_loop(params, state, boundary: R.BoundaryConditions,
             dist_t = jax.tree_util.tree_map(lambda x: x[j], disturbance)
             updates = {f: jnp.broadcast_to(getattr(dist_t, f), batch_shape)
                        for f in dist_t.__dataclass_fields__
-                       if f not in _owned}
+                       if f not in _owned
+                       and getattr(dist_t, f) is not None}
             bc = dataclasses.replace(bc, **updates)
         g = gains if gains_schedule is None else \
             jax.tree_util.tree_map(lambda x: x[j], gains_schedule)

@@ -380,3 +380,30 @@ def test_robust_gain_sweep():
     robust = np.asarray(res["robust"])
     assert res["best_index"] == int(np.argmin(robust))
     assert jnp.shape(res["best"].chlorine.kp) == ()
+
+
+def test_extension_observables_and_actuator_limits():
+    """observe_true exposes the gas/particle channels and the in-graph
+    command validator accepts the round-4 actuators with the same limits
+    as the orchestrator's zero-trust register clamps."""
+    from ics_wt_physicsengine_tpu.control.closed_loop import (
+        _COMMAND_LIMITS, observe_true, validate_commands)
+
+    cfg = R.ReactorConfiguration(n_zones=4, enable_gas=True,
+                                 enable_particles=True, initial_oxygen=6.0,
+                                 initial_tss=20.0)
+    st = R.make_initial_state(cfg, dtype=jnp.float32)
+    obs = observe_true(st)
+    for key in ("oxygen_outlet", "carbonate_outlet", "tss_outlet",
+                "sludge_total"):
+        assert key in obs and np.isfinite(float(obs[key])), key
+    assert float(obs["tss_outlet"]) == pytest.approx(20.0, rel=1e-5)
+
+    out = validate_commands({"coagulant_dose": jnp.float32(250.0),
+                             "filter_flow_rate": jnp.float32(-3.0),
+                             "sludge_blowdown": jnp.float32(np.nan),
+                             "aeration_kla": jnp.float32(0.05)})
+    assert float(out["coagulant_dose"]) == _COMMAND_LIMITS["coagulant_dose"]
+    assert float(out["filter_flow_rate"]) == 0.0
+    assert float(out["sludge_blowdown"]) == 0.0       # NaN -> 0
+    assert float(out["aeration_kla"]) == pytest.approx(0.05)

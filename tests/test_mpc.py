@@ -138,3 +138,31 @@ def test_mpc_multi_input_joint_tracking():
     assert abs(ph[-1] - 7.0) < 0.15       # pH pulled down to target
     acid = np.asarray(res["commands_by_control"]["acid_flow_rate"])
     assert acid.max() > 0.01              # the second pump actually ran
+
+
+def test_mpc_coagulant_tracks_turbidity_target():
+    """Physical-treatment MPC: the shooting optimizer commands the
+    coagulant dosing pump (a round-4 actuator, differentiable through the
+    Monod aggregation chain + Stokes settling) to hold an outlet-TSS
+    target against a 60 mg/L raw-water load — the automated jar test.
+    The undosed plant settles to ~24 mg/L; MPC must land near the 8 mg/L
+    target and beat the undosed ISE decisively."""
+    cfg = R.ReactorConfiguration(n_zones=4, enable_particles=True,
+                                 initial_tss=30.0, initial_chlorine=0.0)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_tss=60.0)
+    n, target = 120, 8.0
+    prog = {"tss_outlet": np.full(n, target, np.float32)}
+    out = C.run_mpc(cfg, prog, dt=30.0, horizon_moves=4, steps_per_move=10,
+                    iters=25, learning_rate=2.0, boundary=bc,
+                    controls=("coagulant_dose",))
+    tr = np.asarray(out["tracked"]["tss_outlet"])
+    dose = np.asarray(out["commands_by_control"]["coagulant_dose"])
+    assert np.isfinite(tr).all()
+    assert dose.min() >= 0.0 and dose.max() <= 100.0   # actuator limits
+
+    # steady tracking shows in the final quarter
+    tail = tr[-n // 4:]
+    assert abs(float(tail.mean()) - target) < 3.5, tail.mean()
+    # decisively better than the ~24 mg/L undosed steady state (measured
+    # with this config/boundary via a plain rollout)
+    assert float(tail.mean()) < 12.0
