@@ -83,6 +83,15 @@ from ics_wt_physicsengine_tpu.core.particles import (  # noqa: F401
     turbidity_ntu_tap,
     validate_particles,
 )
+from ics_wt_physicsengine_tpu.core.disinfection import (  # noqa: F401
+    DisinfectionParams,
+    PATHOGEN_NAMES,
+    absorbance_254,
+    log_inactivation,
+    make_disinfection_params,
+    uvt_percent,
+    validate_disinfection,
+)
 
 
 def run_all_validations() -> None:
@@ -100,6 +109,8 @@ def run_all_validations() -> None:
         raise RuntimeError("gas exchange validation failed")
     if not validate_particles():
         raise RuntimeError("particle dynamics validation failed")
+    if not validate_disinfection():
+        raise RuntimeError("disinfection validation failed")
     print("ALL PHYSICS VALIDATIONS PASSED")
 
 

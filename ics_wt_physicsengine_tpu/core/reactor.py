@@ -41,6 +41,7 @@ from ics_wt_physicsengine_tpu.core import chemistry as chem
 from ics_wt_physicsengine_tpu.core import constants as c
 from ics_wt_physicsengine_tpu.core import spatial as spatial_mod
 from ics_wt_physicsengine_tpu.core import thermodynamics as thermo
+from ics_wt_physicsengine_tpu.core import disinfection as disinfection_mod
 from ics_wt_physicsengine_tpu.core import gas as gas_mod
 from ics_wt_physicsengine_tpu.core import particles as particles_mod
 from ics_wt_physicsengine_tpu.core import nitrogen as nitrogen_mod
@@ -116,6 +117,16 @@ class ReactorConfiguration:
     enable_particles: bool = False
     initial_tss: float = 10.0                # [mg/L] total suspended solids
     particle_params: Optional[dict] = None   # make_particle_params overrides
+
+    # Disinfection (core/disinfection.py — pathogen inactivation, CT credit,
+    # UV dose, THM/DBP formation; delivers the reference's roadmap row
+    # "Disinfection byproduct (DBP) formation", reference README.md:449;
+    # disabled by default for exact reference parity)
+    enable_disinfection: bool = False
+    initial_pathogens: float = 0.0           # [org/L] every pathogen class
+    initial_toc: float = 2.0                 # [mg/L] organic carbon
+    initial_thm: float = 0.0                 # [ug/L] trihalomethanes
+    disinfection_params: Optional[dict] = None  # make_disinfection_params kw
 
     def validate(self) -> None:
         """Configuration consistency (reference reactor.py:91-110; the bare
@@ -206,6 +217,9 @@ class ReactorParams:
     # particle dynamics (None = disabled; same trace-time static gating)
     particles: Optional[particles_mod.ParticleParams] = None
 
+    # disinfection (None = disabled; same trace-time static gating)
+    disinfection: Optional[disinfection_mod.DisinfectionParams] = None
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -254,6 +268,21 @@ class BoundaryConditions:
     # source-water split).
     inlet_tss_classes: Optional[jnp.ndarray] = None
 
+    # disinfection only (core/disinfection.py): source-water pathogens and
+    # organics; inlet CT / water-age / THM so a connected network
+    # (core/network.py) can route a multi-barrier train's accumulated
+    # credit and byproducts downstream; and the UV-bank actuator (lamp wall
+    # fluence rate applied at the outlet zone).
+    inlet_pathogens: float = 0.0       # [org/L] every class
+    inlet_toc: float = 2.0             # [mg/L]
+    inlet_ct: float = 0.0              # [mg min/L]
+    inlet_age: float = 0.0             # [s]
+    inlet_thm: float = 0.0             # [ug/L]
+    uv_intensity: float = 0.0          # [mW/cm2] lamp wall fluence rate
+    # Optional per-class source-water pathogens [..., P] [org/L]; OVERRIDES
+    # inlet_pathogens (the network path routes class-resolved survivors).
+    inlet_pathogen_classes: Optional[jnp.ndarray] = None
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -291,6 +320,13 @@ class ReactorState:
     tss: jnp.ndarray = None          # [..., n_classes, n_zones] [mg/L]
     sludge: jnp.ndarray = None       # [..., n_classes] settled inventory
     #                                  [mg/L of bottom-zone volume]
+
+    # disinfection (None unless enable_disinfection)
+    pathogens: jnp.ndarray = None    # [..., n_pathogens, n_zones] [org/L]
+    ct: jnp.ndarray = None           # [..., n_zones] CT credit [mg min/L]
+    age: jnp.ndarray = None          # [..., n_zones] water age [s]
+    toc: jnp.ndarray = None          # [..., n_zones] organics [mg/L]
+    thm: jnp.ndarray = None          # [..., n_zones] THMs [ug/L]
 
     def update_derived(self) -> "ReactorState":
         """Recompute derived quantities from the primary variables
@@ -338,6 +374,10 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
     if getattr(config, "enable_particles", False):
         particles = particles_mod.make_particle_params(
             dtype=dtype, **(config.particle_params or {}))
+    disinfection = None
+    if getattr(config, "enable_disinfection", False):
+        disinfection = disinfection_mod.make_disinfection_params(
+            dtype=dtype, **(config.disinfection_params or {}))
     return ReactorParams(
         n_zones=config.n_zones,
         volume_L=arr(config.volume),
@@ -357,6 +397,7 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
         nitrogen=nitrogen,
         gas=gas,
         particles=particles,
+        disinfection=disinfection,
     )
 
 
@@ -403,6 +444,14 @@ def make_initial_state(config: ReactorConfiguration,
         n_kw.update(tss=tss,
                     sludge=np.zeros(batch + (particles_mod.N_CLASSES,),
                                     dtype))
+    if getattr(config, "enable_disinfection", False):
+        n0 = np.asarray(config.initial_pathogens, dtype)
+        n_kw.update(
+            pathogens=np.broadcast_to(
+                n0[..., None, None],
+                batch + (disinfection_mod.N_PATHOGENS, z)).copy(),
+            ct=full(0.0), age=full(0.0),
+            toc=full(config.initial_toc), thm=full(config.initial_thm))
     state = ReactorState(
         time=np.zeros(batch, dtype) if batch else np.asarray(0.0, dtype),
         pH=full(config.initial_pH),
@@ -424,7 +473,7 @@ def make_initial_state(config: ReactorConfiguration,
 def derivatives(params: ReactorParams, pH, Cl, T,
                 boundary: BoundaryConditions,
                 inlet_mask=None, outlet_mask=None, nitrogen=None,
-                gas=None, particles=None):
+                gas=None, particles=None, disinfection=None):
     """d(pH, Cl, T)/dt for ``[..., Z]`` zone arrays. Fully vectorized —
     semantics match reference reactor.py:272-448 term by term.
 
@@ -535,7 +584,8 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     dT = dT - align_trailing(heat_rate, T) \
         * (T - align_trailing(boundary.ambient_temperature, T))
 
-    if nitrogen is None and gas is None and particles is None:
+    if nitrogen is None and gas is None and particles is None \
+            and disinfection is None:
         return dpH, dCl, dT
 
     # shared inlet/source helper for the extension species
@@ -706,6 +756,73 @@ def derivatives(params: ReactorParams, pH, Cl, T,
             dSludge = dSludge * jnp.sum(inlet_mask, axis=-1)[..., None]
         extra += (dTSS, dSludge)
 
+    if disinfection is not None:
+        # --- disinfection axis (core/disinfection.py; delivers reference
+        #     README.md:449 "Disinfection byproduct (DBP) formation").
+        #     Chick-Watson chlorine kill rides the RHS (~0.1 1/s at 2 mg/L
+        #     on the fastest class — same stiffness scale as the exchange
+        #     operator the substep policy already resolves); the UV bank is
+        #     an exact analytic operator split in step() (a 10 mW/cm2 bank
+        #     is a ~6 1/s Crypto timescale that would otherwise set the
+        #     global substep budget, like chloramination). ---
+        # align the scalar-like kinetic leaves against the zone arrays;
+        # the per-class leaves (k_cl/k_uv, [..., P]) broadcast through
+        # their own [..., P, Z] expansion and must NOT be padded
+        dp0 = params.disinfection
+        dp = dataclasses.replace(
+            jax.tree_util.tree_map(lambda x: align_trailing(x, T), dp0),
+            k_cl=dp0.k_cl, k_uv=dp0.k_uv)
+        path, ct_min, age_s, toc, thm = disinfection
+        path = jnp.maximum(path, 0.0)
+        toc = jnp.maximum(toc, 0.0)
+
+        # organics exert a chlorine demand (the classic bulk-decay term on
+        # top of the Arrhenius wall decay); a pH-enhanced yield of that
+        # exerted demand becomes THMs, and TOC is consumed
+        # stoichiometrically
+        r_dem = disinfection_mod.chlorine_demand_rate(toc, Cl, T, dp)
+        dCl = dCl - r_dem
+        dTOC = species(toc, boundary.inlet_toc, -dp.s_toc * r_dem)
+        dTHM = species(jnp.maximum(thm, 0.0), boundary.inlet_thm,
+                       disinfection_mod.thm_formation_rate(r_dem, pH, dp))
+
+        # CT credit and water age as advected scalars: every parcel
+        # accumulates residual-minutes (and seconds of age) on its way
+        # through the tank, so the outlet values ARE the flow-weighted
+        # credit/age the plant can claim (steady single-CSTR oracles:
+        # CT_out = Cl tau/60, age_out = tau)
+        dCTcred = species(jnp.maximum(ct_min, 0.0), boundary.inlet_ct,
+                          Cl / disinfection_mod.SECONDS_PER_MIN)
+        dAge = species(jnp.maximum(age_s, 0.0), boundary.inlet_age,
+                       jnp.ones_like(T))
+
+        # pathogen classes [..., P, Z]: mixing/advection vectorized over
+        # the class axis (the tss pattern), Chick-Watson sink
+        lam = disinfection_mod.chlorine_lethality(
+            Cl, pH, T, align_trailing(k.Ka_HOCl, pH), dp)
+        if outlet_mask is None:
+            dN = transport_mod.apply_exchange(
+                path, k_iface=k_iface[..., None, :], q_per_v=q_per_v)
+        else:
+            dN = transport_mod.apply_exchange(
+                path, k_iface=k_iface[..., None, :], q_per_v=0.0) \
+                - align_trailing(q_per_v, path) * path \
+                * outlet_mask[..., None, :]
+        dN = dN - lam * path
+        if boundary.inlet_pathogen_classes is None:
+            n_in = jnp.asarray(boundary.inlet_pathogens, dtype=path.dtype) \
+                + jnp.zeros(path.shape[:-1], path.dtype)    # [..., P]
+        else:
+            n_in = jnp.asarray(boundary.inlet_pathogen_classes,
+                               dtype=path.dtype)
+        if inlet_mask is None:
+            dN = dN.at[..., 0].add(
+                align_trailing(q_per_v, n_in) * (n_in - path[..., 0]))
+        else:
+            dN = dN + align_trailing(q_per_v, path) \
+                * (n_in[..., None] - path) * inlet_mask[..., None, :]
+        extra += (dN, dCTcred, dAge, dTOC, dTHM)
+
     return (dpH, dCl, dT) + extra
 
 
@@ -739,6 +856,11 @@ def _update_derived(state: ReactorState) -> ReactorState:
         carbonate=state.carbonate,
         tss=state.tss,
         sludge=state.sludge,
+        pathogens=state.pathogens,
+        ct=state.ct,
+        age=state.age,
+        toc=state.toc,
+        thm=state.thm,
     )
 
 
@@ -757,7 +879,9 @@ def step(params: ReactorParams, state: ReactorState,
          stages: Optional[int] = None,
          deriv_fn_nitrogen: bool = False,
          deriv_fn_gas: bool = False,
-         deriv_fn_particles: bool = False) -> ReactorState:
+         deriv_fn_particles: bool = False,
+         deriv_fn_disinfection: bool = False,
+         uv_mask=None) -> ReactorState:
     """Advance the reactor by ``dt`` seconds (reference reactor.py:450-509).
 
     ``dt`` and ``substeps`` must be static (Python) values. ``deriv_fn``
@@ -767,10 +891,16 @@ def step(params: ReactorParams, state: ReactorState,
     (ops/integrators.py) — fewer sequential derivative evaluations for the
     same stability span; accuracy-gated against the reference Radau
     trajectories in tests/test_rkc.py.
+
+    ``uv_mask`` (disinfection only) relocates the UV bank's operator split
+    onto a masked zone — the zone-sharded SPMD path passes the local
+    outlet-owning mask; the default (None) applies it at zone Z-1 (the
+    outlet), matching the surface-gas-exchange convention.
     """
     has_n = params.nitrogen is not None and state.ammonia is not None
     has_gas = params.gas is not None and state.oxygen is not None
     has_p = params.particles is not None and state.tss is not None
+    has_d = params.disinfection is not None and state.pathogens is not None
     if deriv_fn is not None and has_n and not deriv_fn_nitrogen:
         raise ValueError(
             "this custom deriv_fn was not declared nitrogen-capable "
@@ -788,20 +918,30 @@ def step(params: ReactorParams, state: ReactorState,
             "this custom deriv_fn was not declared particle-capable "
             "(pass deriv_fn_particles=True if it accepts and returns the "
             "tss/sludge leaves after any nitrogen and gas species)")
+    if deriv_fn is not None and has_d and not deriv_fn_disinfection:
+        raise ValueError(
+            "this custom deriv_fn was not declared disinfection-capable "
+            "(pass deriv_fn_disinfection=True if it accepts and returns "
+            "the pathogens/ct/age/toc/thm leaves after any nitrogen, gas "
+            "and particle species)")
     # species tuple layout:
     # (pH, Cl, T) [+ 4 nitrogen] [+ 2 gas] [+ tss, sludge]
+    # [+ pathogens, ct, age, toc, thm]
     n_sl = slice(3, 7) if has_n else None
     g_off = 7 if has_n else 3
     g_sl = slice(g_off, g_off + 2) if has_gas else None
     p_off = g_off + (2 if has_gas else 0)
     p_sl = slice(p_off, p_off + 2) if has_p else None
+    d_off = p_off + (2 if has_p else 0)
+    d_sl = slice(d_off, d_off + 5) if has_d else None
     if deriv_fn is None:
         def f(y):
             return derivatives(
                 params, y[0], y[1], y[2], boundary,
                 nitrogen=y[n_sl] if has_n else None,
                 gas=y[g_sl] if has_gas else None,
-                particles=y[p_sl] if has_p else None)
+                particles=y[p_sl] if has_p else None,
+                disinfection=y[d_sl] if has_d else None)
     else:
         f = deriv_fn
 
@@ -813,6 +953,9 @@ def step(params: ReactorParams, state: ReactorState,
         y = y + (state.oxygen, state.carbonate)
     if has_p:
         y = y + (state.tss, state.sludge)
+    if has_d:
+        y = y + (state.pathogens, state.ct, state.age, state.toc,
+                 state.thm)
     if stages is None:
         out = integrators.integrate_fixed(f, y, dt, substeps)
     else:
@@ -825,6 +968,32 @@ def step(params: ReactorParams, state: ReactorState,
     if has_p:
         n_kw.update(tss=jnp.maximum(out[p_sl.start], 0.0),
                     sludge=jnp.maximum(out[p_sl.start + 1], 0.0))
+    if has_d:
+        path, ct_v, age_v, toc_v, thm_v = (
+            jnp.maximum(x, 0.0) for x in out[d_sl])
+        # Operator split for the UV bank (exact analytic survival over dt;
+        # same pattern as chloramination): the average fluence across the
+        # lamp gap follows Beer-Lambert from the absorbance the stepped
+        # water itself carries — organics and particles shade the lamps.
+        dpar = dataclasses.replace(
+            jax.tree_util.tree_map(
+                lambda x: align_trailing(x, pH), params.disinfection),
+            k_cl=params.disinfection.k_cl,
+            k_uv=params.disinfection.k_uv)
+        tss_tot = jnp.sum(n_kw["tss"], axis=-2) if has_p \
+            else jnp.zeros_like(toc_v)
+        a254 = disinfection_mod.absorbance_254(toc_v, tss_tot, dpar)
+        e0 = align_trailing(
+            jnp.asarray(boundary.uv_intensity, dtype=pH.dtype), pH)
+        e_avg = disinfection_mod.average_fluence(e0, a254, dpar)
+        surv = disinfection_mod.uv_survival(e_avg, dt, dpar)  # [..., P, Z]
+        if uv_mask is None:
+            mask = jnp.zeros_like(pH).at[..., -1].set(1.0)
+        else:
+            mask = uv_mask
+        path = path * (1.0 + mask[..., None, :] * (surv - 1.0))
+        n_kw.update(pathogens=path, ct=ct_v, age=age_v, toc=toc_v,
+                    thm=thm_v)
     if has_n:
         nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in out[n_sl])
         # Operator split for the FAST reaction (chloramination: HOCl + NH3

@@ -126,20 +126,26 @@ def make_monte_carlo_batch(base_config: R.ReactorConfiguration,
     # explicitly (scalar -> [n], [C] -> [n, C]) BEFORE the generic map can
     # touch it: shape-based "already batched?" heuristics are ambiguous
     # exactly when n_plants == n_classes
+    def pbatch(x):
+        x = np.asarray(x)
+        return np.broadcast_to(x, (n_plants,) + x.shape).copy()
+
+    import dataclasses as _dc
     particles = params.particles
     if particles is not None:
-        import dataclasses as _dc
-
-        def pbatch(x):
-            x = np.asarray(x)
-            return np.broadcast_to(x, (n_plants,) + x.shape).copy()
-
         particles = jax.tree_util.tree_map(pbatch, particles)
         params = _dc.replace(params, particles=None)
+    # disinfection leaves are likewise [P] pathogen-class vectors (k_cl,
+    # k_uv) mixed with scalars — same explicit pre-batching
+    disinfection = params.disinfection
+    if disinfection is not None:
+        disinfection = jax.tree_util.tree_map(pbatch, disinfection)
+        params = _dc.replace(params, disinfection=None)
 
     params = jax.tree_util.tree_map(batched, params)
     state = jax.tree_util.tree_map(batched, state)
     if particles is not None:
-        import dataclasses as _dc
         params = _dc.replace(params, particles=particles)
+    if disinfection is not None:
+        params = _dc.replace(params, disinfection=disinfection)
     return params, state

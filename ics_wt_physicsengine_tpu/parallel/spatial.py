@@ -58,18 +58,24 @@ def _zone_spec(ndim: int, axis_name: str) -> P:
 
 
 def _species_specs(zone, present: bool, gas: bool = False,
-                   particles=None):
-    """Spec kwargs for the optional nitrogen/gas/particle species fields.
-    ``particles`` is None (off) or a ``(tss_spec, sludge_spec)`` pair —
-    the TSS leaf carries a class axis AHEAD of the sharded zone axis
-    ([..., C, Z]) and the sludge inventory has no zone axis at all (it
-    replicates across zone shards; the local deriv fn psums its gated
-    tendency so every shard integrates the identical global value)."""
+                   particles=None, disinfection=None):
+    """Spec kwargs for the optional nitrogen/gas/particle/disinfection
+    species fields. ``particles`` is None (off) or a ``(tss_spec,
+    sludge_spec)`` pair — the TSS leaf carries a class axis AHEAD of the
+    sharded zone axis ([..., C, Z]) and the sludge inventory has no zone
+    axis at all (it replicates across zone shards; the local deriv fn
+    psums its gated tendency so every shard integrates the identical
+    global value). ``disinfection`` is None (off) or the pathogen spec
+    (class axis ahead of the zone axis, like TSS); the ct/age/toc/thm
+    scalars ride the plain zone spec."""
     spec = zone if present else None
     gspec = zone if gas else None
     tspec, sspec = particles if particles is not None else (None, None)
+    dspec = zone if disinfection is not None else None
     return dict(ammonia=spec, nitrite=spec, nitrate=spec, chloramine=spec,
-                oxygen=gspec, carbonate=gspec, tss=tspec, sludge=sspec)
+                oxygen=gspec, carbonate=gspec, tss=tspec, sludge=sspec,
+                pathogens=disinfection, ct=dspec, age=dspec, toc=dspec,
+                thm=dspec)
 
 
 def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
@@ -79,6 +85,8 @@ def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
     part = None
     if state.tss is not None:
         part = (_zone_spec(ndim + 1, axis_name), rep)
+    disinfect = _zone_spec(ndim + 1, axis_name) \
+        if state.pathogens is not None else None
     return R.ReactorState(
         time=rep, pH=zone, chlorine=zone, temperature=zone,
         flow_rate=rep,
@@ -88,7 +96,7 @@ def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
                              else zone),
         **_species_specs(zone, state.ammonia is not None,
                          gas=state.oxygen is not None,
-                         particles=part),
+                         particles=part, disinfection=disinfect),
     )
 
 
@@ -129,35 +137,53 @@ def _local_deriv_fn(params, boundary, dtype, local_zones: int,
     has_n = params.nitrogen is not None
     has_g = params.gas is not None
     has_p = params.particles is not None
+    has_d = params.disinfection is not None
     g_off = 7 if has_n else 3
     p_off = g_off + (2 if has_g else 0)
+    d_off = p_off + (2 if has_p else 0)
+    sludge_i = p_off + 1 if has_p else -1
 
     def f(y):
-        # sludge (the last leaf on particle plants) has no zone axis:
-        # it is neither halo-padded nor trimmed, and its tendency is
-        # psum'd so every zone shard integrates the identical global
-        # value (derivatives gates it to the bottom-owning shard).
-        zoned, sludge = (y[:-1], y[-1]) if has_p else (y, None)
-        padded = tuple(_halo_pad(v, axis_name, n_shards) for v in zoned)
+        # sludge (the second particle leaf) has no zone axis: it is
+        # neither halo-padded nor trimmed, and its tendency is psum'd so
+        # every zone shard integrates the identical global value
+        # (derivatives gates it to the bottom-owning shard).
+        padded = tuple(
+            v if i == sludge_i else _halo_pad(v, axis_name, n_shards)
+            for i, v in enumerate(y))
         d = R.derivatives(params, padded[0], padded[1], padded[2],
                           boundary, inlet_mask=inlet_mask,
                           outlet_mask=outlet_mask,
                           nitrogen=padded[3:7] if has_n else None,
                           gas=padded[g_off:g_off + 2] if has_g else None,
-                          particles=((padded[p_off], sludge)
-                                     if has_p else None))
-        if has_p:
-            return tuple(v[..., 1:-1] for v in d[:-1]) \
-                + (jax.lax.psum(d[-1], axis_name),)
-        return tuple(v[..., 1:-1] for v in d)
+                          particles=((padded[p_off], y[sludge_i])
+                                     if has_p else None),
+                          disinfection=(padded[d_off:d_off + 5]
+                                        if has_d else None))
+        return tuple(
+            jax.lax.psum(v, axis_name) if i == sludge_i else v[..., 1:-1]
+            for i, v in enumerate(d))
 
     return f
+
+
+def _local_uv_mask(params, dtype, local_zones: int, axis_name: str,
+                   n_shards: int):
+    """Outlet-owning one-hot over the LOCAL (unpadded) zone block for the
+    step-level UV operator split (core/reactor.py::step ``uv_mask``);
+    None when the disinfection axis is off."""
+    if params.disinfection is None:
+        return None
+    idx = jax.lax.axis_index(axis_name)
+    pos = jnp.arange(local_zones)
+    return ((idx == n_shards - 1) & (pos == local_zones - 1)).astype(dtype)
 
 
 def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                       state_ndim: int = 1, axis_name: str = ZONE_AXIS,
                       stages=None, nitrogen: bool = False,
-                      gas: bool = False, particles: bool = False):
+                      gas: bool = False, particles: bool = False,
+                      disinfection: bool = False):
     """Jitted single-dt step with the zone axis sharded over ``mesh``.
 
     ``n_zones`` must be divisible by the mesh size. ``state_ndim`` is the
@@ -171,12 +197,15 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
     zone = _zone_spec(state_ndim, axis_name)
     part = ((_zone_spec(state_ndim + 1, axis_name), P())
             if particles else None)
+    disinfect = _zone_spec(state_ndim + 1, axis_name) \
+        if disinfection else None
     state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
                                 chlorine_decay_rate=zone,
                                 **_species_specs(zone, nitrogen, gas=gas,
-                                                 particles=part))
+                                                 particles=part,
+                                                 disinfection=disinfect))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
@@ -184,7 +213,11 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
                       deriv_fn=f, stages=stages,
                       deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas,
-                      deriv_fn_particles=particles)
+                      deriv_fn_particles=particles,
+                      deriv_fn_disinfection=disinfection,
+                      uv_mask=_local_uv_mask(params, state.pH.dtype,
+                                             local_zones, axis_name,
+                                             n_shards))
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(P(), state_spec, P()),
@@ -216,7 +249,8 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
                             plants_axis: str = "plants",
                             zone_axis: str = ZONE_AXIS, stages=None,
                             nitrogen: bool = False,
-                            gas: bool = False, particles: bool = False):
+                            gas: bool = False, particles: bool = False,
+                            disinfection: bool = False):
     """Jitted batched step over a 2-D (plants x zones) mesh: the leading
     plant axis of every ``[n_plants]``-batched params/state leaf is sharded
     over ``plants_axis``, the trailing zone axis over ``zone_axis``.
@@ -238,12 +272,14 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
     zone = P(plants_axis, zone_axis)
     part = ((P(plants_axis, None, zone_axis), P(plants_axis))
             if particles else None)
+    disinfect = P(plants_axis, None, zone_axis) if disinfection else None
     state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
                                 chlorine_decay_rate=zone,
                                 **_species_specs(zone, nitrogen, gas=gas,
-                                                 particles=part))
+                                                 particles=part,
+                                                 disinfection=disinfect))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
@@ -251,7 +287,11 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
         return R.step(params, state, boundary, dt=dt, substeps=substeps,
                       deriv_fn=f, stages=stages,
                       deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas,
-                      deriv_fn_particles=particles)
+                      deriv_fn_particles=particles,
+                      deriv_fn_disinfection=disinfection,
+                      uv_mask=_local_uv_mask(params, state.pH.dtype,
+                                             local_zones, zone_axis,
+                                             n_shards))
 
     fn = jax.shard_map(local_step, mesh=mesh,
                        in_specs=(param_specs, state_spec, P()),
@@ -275,6 +315,12 @@ def shard_batch_zones(tree, mesh: Mesh, plants_axis: str = "plants",
     if isinstance(tree, R.ReactorParams) and tree.particles is not None:
         plants_only.update(
             id(leaf) for leaf in jax.tree_util.tree_leaves(tree.particles))
+    if isinstance(tree, R.ReactorParams) and tree.disinfection is not None:
+        # per-pathogen-class leaves ([plants, P]): the trailing axis is
+        # classes, not zones
+        plants_only.update(
+            id(leaf)
+            for leaf in jax.tree_util.tree_leaves(tree.disinfection))
 
     def place(x):
         nd = np.ndim(x)
@@ -293,7 +339,8 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                          n_steps: int, state_ndim: int = 1,
                          axis_name: str = ZONE_AXIS, stages=None,
                          nitrogen: bool = False,
-                         gas: bool = False, particles: bool = False):
+                         gas: bool = False, particles: bool = False,
+                         disinfection: bool = False):
     """Jitted n-step rollout (scan inside the shard_map, so the halo
     exchanges stay on-device for the whole trajectory)."""
     n_shards = mesh.shape[axis_name]
@@ -304,15 +351,20 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
     zone = _zone_spec(state_ndim, axis_name)
     part = ((_zone_spec(state_ndim + 1, axis_name), P())
             if particles else None)
+    disinfect = _zone_spec(state_ndim + 1, axis_name) \
+        if disinfection else None
     state_spec = R.ReactorState(time=P(), pH=zone, chlorine=zone,
                                 temperature=zone, flow_rate=P(),
                                 H_concentration=zone, density=zone,
                                 chlorine_decay_rate=zone,
                                 **_species_specs(zone, nitrogen, gas=gas,
-                                                 particles=part))
+                                                 particles=part,
+                                                 disinfection=disinfect))
 
     def local_rollout(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
+                            axis_name, n_shards)
+        uv = _local_uv_mask(params, state.pH.dtype, local_zones,
                             axis_name, n_shards)
 
         def body(s, _):
@@ -320,7 +372,9 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                           deriv_fn=f, stages=stages,
                           deriv_fn_nitrogen=nitrogen,
                           deriv_fn_gas=gas,
-                          deriv_fn_particles=particles), None
+                          deriv_fn_particles=particles,
+                          deriv_fn_disinfection=disinfection,
+                          uv_mask=uv), None
 
         final, _ = jax.lax.scan(body, state, None, length=n_steps)
         return final

@@ -332,3 +332,90 @@ def test_zone_sharded_gas_matches_single_device():
             rtol=0, atol=0, err_msg=f)
     # the surface transfer actually moved O2 toward saturation at the top
     assert float(ref.oxygen[-1]) > float(state0.oxygen[-1])
+
+
+def test_zone_sharded_disinfection_matches_single_device():
+    """Disinfection axis through the halo-exchanged SPMD step: pathogen
+    classes ([P, Z]) ride the tss layout, the advected CT/age/TOC/THM
+    scalars the gas layout, and the step-level UV operator split lands on
+    the outlet-owning shard via the local uv_mask — reproducing the
+    single-device trajectory (kill + credit + shading) to f64 tolerance."""
+    cfg = R.ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=16,
+        flow_rate=5.0, initial_pH=7.2, initial_chlorine=2.0,
+        temperature=20.0, enable_disinfection=True,
+        initial_pathogens=1e4, initial_toc=3.0)
+    params = R.make_params(cfg, dtype=jnp.float64)
+    state0 = R.make_initial_state(cfg, dtype=jnp.float64)
+    bc = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.5, inlet_chlorine=0.5,
+        inlet_pathogens=5e4, inlet_toc=4.0, uv_intensity=3.0)
+
+    ref = state0
+    step1 = jax.jit(lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=4))
+    for _ in range(10):
+        ref = step1(params, ref, bc)
+
+    mesh = make_zone_mesh(8)
+    st = shard_state_zones(state0, mesh)
+    fn = zone_sharded_step(mesh, n_zones=16, dt=1.0, substeps=4,
+                           disinfection=True)
+    for _ in range(10):
+        st = fn(params, st, bc)
+
+    for f in ("pH", "chlorine", "temperature", "pathogens", "ct", "age",
+              "toc", "thm"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st, f)), np.asarray(getattr(ref, f)),
+            rtol=1e-13, atol=1e-13, err_msg=f)
+    # the UV bank actually fired: outlet-zone crypto is below the mixed
+    # field everywhere else
+    assert float(ref.pathogens[2, -1]) < float(ref.pathogens[2, 0])
+
+
+def test_zone_sharded_disinfection_rollout_and_2d_mesh():
+    """Scan-inside-shard_map and dp x sp variants with disinfection on."""
+    from ics_wt_physicsengine_tpu.models.monte_carlo import (
+        make_monte_carlo_batch)
+    from ics_wt_physicsengine_tpu.parallel import (
+        make_plant_zone_mesh, plant_zone_sharded_step, shard_batch_zones)
+
+    cfg = R.ReactorConfiguration(
+        volume=1000, height=2.0, diameter=0.798, n_zones=16,
+        flow_rate=5.0, initial_pH=7.2, initial_chlorine=2.0,
+        temperature=20.0, enable_disinfection=True,
+        initial_pathogens=1e4, initial_toc=3.0)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pathogens=5e4,
+                              inlet_toc=4.0, uv_intensity=2.0)
+
+    params = R.make_params(cfg, dtype=jnp.float64)
+    state0 = R.make_initial_state(cfg, dtype=jnp.float64)
+    ref, _ = jax.jit(lambda p, s, b: R.rollout(
+        p, s, b, dt=1.0, substeps=4, n_steps=15, record=False))(
+            params, state0, bc)
+    mesh = make_zone_mesh(8)
+    roll = zone_sharded_rollout(mesh, n_zones=16, dt=1.0, substeps=4,
+                                n_steps=15, disinfection=True)
+    st = roll(params, shard_state_zones(state0, mesh), bc)
+    np.testing.assert_allclose(np.asarray(st.pathogens),
+                               np.asarray(ref.pathogens),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st.ct), np.asarray(ref.ct),
+                               rtol=1e-13, atol=1e-13)
+
+    bparams, bstate = make_monte_carlo_batch(cfg, 4, seed=7,
+                                             dtype=jnp.float64)
+    bref = jax.jit(lambda p, s, b: R.step(p, s, b, dt=1.0, substeps=4))(
+        bparams, bstate, bc)
+    mesh2 = make_plant_zone_mesh(2, 4)
+    fn = plant_zone_sharded_step(mesh2, n_zones=16, dt=1.0, substeps=4,
+                                 params_example=bparams,
+                                 disinfection=True)
+    out = fn(shard_batch_zones(bparams, mesh2),
+             shard_batch_zones(bstate, mesh2), bc)
+    assert out.pathogens.shape == bref.pathogens.shape
+    np.testing.assert_allclose(np.asarray(out.pathogens),
+                               np.asarray(bref.pathogens),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(out.thm), np.asarray(bref.thm),
+                               rtol=1e-13, atol=1e-13)
