@@ -147,6 +147,10 @@ def _n_species(state: R.ReactorState) -> int:
         n += 2
     if state.tss is not None:
         n += state.tss.shape[-2]
+    if state.pathogens is not None:
+        # class-resolved survivors + the advected ct/age/toc/thm scalars
+        # (a multi-barrier train's credit and byproducts flow downstream)
+        n += state.pathogens.shape[-2] + 4
     return n
 
 
@@ -164,6 +168,11 @@ def _outlet_sample(state: R.ReactorState) -> jnp.ndarray:
     if state.tss is not None:
         # per-class outlet solids [..., P, C] — piped class-resolved
         sample = jnp.concatenate([sample, state.tss[..., -1]], axis=-1)
+    if state.pathogens is not None:
+        tail = jnp.stack([state.ct[..., -1], state.age[..., -1],
+                          state.toc[..., -1], state.thm[..., -1]], axis=-1)
+        sample = jnp.concatenate([sample, state.pathogens[..., -1], tail],
+                                 axis=-1)
     return sample
 
 
@@ -187,7 +196,8 @@ def make_network(configs: Union[R.ReactorConfiguration,
     zs = {c.n_zones for c in configs}
     if len(zs) != 1:
         raise ValueError(f"all plants must share n_zones, got {sorted(zs)}")
-    for flag in ("enable_nitrogen", "enable_gas", "enable_particles"):
+    for flag in ("enable_nitrogen", "enable_gas", "enable_particles",
+                 "enable_disinfection"):
         if len({bool(getattr(c, flag, False)) for c in configs}) != 1:
             raise ValueError(f"{flag} must match across plants")
 
@@ -231,8 +241,12 @@ def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
     dtype = ring.dtype
     has_gas = nstate.reactor.oxygen is not None
     has_p = nstate.reactor.tss is not None
+    has_d = nstate.reactor.pathogens is not None
     g_off = 7 if has_nitrogen else 3
     p_off = g_off + (2 if has_gas else 0)
+    n_classes = nstate.reactor.tss.shape[-2] if has_p else 0
+    d_off = p_off + n_classes
+    n_path = nstate.reactor.pathogens.shape[-2] if has_d else 0
 
     def v(x):  # [P] view of a possibly-scalar boundary leaf
         return jnp.broadcast_to(jnp.asarray(x, dtype), (Pn,))
@@ -262,7 +276,6 @@ def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
     ext_c = jnp.stack(ext_cols, axis=-1)                       # [P, S0]
     if has_p:
         if boundary.inlet_tss_classes is not None:
-            n_classes = ring.shape[-1] - p_off
             ext_tss = jnp.broadcast_to(
                 jnp.asarray(boundary.inlet_tss_classes, dtype),
                 (Pn, n_classes))
@@ -276,6 +289,18 @@ def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
                 "boundary.inlet_tss_classes) to split the external "
                 "inlet_tss into classes")
         ext_c = jnp.concatenate([ext_c, ext_tss], axis=-1)     # [P, S]
+    if has_d:
+        if boundary.inlet_pathogen_classes is not None:
+            ext_path = jnp.broadcast_to(
+                jnp.asarray(boundary.inlet_pathogen_classes, dtype),
+                (Pn, n_path))
+        else:
+            ext_path = jnp.broadcast_to(
+                v(boundary.inlet_pathogens)[:, None], (Pn, n_path))
+        ext_tail = jnp.stack([v(boundary.inlet_ct), v(boundary.inlet_age),
+                              v(boundary.inlet_toc), v(boundary.inlet_thm)],
+                             axis=-1)
+        ext_c = jnp.concatenate([ext_c, ext_path, ext_tail], axis=-1)
 
     num = ext_q[:, None] * ext_c \
         + jnp.einsum("ji,jis->js", routed_q, delayed)          # [P, S]
@@ -296,8 +321,14 @@ def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
         kw["inlet_oxygen"] = c_in[:, g_off]
         kw["inlet_carbonate"] = c_in[:, g_off + 1]
     if has_p:
-        kw["inlet_tss_classes"] = c_in[:, p_off:]
-        kw["inlet_tss"] = jnp.sum(c_in[:, p_off:], axis=-1)
+        kw["inlet_tss_classes"] = c_in[:, p_off:d_off]
+        kw["inlet_tss"] = jnp.sum(c_in[:, p_off:d_off], axis=-1)
+    if has_d:
+        kw["inlet_pathogen_classes"] = c_in[:, d_off:d_off + n_path]
+        kw["inlet_ct"] = c_in[:, d_off + n_path]
+        kw["inlet_age"] = c_in[:, d_off + n_path + 1]
+        kw["inlet_toc"] = c_in[:, d_off + n_path + 2]
+        kw["inlet_thm"] = c_in[:, d_off + n_path + 3]
     return replace(boundary, **kw), q_out
 
 
