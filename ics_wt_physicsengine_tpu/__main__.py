@@ -284,6 +284,45 @@ def update_modbus_inputs(slave: Optional[ModbusSlave],
                 "sludge_level",
                 float(np.asarray(state.sludge).sum()), unit=unit)
 
+        # disinfection extension registers (extended_disinfection maps):
+        # per-class log-removal credit ACROSS the tank (inlet zone ->
+        # outlet zone), accumulated CT / water age at the outlet, THMs,
+        # and the UVT a 254 nm analyzer would report on the outlet water
+        pathogens = getattr(state, "pathogens", None)
+        if pathogens is not None:
+            from ics_wt_physicsengine_tpu.core import disinfection as dz
+            pa = np.asarray(pathogens)            # [..., P, Z]
+
+            def logr(i: int) -> float:
+                n0 = max(float(pa[..., i, 0]), 1e-30)
+                n1 = max(float(pa[..., i, -1]), 1e-30 * n0)
+                return float(np.log10(n0 / n1))
+            slave.update_input_register("virus_log_removal", logr(0),
+                                        unit=unit)
+            slave.update_input_register("giardia_log_removal", logr(1),
+                                        unit=unit)
+            slave.update_input_register("crypto_log_removal", logr(2),
+                                        unit=unit)
+            slave.update_input_register(
+                "ct_outlet", float(np.asarray(state.ct)[..., -1]),
+                unit=unit)
+            slave.update_input_register(
+                "water_age_outlet",
+                float(np.asarray(state.age)[..., -1]) / 60.0, unit=unit)
+            slave.update_input_register(
+                "thm_outlet", float(np.asarray(state.thm)[..., -1]),
+                unit=unit)
+            toc_out = float(np.asarray(state.toc)[..., -1])
+            tss_state = getattr(state, "tss", None)
+            tss_out = (float(np.asarray(tss_state)[..., -1].sum())
+                       if tss_state is not None else 0.0)
+            # default optical coefficients (the analyzer's own cal), not
+            # the reactor's possibly-overridden kinetics
+            dp = dz.make_disinfection_params()
+            uvt = float(dz.uvt_percent(
+                dz.absorbance_254(toc_out, tss_out, dp)))
+            slave.update_input_register("uvt_outlet", uvt, unit=unit)
+
         any_fault = any(r.fault != SensorFault.NONE
                         for r in readings.values())
         slave.update_input_register("system_status", 1 if any_fault else 0,
@@ -312,7 +351,7 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
     ``unit`` selects a fleet unit's register space; None = primary."""
     if slave is None or not slave.is_running:
         return (0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None,
-                None)
+                None, None)
     try:
         acid_rate = validate_flow_rate(
             slave.read_holding_register("acid_flow_rate", unit=unit),
@@ -361,13 +400,24 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
             )
         except Exception:  # noqa: BLE001 — base map: registers absent
             particle_cmds = None
+        try:    # disinfection extension registers (extended maps only)
+            disinfect_cmds = (
+                validate_concentration(
+                    slave.read_holding_register("uv_intensity", unit=unit),
+                    max_value=50.0),
+                validate_concentration(
+                    slave.read_holding_register("inlet_toc", unit=unit),
+                    max_value=20.0),
+            )
+        except Exception:  # noqa: BLE001 — base map: registers absent
+            disinfect_cmds = None
         return (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
                 acid_enable, cl_enable, sim_running, inlet_ammonia,
-                aeration_kla, particle_cmds)
+                aeration_kla, particle_cmds, disinfect_cmds)
     except Exception as e:  # noqa: BLE001
         logger.error("Modbus read failed: %s", type(e).__name__)
         return (0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None,
-                None)
+                None, None)
 
 
 def apply_boundary_conditions(boundary: BoundaryConditions, commands
@@ -381,6 +431,7 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
     inlet_ammonia = extra[0] if extra else None
     aeration_kla = extra[1] if len(extra) > 1 else None
     particle_cmds = extra[2] if len(extra) > 2 else None
+    disinfect_cmds = extra[3] if len(extra) > 3 else None
     from dataclasses import replace
     new_inlet = boundary.inlet_flow_rate
     if inlet_rate > 0.1:
@@ -394,6 +445,9 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
         updates["coagulant_dose"] = particle_cmds[0]
         updates["filter_flow_rate"] = particle_cmds[1]
         updates["sludge_blowdown"] = particle_cmds[2]
+    if disinfect_cmds is not None:  # disinfection extension registers present
+        updates["uv_intensity"] = disinfect_cmds[0]
+        updates["inlet_toc"] = disinfect_cmds[1]
     return replace(
         boundary,
         acid_flow_rate=(validate_flow_rate(acid_rate, max_value=2.0)
@@ -596,6 +650,21 @@ def main(argv=None):
     parser.add_argument("--initial-tss", type=float, default=10.0,
                         help="Initial/source total suspended solids "
                              "[mg/L] when --enable-particles is set")
+    parser.add_argument("--enable-disinfection", action="store_true",
+                        help="Enable the disinfection extension "
+                             "(core/disinfection.py): pathogen "
+                             "inactivation (Chick-Watson + UV), CT "
+                             "credit, water age, and THM formation; "
+                             "extended input registers (38-51) and the "
+                             "uv_intensity/inlet_toc holding registers "
+                             "(24-27)")
+    parser.add_argument("--initial-pathogens", type=float, default=1.0e4,
+                        help="Initial/source pathogen concentration "
+                             "[org/L, every class] when "
+                             "--enable-disinfection is set")
+    parser.add_argument("--initial-toc", type=float, default=2.0,
+                        help="Initial/source total organic carbon "
+                             "[mg/L] when --enable-disinfection is set")
     parser.add_argument("--fleet", type=int, default=1,
                         help="Serve N independently controlled plants from "
                              "one Modbus endpoint: unit id u = plant lane "
@@ -825,7 +894,11 @@ def main(argv=None):
             if args.enable_nitrogen else 0.0,
             enable_gas=args.enable_gas,
             enable_particles=args.enable_particles,
-            initial_tss=args.initial_tss)
+            initial_tss=args.initial_tss,
+            enable_disinfection=args.enable_disinfection,
+            initial_pathogens=args.initial_pathogens
+            if args.enable_disinfection else 0.0,
+            initial_toc=args.initial_toc)
         reactor = IntegratedCSTR(config, integrator=args.integrator)
         _m, _s = reactor._plan_for(args.dt)
         logger.info("Physics engine initialized (%d zones, %s: substeps=%d%s)",
@@ -842,7 +915,10 @@ def main(argv=None):
         inlet_temperature=20.0, acid_flow_rate=0.0, acid_concentration=0.1,
         chlorine_flow_rate=0.0,
         inlet_ammonia=args.initial_ammonia if args.enable_nitrogen else 0.0,
-        inlet_tss=args.initial_tss if args.enable_particles else 0.0)
+        inlet_tss=args.initial_tss if args.enable_particles else 0.0,
+        inlet_pathogens=args.initial_pathogens
+        if args.enable_disinfection else 0.0,
+        inlet_toc=args.initial_toc if args.enable_disinfection else 0.0)
 
     # PHASE 3: sensors
     sim_start_time = time.monotonic()
@@ -899,7 +975,8 @@ def main(argv=None):
                     ModbusRegisterMap(
                         extended_nitrogen=args.enable_nitrogen,
                         extended_gas=args.enable_gas,
-                        extended_particles=args.enable_particles),
+                        extended_particles=args.enable_particles,
+                        extended_disinfection=args.enable_disinfection),
                     server_config)
             elif args.rtu_serial or args.rtu_tcp:
                 from ics_wt_physicsengine_tpu.modbus import ModbusRtuSlave
@@ -907,14 +984,16 @@ def main(argv=None):
                     ModbusRegisterMap(
                         extended_nitrogen=args.enable_nitrogen,
                         extended_gas=args.enable_gas,
-                        extended_particles=args.enable_particles),
+                        extended_particles=args.enable_particles,
+                        extended_disinfection=args.enable_disinfection),
                     server_config, serial_device=args.rtu_serial)
             else:
                 slave = ModbusSlave(
                     ModbusRegisterMap(
                         extended_nitrogen=args.enable_nitrogen,
                         extended_gas=args.enable_gas,
-                        extended_particles=args.enable_particles),
+                        extended_particles=args.enable_particles,
+                        extended_disinfection=args.enable_disinfection),
                     server_config)
             slave.start(blocking=False)
             # Initialize writable registers/coils so reference-compatible
@@ -932,6 +1011,9 @@ def main(argv=None):
                 slave.write_holding_register("coagulant_dose", 0.0)
                 slave.write_holding_register("filter_flow_rate", 0.0)
                 slave.write_holding_register("sludge_blowdown", 0.0)
+            if args.enable_disinfection:
+                slave.write_holding_register("uv_intensity", 0.0)
+                slave.write_holding_register("inlet_toc", args.initial_toc)
             slave.write_coil("acid_pump_enable", True)
             slave.write_coil("chlorine_pump_enable", True)
             slave.write_coil("simulation_running", True)

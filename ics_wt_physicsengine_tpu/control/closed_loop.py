@@ -43,6 +43,8 @@ _COMMAND_LIMITS = {
     "coagulant_dose": 100.0,
     "filter_flow_rate": 60.0,
     "sludge_blowdown": 0.01,
+    "uv_intensity": 50.0,
+    "inlet_toc": 20.0,
 }
 
 
@@ -183,6 +185,16 @@ def observe_true(state: R.ReactorState) -> Dict[str, jnp.ndarray]:
         #                                TSS; NTU = instrument weighting)
         obs["tss_outlet"] = jnp.sum(state.tss[..., -1], axis=-1)
         obs["sludge_total"] = jnp.sum(state.sludge, axis=-1)
+    if state.pathogens is not None:    # disinfection observables: the
+        #                                regulatory channels the UV/CT
+        #                                control problem tracks
+        n0 = jnp.maximum(state.pathogens[..., 0], 1e-30)
+        n1 = jnp.clip(state.pathogens[..., -1], 1e-30 * n0, None)
+        obs["giardia_log_removal"] = jnp.log10(n0 / n1)[..., 1]
+        obs["crypto_log_removal"] = jnp.log10(n0 / n1)[..., 2]
+        obs["ct_outlet"] = state.ct[..., -1]
+        obs["thm_outlet"] = state.thm[..., -1]
+        obs["toc_outlet"] = state.toc[..., -1]
     return obs
 
 

@@ -110,7 +110,11 @@ def main_fleet(args) -> None:
             if getattr(args, "enable_nitrogen", False) else 0.0,
             enable_gas=getattr(args, "enable_gas", False),
             enable_particles=getattr(args, "enable_particles", False),
-            initial_tss=getattr(args, "initial_tss", 10.0))
+            initial_tss=getattr(args, "initial_tss", 10.0),
+            enable_disinfection=getattr(args, "enable_disinfection", False),
+            initial_pathogens=getattr(args, "initial_pathogens", 1.0e4)
+            if getattr(args, "enable_disinfection", False) else 0.0,
+            initial_toc=getattr(args, "initial_toc", 2.0))
         # Plan the integrator exactly like the single-plant path.
         m, s = IntegratedCSTR(
             config, integrator=args.integrator)._plan_for(args.dt)
@@ -279,7 +283,11 @@ def main_fleet(args) -> None:
         inlet_temperature=20.0, acid_flow_rate=0.0, acid_concentration=0.1,
         chlorine_flow_rate=0.0,
         inlet_ammonia=args.initial_ammonia
-        if getattr(args, "enable_nitrogen", False) else 0.0)
+        if getattr(args, "enable_nitrogen", False) else 0.0,
+        inlet_pathogens=getattr(args, "initial_pathogens", 1.0e4)
+        if getattr(args, "enable_disinfection", False) else 0.0,
+        inlet_toc=getattr(args, "initial_toc", 2.0)
+        if getattr(args, "enable_disinfection", False) else 0.0)
         for i in range(n)]
 
     # PHASE 3: sensors are in the batched carries (nothing host-side)
@@ -303,7 +311,9 @@ def main_fleet(args) -> None:
                             args, "enable_nitrogen", False),
                         extended_gas=getattr(args, "enable_gas", False),
                         extended_particles=getattr(
-                            args, "enable_particles", False)),
+                            args, "enable_particles", False),
+                        extended_disinfection=getattr(
+                            args, "enable_disinfection", False)),
                     server_config, units=units)
             else:
                 slave = ModbusSlave(
@@ -312,7 +322,9 @@ def main_fleet(args) -> None:
                             args, "enable_nitrogen", False),
                         extended_gas=getattr(args, "enable_gas", False),
                         extended_particles=getattr(
-                            args, "enable_particles", False)),
+                            args, "enable_particles", False),
+                        extended_disinfection=getattr(
+                            args, "enable_disinfection", False)),
                     server_config, units=units)
             # The listener starts AFTER checkpoint restore (below): both
             # planes' register stores accept writes pre-start, and
@@ -341,6 +353,12 @@ def main_fleet(args) -> None:
                                                  unit=u)
                     slave.write_holding_register("sludge_blowdown", 0.0,
                                                  unit=u)
+                if getattr(args, "enable_disinfection", False):
+                    slave.write_holding_register("uv_intensity", 0.0,
+                                                 unit=u)
+                    slave.write_holding_register(
+                        "inlet_toc", getattr(args, "initial_toc", 2.0),
+                        unit=u)
                 slave.write_coil("acid_pump_enable", True, unit=u)
                 slave.write_coil("chlorine_pump_enable", True, unit=u)
                 slave.write_coil("simulation_running", True, unit=u)
@@ -618,6 +636,8 @@ def main_fleet(args) -> None:
         if getattr(args, "enable_particles", False):
             regs = regs + ("coagulant_dose", "filter_flow_rate",
                            "sludge_blowdown")
+        if getattr(args, "enable_disinfection", False):
+            regs = regs + ("uv_intensity", "inlet_toc")
         coils = ("acid_pump_enable", "chlorine_pump_enable",
                  "simulation_running")
         try:
@@ -737,6 +757,10 @@ def main_fleet(args) -> None:
                 if plant.reactor.tss is not None:
                     n_np.update({k: np.asarray(getattr(plant.reactor, k))
                                  for k in ("tss", "sludge")})
+                if plant.reactor.pathogens is not None:
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("pathogens", "ct", "age",
+                                           "toc", "thm")})
                 if slave:
                     ok = True
                     for i, u in enumerate(units):
@@ -840,6 +864,10 @@ def main_fleet(args) -> None:
                 if plant.reactor.tss is not None:
                     n_np.update({k: np.asarray(getattr(plant.reactor, k))
                                  for k in ("tss", "sludge")})
+                if plant.reactor.pathogens is not None:
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("pathogens", "ct", "age",
+                                           "toc", "thm")})
 
                 if slave:
                     ok = True

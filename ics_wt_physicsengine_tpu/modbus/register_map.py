@@ -84,7 +84,8 @@ class ModbusRegisterMap:
 
     def __init__(self, extended_nitrogen: bool = False,
                  extended_gas: bool = False,
-                 extended_particles: bool = False):
+                 extended_particles: bool = False,
+                 extended_disinfection: bool = False):
         """``extended_nitrogen=True`` appends the nitrogen-chemistry
         extension's registers (core/nitrogen.py) at addresses the
         reference map leaves free — the base map stays address-identical
@@ -94,7 +95,10 @@ class ModbusRegisterMap:
         ``extended_particles=True`` appends the particle-dynamics
         extension's registers (core/particles.py): turbidity/TSS/sludge
         telemetry plus the coagulant, filtration, and blowdown
-        actuators."""
+        actuators. ``extended_disinfection=True`` appends the
+        disinfection extension's registers (core/disinfection.py):
+        per-pathogen log-removal credit, CT, water age, THM, and UVT
+        telemetry plus the UV-lamp and source-water-TOC inputs."""
         # Input registers (reference register_map.py:119-244)
         # eu_range values mirror the instruments' measurement ranges
         # (sensor wrappers) and the orchestrator's zero-trust clamps
@@ -157,6 +161,29 @@ class ModbusRegisterMap:
                     "Settled sludge inventory (bottom-zone equivalent)",
                     eu_range=(0.0, 10000.0)),
             ]
+        if extended_disinfection:
+            self.input_registers += [
+                _ir(38, "virus_log_removal", "log10",
+                    "Virus log inactivation credit at outlet",
+                    eu_range=(0.0, 30.0)),
+                _ir(40, "giardia_log_removal", "log10",
+                    "Giardia log inactivation credit at outlet",
+                    eu_range=(0.0, 30.0)),
+                _ir(42, "crypto_log_removal", "log10",
+                    "Cryptosporidium log inactivation credit at outlet",
+                    eu_range=(0.0, 30.0)),
+                _ir(44, "ct_outlet", "mg min/L",
+                    "Accumulated disinfectant CT credit at outlet",
+                    eu_range=(0.0, 10000.0)),
+                _ir(46, "water_age_outlet", "min",
+                    "Water age at outlet", eu_range=(0.0, 100000.0)),
+                _ir(48, "thm_outlet", "ug/L",
+                    "Total trihalomethanes at outlet",
+                    eu_range=(0.0, 1000.0)),
+                _ir(50, "uvt_outlet", "%",
+                    "UV transmittance (254 nm, 1 cm) at outlet",
+                    eu_range=(0.0, 100.0)),
+            ]
 
         # Holding registers (reference register_map.py:246-323)
         self.holding_registers: List[RegisterDefinition] = [
@@ -201,6 +228,16 @@ class ModbusRegisterMap:
                 _hr(22, "sludge_blowdown", "1/s",
                     "Sludge blowdown (wasting) rate",
                     eu_range=(0.0, 0.01)),
+            ]
+        if extended_disinfection:
+            self.holding_registers += [
+                _hr(24, "uv_intensity", "mW/cm2",
+                    "UV bank lamp wall fluence rate setpoint "
+                    "(0 = lamps off)",
+                    eu_range=(0.0, 50.0)),
+                _hr(26, "inlet_toc", "mg/L",
+                    "Source-water total organic carbon",
+                    eu_range=(0.0, 20.0)),
             ]
 
         # Coils (reference register_map.py:325-362)

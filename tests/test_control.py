@@ -407,3 +407,26 @@ def test_extension_observables_and_actuator_limits():
     assert float(out["filter_flow_rate"]) == 0.0
     assert float(out["sludge_blowdown"]) == 0.0       # NaN -> 0
     assert float(out["aeration_kla"]) == pytest.approx(0.05)
+
+
+def test_disinfection_observables_and_actuator_limits():
+    """observe_true exposes the regulatory disinfection channels and the
+    validator accepts the UV/TOC commands with the register clamps."""
+    from ics_wt_physicsengine_tpu.control.closed_loop import (
+        _COMMAND_LIMITS, observe_true, validate_commands)
+
+    cfg = R.ReactorConfiguration(n_zones=4, enable_disinfection=True,
+                                 initial_pathogens=1e4, initial_toc=2.0)
+    st = R.make_initial_state(cfg, dtype=jnp.float32)
+    obs = observe_true(st)
+    for key in ("giardia_log_removal", "crypto_log_removal", "ct_outlet",
+                "thm_outlet", "toc_outlet"):
+        assert key in obs and np.isfinite(float(obs[key])), key
+    # uniform initial pathogen field: zero through-tank credit
+    assert float(obs["giardia_log_removal"]) == pytest.approx(0.0, abs=1e-5)
+    assert float(obs["toc_outlet"]) == pytest.approx(2.0, rel=1e-5)
+
+    out = validate_commands({"uv_intensity": jnp.float32(500.0),
+                             "inlet_toc": jnp.float32(np.nan)})
+    assert float(out["uv_intensity"]) == _COMMAND_LIMITS["uv_intensity"]
+    assert float(out["inlet_toc"]) == 0.0             # NaN -> 0

@@ -856,3 +856,50 @@ def test_network_checkpoint_roundtrip(tmp_path):
     _run_fleet(plain, 10, 3)
     with pytest.raises(SystemExit):
         _run_fleet(plain, 20, 3, ["--network", topo])    # network resume
+
+
+def test_fleet_disinfection_unit_resolved_uv():
+    """--enable-disinfection in fleet mode: the UV lamp command into ONE
+    unit raises that unit's Crypto log-removal credit; its neighbour's
+    stays at the chlorine-resistant floor (the lanes are independent)."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    port = _free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(port), "--host", "127.0.0.1", "--dt", "30",
+               "--duration", "1000000", "--rtf", "0", "--seed", "7",
+               "--fleet", "2", "--zones", "4", "--enable-disinfection",
+               "--initial-pathogens", "1e4"],),
+        daemon=True)
+    thread.start()
+    try:
+        deadline = time.time() + 60
+        c1 = None
+        while time.time() < deadline:
+            try:
+                c1 = ModbusTcpClient("127.0.0.1", port, unit_id=1,
+                                     timeout=5).connect()
+                break
+            except OSError:
+                time.sleep(0.3)
+        assert c1 is not None, "fleet Modbus server did not start"
+        _wait_sim_time(c1, 60.0)
+
+        with ModbusTcpClient("127.0.0.1", port, unit_id=2) as c2:
+            # lamp on in unit 2 only (holding register 24)
+            c2.write_float32(24, 15.0)
+            t0 = c1.read_float32(100)
+            _wait_sim_time(c1, t0 + 900.0, timeout=240)
+            crypto_2 = c2.read_float32(42)   # crypto_log_removal
+            crypto_1 = c1.read_float32(42)
+        assert crypto_2 > crypto_1 + 1.0, (crypto_1, crypto_2)
+        assert crypto_1 < 1.0, crypto_1
+        # the lit unit's CT/age telemetry is live too
+        with ModbusTcpClient("127.0.0.1", port, unit_id=2) as c2:
+            assert c2.read_float32(44) > 0.0     # ct_outlet
+            assert c2.read_float32(46) > 0.0     # water_age_outlet
+    finally:
+        orchestrator.running = False
+        thread.join(timeout=30)

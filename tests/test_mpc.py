@@ -166,3 +166,39 @@ def test_mpc_coagulant_tracks_turbidity_target():
     # decisively better than the ~24 mg/L undosed steady state (measured
     # with this config/boundary via a plain rollout)
     assert float(tail.mean()) < 12.0
+
+
+def test_mpc_uv_tracks_crypto_credit():
+    """Disinfection MPC: the shooting optimizer commands the UV bank
+    (a round-4 actuator, differentiable through the Beer-Lambert fluence
+    and the analytic kill split) to hold a Cryptosporidium log-removal
+    target — lamp-power scheduling against the regulatory credit."""
+    cfg = R.ReactorConfiguration(n_zones=4, enable_disinfection=True,
+                                 initial_pathogens=1e4,
+                                 initial_chlorine=0.0)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pathogens=1e4,
+                              inlet_chlorine=0.0, inlet_toc=2.0)
+    n, target = 120, 3.0
+    prog = {"crypto_log_removal": np.full(n, target, np.float32)}
+    # small Adam steps: the credit's gradient vanishes once the outlet
+    # zone sterilizes (float32 underflow floors the observation at 30),
+    # so the optimizer must stay in the smooth sub-sterilizing region
+    out = C.run_mpc(cfg, prog, dt=30.0, horizon_moves=4, steps_per_move=10,
+                    iters=40, learning_rate=0.1, boundary=bc,
+                    controls=("uv_intensity",))
+    tr = np.asarray(out["tracked"]["crypto_log_removal"])
+    lamp = np.asarray(out["commands_by_control"]["uv_intensity"])
+    assert np.isfinite(tr).all()
+    assert lamp.min() >= 0.0 and lamp.max() <= 50.0    # actuator limits
+    assert lamp.max() > 0.01                           # the bank actually lit
+
+    # steady tracking shows at the end: near the target, neither washed
+    # out (the unlit plant has ~zero Crypto credit — chlorine-resistant
+    # class, Cl=0) nor sterilizing the outlet zone (credit floors at 30
+    # when float32 pathogens underflow). The credit's response to lamp
+    # power is logarithmic at this residence time, so tracking lands
+    # within ~1 log of the target rather than exactly on it.
+    tail = tr[-10:]
+    assert abs(float(tail.mean()) - target) < 1.5, tail.mean()
+    assert float(tail.mean()) > 1.5
+    assert float(tail.max()) < 10.0                    # not floored
