@@ -251,6 +251,14 @@ def validate_disinfection(verbose: bool = True) -> bool:
     ka20 = 10.0 ** -7.45  # chemistry.py pKa_HOCl at 20 C
     one = jnp.ones((1,), jnp.float64)
 
+    # precision-aware tolerances (the nitrogen validator's pattern): with
+    # x64 disabled (e.g. the TPU default backend) every jnp.float64 above
+    # truncates to f32 and vectorized pow/exp carry ~1e-6 relative error
+    f64_active = jnp.zeros((), jnp.float64).dtype == jnp.dtype("float64")
+
+    def tol(f64_tol, f32_tol):
+        return f64_tol if f64_active else f32_tol
+
     # CT-table reconstruction: at 1 mg/L, pH 7, 20 C the kill integrates
     # to exactly 3 logs over CT_3log minutes, per class
     lam = chlorine_lethality(one, 7.0 * one, 20.0 * one, ka20, p)[..., 0]
@@ -263,7 +271,7 @@ def validate_disinfection(verbose: bool = True) -> bool:
     # temperature: CT requirement halves per 10 C (EPA table structure)
     lam30 = chlorine_lethality(one, 7.0 * one, 30.0 * one, ka20, p)[..., 0]
     check("kill rate doubles per 10 C (theta = 2^0.1)",
-          abs(float(lam30[1] / lam[1]) - 2.0) < 1e-9)
+          abs(float(lam30[1] / lam[1]) - 2.0) < tol(1e-9, 1e-4))
 
     # speciation weighting: phi = 1 at the calibration point; drops toward
     # r_ocl at high pH; rises toward 1/phi_ref at low pH
@@ -279,9 +287,11 @@ def validate_disinfection(verbose: bool = True) -> bool:
 
     # UV dose table: 12 mJ/cm2 delivered -> exactly 3-log Crypto
     surv = uv_survival(jnp.float64([1.0]), 12.0, p)[..., 2, 0]
-    check("UV 12 mJ/cm2 -> 3-log Crypto", abs(float(surv) - 1e-3) < 1e-12)
+    check("UV 12 mJ/cm2 -> 3-log Crypto",
+          abs(float(surv) - 1e-3) < tol(1e-12, 1e-7))
     surv_g = uv_survival(jnp.float64([1.0]), 11.0, p)[..., 1, 0]
-    check("UV 11 mJ/cm2 -> 3-log Giardia", abs(float(surv_g) - 1e-3) < 1e-12)
+    check("UV 11 mJ/cm2 -> 3-log Giardia",
+          abs(float(surv_g) - 1e-3) < tol(1e-12, 1e-7))
 
     # Beer-Lambert fluence: clear-water limit E_avg -> E0; opaque limit
     # E_avg -> E0 / (a d ln10)
@@ -305,8 +315,8 @@ def validate_disinfection(verbose: bool = True) -> bool:
     f75 = float(thm_formation_rate(r, jnp.float64(7.5), p) / r)
     f85 = float(thm_formation_rate(r, jnp.float64(8.5), p) / r)
     check("THM yield @pH 7.5 = y_thm", abs(f75 - 40.0) < 1e-9)
-    check("THM base catalysis = 10^b per pH", abs(f85 / f75 - 10 ** 0.15)
-          < 1e-6)
+    check("THM base catalysis = 10^b per pH",
+          abs(f85 / f75 - 10 ** 0.15) < tol(1e-6, 1e-4))
 
     # demand sanity: TOC 2 mg/L -> ~0.86 1/day first-order residual decay
     kday = float(r / 1.0) * 86400.0
