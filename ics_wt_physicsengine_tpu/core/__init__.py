@@ -92,6 +92,13 @@ from ics_wt_physicsengine_tpu.core.disinfection import (  # noqa: F401
     uvt_percent,
     validate_disinfection,
 )
+from ics_wt_physicsengine_tpu.core.biofilm import (  # noqa: F401
+    BiofilmParams,
+    hpc_cfu_per_ml,
+    make_biofilm_params,
+    total_biomass_carbon,
+    validate_biofilm,
+)
 
 
 def run_all_validations() -> None:
@@ -111,6 +118,8 @@ def run_all_validations() -> None:
         raise RuntimeError("particle dynamics validation failed")
     if not validate_disinfection():
         raise RuntimeError("disinfection validation failed")
+    if not validate_biofilm():
+        raise RuntimeError("biofilm validation failed")
     print("ALL PHYSICS VALIDATIONS PASSED")
 
 

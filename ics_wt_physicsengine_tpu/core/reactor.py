@@ -41,6 +41,7 @@ from ics_wt_physicsengine_tpu.core import chemistry as chem
 from ics_wt_physicsengine_tpu.core import constants as c
 from ics_wt_physicsengine_tpu.core import spatial as spatial_mod
 from ics_wt_physicsengine_tpu.core import thermodynamics as thermo
+from ics_wt_physicsengine_tpu.core import biofilm as biofilm_mod
 from ics_wt_physicsengine_tpu.core import disinfection as disinfection_mod
 from ics_wt_physicsengine_tpu.core import gas as gas_mod
 from ics_wt_physicsengine_tpu.core import particles as particles_mod
@@ -127,6 +128,17 @@ class ReactorConfiguration:
     initial_toc: float = 2.0                 # [mg/L] organic carbon
     initial_thm: float = 0.0                 # [ug/L] trihalomethanes
     disinfection_params: Optional[dict] = None  # make_disinfection_params kw
+
+    # Biofilm / bacterial regrowth (core/biofilm.py — wall-attached biomass,
+    # planktonic HPC and BDOC substrate; closes the biofilm half of the
+    # reference's "No biological processes (bacteria, biofilms)" limitation,
+    # reference core/README.md:98, README.md:304,521; disabled by default
+    # for exact reference parity)
+    enable_biofilm: bool = False
+    initial_bacteria: float = 1e-4           # [mg C/L] (~5e2 CFU/mL HPC)
+    initial_bdoc: float = 0.3                # [mg/L] biodegradable DOC
+    initial_biofilm: float = 0.0             # [mg C/m2] wall film
+    biofilm_params: Optional[dict] = None    # make_biofilm_params overrides
 
     def validate(self) -> None:
         """Configuration consistency (reference reactor.py:91-110; the bare
@@ -220,6 +232,9 @@ class ReactorParams:
     # disinfection (None = disabled; same trace-time static gating)
     disinfection: Optional[disinfection_mod.DisinfectionParams] = None
 
+    # biofilm / regrowth (None = disabled; same trace-time static gating)
+    biofilm: Optional[biofilm_mod.BiofilmParams] = None
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -283,6 +298,14 @@ class BoundaryConditions:
     # inlet_pathogens (the network path routes class-resolved survivors).
     inlet_pathogen_classes: Optional[jnp.ndarray] = None
 
+    # biofilm / regrowth only (core/biofilm.py): source-water planktonic
+    # biomass and biodegradable organic carbon. The wall film itself has no
+    # inlet term — it is attached. A connected network (core/network.py)
+    # routes an upstream plant's bulk biomass/substrate downstream through
+    # these (regrowth propagates down a treatment train; the film does not).
+    inlet_bacteria: float = 0.0        # [mg C/L]
+    inlet_bdoc: float = 0.3            # [mg/L]
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -327,6 +350,11 @@ class ReactorState:
     age: jnp.ndarray = None          # [..., n_zones] water age [s]
     toc: jnp.ndarray = None          # [..., n_zones] organics [mg/L]
     thm: jnp.ndarray = None          # [..., n_zones] THMs [ug/L]
+
+    # biofilm / regrowth (None unless enable_biofilm)
+    bacteria: jnp.ndarray = None     # [..., n_zones] planktonic [mg C/L]
+    bdoc: jnp.ndarray = None         # [..., n_zones] substrate [mg/L]
+    biofilm: jnp.ndarray = None      # [..., n_zones] wall film [mg C/m2]
 
     def update_derived(self) -> "ReactorState":
         """Recompute derived quantities from the primary variables
@@ -378,6 +406,10 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
     if getattr(config, "enable_disinfection", False):
         disinfection = disinfection_mod.make_disinfection_params(
             dtype=dtype, **(config.disinfection_params or {}))
+    biofilm = None
+    if getattr(config, "enable_biofilm", False):
+        biofilm = biofilm_mod.make_biofilm_params(
+            dtype=dtype, **(config.biofilm_params or {}))
     return ReactorParams(
         n_zones=config.n_zones,
         volume_L=arr(config.volume),
@@ -398,6 +430,7 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
         gas=gas,
         particles=particles,
         disinfection=disinfection,
+        biofilm=biofilm,
     )
 
 
@@ -452,6 +485,10 @@ def make_initial_state(config: ReactorConfiguration,
                 batch + (disinfection_mod.N_PATHOGENS, z)).copy(),
             ct=full(0.0), age=full(0.0),
             toc=full(config.initial_toc), thm=full(config.initial_thm))
+    if getattr(config, "enable_biofilm", False):
+        n_kw.update(bacteria=full(config.initial_bacteria),
+                    bdoc=full(config.initial_bdoc),
+                    biofilm=full(config.initial_biofilm))
     state = ReactorState(
         time=np.zeros(batch, dtype) if batch else np.asarray(0.0, dtype),
         pH=full(config.initial_pH),
@@ -473,7 +510,8 @@ def make_initial_state(config: ReactorConfiguration,
 def derivatives(params: ReactorParams, pH, Cl, T,
                 boundary: BoundaryConditions,
                 inlet_mask=None, outlet_mask=None, nitrogen=None,
-                gas=None, particles=None, disinfection=None):
+                gas=None, particles=None, disinfection=None,
+                biofilm=None):
     """d(pH, Cl, T)/dt for ``[..., Z]`` zone arrays. Fully vectorized —
     semantics match reference reactor.py:272-448 term by term.
 
@@ -585,7 +623,7 @@ def derivatives(params: ReactorParams, pH, Cl, T,
         * (T - align_trailing(boundary.ambient_temperature, T))
 
     if nitrogen is None and gas is None and particles is None \
-            and disinfection is None:
+            and disinfection is None and biofilm is None:
         return dpH, dCl, dT
 
     # shared inlet/source helper for the extension species
@@ -823,6 +861,55 @@ def derivatives(params: ReactorParams, pH, Cl, T,
                 * (n_in[..., None] - path) * inlet_mask[..., None, :]
         extra += (dN, dCTcred, dAge, dTOC, dTHM)
 
+    if biofilm is not None:
+        # --- biofilm / regrowth axis (core/biofilm.py; closes the biofilm
+        #     half of reference core/README.md:98 "No biological processes
+        #     (bacteria, biofilms)"). Planktonic biomass X and substrate S
+        #     are bulk species (mixed + advected via the shared helper);
+        #     the wall film B is attached — its tendency is purely
+        #     zone-local, so the zone-sharded SPMD path needs no halo or
+        #     psum gating for it. All rates here are slow (1/day..1/hour
+        #     scales), far below the exchange operator's stiffness, so the
+        #     axis rides the RHS with no operator split. ---
+        bp = jax.tree_util.tree_map(lambda x: align_trailing(x, T),
+                                    params.biofilm)
+        x_b, s_b, b_w = biofilm
+        x_b = jnp.maximum(x_b, 0.0)
+        s_b = jnp.maximum(s_b, 0.0)
+        b_w = jnp.maximum(b_w, 0.0)
+
+        # colonizable area-to-volume ratio [m2/L]: the thermal model's
+        # lateral+ends area (reference reactor.py:429-431) split evenly
+        # across zones
+        a_v = align_trailing(
+            params.heat_area_m2 / (params.n_zones * params.zone_volume_L),
+            T)
+        u = align_trailing(params.velocity_scale, T)
+
+        mu_x = biofilm_mod.specific_growth_bulk(s_b, Cl, T, bp)
+        mu_b = biofilm_mod.specific_growth_film(s_b, Cl, T, b_w, bp)
+        kx = biofilm_mod.kill_rate_bulk(Cl, bp)
+        kb = biofilm_mod.kill_rate_film(Cl, bp)
+        det = biofilm_mod.detachment_rate(u, bp)
+
+        # bulk biomass: growth - kill - attachment + sloughed film
+        r_x = mu_x * x_b - kx * x_b - bp.k_att * x_b + det * b_w * a_v
+        # wall film (areal units): growth - kill + attachment - detachment
+        r_b = mu_b * b_w - kb * b_w + bp.k_att * x_b / a_v - det * b_w
+        # substrate: consumed by BOTH compartments at the carbon yield;
+        # a lysis fraction of killed biomass is recycled back
+        r_s = -(mu_x * x_b + mu_b * b_w * a_v) / bp.yield_c \
+            + bp.f_lysis * (kx * x_b + kb * b_w * a_v)
+
+        dX = species(x_b, boundary.inlet_bacteria, r_x)
+        dS = species(s_b, boundary.inlet_bdoc, r_s)
+        dB = r_b    # attached: no mixing, no advection, no inlet
+
+        # the film exerts a wall chlorine demand on the residual — the
+        # operational signature of a biofouled tank
+        dCl = dCl - biofilm_mod.wall_demand_rate(Cl, b_w, a_v, bp)
+        extra += (dX, dS, dB)
+
     return (dpH, dCl, dT) + extra
 
 
@@ -861,6 +948,9 @@ def _update_derived(state: ReactorState) -> ReactorState:
         age=state.age,
         toc=state.toc,
         thm=state.thm,
+        bacteria=state.bacteria,
+        bdoc=state.bdoc,
+        biofilm=state.biofilm,
     )
 
 
@@ -881,6 +971,7 @@ def step(params: ReactorParams, state: ReactorState,
          deriv_fn_gas: bool = False,
          deriv_fn_particles: bool = False,
          deriv_fn_disinfection: bool = False,
+         deriv_fn_biofilm: bool = False,
          uv_mask=None) -> ReactorState:
     """Advance the reactor by ``dt`` seconds (reference reactor.py:450-509).
 
@@ -901,6 +992,7 @@ def step(params: ReactorParams, state: ReactorState,
     has_gas = params.gas is not None and state.oxygen is not None
     has_p = params.particles is not None and state.tss is not None
     has_d = params.disinfection is not None and state.pathogens is not None
+    has_b = params.biofilm is not None and state.bacteria is not None
     if deriv_fn is not None and has_n and not deriv_fn_nitrogen:
         raise ValueError(
             "this custom deriv_fn was not declared nitrogen-capable "
@@ -924,9 +1016,15 @@ def step(params: ReactorParams, state: ReactorState,
             "(pass deriv_fn_disinfection=True if it accepts and returns "
             "the pathogens/ct/age/toc/thm leaves after any nitrogen, gas "
             "and particle species)")
+    if deriv_fn is not None and has_b and not deriv_fn_biofilm:
+        raise ValueError(
+            "this custom deriv_fn was not declared biofilm-capable "
+            "(pass deriv_fn_biofilm=True if it accepts and returns the "
+            "bacteria/bdoc/biofilm leaves after any nitrogen, gas, "
+            "particle and disinfection species)")
     # species tuple layout:
     # (pH, Cl, T) [+ 4 nitrogen] [+ 2 gas] [+ tss, sludge]
-    # [+ pathogens, ct, age, toc, thm]
+    # [+ pathogens, ct, age, toc, thm] [+ bacteria, bdoc, biofilm]
     n_sl = slice(3, 7) if has_n else None
     g_off = 7 if has_n else 3
     g_sl = slice(g_off, g_off + 2) if has_gas else None
@@ -934,6 +1032,8 @@ def step(params: ReactorParams, state: ReactorState,
     p_sl = slice(p_off, p_off + 2) if has_p else None
     d_off = p_off + (2 if has_p else 0)
     d_sl = slice(d_off, d_off + 5) if has_d else None
+    b_off = d_off + (5 if has_d else 0)
+    b_sl = slice(b_off, b_off + 3) if has_b else None
     if deriv_fn is None:
         def f(y):
             return derivatives(
@@ -941,7 +1041,8 @@ def step(params: ReactorParams, state: ReactorState,
                 nitrogen=y[n_sl] if has_n else None,
                 gas=y[g_sl] if has_gas else None,
                 particles=y[p_sl] if has_p else None,
-                disinfection=y[d_sl] if has_d else None)
+                disinfection=y[d_sl] if has_d else None,
+                biofilm=y[b_sl] if has_b else None)
     else:
         f = deriv_fn
 
@@ -956,6 +1057,8 @@ def step(params: ReactorParams, state: ReactorState,
     if has_d:
         y = y + (state.pathogens, state.ct, state.age, state.toc,
                  state.thm)
+    if has_b:
+        y = y + (state.bacteria, state.bdoc, state.biofilm)
     if stages is None:
         out = integrators.integrate_fixed(f, y, dt, substeps)
     else:
@@ -994,6 +1097,10 @@ def step(params: ReactorParams, state: ReactorState,
         path = path * (1.0 + mask[..., None, :] * (surv - 1.0))
         n_kw.update(pathogens=path, ct=ct_v, age=age_v, toc=toc_v,
                     thm=thm_v)
+    if has_b:
+        n_kw.update(bacteria=jnp.maximum(out[b_sl.start], 0.0),
+                    bdoc=jnp.maximum(out[b_sl.start + 1], 0.0),
+                    biofilm=jnp.maximum(out[b_sl.start + 2], 0.0))
     if has_n:
         nh, no2, no3, nhcl = (jnp.maximum(x, 0.0) for x in out[n_sl])
         # Operator split for the FAST reaction (chloramination: HOCl + NH3

@@ -58,24 +58,28 @@ def _zone_spec(ndim: int, axis_name: str) -> P:
 
 
 def _species_specs(zone, present: bool, gas: bool = False,
-                   particles=None, disinfection=None):
-    """Spec kwargs for the optional nitrogen/gas/particle/disinfection
-    species fields. ``particles`` is None (off) or a ``(tss_spec,
+                   particles=None, disinfection=None,
+                   biofilm: bool = False):
+    """Spec kwargs for the optional nitrogen/gas/particle/disinfection/
+    biofilm species fields. ``particles`` is None (off) or a ``(tss_spec,
     sludge_spec)`` pair — the TSS leaf carries a class axis AHEAD of the
     sharded zone axis ([..., C, Z]) and the sludge inventory has no zone
     axis at all (it replicates across zone shards; the local deriv fn
     psums its gated tendency so every shard integrates the identical
     global value). ``disinfection`` is None (off) or the pathogen spec
     (class axis ahead of the zone axis, like TSS); the ct/age/toc/thm
-    scalars ride the plain zone spec."""
+    scalars ride the plain zone spec. The biofilm leaves (bacteria/bdoc/
+    biofilm) are all plain [..., Z] arrays — the wall film's tendency is
+    purely zone-local, so they shard like any bulk scalar."""
     spec = zone if present else None
     gspec = zone if gas else None
     tspec, sspec = particles if particles is not None else (None, None)
     dspec = zone if disinfection is not None else None
+    bspec = zone if biofilm else None
     return dict(ammonia=spec, nitrite=spec, nitrate=spec, chloramine=spec,
                 oxygen=gspec, carbonate=gspec, tss=tspec, sludge=sspec,
                 pathogens=disinfection, ct=dspec, age=dspec, toc=dspec,
-                thm=dspec)
+                thm=dspec, bacteria=bspec, bdoc=bspec, biofilm=bspec)
 
 
 def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
@@ -96,7 +100,8 @@ def _state_specs(state: R.ReactorState, axis_name: str) -> R.ReactorState:
                              else zone),
         **_species_specs(zone, state.ammonia is not None,
                          gas=state.oxygen is not None,
-                         particles=part, disinfection=disinfect),
+                         particles=part, disinfection=disinfect,
+                         biofilm=state.bacteria is not None),
     )
 
 
@@ -138,9 +143,11 @@ def _local_deriv_fn(params, boundary, dtype, local_zones: int,
     has_g = params.gas is not None
     has_p = params.particles is not None
     has_d = params.disinfection is not None
+    has_b = params.biofilm is not None
     g_off = 7 if has_n else 3
     p_off = g_off + (2 if has_g else 0)
     d_off = p_off + (2 if has_p else 0)
+    b_off = d_off + (5 if has_d else 0)
     sludge_i = p_off + 1 if has_p else -1
 
     def f(y):
@@ -159,7 +166,9 @@ def _local_deriv_fn(params, boundary, dtype, local_zones: int,
                           particles=((padded[p_off], y[sludge_i])
                                      if has_p else None),
                           disinfection=(padded[d_off:d_off + 5]
-                                        if has_d else None))
+                                        if has_d else None),
+                          biofilm=(padded[b_off:b_off + 3]
+                                   if has_b else None))
         return tuple(
             jax.lax.psum(v, axis_name) if i == sludge_i else v[..., 1:-1]
             for i, v in enumerate(d))
@@ -183,7 +192,7 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                       state_ndim: int = 1, axis_name: str = ZONE_AXIS,
                       stages=None, nitrogen: bool = False,
                       gas: bool = False, particles: bool = False,
-                      disinfection: bool = False):
+                      disinfection: bool = False, biofilm: bool = False):
     """Jitted single-dt step with the zone axis sharded over ``mesh``.
 
     ``n_zones`` must be divisible by the mesh size. ``state_ndim`` is the
@@ -205,7 +214,8 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                                 chlorine_decay_rate=zone,
                                 **_species_specs(zone, nitrogen, gas=gas,
                                                  particles=part,
-                                                 disinfection=disinfect))
+                                                 disinfection=disinfect,
+                                                 biofilm=biofilm))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
@@ -215,6 +225,7 @@ def zone_sharded_step(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                       deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas,
                       deriv_fn_particles=particles,
                       deriv_fn_disinfection=disinfection,
+                      deriv_fn_biofilm=biofilm,
                       uv_mask=_local_uv_mask(params, state.pH.dtype,
                                              local_zones, axis_name,
                                              n_shards))
@@ -250,7 +261,8 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
                             zone_axis: str = ZONE_AXIS, stages=None,
                             nitrogen: bool = False,
                             gas: bool = False, particles: bool = False,
-                            disinfection: bool = False):
+                            disinfection: bool = False,
+                            biofilm: bool = False):
     """Jitted batched step over a 2-D (plants x zones) mesh: the leading
     plant axis of every ``[n_plants]``-batched params/state leaf is sharded
     over ``plants_axis``, the trailing zone axis over ``zone_axis``.
@@ -279,7 +291,8 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
                                 chlorine_decay_rate=zone,
                                 **_species_specs(zone, nitrogen, gas=gas,
                                                  particles=part,
-                                                 disinfection=disinfect))
+                                                 disinfection=disinfect,
+                                                 biofilm=biofilm))
 
     def local_step(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
@@ -289,6 +302,7 @@ def plant_zone_sharded_step(mesh: Mesh, n_zones: int, dt: float,
                       deriv_fn_nitrogen=nitrogen, deriv_fn_gas=gas,
                       deriv_fn_particles=particles,
                       deriv_fn_disinfection=disinfection,
+                      deriv_fn_biofilm=biofilm,
                       uv_mask=_local_uv_mask(params, state.pH.dtype,
                                              local_zones, zone_axis,
                                              n_shards))
@@ -340,7 +354,8 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                          axis_name: str = ZONE_AXIS, stages=None,
                          nitrogen: bool = False,
                          gas: bool = False, particles: bool = False,
-                         disinfection: bool = False):
+                         disinfection: bool = False,
+                         biofilm: bool = False):
     """Jitted n-step rollout (scan inside the shard_map, so the halo
     exchanges stay on-device for the whole trajectory)."""
     n_shards = mesh.shape[axis_name]
@@ -359,7 +374,8 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                                 chlorine_decay_rate=zone,
                                 **_species_specs(zone, nitrogen, gas=gas,
                                                  particles=part,
-                                                 disinfection=disinfect))
+                                                 disinfection=disinfect,
+                                                 biofilm=biofilm))
 
     def local_rollout(params, state, boundary):
         f = _local_deriv_fn(params, boundary, state.pH.dtype, local_zones,
@@ -374,6 +390,7 @@ def zone_sharded_rollout(mesh: Mesh, n_zones: int, dt: float, substeps: int,
                           deriv_fn_gas=gas,
                           deriv_fn_particles=particles,
                           deriv_fn_disinfection=disinfection,
+                          deriv_fn_biofilm=biofilm,
                           uv_mask=uv), None
 
         final, _ = jax.lax.scan(body, state, None, length=n_steps)
