@@ -151,6 +151,11 @@ def _n_species(state: R.ReactorState) -> int:
         # class-resolved survivors + the advected ct/age/toc/thm scalars
         # (a multi-barrier train's credit and byproducts flow downstream)
         n += state.pathogens.shape[-2] + 4
+    if state.bacteria is not None:
+        # planktonic biomass + BDOC substrate ride the pipes (regrowth
+        # propagates down a treatment train); the wall film is attached
+        # to each plant's own surfaces and is NOT routed
+        n += 2
     return n
 
 
@@ -173,6 +178,10 @@ def _outlet_sample(state: R.ReactorState) -> jnp.ndarray:
                           state.toc[..., -1], state.thm[..., -1]], axis=-1)
         sample = jnp.concatenate([sample, state.pathogens[..., -1], tail],
                                  axis=-1)
+    if state.bacteria is not None:
+        tail = jnp.stack([state.bacteria[..., -1], state.bdoc[..., -1]],
+                         axis=-1)
+        sample = jnp.concatenate([sample, tail], axis=-1)
     return sample
 
 
@@ -197,7 +206,7 @@ def make_network(configs: Union[R.ReactorConfiguration,
     if len(zs) != 1:
         raise ValueError(f"all plants must share n_zones, got {sorted(zs)}")
     for flag in ("enable_nitrogen", "enable_gas", "enable_particles",
-                 "enable_disinfection"):
+                 "enable_disinfection", "enable_biofilm"):
         if len({bool(getattr(c, flag, False)) for c in configs}) != 1:
             raise ValueError(f"{flag} must match across plants")
 
@@ -242,11 +251,13 @@ def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
     has_gas = nstate.reactor.oxygen is not None
     has_p = nstate.reactor.tss is not None
     has_d = nstate.reactor.pathogens is not None
+    has_b = nstate.reactor.bacteria is not None
     g_off = 7 if has_nitrogen else 3
     p_off = g_off + (2 if has_gas else 0)
     n_classes = nstate.reactor.tss.shape[-2] if has_p else 0
     d_off = p_off + n_classes
     n_path = nstate.reactor.pathogens.shape[-2] if has_d else 0
+    b_off = d_off + (n_path + 4 if has_d else 0)
 
     def v(x):  # [P] view of a possibly-scalar boundary leaf
         return jnp.broadcast_to(jnp.asarray(x, dtype), (Pn,))
@@ -301,6 +312,10 @@ def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
                               v(boundary.inlet_toc), v(boundary.inlet_thm)],
                              axis=-1)
         ext_c = jnp.concatenate([ext_c, ext_path, ext_tail], axis=-1)
+    if has_b:
+        ext_b = jnp.stack([v(boundary.inlet_bacteria),
+                           v(boundary.inlet_bdoc)], axis=-1)
+        ext_c = jnp.concatenate([ext_c, ext_b], axis=-1)
 
     num = ext_q[:, None] * ext_c \
         + jnp.einsum("ji,jis->js", routed_q, delayed)          # [P, S]
@@ -329,6 +344,9 @@ def _blended_boundary(topo_W, topo_Minv, topo_delay, nstate: NetworkState,
         kw["inlet_age"] = c_in[:, d_off + n_path + 1]
         kw["inlet_toc"] = c_in[:, d_off + n_path + 2]
         kw["inlet_thm"] = c_in[:, d_off + n_path + 3]
+    if has_b:
+        kw["inlet_bacteria"] = c_in[:, b_off]
+        kw["inlet_bdoc"] = c_in[:, b_off + 1]
     return replace(boundary, **kw), q_out
 
 
