@@ -69,6 +69,13 @@ def _signal_handler(sig, frame):
 # Zero-trust validators (reference __main__.py:57-81)
 # --------------------------------------------------------------------------
 
+def _hpc_to_mgC(cfu_per_ml: float) -> float:
+    """Operator-facing HPC [CFU/mL] -> dynamics units [mg C/L]
+    (core/biofilm.py CELLS_PER_MG_C)."""
+    from ics_wt_physicsengine_tpu.core.biofilm import CELLS_PER_MG_C
+    return float(cfu_per_ml) * 1000.0 / CELLS_PER_MG_C
+
+
 def validate_flow_rate(value, max_value: float = 20.0) -> float:
     if not isinstance(value, (int, float)):
         return 0.0
@@ -323,6 +330,24 @@ def update_modbus_inputs(slave: Optional[ModbusSlave],
                 dz.absorbance_254(toc_out, tss_out, dp)))
             slave.update_input_register("uvt_outlet", uvt, unit=unit)
 
+        # biofilm/regrowth extension registers (extended_biofilm maps):
+        # HPC plate-count proxy and BDOC at the outlet, plus the WORST
+        # wall-film density across zones (the fouling figure an
+        # inspection crew would report)
+        bacteria = getattr(state, "bacteria", None)
+        if bacteria is not None:
+            from ics_wt_physicsengine_tpu.core import biofilm as bf
+            slave.update_input_register(
+                "hpc_outlet",
+                float(np.asarray(bf.hpc_cfu_per_ml(bacteria))[..., -1]),
+                unit=unit)
+            slave.update_input_register(
+                "bdoc_outlet", float(np.asarray(state.bdoc)[..., -1]),
+                unit=unit)
+            slave.update_input_register(
+                "biofilm_peak", float(np.asarray(state.biofilm).max()),
+                unit=unit)
+
         any_fault = any(r.fault != SensorFault.NONE
                         for r in readings.values())
         slave.update_input_register("system_status", 1 if any_fault else 0,
@@ -351,7 +376,7 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
     ``unit`` selects a fleet unit's register space; None = primary."""
     if slave is None or not slave.is_running:
         return (0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None,
-                None, None)
+                None, None, None)
     try:
         acid_rate = validate_flow_rate(
             slave.read_holding_register("acid_flow_rate", unit=unit),
@@ -411,13 +436,24 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
             )
         except Exception:  # noqa: BLE001 — base map: registers absent
             disinfect_cmds = None
+        try:    # biofilm extension registers (extended maps only)
+            biofilm_cmds = (
+                validate_concentration(
+                    slave.read_holding_register("inlet_bdoc", unit=unit),
+                    max_value=10.0),
+                validate_concentration(
+                    slave.read_holding_register("inlet_hpc", unit=unit),
+                    max_value=1.0e7),
+            )
+        except Exception:  # noqa: BLE001 — base map: registers absent
+            biofilm_cmds = None
         return (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
                 acid_enable, cl_enable, sim_running, inlet_ammonia,
-                aeration_kla, particle_cmds, disinfect_cmds)
+                aeration_kla, particle_cmds, disinfect_cmds, biofilm_cmds)
     except Exception as e:  # noqa: BLE001
         logger.error("Modbus read failed: %s", type(e).__name__)
         return (0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None,
-                None, None)
+                None, None, None)
 
 
 def apply_boundary_conditions(boundary: BoundaryConditions, commands
@@ -432,6 +468,7 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
     aeration_kla = extra[1] if len(extra) > 1 else None
     particle_cmds = extra[2] if len(extra) > 2 else None
     disinfect_cmds = extra[3] if len(extra) > 3 else None
+    biofilm_cmds = extra[4] if len(extra) > 4 else None
     from dataclasses import replace
     new_inlet = boundary.inlet_flow_rate
     if inlet_rate > 0.1:
@@ -448,6 +485,11 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
     if disinfect_cmds is not None:  # disinfection extension registers present
         updates["uv_intensity"] = disinfect_cmds[0]
         updates["inlet_toc"] = disinfect_cmds[1]
+    if biofilm_cmds is not None:    # biofilm extension registers present
+        from ics_wt_physicsengine_tpu.core.biofilm import CELLS_PER_MG_C
+        updates["inlet_bdoc"] = biofilm_cmds[0]
+        # operators command in CFU/mL; the dynamics run in mg C/L
+        updates["inlet_bacteria"] = biofilm_cmds[1] * 1000.0 / CELLS_PER_MG_C
     return replace(
         boundary,
         acid_flow_rate=(validate_flow_rate(acid_rate, max_value=2.0)
@@ -665,6 +707,21 @@ def main(argv=None):
     parser.add_argument("--initial-toc", type=float, default=2.0,
                         help="Initial/source total organic carbon "
                              "[mg/L] when --enable-disinfection is set")
+    parser.add_argument("--enable-biofilm", action="store_true",
+                        help="Enable the biofilm/regrowth extension "
+                             "(core/biofilm.py): planktonic HPC biomass, "
+                             "BDOC substrate and wall-attached biofilm "
+                             "with chlorine-inhibited Monod kinetics; "
+                             "extended input registers (52-57) and the "
+                             "inlet_bdoc/inlet_hpc holding registers "
+                             "(28-31)")
+    parser.add_argument("--initial-bdoc", type=float, default=0.3,
+                        help="Initial/source biodegradable dissolved "
+                             "organic carbon [mg/L] when --enable-biofilm "
+                             "is set")
+    parser.add_argument("--initial-hpc", type=float, default=500.0,
+                        help="Initial/source heterotrophic plate count "
+                             "[CFU/mL] when --enable-biofilm is set")
     parser.add_argument("--fleet", type=int, default=1,
                         help="Serve N independently controlled plants from "
                              "one Modbus endpoint: unit id u = plant lane "
@@ -898,7 +955,11 @@ def main(argv=None):
             enable_disinfection=args.enable_disinfection,
             initial_pathogens=args.initial_pathogens
             if args.enable_disinfection else 0.0,
-            initial_toc=args.initial_toc)
+            initial_toc=args.initial_toc,
+            enable_biofilm=args.enable_biofilm,
+            initial_bacteria=_hpc_to_mgC(args.initial_hpc)
+            if args.enable_biofilm else 0.0,
+            initial_bdoc=args.initial_bdoc if args.enable_biofilm else 0.0)
         reactor = IntegratedCSTR(config, integrator=args.integrator)
         _m, _s = reactor._plan_for(args.dt)
         logger.info("Physics engine initialized (%d zones, %s: substeps=%d%s)",
@@ -918,7 +979,10 @@ def main(argv=None):
         inlet_tss=args.initial_tss if args.enable_particles else 0.0,
         inlet_pathogens=args.initial_pathogens
         if args.enable_disinfection else 0.0,
-        inlet_toc=args.initial_toc if args.enable_disinfection else 0.0)
+        inlet_toc=args.initial_toc if args.enable_disinfection else 0.0,
+        inlet_bacteria=_hpc_to_mgC(args.initial_hpc)
+        if args.enable_biofilm else 0.0,
+        inlet_bdoc=args.initial_bdoc if args.enable_biofilm else 0.0)
 
     # PHASE 3: sensors
     sim_start_time = time.monotonic()
@@ -976,7 +1040,8 @@ def main(argv=None):
                         extended_nitrogen=args.enable_nitrogen,
                         extended_gas=args.enable_gas,
                         extended_particles=args.enable_particles,
-                        extended_disinfection=args.enable_disinfection),
+                        extended_disinfection=args.enable_disinfection,
+                        extended_biofilm=args.enable_biofilm),
                     server_config)
             elif args.rtu_serial or args.rtu_tcp:
                 from ics_wt_physicsengine_tpu.modbus import ModbusRtuSlave
@@ -985,7 +1050,8 @@ def main(argv=None):
                         extended_nitrogen=args.enable_nitrogen,
                         extended_gas=args.enable_gas,
                         extended_particles=args.enable_particles,
-                        extended_disinfection=args.enable_disinfection),
+                        extended_disinfection=args.enable_disinfection,
+                        extended_biofilm=args.enable_biofilm),
                     server_config, serial_device=args.rtu_serial)
             else:
                 slave = ModbusSlave(
@@ -993,7 +1059,8 @@ def main(argv=None):
                         extended_nitrogen=args.enable_nitrogen,
                         extended_gas=args.enable_gas,
                         extended_particles=args.enable_particles,
-                        extended_disinfection=args.enable_disinfection),
+                        extended_disinfection=args.enable_disinfection,
+                        extended_biofilm=args.enable_biofilm),
                     server_config)
             slave.start(blocking=False)
             # Initialize writable registers/coils so reference-compatible
@@ -1014,6 +1081,10 @@ def main(argv=None):
             if args.enable_disinfection:
                 slave.write_holding_register("uv_intensity", 0.0)
                 slave.write_holding_register("inlet_toc", args.initial_toc)
+            if args.enable_biofilm:
+                slave.write_holding_register("inlet_bdoc",
+                                             args.initial_bdoc)
+                slave.write_holding_register("inlet_hpc", args.initial_hpc)
             slave.write_coil("acid_pump_enable", True)
             slave.write_coil("chlorine_pump_enable", True)
             slave.write_coil("simulation_running", True)

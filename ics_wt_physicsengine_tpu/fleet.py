@@ -114,7 +114,12 @@ def main_fleet(args) -> None:
             enable_disinfection=getattr(args, "enable_disinfection", False),
             initial_pathogens=getattr(args, "initial_pathogens", 1.0e4)
             if getattr(args, "enable_disinfection", False) else 0.0,
-            initial_toc=getattr(args, "initial_toc", 2.0))
+            initial_toc=getattr(args, "initial_toc", 2.0),
+            enable_biofilm=getattr(args, "enable_biofilm", False),
+            initial_bacteria=M._hpc_to_mgC(getattr(args, "initial_hpc", 500.0))
+            if getattr(args, "enable_biofilm", False) else 0.0,
+            initial_bdoc=getattr(args, "initial_bdoc", 0.3)
+            if getattr(args, "enable_biofilm", False) else 0.0)
         # Plan the integrator exactly like the single-plant path.
         m, s = IntegratedCSTR(
             config, integrator=args.integrator)._plan_for(args.dt)
@@ -287,7 +292,11 @@ def main_fleet(args) -> None:
         inlet_pathogens=getattr(args, "initial_pathogens", 1.0e4)
         if getattr(args, "enable_disinfection", False) else 0.0,
         inlet_toc=getattr(args, "initial_toc", 2.0)
-        if getattr(args, "enable_disinfection", False) else 0.0)
+        if getattr(args, "enable_disinfection", False) else 0.0,
+        inlet_bacteria=M._hpc_to_mgC(getattr(args, "initial_hpc", 500.0))
+        if getattr(args, "enable_biofilm", False) else 0.0,
+        inlet_bdoc=getattr(args, "initial_bdoc", 0.3)
+        if getattr(args, "enable_biofilm", False) else 0.0)
         for i in range(n)]
 
     # PHASE 3: sensors are in the batched carries (nothing host-side)
@@ -313,7 +322,9 @@ def main_fleet(args) -> None:
                         extended_particles=getattr(
                             args, "enable_particles", False),
                         extended_disinfection=getattr(
-                            args, "enable_disinfection", False)),
+                            args, "enable_disinfection", False),
+                        extended_biofilm=getattr(
+                            args, "enable_biofilm", False)),
                     server_config, units=units)
             else:
                 slave = ModbusSlave(
@@ -324,7 +335,9 @@ def main_fleet(args) -> None:
                         extended_particles=getattr(
                             args, "enable_particles", False),
                         extended_disinfection=getattr(
-                            args, "enable_disinfection", False)),
+                            args, "enable_disinfection", False),
+                        extended_biofilm=getattr(
+                            args, "enable_biofilm", False)),
                     server_config, units=units)
             # The listener starts AFTER checkpoint restore (below): both
             # planes' register stores accept writes pre-start, and
@@ -358,6 +371,13 @@ def main_fleet(args) -> None:
                                                  unit=u)
                     slave.write_holding_register(
                         "inlet_toc", getattr(args, "initial_toc", 2.0),
+                        unit=u)
+                if getattr(args, "enable_biofilm", False):
+                    slave.write_holding_register(
+                        "inlet_bdoc", getattr(args, "initial_bdoc", 0.3),
+                        unit=u)
+                    slave.write_holding_register(
+                        "inlet_hpc", getattr(args, "initial_hpc", 500.0),
                         unit=u)
                 slave.write_coil("acid_pump_enable", True, unit=u)
                 slave.write_coil("chlorine_pump_enable", True, unit=u)
@@ -638,6 +658,8 @@ def main_fleet(args) -> None:
                            "sludge_blowdown")
         if getattr(args, "enable_disinfection", False):
             regs = regs + ("uv_intensity", "inlet_toc")
+        if getattr(args, "enable_biofilm", False):
+            regs = regs + ("inlet_bdoc", "inlet_hpc")
         coils = ("acid_pump_enable", "chlorine_pump_enable",
                  "simulation_running")
         try:
@@ -761,6 +783,9 @@ def main_fleet(args) -> None:
                     n_np.update({k: np.asarray(getattr(plant.reactor, k))
                                  for k in ("pathogens", "ct", "age",
                                            "toc", "thm")})
+                if plant.reactor.bacteria is not None:
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("bacteria", "bdoc", "biofilm")})
                 if slave:
                     ok = True
                     for i, u in enumerate(units):
@@ -868,6 +893,9 @@ def main_fleet(args) -> None:
                     n_np.update({k: np.asarray(getattr(plant.reactor, k))
                                  for k in ("pathogens", "ct", "age",
                                            "toc", "thm")})
+                if plant.reactor.bacteria is not None:
+                    n_np.update({k: np.asarray(getattr(plant.reactor, k))
+                                 for k in ("bacteria", "bdoc", "biofilm")})
 
                 if slave:
                     ok = True

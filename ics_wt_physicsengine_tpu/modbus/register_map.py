@@ -85,7 +85,8 @@ class ModbusRegisterMap:
     def __init__(self, extended_nitrogen: bool = False,
                  extended_gas: bool = False,
                  extended_particles: bool = False,
-                 extended_disinfection: bool = False):
+                 extended_disinfection: bool = False,
+                 extended_biofilm: bool = False):
         """``extended_nitrogen=True`` appends the nitrogen-chemistry
         extension's registers (core/nitrogen.py) at addresses the
         reference map leaves free — the base map stays address-identical
@@ -98,7 +99,11 @@ class ModbusRegisterMap:
         actuators. ``extended_disinfection=True`` appends the
         disinfection extension's registers (core/disinfection.py):
         per-pathogen log-removal credit, CT, water age, THM, and UVT
-        telemetry plus the UV-lamp and source-water-TOC inputs."""
+        telemetry plus the UV-lamp and source-water-TOC inputs.
+        ``extended_biofilm=True`` appends the biofilm/regrowth
+        extension's registers (core/biofilm.py): HPC plate-count, BDOC
+        and peak wall-film telemetry plus the source-water HPC/BDOC
+        inputs."""
         # Input registers (reference register_map.py:119-244)
         # eu_range values mirror the instruments' measurement ranges
         # (sensor wrappers) and the orchestrator's zero-trust clamps
@@ -184,6 +189,18 @@ class ModbusRegisterMap:
                     "UV transmittance (254 nm, 1 cm) at outlet",
                     eu_range=(0.0, 100.0)),
             ]
+        if extended_biofilm:
+            self.input_registers += [
+                _ir(52, "hpc_outlet", "CFU/mL",
+                    "Heterotrophic plate count at outlet",
+                    eu_range=(0.0, 1.0e7)),
+                _ir(54, "bdoc_outlet", "mg/L",
+                    "Biodegradable dissolved organic carbon at outlet",
+                    eu_range=(0.0, 10.0)),
+                _ir(56, "biofilm_peak", "mg C/m2",
+                    "Peak wall-attached biofilm density across zones",
+                    eu_range=(0.0, 2000.0)),
+            ]
 
         # Holding registers (reference register_map.py:246-323)
         self.holding_registers: List[RegisterDefinition] = [
@@ -238,6 +255,15 @@ class ModbusRegisterMap:
                 _hr(26, "inlet_toc", "mg/L",
                     "Source-water total organic carbon",
                     eu_range=(0.0, 20.0)),
+            ]
+        if extended_biofilm:
+            self.holding_registers += [
+                _hr(28, "inlet_bdoc", "mg/L",
+                    "Source-water biodegradable dissolved organic carbon",
+                    eu_range=(0.0, 10.0)),
+                _hr(30, "inlet_hpc", "CFU/mL",
+                    "Source-water heterotrophic plate count",
+                    eu_range=(0.0, 1.0e7)),
             ]
 
         # Coils (reference register_map.py:325-362)

@@ -903,3 +903,46 @@ def test_fleet_disinfection_unit_resolved_uv():
     finally:
         orchestrator.running = False
         thread.join(timeout=30)
+
+def test_fleet_biofilm_unit_resolved_source_event():
+    """--enable-biofilm in fleet mode: a 100x source-water HPC spike
+    written into ONE unit raises that unit's outlet plate count; its
+    neighbour's stays at the suppressed baseline (lanes independent)."""
+    import ics_wt_physicsengine_tpu.__main__ as orchestrator
+
+    port = _free_port()
+    orchestrator.running = True
+    thread = threading.Thread(
+        target=orchestrator.main,
+        args=(["--port", str(port), "--host", "127.0.0.1", "--dt", "30",
+               "--duration", "1000000", "--rtf", "0", "--seed", "9",
+               "--fleet", "2", "--zones", "4", "--enable-biofilm",
+               "--initial-hpc", "5000", "--initial-bdoc", "1.0"],),
+        daemon=True)
+    thread.start()
+    try:
+        deadline = time.time() + 60
+        c1 = None
+        while time.time() < deadline:
+            try:
+                c1 = ModbusTcpClient("127.0.0.1", port, unit_id=1,
+                                     timeout=5).connect()
+                break
+            except OSError:
+                time.sleep(0.3)
+        assert c1 is not None, "fleet Modbus server did not start"
+        _wait_sim_time(c1, 60.0)
+
+        with ModbusTcpClient("127.0.0.1", port, unit_id=2) as c2:
+            # spike the SOURCE water of unit 2 only (holding register 30)
+            c2.write_float32(30, 5.0e5)
+            t0 = c1.read_float32(100)
+            _wait_sim_time(c1, t0 + 6000.0, timeout=240)
+            hpc_2 = c2.read_float32(52)      # hpc_outlet
+            hpc_1 = c1.read_float32(52)
+            bdoc_2 = c2.read_float32(54)     # bdoc telemetry live
+        assert hpc_2 > 10.0 * max(hpc_1, 1e-6), (hpc_1, hpc_2)
+        assert bdoc_2 > 0.0
+    finally:
+        orchestrator.running = False
+        thread.join(timeout=30)
