@@ -45,6 +45,8 @@ _COMMAND_LIMITS = {
     "sludge_blowdown": 0.01,
     "uv_intensity": 50.0,
     "inlet_toc": 20.0,
+    "inlet_bdoc": 10.0,
+    "inlet_bacteria": 2.0e-3,   # mg C/L (~1e7 CFU/mL, the register cap)
 }
 
 
@@ -195,6 +197,13 @@ def observe_true(state: R.ReactorState) -> Dict[str, jnp.ndarray]:
         obs["ct_outlet"] = state.ct[..., -1]
         obs["thm_outlet"] = state.thm[..., -1]
         obs["toc_outlet"] = state.toc[..., -1]
+    if state.bacteria is not None:     # biofilm/regrowth observables:
+        #                                the plate count the booster-
+        #                                chlorination problem tracks
+        from ics_wt_physicsengine_tpu.core import biofilm as _bf
+        obs["hpc_outlet"] = _bf.hpc_cfu_per_ml(state.bacteria[..., -1])
+        obs["bdoc_outlet"] = state.bdoc[..., -1]
+        obs["biofilm_peak"] = jnp.max(state.biofilm, axis=-1)
     return obs
 
 

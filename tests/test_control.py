@@ -430,3 +430,26 @@ def test_disinfection_observables_and_actuator_limits():
                              "inlet_toc": jnp.float32(np.nan)})
     assert float(out["uv_intensity"]) == _COMMAND_LIMITS["uv_intensity"]
     assert float(out["inlet_toc"]) == 0.0             # NaN -> 0
+
+def test_biofilm_observables_and_actuator_limits():
+    """observe_true exposes the regrowth channels (HPC in operator CFU/mL)
+    and the validator accepts the source-water commands with the register
+    clamps."""
+    from ics_wt_physicsengine_tpu.control.closed_loop import (
+        _COMMAND_LIMITS, observe_true, validate_commands)
+
+    cfg = R.ReactorConfiguration(n_zones=4, enable_biofilm=True,
+                                 initial_bacteria=1e-3, initial_bdoc=0.5,
+                                 initial_biofilm=10.0)
+    st = R.make_initial_state(cfg, dtype=jnp.float32)
+    obs = observe_true(st)
+    for key in ("hpc_outlet", "bdoc_outlet", "biofilm_peak"):
+        assert key in obs and np.isfinite(float(obs[key])), key
+    # 1e-3 mg C/L -> 5e3 CFU/mL (core/biofilm.py CELLS_PER_MG_C)
+    assert float(obs["hpc_outlet"]) == pytest.approx(5e3, rel=1e-5)
+    assert float(obs["biofilm_peak"]) == pytest.approx(10.0, rel=1e-6)
+
+    out = validate_commands({"inlet_bdoc": jnp.float32(50.0),
+                             "inlet_bacteria": jnp.float32(np.nan)})
+    assert float(out["inlet_bdoc"]) == _COMMAND_LIMITS["inlet_bdoc"]
+    assert float(out["inlet_bacteria"]) == 0.0        # NaN -> 0
