@@ -37,17 +37,40 @@ import jax
 import jax.numpy as jnp
 
 from ics_wt_physicsengine_tpu.core import reactor as R
+from ics_wt_physicsengine_tpu.control.pid import ste_clip
 
 # Measurable fields, in state-vector order; nitrogen species follow the
 # core when the plant runs the nitrogen chemistry (core/nitrogen.py)
 _FIELDS = ("pH", "chlorine", "temperature")
 _N_FIELDS = ("ammonia", "nitrite", "nitrate", "chloramine")
 _G_FIELDS = ("oxygen", "carbonate")
+_B_FIELDS = ("bacteria", "bdoc", "biofilm")
 
 
-def state_fields(nitrogen: bool = False, gas: bool = False) -> tuple:
+def state_fields(nitrogen: bool = False, gas: bool = False,
+                 biofilm: bool = False) -> tuple:
     return _FIELDS + (_N_FIELDS if nitrogen else ()) \
-        + (_G_FIELDS if gas else ())
+        + (_G_FIELDS if gas else ()) + (_B_FIELDS if biofilm else ())
+
+
+def _flat_bounds(n_zones: int, nitrogen: bool, gas: bool, biofilm: bool,
+                 n_classes: int, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-entry physical bounds of the flat state vector, matching
+    step()'s own clamps (pH [0,14], T [0,100], every concentration-like
+    species >= 0) — used for the filter's leaky straight-through
+    pre-clip (see make_ekf's f_flat)."""
+    fields = state_fields(nitrogen, gas, biofilm)
+    lo_f = {f: 0.0 for f in fields}
+    hi_f = {f: jnp.inf for f in fields}
+    hi_f["pH"] = 14.0
+    hi_f["temperature"] = 100.0
+    lo = [jnp.full(n_zones, lo_f[f], dtype) for f in fields]
+    hi = [jnp.full(n_zones, hi_f[f], dtype) for f in fields]
+    if n_classes:
+        lo.append(jnp.zeros(n_classes * n_zones + n_classes, dtype))
+        hi.append(jnp.full(n_classes * n_zones + n_classes, jnp.inf,
+                           dtype))
+    return jnp.concatenate(lo), jnp.concatenate(hi)
 
 
 def _n_classes(state_or_none) -> int:
@@ -73,6 +96,8 @@ def flatten_state(state: R.ReactorState) -> jnp.ndarray:
                  state.chloramine]
     if state.oxygen is not None:
         arrs += [state.oxygen, state.carbonate]
+    if state.bacteria is not None:
+        arrs += [state.bacteria, state.bdoc, state.biofilm]
     if state.tss is not None:
         c, z = state.tss.shape[-2:]
         arrs += [state.tss.reshape(state.tss.shape[:-2] + (c * z,)),
@@ -84,13 +109,14 @@ def unflatten_state(x: jnp.ndarray, n_zones: int,
                     time=0.0, flow_rate=0.0,
                     nitrogen: bool = False,
                     gas: bool = False,
+                    biofilm: bool = False,
                     n_classes: int = 0) -> R.ReactorState:
     """Flat vector -> ReactorState (derived fields recomputed).
 
     ``n_classes > 0`` declares a particle plant: the trailing
     ``n_classes * n_zones + n_classes`` entries are the TSS class
     concentrations ([..., C, Z]) and the settled sludge inventory."""
-    fields = state_fields(nitrogen, gas)
+    fields = state_fields(nitrogen, gas, biofilm)
     p_kw = {}
     if n_classes:
         n_p = n_classes * n_zones + n_classes
@@ -108,14 +134,16 @@ def unflatten_state(x: jnp.ndarray, n_zones: int,
         flow_rate=jnp.asarray(flow_rate, x.dtype),
         **({k: parts[k] for k in _N_FIELDS} if nitrogen else {}),
         **({k: parts[k] for k in _G_FIELDS} if gas else {}),
+        **({k: parts[k] for k in _B_FIELDS} if biofilm else {}),
         **p_kw)
     return st.update_derived()
 
 
 def tap_index(field: str, zone: int, n_zones: int,
-              nitrogen: bool = False, gas: bool = False) -> int:
+              nitrogen: bool = False, gas: bool = False,
+              biofilm: bool = False) -> int:
     """State-vector index of ``field`` at ``zone`` (negative zones ok)."""
-    fields = state_fields(nitrogen, gas)
+    fields = state_fields(nitrogen, gas, biofilm)
     if field not in fields:
         raise ValueError(f"field must be one of {fields}, got {field!r}")
     if not -n_zones <= zone < n_zones:
@@ -124,7 +152,8 @@ def tap_index(field: str, zone: int, n_zones: int,
 
 
 def tss_index(cls: int, zone: int, n_zones: int, n_classes: int,
-              nitrogen: bool = False, gas: bool = False) -> int:
+              nitrogen: bool = False, gas: bool = False,
+              biofilm: bool = False) -> int:
     """State-vector index of TSS class ``cls`` at ``zone`` on a
     particle plant (the particle block trails the zone fields)."""
     if not -n_classes <= cls < n_classes:
@@ -132,7 +161,7 @@ def tss_index(cls: int, zone: int, n_zones: int, n_classes: int,
                          f"{n_classes})")
     if not -n_zones <= zone < n_zones:
         raise ValueError(f"zone {zone} outside [{-n_zones}, {n_zones})")
-    base = len(state_fields(nitrogen, gas)) * n_zones
+    base = len(state_fields(nitrogen, gas, biofilm)) * n_zones
     return base + (cls % n_classes) * n_zones + (zone % n_zones)
 
 
@@ -147,8 +176,9 @@ def make_ekf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
     sludge entry the per-class inventory)."""
     nitrogen = state0.ammonia is not None
     gas = state0.oxygen is not None
+    biofilm = state0.bacteria is not None
     n_cls = _n_classes(state0)
-    n_fields = len(state_fields(nitrogen, gas))
+    n_fields = len(state_fields(nitrogen, gas, biofilm))
     x0 = flatten_state(state0)
     n = n_fields * n_zones + n_cls * n_zones + n_cls
     p0_arr = jnp.asarray(p0, x0.dtype)
@@ -215,20 +245,21 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
     NTU channel). ``particle_noise`` is the (tss, sludge) PSD pair."""
     nitrogen = params.nitrogen is not None
     gas = params.gas is not None
+    biofilm = params.biofilm is not None
     n_cls = (0 if params.particles is None
              else params.particles.ntu_per_mgl.shape[-1])
-    n_fields = len(state_fields(nitrogen, gas))
+    n_fields = len(state_fields(nitrogen, gas, biofilm))
     n = n_fields * n_zones + n_cls * n_zones + n_cls
     idxs = tuple(
         _tap_row(f, z, n_zones, nitrogen, gas, n_cls, n,
-                 params.particles) for f, z in taps)
+                 params.particles, biofilm=biofilm) for f, z in taps)
     q_field = jnp.asarray(process_noise, jnp.float32)
     if q_field.shape == (3,) and n_fields > 3:
         q_field = jnp.concatenate(
             [q_field, jnp.full(n_fields - 3, 1e-6, jnp.float32)])
     if q_field.shape != (n_fields,):
         raise ValueError(f"process_noise is one PSD per field "
-                         f"{state_fields(nitrogen, gas)}")
+                         f"{state_fields(nitrogen, gas, biofilm)}")
     q_diag = jnp.repeat(q_field, n_zones)
     if n_cls:
         q_tss, q_sl = particle_noise
@@ -239,9 +270,25 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
     r = jnp.broadcast_to(jnp.asarray(measurement_noise, jnp.float32),
                          (len(idxs),))
 
+    lo, hi = _flat_bounds(n_zones, nitrogen, gas, biofilm, n_cls,
+                          jnp.float32)
+
     def f_flat(x, boundary):
+        # Full straight-through clip to the physical bounds BEFORE the
+        # plant model: step() hard-clamps out-of-range species
+        # (reactor.py _enforce_bounds + the per-axis jnp.maximum guards),
+        # and a hard clamp's zero gradient is an ABSORBING region for the
+        # filter — one noisy update pushing an unmeasured soft-sensed
+        # field (e.g. the wall film) below zero zeroes its Jacobian row,
+        # collapses its covariance to the process-noise floor, and the
+        # filter permanently reads "clean tank". Backward must be FULL
+        # identity (ste_clip), not st_clip's leak: any tangent discount
+        # scales the self-transition F(i,i) below 1 and the predict then
+        # shrinks P(i,i) by its square every step — the same collapse by
+        # another road (see ste_clip's docstring).
+        x = ste_clip(x, lo, hi)
         st = unflatten_state(x, n_zones, nitrogen=nitrogen, gas=gas,
-                             n_classes=n_cls)
+                             biofilm=biofilm, n_classes=n_cls)
         st2 = R.step(params, st, boundary, dt, substeps, stages=stages)
         return flatten_state(st2)
 
@@ -251,9 +298,22 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
 
 
 def _tap_row(field: str, zone: int, n_zones: int, nitrogen: bool,
-             gas: bool, n_classes: int, n: int, pp):
+             gas: bool, n_classes: int, n: int, pp,
+             biofilm: bool = False):
     """A tap -> either a state index (direct state measurements) or a
     measurement row h (linear-combination measurands)."""
+    if field == "hpc":
+        # lab plate count [CFU/mL]: a SCALED read of the bacteria state
+        # (core/biofilm.py CELLS_PER_MG_C) — soft-sensing the biomass
+        # field (and, through the wall-demand coupling in the process
+        # model, the unmeasurable wall film) from grab samples
+        if not biofilm:
+            raise ValueError("hpc taps need a biofilm plant "
+                             "(params.biofilm)")
+        from ics_wt_physicsengine_tpu.core.biofilm import CELLS_PER_MG_C
+        h = jnp.zeros((n,), jnp.float32)
+        i = tap_index("bacteria", zone, n_zones, nitrogen, gas, biofilm)
+        return h.at[i].set(jnp.float32(CELLS_PER_MG_C / 1000.0))
     if field == "turbidity":
         if not n_classes:
             raise ValueError("turbidity taps need a particle plant "
@@ -262,7 +322,7 @@ def _tap_row(field: str, zone: int, n_zones: int, nitrogen: bool,
             raise ValueError(f"zone {zone} outside "
                              f"[{-n_zones}, {n_zones})")
         h = jnp.zeros((n,), jnp.float32)
-        base = len(state_fields(nitrogen, gas)) * n_zones
+        base = len(state_fields(nitrogen, gas, biofilm)) * n_zones
         for c in range(n_classes):
             h = h.at[base + c * n_zones + (zone % n_zones)].set(
                 pp.ntu_per_mgl[c].astype(jnp.float32))
@@ -270,11 +330,11 @@ def _tap_row(field: str, zone: int, n_zones: int, nitrogen: bool,
     if field == "tss" and n_classes:
         # total-solids tap (unweighted class sum) at one zone
         h = jnp.zeros((n,), jnp.float32)
-        base = len(state_fields(nitrogen, gas)) * n_zones
+        base = len(state_fields(nitrogen, gas, biofilm)) * n_zones
         for c in range(n_classes):
             h = h.at[base + c * n_zones + (zone % n_zones)].set(1.0)
         return h
-    return tap_index(field, zone, n_zones, nitrogen, gas)
+    return tap_index(field, zone, n_zones, nitrogen, gas, biofilm)
 
 
 def _build_ekf_step(f_flat, idxs, q_diag, r, diagnostics: bool = False):
@@ -387,9 +447,10 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
 
     nitrogen = params.nitrogen is not None
     gas = params.gas is not None
+    biofilm = params.biofilm is not None
     n_cls = (0 if params.particles is None
              else params.particles.ntu_per_mgl.shape[-1])
-    n_fields = len(state_fields(nitrogen, gas))
+    n_fields = len(state_fields(nitrogen, gas, biofilm))
     bc_fields = {f.name for f in
                  dataclasses.fields(R.BoundaryConditions)}
     for name in augment:
@@ -400,14 +461,15 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
     n_core = n_fields * n_zones + n_cls * n_zones + n_cls
     idxs = tuple(
         _tap_row(f, z, n_zones, nitrogen, gas, n_cls,
-                 n_core + n_aug, params.particles) for f, z in taps)
+                 n_core + n_aug, params.particles, biofilm=biofilm)
+        for f, z in taps)
     q_field = jnp.asarray(process_noise, jnp.float32)
     if q_field.shape == (3,) and n_fields > 3:
         q_field = jnp.concatenate(
             [q_field, jnp.full(n_fields - 3, 1e-6, jnp.float32)])
     if q_field.shape != (n_fields,):
         raise ValueError(f"process_noise is one PSD per field "
-                         f"{state_fields(nitrogen, gas)}")
+                         f"{state_fields(nitrogen, gas, biofilm)}")
     q_aug = jnp.broadcast_to(
         jnp.asarray(augment_noise, jnp.float32), (n_aug,))
     q_core = jnp.repeat(q_field, n_zones)
@@ -419,13 +481,19 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
     r = jnp.broadcast_to(jnp.asarray(measurement_noise, jnp.float32),
                          (len(idxs),))
 
+    lo, hi = _flat_bounds(n_zones, nitrogen, gas, biofilm, n_cls,
+                          jnp.float32)
+
     def f_flat(x, boundary):
         theta = x[..., n_core:]
         bc = dataclasses.replace(
             boundary, **{name: theta[..., i]
                          for i, name in enumerate(augment)})
-        st = unflatten_state(x[..., :n_core], n_zones,
-                             nitrogen=nitrogen, gas=gas,
+        # same straight-through bound pre-clip as make_ekf (see comment
+        # there); theta stays unclipped — parameters have no physical
+        # clamp in the plant model
+        st = unflatten_state(ste_clip(x[..., :n_core], lo, hi), n_zones,
+                             nitrogen=nitrogen, gas=gas, biofilm=biofilm,
                              n_classes=n_cls)
         st2 = R.step(params, st, bc, dt, substeps, stages=stages)
         return jnp.concatenate([flatten_state(st2), theta], axis=-1)
@@ -459,7 +527,8 @@ def ekf_observer(controller, ekf_step, n_zones: int,
                  measured: Sequence[str],
                  estimates: dict,
                  batched: bool = False,
-                 nitrogen: bool = False, gas: bool = False):
+                 nitrogen: bool = False, gas: bool = False,
+                 biofilm: bool = False):
     """Wrap a controller so it acts on EKF state ESTIMATES instead of
     raw instrument readings — observer-based output feedback, in-graph.
 
@@ -479,7 +548,7 @@ def ekf_observer(controller, ekf_step, n_zones: int,
     ``ekf_step`` (from ``make_ekf``); it must equal the rollout's dt.
     ``batched=True`` vmaps the filter over a leading lane axis (use
     with ``rollout_closed_loop(batched=True)``)."""
-    idx_of = {name: tap_index(f, z, n_zones, nitrogen, gas)
+    idx_of = {name: tap_index(f, z, n_zones, nitrogen, gas, biofilm)
               for name, (f, z) in estimates.items()}
     step_fn = (jax.vmap(ekf_step, in_axes=(0, 0, 0)) if batched
                else ekf_step)

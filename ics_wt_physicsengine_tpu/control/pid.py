@@ -98,6 +98,34 @@ def _st_clip_jvp(primals, tangents):
     return jnp.clip(x, lo, hi), dx * scale
 
 
+@jax.custom_jvp
+def ste_clip(x, lo, hi):
+    """FULL straight-through clip: forward = jnp.clip, backward =
+    identity.
+
+    The estimation-side counterpart of :func:`st_clip`. A Kalman
+    filter's process Jacobian must be the physical sensitivity at the
+    nearest FEASIBLE point: any tangent discount at the bound scales the
+    state's self-transition F(i,i) below 1, and the covariance predict
+    then multiplies P(i,i) by that factor SQUARED every step — a leak of
+    0.1 collapses an unmeasured state's variance 100x per step the
+    moment its estimate wanders out of range, silently killing the
+    filter (observed on wall-film soft-sensing: one noisy update pushes
+    the film estimate below zero and the filter permanently reads
+    "clean tank"). st_clip's leak exists to damp *recurrent closed-loop
+    tangents* over long differentiated rollouts; an EKF relinearizes
+    every step, so the instability the leak guards against cannot
+    accumulate here."""
+    return jnp.clip(x, lo, hi)
+
+
+@ste_clip.defjvp
+def _ste_clip_jvp(primals, tangents):
+    x, lo, hi = primals
+    dx, _, _ = tangents
+    return jnp.clip(x, lo, hi), dx
+
+
 def pid_step(gains: PIDGains, carry: PIDCarry, measurement, dt: float,
              active=None, clip_mode: str = "hard"):
     """One discrete PID update -> ``(new_carry, command)``.

@@ -545,3 +545,137 @@ def test_particle_ekf_soft_senses_tss_from_turbidity():
     i0 = tss_index(0, mid, Z, n_cls)
     assert float(x_hat[i0]) == float(est.tss[0, mid])
     assert bool(jnp.all(jnp.isfinite(carry.P)))
+
+
+def test_biofilm_ekf_soft_senses_wall_film_from_residual():
+    """Biofilm plants append bacteria/BDOC/film to the EKF state. The wall
+    film is physically unmeasurable, but it exerts a chlorine wall demand
+    (core/biofilm.py::wall_demand_rate) — so the outlet residual tap plus
+    an HPC grab-sample tap must pull the film estimate toward truth through
+    the process-model coupling, beating the same wrong guess open loop
+    (the operational question: 'is this tank biofouled?')."""
+    from ics_wt_physicsengine_tpu.core import biofilm as B
+
+    def cfg(film):
+        return R.ReactorConfiguration(
+            volume=1000.0, n_zones=Z, flow_rate=5.0, initial_pH=7.2,
+            initial_chlorine=2.0, temperature=20.0, enable_biofilm=True,
+            initial_bacteria=2e-4, initial_bdoc=0.5, initial_biofilm=film,
+            # stronger wall demand so 40 x 30 s resolves the film through
+            # the residual (default 1e-5 needs multi-hour horizons)
+            biofilm_params={"k_cl_film": 2e-4})
+
+    t_config = cfg(500.0)               # truth: heavily fouled walls
+    g_config = cfg(20.0)                # filter + open loop believe clean
+    params = R.make_params(t_config, dtype=jnp.float64)
+    substeps = R.default_substeps(t_config, DT)
+    boundary = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_pH=7.4, inlet_chlorine=2.0,
+        inlet_temperature=20.0, inlet_bacteria=2e-4, inlet_bdoc=0.5)
+
+    taps = TAPS + [("hpc", -1)]
+    sigma = np.append(SIGMA, 30.0)      # 30 CFU/mL plate-count noise
+    ekf_step = jax.jit(make_ekf(
+        params, Z, taps, DT, substeps,
+        measurement_noise=(sigma ** 2).tolist()))
+    step = jax.jit(lambda s: R.step(params, s, boundary, DT, substeps))
+
+    truth = R.make_initial_state(t_config, dtype=jnp.float64)
+    guess = R.make_initial_state(g_config, dtype=jnp.float64)
+    open_loop = guess
+
+    # per-field prior variance: film uncertainty is the big unknown
+    carry = make_ekf_carry(
+        guess, p0=(0.05, 1.0, 4.0, 1e-6, 0.25, 1e5), n_zones=Z)
+    assert carry.x.shape == (6 * Z,)
+
+    rng = np.random.default_rng(13)
+    for _ in range(40):
+        truth = step(truth)
+        open_loop = step(open_loop)
+        z = [float(flatten_state(truth)[tap_index(f, zz, Z,
+                                                  biofilm=True)])
+             for f, zz in TAPS]
+        z.append(float(B.hpc_cfu_per_ml(truth.bacteria[-1])))
+        carry, x_hat = ekf_step(
+            carry, jnp.asarray(np.asarray(z) + rng.normal(0, sigma)),
+            boundary)
+
+    mid = Z // 2
+    est = unflatten_state(x_hat, Z, biofilm=True)
+    film_true = float(truth.biofilm[mid])
+    film_err = abs(float(est.biofilm[mid]) - film_true)
+    film_ol = abs(float(open_loop.biofilm[mid]) - film_true)
+    assert film_err < 0.5 * film_ol, (film_err, film_ol, film_true)
+    # the residual estimate itself must track the fouled tank's decay
+    cl_err = abs(float(est.chlorine[mid]) - float(truth.chlorine[mid]))
+    cl_ol = abs(float(open_loop.chlorine[mid])
+                - float(truth.chlorine[mid]))
+    assert cl_err < 0.5 * cl_ol, (cl_err, cl_ol)
+    assert bool(jnp.all(jnp.isfinite(carry.P)))
+
+
+def test_tap_index_biofilm_layout():
+    """Biofilm fields trail the gas block, matching step()'s species tuple
+    (pH, Cl, T | nitrogen | gas | bacteria, bdoc, biofilm); hpc taps
+    require a biofilm plant."""
+    assert tap_index("bacteria", 0, Z, biofilm=True) == 3 * Z
+    assert tap_index("biofilm", -1, Z, biofilm=True) == 5 * Z + (Z - 1)
+    assert tap_index("bacteria", 0, Z, nitrogen=True, gas=True,
+                     biofilm=True) == 9 * Z
+    with pytest.raises(ValueError, match="field"):
+        tap_index("bacteria", 0, Z)
+    config = R.ReactorConfiguration(
+        volume=1000.0, n_zones=Z, enable_biofilm=False)
+    params = R.make_params(config, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="biofilm"):
+        make_ekf(params, Z, [("hpc", -1)], DT, 2,
+                 measurement_noise=1.0)
+
+
+def test_ekf_escapes_zero_film_prior():
+    """Regression: the physical-bounds clamp must not be an absorbing
+    region. From a 'clean tank' prior (film exactly 0), one noisy update
+    can push the film estimate below zero; with a hard (or leaky) clamp
+    in the process model the Jacobian self-transition F(B,B) drops to
+    ~0 (or leak), the predict then collapses P(B,B) by its square each
+    step, and the filter permanently reads clean. The full
+    straight-through pre-clip (control/pid.py::ste_clip) keeps both the
+    escape direction and the variance alive — the filter must climb out
+    and keep a sane covariance."""
+    cfg = R.ReactorConfiguration(
+        volume=1000.0, n_zones=Z, flow_rate=5.0, initial_pH=7.2,
+        initial_chlorine=1.5, temperature=20.0, enable_biofilm=True,
+        initial_bacteria=2e-4, initial_bdoc=0.5, initial_biofilm=300.0,
+        biofilm_params={"k_cl_film": 1e-4})
+    params = R.make_params(cfg, dtype=jnp.float64)
+    substeps = R.default_substeps(cfg, 60.0)
+    boundary = R.BoundaryConditions(
+        inlet_flow_rate=5.0, inlet_chlorine=1.5, inlet_bacteria=2e-4,
+        inlet_bdoc=0.5)
+    taps = [("chlorine", -1), ("pH", -1), ("hpc", -1)]
+    sigma = np.array([0.02, 0.02, 30.0])
+    ekf_step = jax.jit(make_ekf(
+        params, Z, taps, 60.0, substeps,
+        measurement_noise=(sigma ** 2).tolist()))
+    step = jax.jit(lambda s: R.step(params, s, boundary, 60.0, substeps))
+
+    from ics_wt_physicsengine_tpu.core import biofilm as B
+    truth = R.make_initial_state(cfg, dtype=jnp.float64)
+    g_cfg = R.ReactorConfiguration(
+        **{**cfg.__dict__, "initial_biofilm": 0.0})
+    carry = make_ekf_carry(
+        R.make_initial_state(g_cfg, dtype=jnp.float64),
+        p0=(0.05, 1.0, 4.0, 1e-6, 0.25, 1e5), n_zones=Z)
+    i_b = tap_index("biofilm", -1, Z, biofilm=True)
+
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        truth = step(truth)
+        z = np.array([float(truth.chlorine[-1]), float(truth.pH[-1]),
+                      float(B.hpc_cfu_per_ml(truth.bacteria[-1]))])
+        carry, x_hat = ekf_step(carry, jnp.asarray(z + rng.normal(0, sigma)),
+                                boundary)
+    # with the collapse bug: B_est ~ 0 and P_BB ~ q*dt*steps ~ 2e-3
+    assert float(x_hat[i_b]) > 50.0, float(x_hat[i_b])
+    assert float(carry.P[i_b, i_b]) > 1e3, float(carry.P[i_b, i_b])
