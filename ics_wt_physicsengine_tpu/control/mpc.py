@@ -255,6 +255,7 @@ def run_mpc_output_feedback(
     plant over Modbus/OPC UA, where the true state never exists."""
     from ics_wt_physicsengine_tpu.control.ekf import (make_ekf,
                                                       make_ekf_carry,
+                                                      state_fields,
                                                       unflatten_state)
     from ics_wt_physicsengine_tpu.models.plant import make_plant, plant_step
 
@@ -280,6 +281,24 @@ def run_mpc_output_feedback(
     pparams, plant = make_plant(config, seed=seed, dtype=dtype,
                                 warmed_up=True)
     rparams = pparams.reactor
+    # extension axes ride along: the EKF's state layout follows the
+    # plant's enabled species (nitrogen/gas/particles/biofilm), and the
+    # estimate must be unflattened with the same flags
+    nitrogen = rparams.nitrogen is not None
+    gas = rparams.gas is not None
+    biofilm = rparams.biofilm is not None
+    n_cls = (0 if rparams.particles is None
+             else rparams.particles.ntu_per_mgl.shape[-1])
+    n_fields = len(state_fields(nitrogen, gas, biofilm))
+    p0_arr = jnp.asarray(p0, jnp.float32)
+    if p0_arr.ndim == 1 and p0_arr.shape == (3,) \
+            and (n_fields > 3 or n_cls):
+        # pad the 3-entry core default with unit variance per extension
+        # field (same convention as make_ekf's process-noise padding)
+        pads = [p0_arr, jnp.full((n_fields - 3,), 1.0, jnp.float32)]
+        if n_cls:
+            pads.append(jnp.asarray([25.0, 1.0], jnp.float32))
+        p0 = jnp.concatenate(pads)
     ekf_step = make_ekf(rparams, zones, taps, dt, substeps,
                         process_noise=process_noise,
                         measurement_noise=measurement_noise,
@@ -302,7 +321,10 @@ def run_mpc_output_feedback(
                                                 (horizon,))
                     for name, p in padded.items()}
             # Plan from the ESTIMATE — the only state the controller has
-            est_state = unflatten_state(ekf_c.x, zones)
+            est_state = unflatten_state(ekf_c.x, zones,
+                                        nitrogen=nitrogen, gas=gas,
+                                        biofilm=biofilm,
+                                        n_classes=n_cls)
             moves, _ = mpc_plan(rparams, est_state, boundary, sp_h,
                                 moves_prev, dt=float(dt),
                                 substeps=int(substeps),

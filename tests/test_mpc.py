@@ -232,3 +232,43 @@ def test_mpc_booster_chlorination_suppresses_hpc():
     tail = tr[-10:]
     assert float(tail.mean()) < 2500.0, tail.mean()
     assert float(tail.mean()) > 10.0, tail.mean()
+
+
+def test_output_feedback_booster_chlorination_on_biofilm_plant():
+    """Output-feedback regrowth control: on a biofilm plant the MPC
+    holds the outlet plate count from the EKF's ESTIMATE — assimilated
+    from the real core instruments only (no HPC lab channel in the
+    loop) — commanding the chlorine pump against a regrowth event.
+    Regression for the extension-plant unflatten in
+    run_mpc_output_feedback (the estimate layout follows the plant's
+    enabled species)."""
+    cfg = R.ReactorConfiguration(n_zones=4, enable_biofilm=True,
+                                 initial_chlorine=0.0,
+                                 initial_bacteria=1e-3,   # ~5e3 CFU/mL
+                                 initial_bdoc=1.0)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_chlorine=0.0,
+                              inlet_bacteria=1e-3, inlet_bdoc=1.0,
+                              chlorine_concentration=50.0)
+    n, target = 80, 500.0       # CFU/mL
+    prog = {"hpc_outlet": np.full(n, target, np.float32)}
+    res = C.run_mpc_output_feedback(
+        cfg, prog, dt=30.0,
+        taps=[("pH", 0), ("chlorine", -1), ("temperature", -1)],
+        measured=["pH_inlet", "chlorine_outlet", "temp_outlet"],
+        horizon_moves=4, steps_per_move=10, iters=25,
+        learning_rate=0.05, boundary=bc,
+        controls=("chlorine_flow_rate",),
+        weights={"hpc_outlet": 1e-6},
+        measurement_noise=(4e-4, 2.5e-3, 1e-2), seed=7)
+    tr = np.asarray(res["tracked"]["hpc_outlet"])     # hidden truth
+    pump = np.asarray(res["commands_by_control"]["chlorine_flow_rate"])
+    assert np.isfinite(tr).all()
+    assert pump.min() >= 0.0 and pump.max() <= 1.0
+    assert pump.max() > 1e-3                          # the pump ran
+    tail = tr[-10:]
+    assert float(tail.mean()) < 2500.0, tail.mean()   # count brought down
+    assert float(tail.mean()) > 10.0, tail.mean()     # not sterilized
+    # the estimate's bacteria field is live (not collapsed to zero)
+    from ics_wt_physicsengine_tpu.control import tap_index
+    i_x = tap_index("bacteria", -1, cfg.n_zones, biofilm=True)
+    assert float(res["final_estimate"].x[i_x]) > 0.0
