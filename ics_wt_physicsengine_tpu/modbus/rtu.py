@@ -293,15 +293,19 @@ class ModbusRtuSlave:
                 break                        # EIO: peer end closed
             if not chunk:
                 break
-            for unit_id, pdu in framer.feed(chunk):
+            frames = framer.feed(chunk)
+            # flush CRC/noise tallies BEFORE serving: a master that syncs
+            # on the response (or queries FC 08 in the same chunk) must
+            # see errors from earlier bytes of that chunk already counted
+            self.core.error_count += framer.crc_errors
+            framer.crc_errors = 0
+            for unit_id, pdu in frames:
                 response = self._serve_frame(unit_id, pdu)
                 if response is not None:
                     try:
                         os.write(fd, response)
                     except OSError:
                         return
-            self.core.error_count += framer.crc_errors
-            framer.crc_errors = 0
 
     # -- RTU-over-TCP transport --
 
@@ -329,13 +333,14 @@ class ModbusRtuSlave:
                 chunk = await reader.read(4096)
                 if not chunk:
                     break
+                frames = framer.feed(chunk)
+                self.core.error_count += framer.crc_errors
+                framer.crc_errors = 0
                 out = []
-                for unit_id, pdu in framer.feed(chunk):
+                for unit_id, pdu in frames:
                     response = self._serve_frame(unit_id, pdu)
                     if response is not None:
                         out.append(response)
-                self.core.error_count += framer.crc_errors
-                framer.crc_errors = 0
                 if out:
                     writer.write(b"".join(out))
                     await writer.drain()
