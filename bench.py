@@ -126,17 +126,19 @@ def bench_batched(n_plants=32768, n_steps=2000, reps=3):
 
 
 def bench_full_chemistry(n_plants=8192, n_steps=1000, reps=3):
-    """All five extension axes at once (nitrogen + gas + particles +
-    disinfection + biofilm): a 22-field-per-zone plant (3 core + 4 N +
-    2 gas + 3 TSS classes + sludge + 3 pathogen classes + CT/age/TOC/THM
-    + bacteria/BDOC/wall-film) on the batched XLA rollout with the UV
-    bank lit — the throughput of the COMPLETE physics, not just the
-    reference-parity subset."""
+    """All six extension axes at once (nitrogen + gas + particles +
+    disinfection + biofilm + phase): a 22-field-per-zone plant (3 core +
+    4 N + 2 gas + 3 TSS classes + sludge + 3 pathogen classes +
+    CT/age/TOC/THM + bacteria/BDOC/wall-film, with the phase axis riding
+    the temperature field) on the batched XLA rollout with the UV bank
+    lit and a cold windy sky driving evaporation — the throughput of the
+    COMPLETE physics, not just the reference-parity subset."""
     base = R.ReactorConfiguration(
         n_zones=20, enable_nitrogen=True, enable_gas=True,
         enable_particles=True, initial_ammonia=1.0, initial_tss=20.0,
         enable_disinfection=True, initial_pathogens=1e4,
-        enable_biofilm=True, initial_bacteria=1e-3, initial_bdoc=0.5)
+        enable_biofilm=True, initial_bacteria=1e-3, initial_bdoc=0.5,
+        enable_phase=True)
     params, state = make_monte_carlo_batch(base, n_plants, seed=0,
                                            dtype=jnp.float32)
     params, state = jax.device_put((params, state))
@@ -145,7 +147,9 @@ def bench_full_chemistry(n_plants=8192, n_steps=1000, reps=3):
         inlet_ammonia=1.0, aeration_kla=1e-3, inlet_tss=20.0,
         coagulant_dose=20.0, filter_flow_rate=10.0,
         inlet_pathogens=1e4, uv_intensity=10.0,
-        inlet_bacteria=1e-3, inlet_bdoc=0.5)
+        inlet_bacteria=1e-3, inlet_bdoc=0.5,
+        ambient_temperature=2.0, ambient_humidity=0.4, wind_speed=3.0,
+        heat_loss_coefficient=100.0)
     substeps = 3
 
     fn = jax.jit(lambda p, s, b: R.rollout(
@@ -624,7 +628,7 @@ def main():
             "batched_n_plants_rkc": 65536,
             "full_chemistry_plant_steps_per_sec": round(full_chem, 1),
             "full_chemistry_n_plants": 8192,
-            "full_chemistry_axes": "nitrogen+gas+particles+disinfection+biofilm",
+            "full_chemistry_axes": "nitrogen+gas+particles+disinfection+biofilm+phase",
             "integrated_plant_steps_per_sec": round(integrated, 1),
             "integrated_n_plants": 65536,
             "integrated_single_steps_per_sec": round(integrated_single, 1),

@@ -92,6 +92,17 @@ def validate_concentration(value, max_value: float = 1.0) -> float:
     return max(0.0, min(float(value), max_value))
 
 
+def validate_ambient_temperature(value, lo: float = -60.0,
+                                 hi: float = 60.0) -> float:
+    """Signed-range zero-trust clamp for the weather input (phase-change
+    extension); NaN/garbage falls back to a mild 20 C."""
+    if not isinstance(value, (int, float)):
+        return 20.0
+    if value != value:
+        return 20.0
+    return max(lo, min(float(value), hi))
+
+
 def validate_ph(value) -> float:
     if not isinstance(value, (int, float)):
         return 7.0
@@ -348,6 +359,21 @@ def update_modbus_inputs(slave: Optional[ModbusSlave],
                 "biofilm_peak", float(np.asarray(state.biofilm).max()),
                 unit=unit)
 
+        # phase-change extension registers (extended_phase maps): ice
+        # fraction at the surface zone and the worst across zones. The
+        # state carries no phase leaves (ice fraction is diagnostic in
+        # temperature, core/phase.py), so the register reports the
+        # canonical 0 C / 0.5 K band — the ice-detection instrument's own
+        # convention, like the UVT analyzer's default calibration above.
+        if slave.register_map.get_register_by_name("ice_fraction_top") \
+                is not None:
+            t_np = np.asarray(state.temperature)
+            phi = np.clip(-t_np / 0.5, 0.0, 1.0)
+            slave.update_input_register("ice_fraction_top",
+                                        float(phi[..., -1]), unit=unit)
+            slave.update_input_register("ice_fraction_max",
+                                        float(phi.max()), unit=unit)
+
         any_fault = any(r.fault != SensorFault.NONE
                         for r in readings.values())
         slave.update_input_register("system_status", 1 if any_fault else 0,
@@ -447,13 +473,29 @@ def read_modbus_commands(slave: Optional[ModbusSlave],
             )
         except Exception:  # noqa: BLE001 — base map: registers absent
             biofilm_cmds = None
+        try:    # phase-change extension registers (extended maps only)
+            phase_cmds = (
+                validate_concentration(
+                    slave.read_holding_register("ambient_humidity",
+                                                unit=unit),
+                    max_value=1.0),
+                validate_concentration(
+                    slave.read_holding_register("wind_speed", unit=unit),
+                    max_value=30.0),
+                validate_ambient_temperature(
+                    slave.read_holding_register("ambient_temperature",
+                                                unit=unit)),
+            )
+        except Exception:  # noqa: BLE001 — base map: registers absent
+            phase_cmds = None
         return (acid_rate, chlorine_rate, inlet_rate, acid_conc, cl_conc,
                 acid_enable, cl_enable, sim_running, inlet_ammonia,
-                aeration_kla, particle_cmds, disinfect_cmds, biofilm_cmds)
+                aeration_kla, particle_cmds, disinfect_cmds, biofilm_cmds,
+                phase_cmds)
     except Exception as e:  # noqa: BLE001
         logger.error("Modbus read failed: %s", type(e).__name__)
         return (0.0, 0.0, 5.0, 0.1, 50.0, True, True, True, None, None,
-                None, None, None)
+                None, None, None, None)
 
 
 def apply_boundary_conditions(boundary: BoundaryConditions, commands
@@ -469,6 +511,7 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
     particle_cmds = extra[2] if len(extra) > 2 else None
     disinfect_cmds = extra[3] if len(extra) > 3 else None
     biofilm_cmds = extra[4] if len(extra) > 4 else None
+    phase_cmds = extra[5] if len(extra) > 5 else None
     from dataclasses import replace
     new_inlet = boundary.inlet_flow_rate
     if inlet_rate > 0.1:
@@ -490,6 +533,10 @@ def apply_boundary_conditions(boundary: BoundaryConditions, commands
         updates["inlet_bdoc"] = biofilm_cmds[0]
         # operators command in CFU/mL; the dynamics run in mg C/L
         updates["inlet_bacteria"] = biofilm_cmds[1] * 1000.0 / CELLS_PER_MG_C
+    if phase_cmds is not None:      # phase extension registers present
+        updates["ambient_humidity"] = phase_cmds[0]
+        updates["wind_speed"] = phase_cmds[1]
+        updates["ambient_temperature"] = phase_cmds[2]
     return replace(
         boundary,
         acid_flow_rate=(validate_flow_rate(acid_rate, max_value=2.0)
@@ -722,6 +769,30 @@ def main(argv=None):
     parser.add_argument("--initial-hpc", type=float, default=500.0,
                         help="Initial/source heterotrophic plate count "
                              "[CFU/mL] when --enable-biofilm is set")
+    parser.add_argument("--enable-phase", action="store_true",
+                        help="Enable the phase-change extension "
+                             "(core/phase.py): freezing/ice and the "
+                             "boiling cap via the apparent-heat-capacity "
+                             "method plus Dalton surface evaporation; "
+                             "extended input registers (58-61, ice "
+                             "fractions) and the ambient_humidity/"
+                             "wind_speed/ambient_temperature holding "
+                             "registers (32-37)")
+    parser.add_argument("--ambient-temperature", type=float, default=20.0,
+                        help="Initial ambient air temperature [C] "
+                             "(writable at runtime via holding register "
+                             "36 when --enable-phase is set)")
+    parser.add_argument("--ambient-humidity", type=float, default=0.5,
+                        help="Initial ambient relative humidity (0-1) "
+                             "for the evaporation model when "
+                             "--enable-phase is set")
+    parser.add_argument("--wind-speed", type=float, default=0.0,
+                        help="Initial wind speed over the free surface "
+                             "[m/s] when --enable-phase is set")
+    parser.add_argument("--heat-loss-coefficient", type=float, default=0.0,
+                        help="Ambient heat-loss coefficient U [W/K] "
+                             "(BoundaryConditions.heat_loss_coefficient; "
+                             "0 = adiabatic, reference parity default)")
     parser.add_argument("--fleet", type=int, default=1,
                         help="Serve N independently controlled plants from "
                              "one Modbus endpoint: unit id u = plant lane "
@@ -959,7 +1030,8 @@ def main(argv=None):
             enable_biofilm=args.enable_biofilm,
             initial_bacteria=_hpc_to_mgC(args.initial_hpc)
             if args.enable_biofilm else 0.0,
-            initial_bdoc=args.initial_bdoc if args.enable_biofilm else 0.0)
+            initial_bdoc=args.initial_bdoc if args.enable_biofilm else 0.0,
+            enable_phase=args.enable_phase)
         reactor = IntegratedCSTR(config, integrator=args.integrator)
         _m, _s = reactor._plan_for(args.dt)
         logger.info("Physics engine initialized (%d zones, %s: substeps=%d%s)",
@@ -982,7 +1054,11 @@ def main(argv=None):
         inlet_toc=args.initial_toc if args.enable_disinfection else 0.0,
         inlet_bacteria=_hpc_to_mgC(args.initial_hpc)
         if args.enable_biofilm else 0.0,
-        inlet_bdoc=args.initial_bdoc if args.enable_biofilm else 0.0)
+        inlet_bdoc=args.initial_bdoc if args.enable_biofilm else 0.0,
+        ambient_temperature=args.ambient_temperature,
+        ambient_humidity=args.ambient_humidity,
+        wind_speed=args.wind_speed,
+        heat_loss_coefficient=args.heat_loss_coefficient)
 
     # PHASE 3: sensors
     sim_start_time = time.monotonic()
@@ -1041,7 +1117,8 @@ def main(argv=None):
                         extended_gas=args.enable_gas,
                         extended_particles=args.enable_particles,
                         extended_disinfection=args.enable_disinfection,
-                        extended_biofilm=args.enable_biofilm),
+                        extended_biofilm=args.enable_biofilm,
+                        extended_phase=args.enable_phase),
                     server_config)
             elif args.rtu_serial or args.rtu_tcp:
                 from ics_wt_physicsengine_tpu.modbus import ModbusRtuSlave
@@ -1051,7 +1128,8 @@ def main(argv=None):
                         extended_gas=args.enable_gas,
                         extended_particles=args.enable_particles,
                         extended_disinfection=args.enable_disinfection,
-                        extended_biofilm=args.enable_biofilm),
+                        extended_biofilm=args.enable_biofilm,
+                        extended_phase=args.enable_phase),
                     server_config, serial_device=args.rtu_serial)
             else:
                 slave = ModbusSlave(
@@ -1060,7 +1138,8 @@ def main(argv=None):
                         extended_gas=args.enable_gas,
                         extended_particles=args.enable_particles,
                         extended_disinfection=args.enable_disinfection,
-                        extended_biofilm=args.enable_biofilm),
+                        extended_biofilm=args.enable_biofilm,
+                        extended_phase=args.enable_phase),
                     server_config)
             slave.start(blocking=False)
             # Initialize writable registers/coils so reference-compatible
@@ -1085,6 +1164,12 @@ def main(argv=None):
                 slave.write_holding_register("inlet_bdoc",
                                              args.initial_bdoc)
                 slave.write_holding_register("inlet_hpc", args.initial_hpc)
+            if args.enable_phase:
+                slave.write_holding_register("ambient_humidity",
+                                             args.ambient_humidity)
+                slave.write_holding_register("wind_speed", args.wind_speed)
+                slave.write_holding_register("ambient_temperature",
+                                             args.ambient_temperature)
             slave.write_coil("acid_pump_enable", True)
             slave.write_coil("chlorine_pump_enable", True)
             slave.write_coil("simulation_running", True)

@@ -99,6 +99,15 @@ from ics_wt_physicsengine_tpu.core.biofilm import (  # noqa: F401
     total_biomass_carbon,
     validate_biofilm,
 )
+from ics_wt_physicsengine_tpu.core.phase import (  # noqa: F401
+    PhaseParams,
+    enthalpy,
+    evaporation_flux,
+    ice_fraction,
+    make_phase_params,
+    saturation_vapor_pressure,
+    validate_phase,
+)
 
 
 def run_all_validations() -> None:
@@ -120,6 +129,8 @@ def run_all_validations() -> None:
         raise RuntimeError("disinfection validation failed")
     if not validate_biofilm():
         raise RuntimeError("biofilm validation failed")
+    if not validate_phase():
+        raise RuntimeError("phase-change validation failed")
     print("ALL PHYSICS VALIDATIONS PASSED")
 
 

@@ -46,6 +46,7 @@ from ics_wt_physicsengine_tpu.core import disinfection as disinfection_mod
 from ics_wt_physicsengine_tpu.core import gas as gas_mod
 from ics_wt_physicsengine_tpu.core import particles as particles_mod
 from ics_wt_physicsengine_tpu.core import nitrogen as nitrogen_mod
+from ics_wt_physicsengine_tpu.core import phase as phase_mod
 from ics_wt_physicsengine_tpu.core import transport as transport_mod
 from ics_wt_physicsengine_tpu.core.chemistry import ChemistryConstants, LN10
 from ics_wt_physicsengine_tpu.ops import integrators
@@ -140,6 +141,15 @@ class ReactorConfiguration:
     initial_biofilm: float = 0.0             # [mg C/m2] wall film
     biofilm_params: Optional[dict] = None    # make_biofilm_params overrides
 
+    # Phase change (core/phase.py — freezing/ice and the boiling cap via the
+    # apparent-heat-capacity method, plus Dalton surface evaporation; closes
+    # the reference's "Temperature limited to 0-100 C" and "Single-phase
+    # only (no ice, no vapor)" limitations, reference README.md:523-524;
+    # disabled by default for exact reference parity: when off, the [0,100]
+    # clip and every code path are unchanged)
+    enable_phase: bool = False
+    phase_params: Optional[dict] = None      # make_phase_params overrides
+
     def validate(self) -> None:
         """Configuration consistency (reference reactor.py:91-110; the bare
         asserts there are replaced by explicit raises, per the project's own
@@ -176,7 +186,12 @@ class ReactorConfiguration:
         if not ok((0 <= cl) & (cl <= 10)):
             raise ValueError("Chlorine out of range")
         t = np.asarray(self.temperature)
-        if not ok((0 <= t) & (t <= 40)):
+        if getattr(self, "enable_phase", False):
+            # phase change widens the admissible initial state: sub-zero
+            # states are ice, the hot end is capped by the boil band
+            if not ok((-60 <= t) & (t <= 100)):
+                raise ValueError("Temperature out of phase-change range")
+        elif not ok((0 <= t) & (t <= 40)):
             raise ValueError("Temperature out of typical range")
 
 
@@ -234,6 +249,10 @@ class ReactorParams:
 
     # biofilm / regrowth (None = disabled; same trace-time static gating)
     biofilm: Optional[biofilm_mod.BiofilmParams] = None
+
+    # phase change (None = disabled; same trace-time static gating — this
+    # axis adds NO state: ice fraction is diagnostic in temperature)
+    phase: Optional[phase_mod.PhaseParams] = None
 
 
 @jax.tree_util.register_dataclass
@@ -305,6 +324,12 @@ class BoundaryConditions:
     # these (regrowth propagates down a treatment train; the film does not).
     inlet_bacteria: float = 0.0        # [mg C/L]
     inlet_bdoc: float = 0.3            # [mg/L]
+
+    # phase change only (core/phase.py): the ambient moisture/wind state the
+    # Dalton evaporation model needs. Inert unless ``enable_phase`` — the
+    # core path never reads them.
+    ambient_humidity: float = 0.5      # relative humidity in [0, 1]
+    wind_speed: float = 0.0            # [m/s] over the free surface
 
 
 @jax.tree_util.register_dataclass
@@ -410,6 +435,10 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
     if getattr(config, "enable_biofilm", False):
         biofilm = biofilm_mod.make_biofilm_params(
             dtype=dtype, **(config.biofilm_params or {}))
+    phase = None
+    if getattr(config, "enable_phase", False):
+        phase = phase_mod.make_phase_params(
+            dtype=dtype, **(config.phase_params or {}))
     return ReactorParams(
         n_zones=config.n_zones,
         volume_L=arr(config.volume),
@@ -431,6 +460,7 @@ def make_params(config: ReactorConfiguration, dtype=jnp.float32) -> ReactorParam
         particles=particles,
         disinfection=disinfection,
         biofilm=biofilm,
+        phase=phase,
     )
 
 
@@ -533,7 +563,17 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     # end-of-step clip (reactor.py:526-541) lands on the same bound.
     pH = jnp.clip(pH, 0.0, 14.0)
     Cl = jnp.maximum(Cl, 0.0)
-    T = jnp.clip(T, 0.0, 100.0)
+    pp_ph = phi = None
+    if params.phase is not None:
+        # Phase change widens the liquid-only clamp: sub-zero states are
+        # ice (latent-buffered below), and the hot end is capped by the
+        # boil band instead of the 100 C clip (core/phase.py).
+        pp_ph = jax.tree_util.tree_map(lambda x: align_trailing(x, T),
+                                       params.phase)
+        T = jnp.clip(T, pp_ph.t_min, pp_ph.t_boil + pp_ph.delta_boil)
+        phi = phase_mod.ice_fraction(T, pp_ph)
+    else:
+        T = jnp.clip(T, 0.0, 100.0)
 
     # Gas exchange makes total carbonate a per-zone STATE: the buffering
     # capacity and carbonate speciation below must see the dynamic C_T, so
@@ -547,7 +587,14 @@ def derivatives(params: ReactorParams, pH, Cl, T,
 
     # Stratification-modified exchange operator (reactor.py:304-337):
     # density profile -> Richardson per interface -> suppression -> k_iface.
-    rho = spatial_mod.water_density(T)
+    # With phase change on, the Richardson path sees the ICE-WATER mixture
+    # density (ice floats — icy zones stratify buoyantly), and the exchange
+    # itself is throttled by the interface mobility (ice immobilizes;
+    # both are interface-local, so the SPMD halo covers them).
+    if phi is None:
+        rho = spatial_mod.water_density(T)
+    else:
+        rho = phase_mod.effective_density(T, pp_ph)
     supp = spatial_mod.mixing_suppression(
         rho, params.zone_height, params.velocity_scale,
         critical_richardson=params.ri_crit,
@@ -556,6 +603,8 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     )
     k_iface = params.k_exchange[..., None] * supp if jnp.ndim(params.k_exchange) \
         else params.k_exchange * supp
+    if phi is not None:
+        k_iface = k_iface * phase_mod.interface_mobility(phi)
 
     # Dilution rate from the *boundary* inlet flow (reactor.py:336,362).
     q_per_v = (boundary.inlet_flow_rate / 60.0) / params.volume_L
@@ -619,8 +668,35 @@ def derivatives(params: ReactorParams, pH, Cl, T,
     v_m3 = params.volume_L / 1000.0
     heat_rate = boundary.heat_loss_coefficient * params.heat_area_m2 \
         / (c.WATER_DENSITY_20C * c.WATER_CP * v_m3)
-    dT = dT - align_trailing(heat_rate, T) \
+    loss = align_trailing(heat_rate, T) \
         * (T - align_trailing(boundary.ambient_temperature, T))
+    if phi is not None:
+        # --- phase change (core/phase.py; closes reference README.md:523-524
+        #     "Temperature limited to 0-100 C" / "Single-phase only").
+        #     Ice insulates the ambient loss; the free surface loses latent
+        #     heat to Dalton evaporation (blocked by an ice lid); and the
+        #     whole temperature tendency is divided by the apparent heat
+        #     capacity, which carries the latent heat of the freeze/boil
+        #     bands — temperatures PIN at the phase fronts instead of
+        #     integrating through them. ---
+        loss = loss * (1.0 - pp_ph.ice_insulation * phi)
+        if outlet_mask is None:
+            surf_ph = jnp.zeros_like(T).at[..., -1].set(1.0)
+        else:
+            surf_ph = outlet_mask
+        q_evap = phase_mod.evaporative_cooling_flux(
+            T, align_trailing(jnp.asarray(boundary.ambient_temperature), T),
+            align_trailing(jnp.asarray(boundary.ambient_humidity), T),
+            align_trailing(jnp.asarray(boundary.wind_speed), T), pp_ph)
+        a_cross = params.volume_L / 1000.0 \
+            / (params.zone_height * params.n_zones)          # [m^2]
+        evap_rate = q_evap * align_trailing(
+            a_cross / (c.WATER_DENSITY_20C * c.WATER_CP
+                       * (params.zone_volume_L / 1000.0)), T)  # [K/s]
+        sink = loss + evap_rate * (1.0 - phi) * surf_ph
+        dT = (dT - sink) * (1.0 / phase_mod.heat_capacity_ratio(T, pp_ph))
+    else:
+        dT = dT - loss
 
     if nitrogen is None and gas is None and particles is None \
             and disinfection is None and biofilm is None:
@@ -694,6 +770,10 @@ def derivatives(params: ReactorParams, pH, Cl, T,
         kla_surf = gas_mod.kla_temperature(
             gp.kl_surface / align_trailing(params.zone_height, T),
             T, gp.theta_kla) * surf
+        if phi is not None:
+            # an ice lid blocks the surface film (diffused aeration below
+            # the ice keeps working — the bubbles don't care)
+            kla_surf = kla_surf * (1.0 - phi)
         kla_o2 = kla_surf + align_trailing(
             jnp.asarray(boundary.aeration_kla), T)
         r_o2 = kla_o2 * (gas_mod.oxygen_saturation(T) - o2_s)  # [mg/L/s]
@@ -954,12 +1034,20 @@ def _update_derived(state: ReactorState) -> ReactorState:
     )
 
 
-def _enforce_bounds(pH, Cl, T):
-    """Physical bound clipping (reference reactor.py:526-541)."""
+def _enforce_bounds(pH, Cl, T, phase=None):
+    """Physical bound clipping (reference reactor.py:526-541). With the
+    phase axis on, the liquid-only [0, 100] temperature clip widens to
+    [t_min, t_boil + delta_boil] — sub-zero states are ice and the hot end
+    is capped by the boil band's latent heat (core/phase.py)."""
+    if phase is None:
+        t_clip = jnp.clip(T, 0.0, 100.0)
+    else:
+        t_clip = jnp.clip(T, align_trailing(phase.t_min, T),
+                          align_trailing(phase.t_boil + phase.delta_boil, T))
     return (
         jnp.clip(pH, 0.0, 14.0),
         jnp.maximum(Cl, 0.0),
-        jnp.clip(T, 0.0, 100.0),
+        t_clip,
     )
 
 
@@ -1063,7 +1151,7 @@ def step(params: ReactorParams, state: ReactorState,
         out = integrators.integrate_fixed(f, y, dt, substeps)
     else:
         out = integrators.integrate_rkc(f, y, dt, substeps, stages)
-    pH, Cl, T = _enforce_bounds(*out[:3])
+    pH, Cl, T = _enforce_bounds(*out[:3], phase=params.phase)
     n_kw = {}
     if has_gas:
         n_kw = dict(oxygen=jnp.maximum(out[g_sl.start], 0.0),

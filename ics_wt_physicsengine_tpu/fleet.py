@@ -119,7 +119,8 @@ def main_fleet(args) -> None:
             initial_bacteria=M._hpc_to_mgC(getattr(args, "initial_hpc", 500.0))
             if getattr(args, "enable_biofilm", False) else 0.0,
             initial_bdoc=getattr(args, "initial_bdoc", 0.3)
-            if getattr(args, "enable_biofilm", False) else 0.0)
+            if getattr(args, "enable_biofilm", False) else 0.0,
+            enable_phase=getattr(args, "enable_phase", False))
         # Plan the integrator exactly like the single-plant path.
         m, s = IntegratedCSTR(
             config, integrator=args.integrator)._plan_for(args.dt)
@@ -296,7 +297,11 @@ def main_fleet(args) -> None:
         inlet_bacteria=M._hpc_to_mgC(getattr(args, "initial_hpc", 500.0))
         if getattr(args, "enable_biofilm", False) else 0.0,
         inlet_bdoc=getattr(args, "initial_bdoc", 0.3)
-        if getattr(args, "enable_biofilm", False) else 0.0)
+        if getattr(args, "enable_biofilm", False) else 0.0,
+        ambient_temperature=getattr(args, "ambient_temperature", 20.0),
+        ambient_humidity=getattr(args, "ambient_humidity", 0.5),
+        wind_speed=getattr(args, "wind_speed", 0.0),
+        heat_loss_coefficient=getattr(args, "heat_loss_coefficient", 0.0))
         for i in range(n)]
 
     # PHASE 3: sensors are in the batched carries (nothing host-side)
@@ -324,7 +329,9 @@ def main_fleet(args) -> None:
                         extended_disinfection=getattr(
                             args, "enable_disinfection", False),
                         extended_biofilm=getattr(
-                            args, "enable_biofilm", False)),
+                            args, "enable_biofilm", False),
+                        extended_phase=getattr(
+                            args, "enable_phase", False)),
                     server_config, units=units)
             else:
                 slave = ModbusSlave(
@@ -337,7 +344,9 @@ def main_fleet(args) -> None:
                         extended_disinfection=getattr(
                             args, "enable_disinfection", False),
                         extended_biofilm=getattr(
-                            args, "enable_biofilm", False)),
+                            args, "enable_biofilm", False),
+                        extended_phase=getattr(
+                            args, "enable_phase", False)),
                     server_config, units=units)
             # The listener starts AFTER checkpoint restore (below): both
             # planes' register stores accept writes pre-start, and
@@ -379,6 +388,16 @@ def main_fleet(args) -> None:
                     slave.write_holding_register(
                         "inlet_hpc", getattr(args, "initial_hpc", 500.0),
                         unit=u)
+                if getattr(args, "enable_phase", False):
+                    slave.write_holding_register(
+                        "ambient_humidity",
+                        getattr(args, "ambient_humidity", 0.5), unit=u)
+                    slave.write_holding_register(
+                        "wind_speed", getattr(args, "wind_speed", 0.0),
+                        unit=u)
+                    slave.write_holding_register(
+                        "ambient_temperature",
+                        getattr(args, "ambient_temperature", 20.0), unit=u)
                 slave.write_coil("acid_pump_enable", True, unit=u)
                 slave.write_coil("chlorine_pump_enable", True, unit=u)
                 slave.write_coil("simulation_running", True, unit=u)
@@ -660,6 +679,9 @@ def main_fleet(args) -> None:
             regs = regs + ("uv_intensity", "inlet_toc")
         if getattr(args, "enable_biofilm", False):
             regs = regs + ("inlet_bdoc", "inlet_hpc")
+        if getattr(args, "enable_phase", False):
+            regs = regs + ("ambient_humidity", "wind_speed",
+                           "ambient_temperature")
         coils = ("acid_pump_enable", "chlorine_pump_enable",
                  "simulation_running")
         try:

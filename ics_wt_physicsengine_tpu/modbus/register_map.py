@@ -86,7 +86,8 @@ class ModbusRegisterMap:
                  extended_gas: bool = False,
                  extended_particles: bool = False,
                  extended_disinfection: bool = False,
-                 extended_biofilm: bool = False):
+                 extended_biofilm: bool = False,
+                 extended_phase: bool = False):
         """``extended_nitrogen=True`` appends the nitrogen-chemistry
         extension's registers (core/nitrogen.py) at addresses the
         reference map leaves free — the base map stays address-identical
@@ -103,7 +104,11 @@ class ModbusRegisterMap:
         ``extended_biofilm=True`` appends the biofilm/regrowth
         extension's registers (core/biofilm.py): HPC plate-count, BDOC
         and peak wall-film telemetry plus the source-water HPC/BDOC
-        inputs."""
+        inputs. ``extended_phase=True`` appends the phase-change
+        extension's registers (core/phase.py): surface/worst ice-fraction
+        telemetry plus the weather inputs (ambient temperature, relative
+        humidity, wind speed) the freeze/evaporation physics responds
+        to."""
         # Input registers (reference register_map.py:119-244)
         # eu_range values mirror the instruments' measurement ranges
         # (sensor wrappers) and the orchestrator's zero-trust clamps
@@ -201,6 +206,15 @@ class ModbusRegisterMap:
                     "Peak wall-attached biofilm density across zones",
                     eu_range=(0.0, 2000.0)),
             ]
+        if extended_phase:
+            self.input_registers += [
+                _ir(58, "ice_fraction_top", "frac",
+                    "Ice fraction at the surface zone (0 = open water, "
+                    "1 = solid lid)", eu_range=(0.0, 1.0)),
+                _ir(60, "ice_fraction_max", "frac",
+                    "Worst ice fraction across zones",
+                    eu_range=(0.0, 1.0)),
+            ]
 
         # Holding registers (reference register_map.py:246-323)
         self.holding_registers: List[RegisterDefinition] = [
@@ -264,6 +278,18 @@ class ModbusRegisterMap:
                 _hr(30, "inlet_hpc", "CFU/mL",
                     "Source-water heterotrophic plate count",
                     eu_range=(0.0, 1.0e7)),
+            ]
+        if extended_phase:
+            self.holding_registers += [
+                _hr(32, "ambient_humidity", "frac",
+                    "Ambient relative humidity (0-1) for the evaporation "
+                    "model", eu_range=(0.0, 1.0)),
+                _hr(34, "wind_speed", "m/s",
+                    "Wind speed over the free surface",
+                    eu_range=(0.0, 30.0)),
+                _hr(36, "ambient_temperature", "C",
+                    "Ambient air temperature for heat loss / evaporation",
+                    eu_range=(-60.0, 60.0)),
             ]
 
         # Coils (reference register_map.py:325-362)

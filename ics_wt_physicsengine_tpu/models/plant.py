@@ -842,7 +842,10 @@ def plant_rollout_auto(params: PlantParams, plant: PlantState,
     use_fused = (jax.default_backend() == "tpu" and batch < fused_max_batch
                  and z <= 128 and params.reactor.nitrogen is None
                  and params.reactor.gas is None
-                 and params.reactor.particles is None)
+                 and params.reactor.particles is None
+                 and params.reactor.disinfection is None
+                 and params.reactor.biofilm is None
+                 and params.reactor.phase is None)
     if use_fused:
         from ics_wt_physicsengine_tpu.ops.fused_plant import (
             plant_rollout_fused)

@@ -796,11 +796,14 @@ def plant_rollout_fused(params, plant, boundary, *, dt: float,
     if z > _LANES:
         raise ValueError(f"fused plant supports n_zones <= {_LANES}")
     if rparams.nitrogen is not None or rparams.gas is not None \
-            or rparams.particles is not None:
+            or rparams.particles is not None \
+            or rparams.disinfection is not None \
+            or rparams.biofilm is not None or rparams.phase is not None:
         raise ValueError("the fused plant kernel does not support the "
-                         "nitrogen/gas/particle extensions; use the XLA "
-                         "integrated-plant paths (plant_rollout_auto "
-                         "routes there automatically)")
+                         "nitrogen/gas/particle/disinfection/biofilm/"
+                         "phase extensions; use the XLA integrated-plant "
+                         "paths (plant_rollout_auto routes there "
+                         "automatically)")
 
     # -- static per-sensor config (types, zones, delay structure) —
     #    derived from concrete params host-side, passed as hashable statics

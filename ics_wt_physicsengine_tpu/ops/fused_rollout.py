@@ -468,11 +468,13 @@ def rollout_fused(params: R.ReactorParams, state: R.ReactorState,
     interpreter elsewhere (Pallas has no compiled CPU lowering).
     """
     if params.nitrogen is not None or params.gas is not None \
-            or params.particles is not None:
+            or params.particles is not None \
+            or params.disinfection is not None \
+            or params.biofilm is not None or params.phase is not None:
         raise ValueError(
             "the fused physics kernels do not support the nitrogen/gas/"
-            "particle extensions; use core.reactor.rollout / "
-            "rollout_scheduled (XLA)")
+            "particle/disinfection/biofilm/phase extensions; use "
+            "core.reactor.rollout / rollout_scheduled (XLA)")
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -604,11 +606,13 @@ def rollout_scheduled_fused(params: R.ReactorParams, state: R.ReactorState,
     buffer lives on-chip per row tile).
     """
     if params.nitrogen is not None or params.gas is not None \
-            or params.particles is not None:
+            or params.particles is not None \
+            or params.disinfection is not None \
+            or params.biofilm is not None or params.phase is not None:
         raise ValueError(
             "the fused physics kernels do not support the nitrogen/gas/"
-            "particle extensions; use core.reactor.rollout / "
-            "rollout_scheduled (XLA)")
+            "particle/disinfection/biofilm/phase extensions; use "
+            "core.reactor.rollout / rollout_scheduled (XLA)")
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -67,6 +67,12 @@ def test_clarifier_train():
     assert "coagulant sweep" in out and "class split" in out
 
 
+def test_winter_operations():
+    out = _run("winter_operations.py",
+               ["--cpu", "--days", "0.5", "--dt", "600"])
+    assert "hours_of_surface_ice" in out and "plateau_note" in out
+
+
 def test_parameter_estimation():
     out = _run("parameter_estimation.py",
                ["--cpu", "--steps", "60", "--iters", "25"])
