@@ -104,7 +104,8 @@ class OPCUAServer:
 
     def __init__(self, slave, host: str = "0.0.0.0", port: int = 4840,
                  max_connections: int = 32,
-                 idle_timeout_seconds: float = 300.0):
+                 idle_timeout_seconds: float = 300.0,
+                 adaptive_tick_budget_per_s: float = 1250.0):
         self.slave = slave
         self.host = host
         self.port = port
@@ -167,6 +168,23 @@ class OPCUAServer:
         self._next_subscription = 1
         self._lock = threading.Lock()
         self.request_count = 0
+        # Load-adaptive publish shedding. The subscribe plane's cost
+        # driver is the server-wide aggregate sample-tick rate
+        # (sum over subscriptions of 1/interval): the 1000-session load
+        # test measured p99 publish latency of 720 ms against a 1 s
+        # publishing interval at 1000 ticks/s (LOADTEST_r03/r04
+        # _opcua_subscribe.json) — passing, but with only 28% headroom.
+        # Part 4 §5.13.2 lets the server REVISE the requested publishing
+        # interval, so instead of degrading unboundedly past the measured
+        # knee, CreateSubscription/ModifySubscription revise intervals up
+        # whenever the aggregate would exceed this budget, and reject
+        # with Bad_TooManySubscriptions once even the revision cap
+        # (ADAPTIVE_MAX_INTERVAL_S) cannot fit the budget. The default
+        # sits just above the tested 1000 ticks/s operating point, so the
+        # tested scale is served unrevised and anything beyond it sheds
+        # cadence instead of latency.
+        self.adaptive_tick_budget_per_s = float(adaptive_tick_budget_per_s)
+        self._sub_ticks_per_s = 0.0
         # Idle enforcement: handlers stamp activity on complete messages;
         # _serve sweeps (utils/netreap.py — shared with the Modbus plane)
         from ics_wt_physicsengine_tpu.utils.netreap import IdleReaper
@@ -314,6 +332,9 @@ class OPCUAServer:
         finally:
             self._reaper.pop(writer)
             self._n_clients -= 1
+            for sub in state.subscriptions.values():
+                self._sub_ticks_per_s -= 1.0 / sub.interval_s
+            state.subscriptions.clear()
             if state.publisher_task is not None:
                 state.publisher_task.cancel()
             writer.close()
@@ -495,6 +516,8 @@ class OPCUAServer:
             state.activated = False
             state.session_id = None
             if req.delete_subscriptions:
+                for sub in state.subscriptions.values():
+                    self._sub_ticks_per_s -= 1.0 / sub.interval_s
                 state.subscriptions.clear()
             return M.ID_CLOSE_SESSION_RSP, M.CloseSessionResponse(
                 M.ResponseHeader(now, req.header.request_handle))
@@ -617,6 +640,13 @@ class OPCUAServer:
             interval_s = max(self.MIN_PUBLISHING_INTERVAL_S,
                              (req.requested_publishing_interval_ms
                               or 1000.0) / 1000.0)
+            interval_s = self._revise_interval_for_load(
+                interval_s, freed_rate=1.0 / sub.interval_s)
+            if interval_s is None:
+                return self._fault(req.header,
+                                   M.BAD_TOO_MANY_SUBSCRIPTIONS)
+            self._sub_ticks_per_s += (1.0 / interval_s
+                                      - 1.0 / sub.interval_s)
             keepalive = min(max(req.requested_max_keepalive_count, 1),
                             1000)
             lifetime = min(max(req.requested_lifetime_count,
@@ -753,6 +783,8 @@ class OPCUAServer:
             results = []
             for sid in req.subscription_ids:
                 if sid in state.subscriptions:
+                    self._sub_ticks_per_s -= \
+                        1.0 / state.subscriptions[sid].interval_s
                     del state.subscriptions[sid]
                     results.append(M.GOOD)
                 else:
@@ -775,6 +807,34 @@ class OPCUAServer:
     # ------------------------------------------------------------------
 
     MIN_PUBLISHING_INTERVAL_S = 0.05
+    # Ceiling on how far the load-adaptive revision may stretch an
+    # interval before the server refuses outright (a 60 s cadence is the
+    # slowest publish that is still plausibly useful for plant telemetry).
+    ADAPTIVE_MAX_INTERVAL_S = 60.0
+
+    def _revise_interval_for_load(self, interval_s: float,
+                                  freed_rate: float = 0.0):
+        """Revise ``interval_s`` up so the server-wide aggregate sample
+        rate stays within ``adaptive_tick_budget_per_s`` (Part 4 §5.13.2
+        server-revision semantics). ``freed_rate`` is the rate the caller
+        is about to release (ModifySubscription). Returns the revised
+        interval, or None when even ADAPTIVE_MAX_INTERVAL_S cannot fit.
+
+        All mutations of _sub_ticks_per_s happen on the server's single
+        asyncio loop (request handlers, publisher tasks, connection
+        teardown), so reads here are coherent without the lock."""
+        headroom = (self.adaptive_tick_budget_per_s
+                    - self._sub_ticks_per_s + freed_rate)
+        if 1.0 / interval_s <= headroom:
+            return interval_s
+        if headroom <= 1.0 / self.ADAPTIVE_MAX_INTERVAL_S:
+            return None
+        revised = 1.0 / headroom
+        logger.info("OPC UA adaptive revision: %.3f s -> %.3f s "
+                    "(aggregate %.1f ticks/s, budget %.1f)",
+                    interval_s, revised, self._sub_ticks_per_s,
+                    self.adaptive_tick_budget_per_s)
+        return revised
 
     def _create_subscription(self, req: "M.CreateSubscriptionRequest",
                              now: int, state: "_ClientState"):
@@ -783,6 +843,9 @@ class OPCUAServer:
         interval_s = max(self.MIN_PUBLISHING_INTERVAL_S,
                          (req.requested_publishing_interval_ms or 1000.0)
                          / 1000.0)
+        interval_s = self._revise_interval_for_load(interval_s)
+        if interval_s is None:
+            return self._fault(req.header, M.BAD_TOO_MANY_SUBSCRIPTIONS)
         keepalive = min(max(req.requested_max_keepalive_count, 1), 1000)
         lifetime = min(max(req.requested_lifetime_count, 3 * keepalive),
                        100_000)
@@ -794,6 +857,7 @@ class OPCUAServer:
                             req.publishing_enabled, req.priority)
         sub.next_sample = time.monotonic() + interval_s
         state.subscriptions[sub_id] = sub
+        self._sub_ticks_per_s += 1.0 / interval_s
         state.wake.set()     # re-derive the earliest due sample
         if state.publisher_task is None:
             state.publisher_task = asyncio.get_running_loop().create_task(
@@ -1028,6 +1092,8 @@ class OPCUAServer:
                                 logger.info(
                                     "OPC UA subscription %d expired",
                                     sub.id)
+                                self._sub_ticks_per_s -= \
+                                    1.0 / sub.interval_s
                                 del state.subscriptions[sub.id]
                             continue
                     # Deliver pending data whenever a PublishRequest is

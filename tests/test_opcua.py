@@ -1203,3 +1203,57 @@ def test_orchestrator_serves_opcua():
     finally:
         orchestrator.running = False
         thread.join(timeout=30)
+
+
+def test_adaptive_publish_load_shedding():
+    """Load-adaptive publishing-interval revision: past the server's
+    aggregate sample-tick budget, CreateSubscription/ModifySubscription
+    revise intervals up (Part 4 §5.13.2 server-revision semantics) and
+    finally refuse with Bad_TooManySubscriptions — the subscribe plane
+    sheds cadence instead of p99 latency (the 1000-session load test
+    measured the knee this budget guards, LOADTEST_r04_opcua_subscribe)."""
+    slave = ModbusSlave(ModbusRegisterMap(),
+                        ModbusServerConfig(host="127.0.0.1", port=0),
+                        units=[1])
+    server = OPCUAServer(slave, host="127.0.0.1", port=0,
+                         adaptive_tick_budget_per_s=2.5)
+    server.start()
+    try:
+        with OPCUAClient("127.0.0.1", server.actual_port) as c:
+            # Within budget: served at the requested cadence.
+            s1, r1 = c.create_subscription(publishing_interval=1.0)
+            s2, r2 = c.create_subscription(publishing_interval=1.0)
+            assert r1 == pytest.approx(1.0) and r2 == pytest.approx(1.0)
+            # Third 1 Hz subscription would take the aggregate to 3.0
+            # ticks/s > 2.5: revised up to the remaining headroom
+            # (0.5 ticks/s -> 2 s cadence).
+            s3, r3 = c.create_subscription(publishing_interval=1.0)
+            assert r3 == pytest.approx(2.0, rel=1e-6)
+            # Budget exhausted: refused outright.
+            with pytest.raises(OPCUAError, match="0x80770000"):
+                c.create_subscription(publishing_interval=1.0)
+            # Modify frees its own old rate first: re-pacing s3 to 2 s is
+            # a no-op revision, and slowing s1 to 5 s frees headroom...
+            assert c.modify_subscription(s3, publishing_interval=2.0) \
+                == pytest.approx(2.0, rel=1e-6)
+            assert c.modify_subscription(s1, publishing_interval=5.0) \
+                == pytest.approx(5.0, rel=1e-6)
+            # ...that a new subscription can then use (0.8 ticks/s free).
+            s4, r4 = c.create_subscription(publishing_interval=1.25)
+            assert r4 == pytest.approx(1.25, rel=1e-6)
+            # Deleting releases the rate: drop s2 (1 Hz) and the next
+            # 1 Hz create is served unrevised again.
+            c.delete_subscriptions([s2])
+            s5, r5 = c.create_subscription(publishing_interval=1.0)
+            assert r5 == pytest.approx(1.0, rel=1e-6)
+            # The aggregate ledger matches the live set: 1/5 + 1/2 +
+            # 1/1.25 + 1 ticks/s.
+            assert server._sub_ticks_per_s == pytest.approx(
+                0.2 + 0.5 + 0.8 + 1.0, rel=1e-9)
+        # Connection teardown releases everything.
+        deadline = time.time() + 10
+        while time.time() < deadline and server._sub_ticks_per_s > 1e-9:
+            time.sleep(0.05)
+        assert server._sub_ticks_per_s == pytest.approx(0.0, abs=1e-9)
+    finally:
+        server.stop()
