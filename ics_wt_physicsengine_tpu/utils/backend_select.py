@@ -78,17 +78,26 @@ def probe_default_backend(deadline: float = 45.0, retries: int = 2,
 
     ``_code``/``_runner`` are test seams: tests substitute a sleeping child
     to verify the deadline actually fires (tests/test_backend_select.py).
+
+    The deadline ESCALATES per attempt (1x, 2x, 3x...): a healthy-but-slow
+    init (transient host load — observed when the suite saturates the
+    single core) must not burn every retry at the same short deadline and
+    spuriously demote a working accelerator to CPU numbers; a truly wedged
+    tunnel is still bounded by the sum of the escalated deadlines.
     """
     reason = "probe never ran"
     runner = _runner or subprocess.run
     for attempt in range(max(1, retries)):
         t0 = time.monotonic()
+        attempt_deadline = deadline * (attempt + 1)
         try:
             r = runner([sys.executable, "-c", _code or _PROBE_CODE],
-                       capture_output=True, text=True, timeout=deadline)
+                       capture_output=True, text=True,
+                       timeout=attempt_deadline)
         except subprocess.TimeoutExpired:
-            reason = (f"backend probe hit the {deadline:.0f}s deadline "
-                      f"(wedged backend init, attempt {attempt + 1})")
+            reason = (f"backend probe hit the {attempt_deadline:.0f}s "
+                      f"deadline (wedged backend init, attempt "
+                      f"{attempt + 1})")
             log(reason)
             continue
         dt = time.monotonic() - t0

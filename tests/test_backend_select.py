@@ -68,6 +68,24 @@ def test_probe_retries_until_success():
     assert res.ok and len(calls) == 2
 
 
+def test_probe_deadline_escalates_per_attempt():
+    """Retry N gets an N-times-longer deadline: transient host load (a
+    saturated single core slowing a HEALTHY tunnel's init past the base
+    deadline — observed live during a concurrent test-suite run) must not
+    burn every retry at the same short deadline and demote the working
+    accelerator to degraded CPU numbers."""
+    timeouts = []
+
+    def runner(cmd, **kw):
+        timeouts.append(kw.get("timeout"))
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))
+
+    res = probe_default_backend(deadline=7.0, retries=3, _runner=runner)
+    assert not res.ok
+    assert timeouts == [7.0, 14.0, 21.0]
+    assert "21s deadline" in res.reason
+
+
 def test_multi_device_request_never_touches_wedged_default():
     """In a FRESH process whose default backend is the (possibly wedged)
     tunnel — JAX_PLATFORMS is inherited from the container env — a
