@@ -157,9 +157,8 @@ def main():
         print(f"soft sensor assimilated {args.ticks} ticks")
     finally:
         if sim_thread is not None:
-            import ics_wt_physicsengine_tpu.__main__ as orch
-            orch.running = False
-            sim_thread.join(timeout=30)
+            from examples.pid_controller import shutdown_sim
+            shutdown_sim(sim_thread)
 
 
 if __name__ == "__main__":

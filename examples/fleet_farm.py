@@ -34,7 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ics_wt_physicsengine_tpu.modbus import ModbusTcpClient  # noqa: E402
-from examples.pid_controller import PID, free_port  # noqa: E402
+from examples.pid_controller import PID, free_port, shutdown_sim  # noqa: E402
 
 
 def farm(host, port, n_units, iterations, period=0.2, verbose=True):
@@ -130,9 +130,7 @@ def main():
                           "per_unit_residual_control": results}, indent=2))
     finally:
         if sim_thread is not None:
-            import ics_wt_physicsengine_tpu.__main__ as orch
-            orch.running = False
-            sim_thread.join(timeout=20)
+            shutdown_sim(sim_thread)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,30 @@ def free_port(host: str = "127.0.0.1") -> int:
     return port
 
 
+def shutdown_sim(sim_thread, timeout: float = 60.0) -> None:
+    """Stop an in-process simulator thread and, if it will not die,
+    end the interpreter without finalization.
+
+    The self-spawning demos run the orchestrator in a *daemon* thread
+    that spends long stretches inside native XLA code (a cold JIT on a
+    loaded 1-core host can outlast any polite join timeout). If that
+    thread is still alive when CPython starts finalizing, the daemon is
+    torn down at an arbitrary point inside C++ and glibc aborts the
+    whole process ("terminate called ... FATAL: exception not
+    rethrown"). The demo's own work is already done and printed by the
+    time this runs, so when the join times out the safe exit is
+    os._exit: flush the std streams and leave without racing
+    interpreter finalization against a native thread."""
+    import ics_wt_physicsengine_tpu.__main__ as orch
+
+    orch.running = False
+    sim_thread.join(timeout=timeout)
+    if sim_thread.is_alive():
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+
 class PID:
     """Discrete PID with anti-windup clamping."""
 
@@ -181,9 +205,7 @@ def main():
           f"(setpoint {args.ph_setpoint})")
 
     if args.spawn:
-        import ics_wt_physicsengine_tpu.__main__ as orch
-        orch.running = False
-        sim_thread.join(timeout=15)
+        shutdown_sim(sim_thread)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ics_wt_physicsengine_tpu.modbus import ModbusTcpClient  # noqa: E402
-from examples.pid_controller import PID, free_port  # noqa: E402
+from examples.pid_controller import PID, free_port, shutdown_sim  # noqa: E402
 
 CL_OUT_REG = 8          # chlorine_outlet input register
 SIM_TIME_REG = 100      # simulation_time input register
@@ -166,9 +166,7 @@ def main():
         client.close()
     finally:
         if sim_thread is not None:
-            import ics_wt_physicsengine_tpu.__main__ as orch
-            orch.running = False
-            sim_thread.join(timeout=20)
+            shutdown_sim(sim_thread)
 
 
 if __name__ == "__main__":
