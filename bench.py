@@ -411,6 +411,56 @@ def bench_ekf(n_filters=1024, n_steps=256, reps=3):
     return n_filters * n_steps / elapsed
 
 
+def bench_enkf(n_members=8192, n_steps=256, reps=3):
+    """Ensemble Kalman filter (control/enkf.py): one full-state EnKF
+    whose member batch IS the device workload — an 8192-member vmapped
+    plant forecast plus 4 sequential anomaly updates per assimilation
+    cycle, scanned on-device. Reported as member-steps/s (directly
+    comparable with the batched-plant rows: the analysis overhead is
+    what separates them)."""
+    import numpy as np
+
+    from ics_wt_physicsengine_tpu import control as C
+
+    zones = 6
+    config = R.ReactorConfiguration(volume=1000, height=2.0,
+                                    diameter=0.798, n_zones=zones)
+    substeps = R.default_substeps(config, DT)
+    params = R.make_params(config, dtype=jnp.float32)
+    bc = R.BoundaryConditions(inlet_flow_rate=5.0, inlet_pH=7.2,
+                              inlet_chlorine=0.5)
+    taps = [("pH", 0), ("pH", -1), ("chlorine", -1),
+            ("temperature", -1)]
+    enkf_step = C.make_enkf(params, zones, taps, DT, substeps,
+                            measurement_noise=4e-4, inflation=1.02,
+                            localization_radius=2.0)
+    carry = C.make_enkf_carry(
+        R.make_initial_state(config, dtype=jnp.float32),
+        p0=(0.05, 1.0, 4.0), n_zones=zones, n_ensemble=n_members,
+        key=jax.random.PRNGKey(0))
+    base = jnp.asarray([7.2, 7.2, 2.0, 20.0], jnp.float32)
+    zs = base + 0.02 * jax.random.normal(
+        jax.random.PRNGKey(1), (n_steps, len(taps)), jnp.float32)
+
+    def roll(c, z_seq):
+        def body(cc, z):
+            cc, _ = enkf_step(cc, z, bc)
+            return cc, None
+        c, _ = jax.lax.scan(body, c, z_seq)
+        return c
+
+    fn = jax.jit(roll)
+    carry, zs = jax.device_put((carry, zs))
+    c = fn(carry, zs)
+    np.asarray(c.key)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c = fn(c, zs)   # chained: carries feed forward (no result cache)
+    np.asarray(c.key)
+    elapsed = (time.perf_counter() - t0) / reps
+    return n_members * n_steps / elapsed
+
+
 def bench_hw_prng_stats(n_plants=1024, n_steps=1024):
     """Statistical validation of the PRODUCTION TPU PRNG path (VERDICT r2
     item 6): the fused plant kernel's in-kernel randomness (``rng='hw'``:
@@ -609,7 +659,9 @@ def main():
     closed_loop, n_cl_gains = bench_closed_loop()
     _log(f"closed_loop={closed_loop:.3g}; starting ekf")
     ekf_rate = bench_ekf()
-    _log(f"ekf={ekf_rate:.3g}; starting hw-prng stats")
+    _log(f"ekf={ekf_rate:.3g}; starting enkf")
+    enkf_rate = bench_enkf()
+    _log(f"enkf={enkf_rate:.3g}; starting hw-prng stats")
     hw_prng = bench_hw_prng_stats()
     _log("all sections done")
     print(json.dumps({
@@ -642,6 +694,8 @@ def main():
             "ekf_filter_steps_per_sec": round(ekf_rate, 1),
             "ekf_n_filters": 1024,
             "ekf_state_dim": 18,
+            "enkf_member_steps_per_sec": round(enkf_rate, 1),
+            "enkf_n_members": 8192,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             **(hw_prng or {}),

@@ -22,6 +22,9 @@ Layers:
   - ``ekf``: full-state extended Kalman filter — reconstructs every
     zone (measured or not) from the boundary taps, with the plant's own
     ``jax.jacfwd`` Jacobian as the process model.
+  - ``enkf``: ensemble Kalman filter — the same full-state estimate by
+    Monte-Carlo: a vmapped member batch replaces the Jacobian and the
+    explicit covariance, scaling to state sizes where O(n²) won't.
 
 The external HIL path (a real controller over Modbus/TCP) is unchanged —
 this package is for tuning/designing those controllers before deployment.
@@ -36,6 +39,12 @@ from ics_wt_physicsengine_tpu.control.closed_loop import (
     observe_true,
     rollout_closed_loop,
     validate_commands,
+)
+from ics_wt_physicsengine_tpu.control.enkf import (
+    EnKFCarry,
+    ensemble_spread,
+    make_enkf,
+    make_enkf_carry,
 )
 from ics_wt_physicsengine_tpu.control.ekf import (
     EKFCarry,
@@ -92,4 +101,5 @@ __all__ = [
     "EKFCarry", "ekf_observer", "flatten_state", "make_augmented_carry",
     "make_augmented_ekf", "make_ekf", "make_ekf_carry",
     "nis_fault_monitor", "tap_index", "tss_index", "unflatten_state",
+    "EnKFCarry", "ensemble_spread", "make_enkf", "make_enkf_carry",
 ]
