@@ -85,6 +85,13 @@ def test_zone_sharded_highres():
     assert "zones" in out.lower()
 
 
+def test_enkf_highres():
+    out = _run("enkf_highres.py",
+               ["--cpu", "--zones", "16", "--members", "32",
+                "--steps", "10"])
+    assert "OK" in out and "NOT CONVERGED" not in out
+
+
 def test_dosing_program_hil():
     out = _run("dosing_program_hil.py", ["--cpu", "--hours", "0.05"])
     assert out.strip()
