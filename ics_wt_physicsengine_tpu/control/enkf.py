@@ -34,7 +34,10 @@ Design notes (TPU):
 - Perturbed observations (stochastic EnKF, Burgers/van Leeuwen/Evensen
   1998) with CENTERED perturbations: the per-member observation noise
   is drawn once per channel per step and its ensemble mean subtracted,
-  removing the O(1/√N) bias in the posterior mean.
+  removing the O(1/√N) bias in the posterior mean; the centered draws
+  are rescaled by sqrt(N/(N-1)) so their sample variance is exactly R
+  (and the process draws exactly Q), not the (N-1)/N-deflated value
+  plain centering leaves behind.
 - Multiplicative inflation and Gaspari-Cohn zone localization are
   built in — the standard small-ensemble rank/spurious-correlation
   fixes, both elementwise (cheap) on TPU.
@@ -71,6 +74,9 @@ def make_enkf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
     :func:`ekf.make_ekf_carry`'s convention (scalar variance, or one
     per field broadcast across its zones) — then clipped to the
     physical bounds so no member starts outside the plant's domain."""
+    if n_ensemble < 2:
+        raise ValueError(f"n_ensemble must be >= 2 (anomaly statistics "
+                         f"divide by N-1), got {n_ensemble}")
     nitrogen = state0.ammonia is not None
     gas = state0.oxygen is not None
     biofilm = state0.bacteria is not None
@@ -99,6 +105,15 @@ def make_enkf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
     lo, hi = _flat_bounds(n_zones, nitrogen, gas, biofilm, n_cls,
                           x0.dtype)
     ens = jnp.clip(x0[None, :] + pert * jnp.sqrt(diag)[None, :], lo, hi)
+    # Clipping a bound-adjacent guess with wide p0 shifts the ensemble
+    # mean away from x0 one-sidedly. Pull the mean back and re-clip; a
+    # few fixed passes converge the mean onto x0 whenever that is
+    # feasible (it is not when x0 sits ON a bound — any spread then
+    # forces the mean strictly inside, and the loop settles on the
+    # closest feasible mean instead).
+    for _ in range(4):
+        ens = jnp.clip(ens + (x0 - jnp.mean(ens, axis=0))[None, :],
+                       lo, hi)
     return EnKFCarry(ensemble=ens, key=key)
 
 
@@ -222,8 +237,12 @@ def make_enkf(params: R.ReactorParams, n_zones: int,
         # -- forecast: full nonlinear plant on every member, plus
         #    additive model-error noise matching the EKF's Q
         ens = f_ens(ens, boundary)
+        # Centered draws leave the mean untouched but shrink the sample
+        # variance to (N-1)/N of nominal; the sqrt(N/(N-1)) factor
+        # restores the anomaly variance to exactly Q.
+        resc = jnp.sqrt(n_ens / (n_ens - 1.0)).astype(ens.dtype)
         w = jax.random.normal(k_q, ens.shape, ens.dtype)
-        w = w - jnp.mean(w, axis=0)            # centered: mean untouched
+        w = (w - jnp.mean(w, axis=0)) * resc   # centered, variance Q
         ens = ens + w * q_std[None, :].astype(ens.dtype)
         # -- analysis: sequential scalar updates, perturbed observations
         z = jnp.asarray(z)
@@ -245,7 +264,7 @@ def make_enkf(params: R.ReactorParams, n_zones: int,
             finite = jnp.isfinite(zk)
             zs = jnp.where(finite, zk, 0.0)
             eps = eps_all[k] * jnp.sqrt(r[k])
-            eps = eps - jnp.mean(eps)                  # centered
+            eps = (eps - jnp.mean(eps)) * resc         # centered, var R
             innov = jnp.where(finite, (zs + eps) - hx, 0.0)   # [N]
             ens = ens + innov[:, None] * gain[None, :]
             innovations.append(jnp.where(finite, zs - hx_m, jnp.nan))
