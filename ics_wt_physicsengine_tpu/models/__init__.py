@@ -21,3 +21,13 @@ from ics_wt_physicsengine_tpu.models.plant import (  # noqa: F401
     plant_step,
     plant_step_batched,
 )
+from ics_wt_physicsengine_tpu.models.surrogate import (  # noqa: F401
+    SurrogateParams,
+    fit_plant_surrogate,
+    make_surrogate_dataset,
+    run_mpc_surrogate,
+    surrogate_mpc_plan,
+    surrogate_rollout,
+    surrogate_step,
+    train_surrogate,
+)
