@@ -461,6 +461,90 @@ def bench_enkf(n_members=8192, n_steps=256, reps=3):
     return n_members * n_steps / elapsed
 
 
+def bench_surrogate(n_batch=65536, n_steps=256, reps=3,
+                    train_steps=200):
+    """Learned plant surrogate (models/surrogate.py): the one workload
+    in this framework whose inner loop is matmuls — i.e. MXU work
+    (every physics row above is VPU stencil math). Two rows:
+
+    - inference: a [n_batch]-plant batch scanned n_steps through the
+      (128,128) residual MLP in bfloat16-compute (f32 accumulate), the
+      scenario-screening shape;
+    - training: Adam steps of the one-step regression at batch 2048,
+      the model-refresh shape.
+
+    Throughput numbers use random weights (identical FLOPs to trained
+    ones); accuracy is covered by tests/test_surrogate.py."""
+    import numpy as np
+
+    from ics_wt_physicsengine_tpu.models import surrogate as SG
+
+    zones = 6
+    n = 3 * zones
+    m = 1
+    key = jax.random.PRNGKey(0)
+    ws = list(SG._init_mlp(key, (n + m, 128, 128, n)))
+    # un-zero the output layer so the benched network is the real
+    # dataflow, not a constant-folding target
+    ws[-2] = 0.01 * jax.random.normal(jax.random.fold_in(key, 9),
+                                      ws[-2].shape, jnp.float32)
+    from ics_wt_physicsengine_tpu.control.ekf import _flat_bounds
+    lo, hi = _flat_bounds(zones, False, False, False, 0, jnp.float32)
+    sp = SG.SurrogateParams(
+        weights=tuple(ws),
+        x_mean=jnp.concatenate([jnp.full(zones, 7.0), jnp.full(zones, 2.0),
+                                jnp.full(zones, 20.0)]),
+        x_std=jnp.concatenate([jnp.full(zones, 0.7), jnp.full(zones, 1.0),
+                               jnp.full(zones, 5.0)]),
+        u_scale=jnp.ones(m), r_mean=jnp.zeros(n),
+        r_std=jnp.full(n, 1e-2), lo=lo, hi=hi)
+
+    x0 = sp.x_mean + 0.3 * sp.x_std * jax.random.normal(
+        jax.random.fold_in(key, 1), (n_batch, n), jnp.float32)
+    us = 0.5 * jax.random.uniform(jax.random.fold_in(key, 2),
+                                  (n_steps, m), jnp.float32)
+
+    def roll(x, us):
+        def body(x, u):
+            x = SG.surrogate_step(sp, x, u, compute_dtype=jnp.bfloat16)
+            return x, None
+        x, _ = jax.lax.scan(body, x, us)
+        return x
+
+    fn = jax.jit(roll)
+    x0, us = jax.device_put((x0, us))
+    x = fn(x0, us)
+    np.asarray(x[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = fn(x, us)   # chained: states feed forward (no result cache)
+    np.asarray(x[0])
+    infer = n_batch * n_steps * reps / (time.perf_counter() - t0)
+
+    # training throughput: physics-free synthetic transitions of the
+    # right shape (Adam step cost is data-independent)
+    X = sp.x_mean + sp.x_std * jax.random.normal(
+        jax.random.fold_in(key, 3), (64, 65, n), jnp.float32)
+    U = jax.random.uniform(jax.random.fold_in(key, 4), (64, 64, m),
+                           jnp.float32)
+    t0 = time.perf_counter()
+    sp1, _ = SG.train_surrogate(X, U, zones, jax.random.PRNGKey(1),
+                                hidden=(128, 128), n_steps=train_steps,
+                                batch_size=2048, rollout_steps=0,
+                                compute_dtype=jnp.bfloat16)
+    jax.block_until_ready(sp1.weights)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sp2, _ = SG.train_surrogate(X, U, zones, jax.random.PRNGKey(2),
+                                hidden=(128, 128), n_steps=train_steps,
+                                batch_size=2048, rollout_steps=0,
+                                compute_dtype=jnp.bfloat16)
+    jax.block_until_ready(sp2.weights)
+    t_second = time.perf_counter() - t0
+    train = train_steps / min(t_first, t_second)
+    return infer, train
+
+
 def bench_hw_prng_stats(n_plants=1024, n_steps=1024):
     """Statistical validation of the PRODUCTION TPU PRNG path (VERDICT r2
     item 6): the fused plant kernel's in-kernel randomness (``rng='hw'``:
@@ -661,7 +745,10 @@ def main():
     ekf_rate = bench_ekf()
     _log(f"ekf={ekf_rate:.3g}; starting enkf")
     enkf_rate = bench_enkf()
-    _log(f"enkf={enkf_rate:.3g}; starting hw-prng stats")
+    _log(f"enkf={enkf_rate:.3g}; starting surrogate")
+    surrogate_rate, surrogate_train_rate = bench_surrogate()
+    _log(f"surrogate={surrogate_rate:.3g} "
+         f"train={surrogate_train_rate:.3g}; starting hw-prng stats")
     hw_prng = bench_hw_prng_stats()
     _log("all sections done")
     print(json.dumps({
@@ -696,6 +783,10 @@ def main():
             "ekf_state_dim": 18,
             "enkf_member_steps_per_sec": round(enkf_rate, 1),
             "enkf_n_members": 8192,
+            "surrogate_steps_per_sec": round(surrogate_rate, 1),
+            "surrogate_n_batch": 65536,
+            "surrogate_train_steps_per_sec": round(surrogate_train_rate, 1),
+            "surrogate_compute_dtype": "bfloat16",
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             **(hw_prng or {}),
