@@ -291,3 +291,10 @@ def test_mpc_dosing():
                 "--output-feedback"])
     assert '"mpc_beats_pid"' in out
     assert '"score_ISE_vs_truth"' in out
+
+def test_surrogate_mpc():
+    out = _run("surrogate_mpc.py",
+               ["--cpu", "--traj", "48", "--minutes", "15",
+                "--train-steps", "400", "--rollout-steps", "50"])
+    assert "one_step_skill_vs_identity" in out
+    assert "surrogate_mpc" in out and "physics_mpc" in out
