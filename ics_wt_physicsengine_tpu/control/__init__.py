@@ -25,6 +25,10 @@ Layers:
   - ``enkf``: ensemble Kalman filter — the same full-state estimate by
     Monte-Carlo: a vmapped member batch replaces the Jacobian and the
     explicit covariance, scaling to state sizes where O(n²) won't.
+  - ``mhe``: moving-horizon estimation — the optimization member of
+    the ladder: each tick re-solves the window-start state by Adam
+    through the nonlinear N-step rollout (hard bounds respected in
+    the optimization, smoothing re-interprets past measurements).
 
 The external HIL path (a real controller over Modbus/TCP) is unchanged —
 this package is for tuning/designing those controllers before deployment.
@@ -58,6 +62,11 @@ from ics_wt_physicsengine_tpu.control.ekf import (
     tap_index,
     tss_index,
     unflatten_state,
+)
+from ics_wt_physicsengine_tpu.control.mhe import (
+    MHECarry,
+    make_mhe,
+    make_mhe_carry,
 )
 from ics_wt_physicsengine_tpu.control.estimator import (
     KalmanCarry,
@@ -102,4 +111,5 @@ __all__ = [
     "make_augmented_ekf", "make_ekf", "make_ekf_carry",
     "nis_fault_monitor", "tap_index", "tss_index", "unflatten_state",
     "EnKFCarry", "ensemble_spread", "make_enkf", "make_enkf_carry",
+    "MHECarry", "make_mhe", "make_mhe_carry",
 ]
