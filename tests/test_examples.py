@@ -298,3 +298,11 @@ def test_surrogate_mpc():
                 "--train-steps", "400", "--rollout-steps", "50"])
     assert "one_step_skill_vs_identity" in out
     assert "surrogate_mpc" in out and "physics_mpc" in out
+
+def test_surrogate_from_historian():
+    out = _run("surrogate_from_historian.py",
+               ["--cpu", "--lanes", "8", "--steps", "120", "--burn",
+                "20", "--train-steps", "400", "--rollout-steps", "50",
+                "--mpc-minutes", "0"], timeout=600)
+    assert "ekf_midzone_cl_rmse_mgL" in out
+    assert "true_one_step_skill_vs_identity" in out
