@@ -196,3 +196,25 @@ def test_training_is_deterministic(trained):
                                  batch_size=64)
     for wa, wb in zip(sp_a.weights, sp_b.weights):
         np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+
+def test_extension_axes_supported():
+    """The surrogate layout follows the EKF flat vector generically:
+    a nitrogen+gas plant (11 fields x zones) datasets, trains, and
+    steps with finite in-domain predictions."""
+    config = dataclasses.replace(_config(), enable_nitrogen=True,
+                                 enable_gas=True,
+                                 initial_ammonia=0.5)
+    params = R.make_params(config, dtype=jnp.float32)
+    substeps = R.default_substeps(config, DT)
+    X, U = SG.make_surrogate_dataset(
+        params, Z, R.BoundaryConditions(), jax.random.PRNGKey(0),
+        8, 12, DT, substeps)
+    n = 9 * Z   # pH|Cl|T + 4 nitrogen + O2|C_T
+    assert X.shape == (8, 13, n)
+    sp, info = SG.train_surrogate(
+        X, U, Z, jax.random.PRNGKey(1), hidden=(32,), n_steps=100,
+        batch_size=64, rollout_steps=0, nitrogen=True, gas=True)
+    pred = SG.surrogate_step(sp, X[0, 0], U[0, 0])
+    assert pred.shape == (n,)
+    assert bool(jnp.all(jnp.isfinite(pred)))
+    assert bool(jnp.all(pred >= sp.lo) and jnp.all(pred <= sp.hi))
