@@ -48,9 +48,7 @@ Design notes (TPU):
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax
