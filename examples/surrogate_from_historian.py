@@ -95,6 +95,10 @@ def main():
 
     dt = 30.0
     L, S, B = args.lanes, args.steps, args.burn
+    if not 1 <= B < S:
+        raise SystemExit(f"--burn must be in [1, --steps) — the slice "
+                         f"Xhat[:, burn-1:] needs burn >= 1 (got "
+                         f"burn={B}, steps={S})")
     Z = args.zones
     config = R.ReactorConfiguration(
         volume=1000.0, n_zones=Z, flow_rate=5.0, initial_pH=7.2,

@@ -165,6 +165,33 @@ def tss_index(cls: int, zone: int, n_zones: int, n_classes: int,
     return base + (cls % n_classes) * n_zones + (zone % n_zones)
 
 
+def field_diag(values: Sequence[float] | float, n_zones: int,
+               nitrogen: bool, gas: bool, biofilm: bool, n_cls: int,
+               dtype, what: str = "p0") -> jnp.ndarray:
+    """Per-field values -> flat-state diagonal (the shared p0/prior
+    convention of make_ekf_carry / make_enkf_carry / make_mhe): a
+    scalar broadcasts everywhere; a per-field vector (core fields +
+    enabled species[, + (tss, sludge) when particles are on]) repeats
+    across each field's zones, the tss entry across every class x zone
+    and the sludge entry across the per-class inventory."""
+    n_fields = len(state_fields(nitrogen, gas, biofilm))
+    n = n_fields * n_zones + n_cls * n_zones + n_cls
+    arr = jnp.asarray(values, dtype)
+    if arr.ndim == 0:
+        return jnp.full(n, arr, dtype)
+    want = n_fields + (2 if n_cls else 0)
+    if arr.shape != (want,):
+        raise ValueError(f"{what} needs {want} per-field entries "
+                         f"(or a scalar), got {arr.shape}")
+    diag = jnp.repeat(arr[:n_fields].astype(dtype), n_zones)
+    if n_cls:
+        diag = jnp.concatenate([
+            diag,
+            jnp.full(n_cls * n_zones, arr[n_fields], dtype),
+            jnp.full(n_cls, arr[n_fields + 1], dtype)])
+    return diag
+
+
 def make_ekf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
                    n_zones: int) -> EKFCarry:
     """Initial carry from a (possibly wrong) state guess.
@@ -178,23 +205,10 @@ def make_ekf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
     gas = state0.oxygen is not None
     biofilm = state0.bacteria is not None
     n_cls = _n_classes(state0)
-    n_fields = len(state_fields(nitrogen, gas, biofilm))
     x0 = flatten_state(state0)
-    n = n_fields * n_zones + n_cls * n_zones + n_cls
-    p0_arr = jnp.asarray(p0, x0.dtype)
-    if p0_arr.ndim == 0:
-        diag = jnp.full(n, p0_arr, x0.dtype)
-    else:
-        want = n_fields + (2 if n_cls else 0)
-        if p0_arr.shape != (want,):
-            raise ValueError(f"p0 needs {want} per-field entries "
-                             f"(or a scalar), got {p0_arr.shape}")
-        diag = jnp.repeat(p0_arr[:n_fields].astype(x0.dtype), n_zones)
-        if n_cls:
-            diag = jnp.concatenate([
-                diag,
-                jnp.full(n_cls * n_zones, p0_arr[n_fields], x0.dtype),
-                jnp.full(n_cls, p0_arr[n_fields + 1], x0.dtype)])
+    n = x0.shape[-1]
+    diag = field_diag(p0, n_zones, nitrogen, gas, biofilm, n_cls,
+                      x0.dtype)
     P0 = jnp.zeros(x0.shape + (n,), x0.dtype) + jnp.diag(diag)
     return EKFCarry(x=x0, P=P0)
 
@@ -286,7 +300,10 @@ def make_ekf(params: R.ReactorParams, n_zones: int,
         # scales the self-transition F(i,i) below 1 and the predict then
         # shrinks P(i,i) by its square every step — the same collapse by
         # another road (see ste_clip's docstring).
-        x = ste_clip(x, lo, hi)
+        # bounds cast to x's dtype: a weakly-typed f64 state (e.g. built
+        # from jnp.full(..., 7.0) leaves) would otherwise be silently
+        # demoted to f32 by JAX's weak+strong promotion rule here
+        x = ste_clip(x, lo.astype(x.dtype), hi.astype(x.dtype))
         st = unflatten_state(x, n_zones, nitrogen=nitrogen, gas=gas,
                              biofilm=biofilm, n_classes=n_cls)
         st2 = R.step(params, st, boundary, dt, substeps, stages=stages)
@@ -492,7 +509,9 @@ def make_augmented_ekf(params: R.ReactorParams, n_zones: int,
         # same straight-through bound pre-clip as make_ekf (see comment
         # there); theta stays unclipped — parameters have no physical
         # clamp in the plant model
-        st = unflatten_state(ste_clip(x[..., :n_core], lo, hi), n_zones,
+        st = unflatten_state(ste_clip(x[..., :n_core],
+                                      lo.astype(x.dtype),
+                                      hi.astype(x.dtype)), n_zones,
                              nitrogen=nitrogen, gas=gas, biofilm=biofilm,
                              n_classes=n_cls)
         st2 = R.step(params, st, bc, dt, substeps, stages=stages)

@@ -34,10 +34,12 @@ Design notes (TPU):
 - Perturbed observations (stochastic EnKF, Burgers/van Leeuwen/Evensen
   1998) with CENTERED perturbations: the per-member observation noise
   is drawn once per channel per step and its ensemble mean subtracted,
-  removing the O(1/√N) bias in the posterior mean; the centered draws
-  are rescaled by sqrt(N/(N-1)) so their sample variance is exactly R
-  (and the process draws exactly Q), not the (N-1)/N-deflated value
-  plain centering leaves behind.
+  removing the O(1/√N) bias in the posterior mean. Note on variance
+  conventions: every anomaly statistic in this filter divides by N-1,
+  and under THAT convention centered draws are already unbiased
+  (E[Σ(w-w̄)²/(N-1)] = σ² exactly) — no sqrt(N/(N-1)) rescale is
+  applied, because the (N-1)/N "deflation" only exists under the
+  divisor-N convention this filter does not use.
 - Multiplicative inflation and Gaspari-Cohn zone localization are
   built in — the standard small-ensemble rank/spurious-correlation
   fixes, both elementwise (cheap) on TPU.
@@ -54,7 +56,7 @@ import numpy as np
 
 from ics_wt_physicsengine_tpu.core import reactor as R
 from ics_wt_physicsengine_tpu.control.ekf import (
-    _flat_bounds, _tap_row, flatten_state, state_fields,
+    _flat_bounds, _tap_row, field_diag, flatten_state, state_fields,
     unflatten_state)
 
 
@@ -82,23 +84,10 @@ def make_enkf_carry(state0: R.ReactorState, p0: Sequence[float] | float,
     biofilm = state0.bacteria is not None
     tss = getattr(state0, "tss", None)
     n_cls = 0 if tss is None else tss.shape[-2]
-    n_fields = len(state_fields(nitrogen, gas, biofilm))
     x0 = flatten_state(state0)
-    n = n_fields * n_zones + n_cls * n_zones + n_cls
-    p0_arr = jnp.asarray(p0, x0.dtype)
-    if p0_arr.ndim == 0:
-        diag = jnp.full(n, p0_arr, x0.dtype)
-    else:
-        want = n_fields + (2 if n_cls else 0)
-        if p0_arr.shape != (want,):
-            raise ValueError(f"p0 needs {want} per-field entries "
-                             f"(or a scalar), got {p0_arr.shape}")
-        diag = jnp.repeat(p0_arr[:n_fields].astype(x0.dtype), n_zones)
-        if n_cls:
-            diag = jnp.concatenate([
-                diag,
-                jnp.full(n_cls * n_zones, p0_arr[n_fields], x0.dtype),
-                jnp.full(n_cls, p0_arr[n_fields + 1], x0.dtype)])
+    n = x0.shape[-1]
+    diag = field_diag(p0, n_zones, nitrogen, gas, biofilm, n_cls,
+                      x0.dtype)
     key, sub = jax.random.split(key)
     pert = jax.random.normal(sub, (n_ensemble, n), x0.dtype)
     pert = pert - jnp.mean(pert, axis=0)        # centered: mean == x0
@@ -222,7 +211,7 @@ def make_enkf(params: R.ReactorParams, n_zones: int,
         # make_ekf's f_flat) does not apply — but an out-of-bounds
         # member must be pulled back before stepping, or step()'s own
         # hard clamps would bias the forecast anomalies one-sidedly.
-        x = jnp.clip(x, lo, hi)
+        x = jnp.clip(x, lo.astype(x.dtype), hi.astype(x.dtype))
         st = unflatten_state(x, n_zones, nitrogen=nitrogen, gas=gas,
                              biofilm=biofilm, n_classes=n_cls)
         st2 = R.step(params, st, boundary, dt, substeps, stages=stages)
@@ -237,12 +226,12 @@ def make_enkf(params: R.ReactorParams, n_zones: int,
         # -- forecast: full nonlinear plant on every member, plus
         #    additive model-error noise matching the EKF's Q
         ens = f_ens(ens, boundary)
-        # Centered draws leave the mean untouched but shrink the sample
-        # variance to (N-1)/N of nominal; the sqrt(N/(N-1)) factor
-        # restores the anomaly variance to exactly Q.
-        resc = jnp.sqrt(n_ens / (n_ens - 1.0)).astype(ens.dtype)
+        # Centered draws leave the mean untouched; under the filter's
+        # N-1 anomaly convention their sample covariance is already an
+        # unbiased estimate of Q (no rescale — a sqrt(N/(N-1)) factor
+        # would inflate it to N/(N-1)·Q under this convention).
         w = jax.random.normal(k_q, ens.shape, ens.dtype)
-        w = (w - jnp.mean(w, axis=0)) * resc   # centered, variance Q
+        w = w - jnp.mean(w, axis=0)            # centered: mean untouched
         ens = ens + w * q_std[None, :].astype(ens.dtype)
         # -- analysis: sequential scalar updates, perturbed observations
         z = jnp.asarray(z)
@@ -264,7 +253,7 @@ def make_enkf(params: R.ReactorParams, n_zones: int,
             finite = jnp.isfinite(zk)
             zs = jnp.where(finite, zk, 0.0)
             eps = eps_all[k] * jnp.sqrt(r[k])
-            eps = (eps - jnp.mean(eps)) * resc         # centered, var R
+            eps = eps - jnp.mean(eps)                  # centered
             innov = jnp.where(finite, (zs + eps) - hx, 0.0)   # [N]
             ens = ens + innov[:, None] * gain[None, :]
             innovations.append(jnp.where(finite, zs - hx_m, jnp.nan))

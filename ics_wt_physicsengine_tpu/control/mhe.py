@@ -56,10 +56,11 @@ import jax.numpy as jnp
 
 from ics_wt_physicsengine_tpu.core import reactor as R
 from ics_wt_physicsengine_tpu.control.ekf import (_flat_bounds, _tap_row,
+                                                  field_diag,
                                                   flatten_state,
                                                   state_fields,
                                                   unflatten_state)
-from ics_wt_physicsengine_tpu.control.pid import ste_clip
+from ics_wt_physicsengine_tpu.control.pid import st_clip
 
 
 @jax.tree_util.register_dataclass
@@ -70,8 +71,7 @@ class MHECarry:
     x0: jnp.ndarray         # estimate of the state at window START
 
 
-def make_mhe_carry(state0: R.ReactorState, n_zones: int, horizon: int,
-                   n_taps: int,
+def make_mhe_carry(state0: R.ReactorState, horizon: int, n_taps: int,
                    boundary: R.BoundaryConditions) -> MHECarry:
     """Initial carry from a (possibly wrong) state guess; the window
     pre-fills with NaN measurements (all-masked) and ``boundary``."""
@@ -127,28 +127,22 @@ def make_mhe(params: R.ReactorParams, n_zones: int,
     m = len(idxs)
     r = jnp.broadcast_to(jnp.asarray(measurement_noise, jnp.float32),
                          (m,))
-    p_field = jnp.asarray(prior_variance, jnp.float32)
-    if p_field.ndim == 0:
-        p_diag = jnp.full(n, p_field, jnp.float32)
-    else:
-        want = n_fields + (2 if n_cls else 0)
-        if p_field.shape != (want,):
-            raise ValueError(f"prior_variance needs {want} per-field "
-                             f"entries (or a scalar), got "
-                             f"{p_field.shape}")
-        p_diag = jnp.repeat(p_field[:n_fields], n_zones)
-        if n_cls:
-            p_diag = jnp.concatenate([
-                p_diag, jnp.full(n_cls * n_zones, p_field[n_fields],
-                                 jnp.float32),
-                jnp.full(n_cls, p_field[n_fields + 1], jnp.float32)])
+    p_diag = field_diag(prior_variance, n_zones, nitrogen, gas, biofilm,
+                        n_cls, jnp.float32, what="prior_variance")
     lo, hi = _flat_bounds(n_zones, nitrogen, gas, biofilm, n_cls,
                           jnp.float32)
 
     def step_flat(x, bc):
-        # straight-through bounds: the optimizer feels the pull back
-        # into the domain but the plant always steps an in-domain state
-        x = ste_clip(x, lo, hi)
+        # Leaky straight-through bounds (the MPC's st_clip — MHE
+        # differentiates the same multi-step recurrent rollout shape,
+        # where a full-STE tangent can grow unstably): the plant always
+        # steps an in-domain state, an out-of-bounds iterate keeps a
+        # leak-scaled escape gradient instead of a dead zone, and the
+        # arrival cost supplies the restoring pull.
+        # bounds cast to x's dtype: a weakly-typed f64 state would
+        # otherwise be demoted to f32 by weak+strong promotion, and the
+        # integrator scan's carry dtype would flip mid-trace
+        x = st_clip(x, lo.astype(x.dtype), hi.astype(x.dtype))
         st = unflatten_state(x, n_zones, nitrogen=nitrogen, gas=gas,
                              biofilm=biofilm, n_classes=n_cls)
         st2 = R.step(params, st, bc, dt, substeps, stages=stages)

@@ -300,6 +300,13 @@ def train_surrogate(X: jnp.ndarray, U: jnp.ndarray, n_zones: int,
     controls = tuple(controls)
     T, S1, n = X.shape
     S = S1 - 1
+    if S < 1:
+        raise ValueError(f"X needs >= 2 ticks per trajectory for "
+                         f"transition pairs, got shape {X.shape}")
+    if U.ndim != 3 or U.shape[:2] != (T, S):
+        raise ValueError(f"U must be [{T}, {S}, m] to pair with X "
+                         f"{X.shape} (X[:, k] + U[:, k] -> X[:, k+1]); "
+                         f"got {U.shape}")
     m = U.shape[-1]
     dtype = X.dtype
 

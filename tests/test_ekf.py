@@ -679,3 +679,24 @@ def test_ekf_escapes_zero_film_prior():
     # with the collapse bug: B_est ~ 0 and P_BB ~ q*dt*steps ~ 2e-3
     assert float(x_hat[i_b]) > 50.0, float(x_hat[i_b])
     assert float(carry.P[i_b, i_b]) > 1e3, float(carry.P[i_b, i_b])
+
+def test_weak_typed_f64_state_stays_f64():
+    """make_ekf_carry from weakly-typed float64 leaves (jnp.full with
+    Python floats) must filter in float64 — the f32 bound constants in
+    the pre-clip would otherwise silently demote the whole filter via
+    weak+strong promotion."""
+    import jax.numpy as jnp
+
+    config, params, substeps, boundary = _plant()
+    st0 = R.make_initial_state(config, dtype=jnp.float64)
+    guess = R.ReactorState(
+        time=st0.time, pH=jnp.full(Z, 7.0), chlorine=jnp.full(Z, 0.5),
+        temperature=jnp.full(Z, 17.0),
+        flow_rate=st0.flow_rate).update_derived()
+    ekf_step = make_ekf(params, Z, TAPS, DT, substeps,
+                        measurement_noise=(SIGMA ** 2).tolist())
+    carry = make_ekf_carry(guess, p0=(0.05, 1.0, 4.0), n_zones=Z)
+    z = jnp.asarray(np.array([7.2, 7.4, 1.8, 19.5]))
+    carry2, x = ekf_step(carry, z, boundary)
+    assert x.dtype == jnp.float64
+    assert carry2.P.dtype == jnp.float64

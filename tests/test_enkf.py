@@ -160,8 +160,7 @@ def test_all_nan_step_skips_update_exactly():
 
     ens = jax.vmap(f)(carry.ensemble)
     w = jax.random.normal(k_q, ens.shape, ens.dtype)
-    resc = jnp.sqrt(N_ENS / (N_ENS - 1.0)).astype(ens.dtype)
-    w = (w - jnp.mean(w, axis=0)) * resc
+    w = w - jnp.mean(w, axis=0)
     q_std = jnp.sqrt(jnp.repeat(jnp.asarray(QN, jnp.float32) * DT, Z))
     ens = ens + w * q_std[None, :].astype(ens.dtype)
     lo, hi = _flat_bounds(Z, False, False, False, 0, jnp.float32)
@@ -318,10 +317,10 @@ def test_initial_mean_unbiased_near_bound():
 
 
 def test_perturbation_variance_not_deflated():
-    """Centered observation/process draws are rescaled by sqrt(N/(N-1))
-    so their sample variance is exactly R (resp. Q): over many steps
-    the NIS of a well-specified filter stays ~1 even for a small
-    ensemble, where the (N-1)/N deflation would bias it high."""
+    """Centered observation/process draws are already unbiased under
+    the filter's N-1 anomaly convention (E[sum((w-mean)^2)/(N-1)] is
+    exactly sigma^2) — no rescale is applied, and the NIS of a
+    well-specified filter stays ~1 over many steps."""
     errors, carry, diags, truth = _run(
         n_steps=40, diagnostics=True, seed=7, inflation=1.02)
     nis = np.concatenate([np.atleast_1d(d["nis"]) for d in diags[10:]])

@@ -88,7 +88,7 @@ def _run(n_steps=25, nan_mask_fn=None, seed=0, **mhe_kw):
               learning_rate=0.08)
     kw.update(mhe_kw)
     mhe_step = make_mhe(params, Z, TAPS, DT, substeps, **kw)
-    carry = make_mhe_carry(_wrong_guess(config), Z, kw["horizon"],
+    carry = make_mhe_carry(_wrong_guess(config), kw["horizon"],
                            len(TAPS), boundary)
     rng = np.random.default_rng(seed + 1)
     errors = []
@@ -155,7 +155,7 @@ def test_agrees_with_ekf():
     mhe_step = make_mhe(params, Z, TAPS, DT, substeps, horizon=H,
                         prior_variance=P0, measurement_noise=SIGMA**2,
                         iters=20, learning_rate=0.08)
-    m_carry = make_mhe_carry(_wrong_guess(config), Z, H, len(TAPS),
+    m_carry = make_mhe_carry(_wrong_guess(config), H, len(TAPS),
                              boundary)
     ekf_step = make_ekf(params, Z, TAPS, DT, substeps,
                         process_noise=(1e-7, 1e-6, 1e-5),
@@ -190,7 +190,7 @@ def test_hard_bounds_respected_in_optimization():
     mhe_step = make_mhe(params, Z, TAPS, DT, substeps, horizon=H,
                         prior_variance=P0, measurement_noise=SIGMA**2,
                         iters=20, learning_rate=0.08)
-    carry = make_mhe_carry(_wrong_guess(config), Z, H, len(TAPS), bc)
+    carry = make_mhe_carry(_wrong_guess(config), H, len(TAPS), bc)
     rng = np.random.default_rng(3)
     cl = slice(tap_index("chlorine", 0, Z),
                tap_index("chlorine", Z - 1, Z) + 1)
@@ -210,7 +210,7 @@ def test_scan_and_vmap_compatible():
     mhe_step = make_mhe(params, Z, TAPS, DT, substeps, horizon=4,
                         prior_variance=P0, measurement_noise=SIGMA**2,
                         iters=5, learning_rate=0.08)
-    carry = make_mhe_carry(_wrong_guess(config), Z, 4, len(TAPS),
+    carry = make_mhe_carry(_wrong_guess(config), 4, len(TAPS),
                            boundary)
 
     @jax.jit
@@ -232,3 +232,25 @@ def test_scan_and_vmap_compatible():
     bank2, xb = fn(bank, zb, boundary)
     assert xb.shape == (2, 3 * Z)
     assert bool(jnp.all(jnp.isfinite(xb)))
+
+def test_weak_typed_f64_state_stays_f64():
+    """A carry built from weakly-typed float64 leaves (jnp.full with
+    Python floats — the natural way users write a guess) must run the
+    window rollout in float64: JAX's weak+strong promotion against the
+    float32 bound constants would otherwise demote the state mid-scan
+    (observed: 'scan carry dtypes do not match' crash)."""
+    config, params, substeps, boundary = _plant()
+    st0 = R.make_initial_state(config, dtype=jnp.float64)
+    guess = R.ReactorState(
+        time=st0.time, pH=jnp.full(Z, 7.0), chlorine=jnp.full(Z, 0.5),
+        temperature=jnp.full(Z, 17.0),
+        flow_rate=st0.flow_rate).update_derived()
+    assert guess.pH.dtype == jnp.float64      # weak f64 leaves
+    mhe_step = make_mhe(params, Z, TAPS, DT, substeps, horizon=4,
+                        prior_variance=P0, measurement_noise=SIGMA**2,
+                        iters=2)
+    carry = make_mhe_carry(guess, 4, len(TAPS), boundary)
+    z = jnp.asarray(np.array([7.2, 7.4, 1.8, 19.5]))
+    carry2, x = mhe_step(carry, z, boundary)
+    assert x.dtype == jnp.float64
+    assert carry2.x0.dtype == jnp.float64
