@@ -544,7 +544,12 @@ def run_mpc_surrogate(config: R.ReactorConfiguration, sp: SurrogateParams,
 
     Returns applied commands, realized tracked trajectories (TRUE
     values), and the weighted tracking score — directly comparable to
-    ``run_mpc``'s on the same program."""
+    ``run_mpc``'s on the same program.
+
+    NOTE: the receding-horizon scaffolding deliberately mirrors
+    ``control.mpc.run_mpc`` statement for statement (padding, warm-start
+    shift, score definition) so the two scores stay comparable — a
+    behavioral change there should be mirrored here."""
     controls = tuple(controls)
     if not isinstance(setpoint_program, dict):
         setpoint_program = {("chlorine", -1):
