@@ -177,12 +177,15 @@ class OPCUAServer:
         # Part 4 §5.13.2 lets the server REVISE the requested publishing
         # interval, so instead of degrading unboundedly past the measured
         # knee, CreateSubscription/ModifySubscription revise intervals up
-        # whenever the aggregate would exceed this budget, and reject
-        # with Bad_TooManySubscriptions once even the revision cap
-        # (ADAPTIVE_MAX_INTERVAL_S) cannot fit the budget. The default
-        # sits just above the tested 1000 ticks/s operating point, so the
-        # tested scale is served unrevised and anything beyond it sheds
-        # cadence instead of latency.
+        # whenever the aggregate would exceed this budget, falling back
+        # to the ADAPTIVE_MAX_INTERVAL_S floor cadence once the budget is
+        # exhausted — sessions are never refused for load (each
+        # floor-granted subscription overshoots by only 1/60 tick/s, and
+        # the per-session MAX_SUBSCRIPTIONS x connection caps bound the
+        # total). The default sits just above the tested 1000 ticks/s
+        # operating point, so the tested scale is served unrevised and
+        # anything beyond it sheds cadence instead of latency or
+        # sessions.
         self.adaptive_tick_budget_per_s = float(adaptive_tick_budget_per_s)
         self._sub_ticks_per_s = 0.0
         # Idle enforcement: handlers stamp activity on complete messages;
@@ -642,9 +645,6 @@ class OPCUAServer:
                               or 1000.0) / 1000.0)
             interval_s = self._revise_interval_for_load(
                 interval_s, freed_rate=1.0 / sub.interval_s)
-            if interval_s is None:
-                return self._fault(req.header,
-                                   M.BAD_TOO_MANY_SUBSCRIPTIONS)
             self._sub_ticks_per_s += (1.0 / interval_s
                                       - 1.0 / sub.interval_s)
             keepalive = min(max(req.requested_max_keepalive_count, 1),
@@ -818,7 +818,8 @@ class OPCUAServer:
         rate stays within ``adaptive_tick_budget_per_s`` (Part 4 §5.13.2
         server-revision semantics). ``freed_rate`` is the rate the caller
         is about to release (ModifySubscription). Returns the revised
-        interval, or None when even ADAPTIVE_MAX_INTERVAL_S cannot fit.
+        interval; past budget exhaustion it returns the
+        ADAPTIVE_MAX_INTERVAL_S floor cadence rather than refusing.
 
         All mutations of _sub_ticks_per_s happen on the server's single
         asyncio loop (request handlers, publisher tasks, connection
@@ -827,9 +828,17 @@ class OPCUAServer:
                     - self._sub_ticks_per_s + freed_rate)
         if 1.0 / interval_s <= headroom:
             return interval_s
-        if headroom <= 1.0 / self.ADAPTIVE_MAX_INTERVAL_S:
-            return None
-        revised = 1.0 / headroom
+        # Budget exhausted: grant the floor cadence instead of refusing
+        # — "sheds cadence, not sessions". Each floor-granted
+        # subscription overshoots the budget by only 1/60 tick/s, and
+        # the per-session MAX_SUBSCRIPTIONS x connection caps already
+        # bound the total count, so no separate refusal is needed
+        # (measured: the old refusal branch turned 687 of 1000
+        # 250 ms-requesting sessions away while the first 312 kept
+        # their full cadence — LOADTEST first-come-fully-served flaw).
+        revised = (1.0 / headroom
+                   if headroom > 1.0 / self.ADAPTIVE_MAX_INTERVAL_S
+                   else self.ADAPTIVE_MAX_INTERVAL_S)
         logger.info("OPC UA adaptive revision: %.3f s -> %.3f s "
                     "(aggregate %.1f ticks/s, budget %.1f)",
                     interval_s, revised, self._sub_ticks_per_s,
@@ -844,8 +853,6 @@ class OPCUAServer:
                          (req.requested_publishing_interval_ms or 1000.0)
                          / 1000.0)
         interval_s = self._revise_interval_for_load(interval_s)
-        if interval_s is None:
-            return self._fault(req.header, M.BAD_TOO_MANY_SUBSCRIPTIONS)
         keepalive = min(max(req.requested_max_keepalive_count, 1), 1000)
         lifetime = min(max(req.requested_lifetime_count, 3 * keepalive),
                        100_000)

@@ -1208,10 +1208,13 @@ def test_orchestrator_serves_opcua():
 def test_adaptive_publish_load_shedding():
     """Load-adaptive publishing-interval revision: past the server's
     aggregate sample-tick budget, CreateSubscription/ModifySubscription
-    revise intervals up (Part 4 §5.13.2 server-revision semantics) and
-    finally refuse with Bad_TooManySubscriptions — the subscribe plane
-    sheds cadence instead of p99 latency (the 1000-session load test
-    measured the knee this budget guards, LOADTEST_r04_opcua_subscribe)."""
+    revise intervals up (Part 4 §5.13.2 server-revision semantics), and
+    once the budget is exhausted new subscriptions get the 60 s FLOOR
+    cadence instead of a refusal — the subscribe plane sheds cadence,
+    never sessions (the round-5 1000-session load test caught the old
+    refusal branch turning away 687 of 1000 sessions while the first
+    312 kept full cadence; LOADTEST_r05_opcua_subscribe now shows 0
+    errors)."""
     slave = ModbusSlave(ModbusRegisterMap(),
                         ModbusServerConfig(host="127.0.0.1", port=0),
                         units=[1])
@@ -1229,9 +1232,11 @@ def test_adaptive_publish_load_shedding():
             # (0.5 ticks/s -> 2 s cadence).
             s3, r3 = c.create_subscription(publishing_interval=1.0)
             assert r3 == pytest.approx(2.0, rel=1e-6)
-            # Budget exhausted: refused outright.
-            with pytest.raises(OPCUAError, match="0x80770000"):
-                c.create_subscription(publishing_interval=1.0)
+            # Budget exhausted: floor-granted at 60 s, never refused.
+            s_floor, r_floor = c.create_subscription(
+                publishing_interval=1.0)
+            assert r_floor == pytest.approx(60.0, rel=1e-6)
+            c.delete_subscriptions([s_floor])
             # Modify frees its own old rate first: re-pacing s3 to 2 s is
             # a no-op revision, and slowing s1 to 5 s frees headroom...
             assert c.modify_subscription(s3, publishing_interval=2.0) \
