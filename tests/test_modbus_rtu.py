@@ -5,6 +5,7 @@ over a real pty serial line and over RTU-over-TCP."""
 
 import os
 import struct
+import time
 
 import pytest
 
@@ -148,6 +149,14 @@ def test_serial_crc_error_counted_and_resynced(serial_pair):
         bad = bytearray(frame_rtu(1, struct.pack(">BHH", 0x04, 0, 2)))
         bad[-1] ^= 0xFF
         os.write(master_fd, bytes(bad))
+        # real RTU lines separate frames by a 3.5-char idle gap; give
+        # the slave time to consume + drop the noise before the next
+        # request, or (under a loaded 1-core host) both writes coalesce
+        # into one read and the slide-one-byte resync can chew into the
+        # good request's bytes (observed flake in full-suite runs)
+        deadline = time.time() + 5.0
+        while time.time() < deadline and slave.core.error_count < 1:
+            time.sleep(0.05)
         with ModbusRtuClient(device=master_fd, unit_id=1,
                              timeout=10.0) as c:
             assert abs(c.read_float32(0) - 6.5) < 1e-6   # line recovered
